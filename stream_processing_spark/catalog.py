@@ -1,0 +1,79 @@
+"""Table catalog: loaders + schema registry for the synthetic test tables.
+
+The driver provides TPC-H-ish parquet tables at /root/testdata/sf*/
+(see TESTDATA.md). The reference had no schema system at all (SURVEY.md
+§1.2 — everything UTF-8 text); here every table has an explicit schema so
+Catalyst can prune columns and push filters into the parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Parquet scans get column pruning + predicate pushdown
+    from Catalyst for free — do NOT cache or materialize here.
+
+    events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark
+    refuses to read natively; read it as long nanos and truncate to
+    microseconds — the same truncation DuckDB applies, so oracle
+    comparisons agree."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        # integer division — double division would lose precision on
+        # ~1.7e18 nanosecond values (53-bit mantissa)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql(...) works
+    against the same names DuckDB uses in the oracle."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+class Catalog:
+    """Convenience handle: ``cat.lineitem`` etc."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return load_table(self.spark, self.sf_dir, name)
+        raise AttributeError(name)
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)

@@ -1,0 +1,165 @@
+"""Deduplication for training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+- exact         — hash-groupBy on the text (or md5(text) at 100 TB so the
+                  shuffle carries 32 bytes, not documents)
+- n-gram Jaccard— shingle → explode → self-join on shingle → count
+                  intersections → Jaccard. The join key is the shingle, so
+                  frequency-skewed shingles are the hot spot; at scale,
+                  drop top-frequency shingles (they contribute pairs
+                  quadratically and little signal).
+- MinHash + LSH — k independent min-hashes per doc (md5-keyed for engine-
+                  portable determinism), banded into buckets; candidate
+                  pairs share a band bucket. Turns all-pairs O(n²) into
+                  per-bucket joins.
+- SimHash       — 32-bit sign-of-weighted-bit-sums fingerprint; near-dups
+                  have small Hamming distance. Computed entirely with
+                  native expressions (explode + 32 conditional sums).
+
+Embedding-cosine near-dup lives in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct text: the kept (minimum) id and the copy count.
+
+    Grouping on md5(text) rather than the raw text keeps the shuffle
+    payload fixed-width regardless of document size.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, sh)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(sh).alias("sh"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard over a shingle frame: pairs with J >= threshold.
+
+    Plan: shuffle on the shingle (the only all-to-all step), count common
+    shingles per pair, join per-doc sizes back, filter. Integer-only
+    arithmetic until one exact double division → engine-portable values.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, k: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """k min-hash values per doc. Hash family: md5 of a seed-prefixed
+    shingle, min by lexicographic hex — identical in any engine with md5,
+    which is exactly why it is md5 and not a native hash().
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("sh")))).alias(f"h{s}")
+        for s in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs sharing at least one LSH band bucket."""
+    band_cols = []
+    for b in range(bands):
+        hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *hs)).alias("sig"))
+        )
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a = buckets.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _hex_digit_val(hexstr: Column, pos: int) -> Column:
+    """Value 0..15 of 1-indexed hex digit `pos` of a lowercase hex string."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(hexstr, pos, 1)) - 1
+
+
+def simhash32(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per document over whitespace tokens (with
+    multiplicity). Token hash = first 8 hex digits of md5; bit b of the
+    fingerprint is the sign of sum(±1) of that bit across tokens.
+
+    Everything is integer arithmetic on hex digits — portable across
+    engines (no 64-bit parse, no engine-specific hash()).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))
+    # digit d (0=most significant) value 0..15
+    digs = [ _hex_digit_val(F.col("h"), d + 1).alias(f"d{d}") for d in range(8) ]
+    tok = tok.select(id_col, *digs)
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"d{7 - b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(32)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(32):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))

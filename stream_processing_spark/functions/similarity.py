@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine(a, b)`` — native higher-order functions (zip_with + aggregate),
+  elementwise in double; a sequential left-fold, so the summation order is
+  deterministic (and matches DuckDB's sequential list functions).
+- ``brute_force_topk`` — broadcast the query vector, one scan, top-k via
+  sort+limit (TakeOrderedAndProject). The exact baseline.
+- ``cosine_pairs`` — all-pairs above a threshold. Quadratic by nature;
+  correct at sf0.01, replaced by ``lsh_bucketed_pairs`` at scale.
+- ``lsh_bucketed_pairs`` — random-hyperplane (sign) LSH: b-bit signatures
+  from fixed seeded hyperplanes, candidate pairs share a signature bucket,
+  exact cosine verifies candidates. Turns O(n²) into per-bucket joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k nearest (cosine) to the vector with query_vec_id."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__q")), 6)
+    return (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (brute force, id_a < id_b)."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(sim, 6))
+        .filter(sim >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Fixed seeded random hyperplanes (deterministic across runs)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def signature_col(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH signature string, one char per hyperplane."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(w) for w in p])) >= 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_bucketed_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs: candidates share an LSH bucket, then
+    exact cosine filters. Misses pairs split by a hyperplane (recall <1,
+    tunable via bits/bands); the scale path when all-pairs is infeasible.
+    """
+    planes = _hyperplanes(dim, bits, seed)
+    sigs = embeddings.select(
+        F.col(id_col), F.col(vec_col), signature_col(F.col(vec_col), planes).alias("sig")
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "sig")
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(sim, 6))
+        .filter(sim >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

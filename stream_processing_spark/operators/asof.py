@@ -1,0 +1,92 @@
+"""As-of join: for each left row, the latest right row with
+right.ts <= left.ts, matched on an equality key.
+
+Spark has no native as-of join (DuckDB/Pandas do). The scalable plan is
+NOT a per-row range probe (that's a quadratic theta-join); it is:
+
+    union(left tagged 1, right tagged 0)
+      → single shuffle on the match key
+      → per-key sort by (ts, side, tiebreak)
+      → running `last(payload, ignorenulls)` window
+      → keep left rows
+
+One shuffle + one sort, the same cost as a sort-merge join — this is the
+plan that survives 100 TB. Right-side payload is packed into one struct
+so the carried columns always come from the SAME right row (per-column
+last() could tear rows when payload values are legitimately NULL).
+
+Reference note: the reference engine has no join at all (SURVEY.md §2.4);
+this operator is part of the beyond-reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+_TIE = "__asof_tie"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    right_tiebreak: str | None = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Left as-of join.
+
+    Parameters
+    ----------
+    on : equality key column(s) present on both sides.
+    left_ts / right_ts : event-time columns.
+    right_tiebreak : column ordering right rows that share a timestamp
+        (the greatest wins); required for a deterministic result when
+        right timestamps can tie.
+    strict : if True, match right.ts < left.ts instead of <=.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    if not payload_cols:
+        raise ValueError("right side has no payload columns to carry")
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_SIDE),
+        (F.col(right_tiebreak) if right_tiebreak else F.lit(0)).alias(_TIE),
+        F.struct(*payload_cols).alias(_PAYLOAD),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+    )
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias(_TS),
+        # side orders equal timestamps: with <= the right row sorts before
+        # the left row it can match; with < it sorts after (excluded).
+        F.lit(1 if not strict else -1).alias(_SIDE),
+        F.lit(None).cast(r.schema[_TIE].dataType).alias(_TIE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+        *[F.col(c) for c in left.columns if c not in keys],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TIE).asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = r.unionByName(l).withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    out = unioned.filter(F.col(_SIDE) != 0)
+    return out.select(
+        *keys,
+        *[F.col(c) for c in left.columns if c not in keys],
+        *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in payload_cols],
+    )

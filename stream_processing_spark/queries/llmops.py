@@ -1,0 +1,317 @@
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — the beyond-reference surface (see the
+build brief + SURVEY.md §7.1 "llmops").
+
+Oracle SQL here is deliberately engine-portable: md5 for every hash
+(identical hex in Spark and DuckDB), integer arithmetic until a single
+exact double division, ROUND(…, 6) on genuinely-float outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_spark.catalog import load_table
+from stream_processing_spark.functions import dedup as dd
+from stream_processing_spark.functions import similarity as sim
+from stream_processing_spark.functions import text as tx
+from stream_processing_spark.queries import register
+
+# ---------------------------------------------------------------- dedup
+
+_SHINGLE_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 3
+)
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: group on md5(text) so the shuffle carries a "
+    "fixed-width key instead of whole documents",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_signatures",
+    _SHINGLE_SQL
+    + "SELECT doc_id, "
+    + ", ".join(f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(8))
+    + " FROM shingles GROUP BY doc_id",
+    doc="MinHash signatures (k=8) over distinct 3-word shingles; md5-keyed "
+    "hash family for engine portability. One explode + one grouped agg.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_signatures(dd.shingles(docs, n=3), k=8)
+
+
+@register(
+    "dedup_lsh_candidates",
+    _SHINGLE_SQL
+    + ", sigs AS (SELECT doc_id, "
+    + ", ".join(f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(8))
+    + """ FROM shingles GROUP BY doc_id),
+    buckets AS (
+    """
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS sig FROM sigs"
+        for b in range(4)
+    )
+    + """)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs: 4 bands × 2 rows; pairs sharing any "
+    "band bucket. The all-pairs O(n²) becomes per-bucket joins.",
+)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(dd.shingles(docs, n=3), k=8)
+    return dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+_UNIGRAM_SQL = """
+WITH shingles AS (
+    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS sh
+    FROM documents
+)
+"""
+
+
+@register(
+    "dedup_jaccard_pairs",
+    _UNIGRAM_SQL
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    """,
+    doc="Exact token-set Jaccard near-dup pairs (J >= 0.8). Integer "
+    "arithmetic until one exact double division → portable values.",
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.jaccard_pairs(dd.shingles(docs, n=1), threshold=0.8)
+
+
+def _simhash_sql() -> str:
+    digs = ", ".join(
+        f"strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1 AS d{d}"
+        for d in range(8)
+    )
+    sums = ", ".join(
+        f"SUM(CASE WHEN ((d{7 - b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    d AS (SELECT doc_id, {digs} FROM h),
+    s AS (SELECT doc_id, {sums} FROM d GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_sql(),
+    doc="32-bit SimHash fingerprint per doc (sign of per-bit ±1 sums over "
+    "md5 token hashes); near-dups = small Hamming distance",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash32(load_table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------- similarity
+
+_COS_SQL = (
+    "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+)
+
+
+@register(
+    "ann_brute_force_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_COS_SQL.format(a="e.embedding", b="q.qe")}, 6) AS cos_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="Exact cosine top-10 to query vector vec_id=0: broadcast query, "
+    "one scan, TakeOrderedAndProject (no global sort). The ANN baseline.",
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, query_vec_id=0, k=10)
+
+
+@register(
+    "ann_cosine_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs (>= 0.4 — calibrated to the "
+    "synthetic embedding distribution so the result is non-empty), exact "
+    "all-pairs; lsh_bucketed_pairs is the scale path",
+)
+def ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_pairs(emb, threshold=0.4)
+
+
+# ------------------------------------------------------------ text ops
+
+@register(
+    "text_quality_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(length(replace(text, ' ', '')) * 1.0
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           ROUND(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the','a','of','and','to','in','is','it'))) * 1.0
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Per-doc quality scoring: length, token count, avg token length, "
+    "stopword ratio — all native expressions, single pass",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_stats(load_table(spark, sf_dir, "documents"))
+
+
+_LANG_SCORE_SQL = {
+    lang: (
+        "len(list_filter(string_split(text, ' '), t -> t IN ("
+        + ", ".join(f"'{m}'" for m in markers)
+        + ")))"
+    )
+    for lang, markers in tx.LANG_MARKERS.items()
+}
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               {_LANG_SCORE_SQL['en']} AS s_en,
+               {_LANG_SCORE_SQL['de']} AS s_de,
+               {_LANG_SCORE_SQL['fr']} AS s_fr,
+               {_LANG_SCORE_SQL['es']} AS s_es
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'unk' END AS lang_guess
+    FROM scores
+    """,
+    doc="Marker-word language ID heuristic (deterministic argmax, ties "
+    "broken en>de>fr>es), compared against the labeled lang column",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", tx.lang_guess("text").alias("lang_guess"))
+
+
+@register(
+    "text_token_counts",
+    rf"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{tx.BPE_ISH}')) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="Whitespace + BPE-ish regex token counts",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count_ws("text").alias("ws_tokens"),
+        tx.token_count_bpe_ish("text").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(text) AS fp_md5,
+           md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_norm
+    FROM documents
+    """,
+    doc="Document fingerprints: raw md5 + whitespace-normalized md5",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint_md5("text").alias("fp_md5"),
+        tx.fingerprint_normalized("text").alias("fp_norm"),
+    )
+
+
+# ----------------------------------------------------------- multimodal
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(lower(hex(encode(text))), 1, 16) AS head_hex
+    FROM documents
+    """,
+    doc="Binary-column plumbing: text encoded to an opaque binary payload "
+    "(the stand-in for image/audio bytes), typed metadata extracted "
+    "JVM-side. Real decode lives in functions/multimodal.py (stubbed — "
+    "codec libs absent in this container).",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.substring(F.lower(F.hex(payload)), 1, 16).alias("head_hex"),
+    )

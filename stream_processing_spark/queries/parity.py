@@ -1,0 +1,181 @@
+"""Reference-parity queries (SURVEY.md §2.2, §2.3, §2.6).
+
+Each query reproduces one reference operator's semantics over the
+driver-provided tables: T1 regex filter, T2 positional projection,
+T3 fused filter+project, T4 equality filter, T5/T6 count-by-key,
+A2/G1-G3 distributed-grep counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_spark.catalog import load_table
+from stream_processing_spark.queries import register
+
+# A pattern with hits in the synthetic documents vocabulary.
+GREP_PATTERN = "merge .* sort|scan"
+
+
+@register(
+    "t1_filter_pattern",
+    f"""
+    SELECT doc_id, text
+    FROM documents
+    WHERE regexp_matches(text, '{GREP_PATTERN}')
+    """,
+    doc="T1 regex filter (reference tests/sample1_op1.py:8-13)",
+)
+def t1_filter_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike(GREP_PATTERN)).select("doc_id", "text")
+
+
+@register(
+    "t2_select_columns",
+    """
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS w0,
+           split_part(text, ' ', 3) AS w2
+    FROM documents
+    """,
+    doc="T2 positional projection (reference tests/sample1_op2.py:7-14)",
+)
+def t2_select_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        toks.getItem(0).alias("w0"),
+        toks.getItem(2).alias("w2"),
+    )
+
+
+@register(
+    "t3_filter_project",
+    f"""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS w0,
+           lang
+    FROM documents
+    WHERE regexp_matches(text, '{GREP_PATTERN}')
+    """,
+    doc="T3 fused filter+project (reference tests/mp4_demo1.py:8-13); "
+    "Catalyst fuses these into one whole-stage-codegen span automatically",
+)
+def t3_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike(GREP_PATTERN)).select(
+        "doc_id", F.split(F.col("text"), " ").getItem(0).alias("w0"), "lang"
+    )
+
+
+@register(
+    "t4_filter_eq",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    doc="T4 equality filter (reference tests/sample2_op1.py:8-14); "
+    "pushed down into the parquet scan",
+)
+def t4_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "t5_count_by_category",
+    """
+    SELECT lang AS category, COUNT(*) AS cnt
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="T5 stateful count-by-category, final values "
+    "(reference tests/sample2_op2.py:8-17); map-side partial agg + "
+    "one shuffle on the group key",
+)
+def t5_count_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.col("lang").alias("category")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@register(
+    "t6_word_count",
+    """
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+    doc="T6 running count per key, final values "
+    "(reference tests/mp4_demo2.py:6-10) — the word-count pattern",
+)
+def t6_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "grep_count_by_source",
+    f"""
+    SELECT source, COUNT(*) AS match_count
+    FROM documents
+    WHERE regexp_matches(text, '{GREP_PATTERN}')
+    GROUP BY source
+    """,
+    doc="A2/G3 distributed grep -c: per-source match counts "
+    "(reference src/LogQuerier/client.py:103-111); the TCP fan-out "
+    "collapses into one partitioned scan + grouped count",
+)
+def grep_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike(GREP_PATTERN))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("match_count"))
+    )
+
+
+@register(
+    "grep_total_count",
+    f"""
+    SELECT COUNT(*) AS total_matches
+    FROM documents
+    WHERE regexp_matches(text, '{GREP_PATTERN}')
+    """,
+    doc="A2 cluster-total grep count (reference src/LogQuerier/client.py:151-152)",
+)
+def grep_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.col("text").rlike(GREP_PATTERN)).agg(
+        F.count(F.lit(1)).alias("total_matches")
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE event_type = 'click'
+    """,
+    doc="JSON field extraction from the props envelope — the reference's "
+    "nested-JSON-string values (src/Streaming/worker.py:52-58) as a "
+    "first-class typed extraction",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
