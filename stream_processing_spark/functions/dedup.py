@@ -44,18 +44,39 @@ def exact_dedup_groups(
 
 
 def shingles(
-    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, sh)."""
+    """Word n-gram shingles per document: (id, sh).
+
+    distinct=True gives set semantics (required for Jaccard). Min-based
+    consumers (MinHash) pass distinct=False: MIN is duplicate-insensitive
+    and the dedup would cost a full extra shuffle for nothing.
+    """
+    # the explode expands each doc ~token-count×; rebalance BEFORE the
+    # expansion so it runs on all cores even when the scan has few splits
+    # (a single-row-group parquet file reads as one task)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
-    return (
-        df.filter(F.size(toks) >= n)
-        .select(F.col(id_col), F.explode(sh).alias("sh"))
-        .distinct()
+    length = F.size(toks)
+    # arrays_zip of shifted slices + concat AFTER the explode keeps the
+    # whole pipeline in codegen; transform(sequence, λ…element_at) is the
+    # obvious spelling but the λ is interpreted per element — ~8× slower
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, length - (n - 1)) for j in range(n)]
     )
+    out = (
+        df.filter(length >= n)
+        .select(F.col(id_col), F.explode(zipped).alias("__z"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", *[f"__z.{j}" for j in range(n)]).alias("sh"),
+        )
+    )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -140,6 +161,8 @@ def simhash32(
     Everything is integer arithmetic on hex digits — portable across
     engines (no 64-bit parse, no engine-specific hash()).
     """
+    # rebalance before the expanding explode (see shingles())
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))

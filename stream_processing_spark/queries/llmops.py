@@ -57,7 +57,8 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_signatures(dd.shingles(docs, n=3), k=8)
+    # distinct=False: MIN ignores duplicates, saves a shuffle
+    return dd.minhash_signatures(dd.shingles(docs, n=3, distinct=False), k=8)
 
 
 @register(
@@ -82,7 +83,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(dd.shingles(docs, n=3), k=8)
+    sigs = dd.minhash_signatures(dd.shingles(docs, n=3, distinct=False), k=8)
     return dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
 
