@@ -1,0 +1,99 @@
+"""Engine CLI — the surface a reference user lands on (run.sh parity).
+
+    python -m stream_processing_spark.cli rainstorm "<op1>" "<op2>" <in> <out> [n] [stateful]
+    python -m stream_processing_spark.cli dgrep <pattern> <glob> [-c]
+    python -m stream_processing_spark.cli store <create|append|merge|get|ls|list> <root> [args…]
+
+Reference: run.sh:105-140 dispatches create/append/get/merge/ls/store/
+multiappend/Rainstorm/dgrep to the four layers; this module is the same
+dispatch onto the Spark-first engine.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from stream_processing_spark.session import get_spark
+
+
+def _rainstorm(args: list[str]) -> int:
+    from stream_processing_spark.plans import rainstorm
+
+    op1, op2, ind, outd = args[:4]
+    n = int(args[4]) if len(args) > 4 else None
+    stateful = len(args) > 5 and args[5].lower() in ("1", "true", "stateful")
+    job = rainstorm(get_spark(), op1, op2, ind, outd, n, stateful or None)
+    job.run_to_completion()
+    print(f"output at {outd}")
+    return 0
+
+
+def _dgrep(args: list[str]) -> int:
+    from stream_processing_spark.sources.grep import dgrep, dgrep_count
+
+    count = "-c" in args
+    args = [a for a in args if a != "-c"]
+    pattern, glob = args
+    spark = get_spark()
+    if count:
+        rows = dgrep_count(spark, pattern, glob).collect()
+        total = 0
+        for r in rows:
+            print(f"{r.source_file}: {r.match_count}")
+            total += r.match_count
+        print(f"TOTAL: {total}")  # reference client.py:151-152
+    else:
+        for r in dgrep(spark, pattern, glob).collect():
+            print(f"{r.source_file}: {r.value}")
+    return 0
+
+
+def _store(args: list[str]) -> int:
+    from stream_processing_spark.store import Store
+
+    cmd, root, rest = args[0], args[1], args[2:]
+    store = Store(get_spark(), root)
+    if cmd == "create":
+        name, local = rest
+        store.create(name, open(local).read().splitlines())
+    elif cmd == "append":
+        name, local = rest[:2]
+        writer = rest[2] if len(rest) > 2 else "cli"
+        store.append(name, open(local).read().splitlines(), writer=writer)
+    elif cmd == "merge":
+        store.merge(rest[0])
+    elif cmd == "get":
+        name = rest[0]
+        out = "\n".join(store.get_lines(name))
+        if len(rest) > 1:
+            with open(rest[1], "w") as f:
+                f.write(out + "\n")
+        else:
+            print(out)
+    elif cmd == "ls":
+        print(store.ls(rest[0]))
+    elif cmd == "list":
+        print("\n".join(store.datasets()))
+    else:
+        raise SystemExit(f"unknown store command {cmd!r}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(__doc__)
+        return 2
+    cmd, rest = argv[0].lower(), argv[1:]
+    if cmd == "rainstorm":
+        return _rainstorm(rest)
+    if cmd == "dgrep":
+        return _dgrep(rest)
+    if cmd in ("store", "create", "append", "merge", "get", "ls"):
+        return _store(rest if cmd == "store" else [cmd, *rest])
+    print(__doc__)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,123 @@
+"""The RainStorm job-submission contract (SURVEY.md §3.1).
+
+Reference CLI: ``Rainstorm <op1_exe> <op2_exe> <input> <output>
+<num_tasks> [stateful]`` (src/Streaming/Rainstorm.py:9-36), where the op
+"executables" take CLI args (shlex-split, Rainstorm.py:20-24) and speak
+the {key,value} JSON-line protocol. Here an op spec is a string
+``"<name> <args…>"`` resolved against OP_LIBRARY to a DataFrame
+transform; the job is a StreamJob (one Structured Streaming query
+replaces leader scheduling, §3.1 steps 2-7).
+
+num_tasks maps to ``spark.sql.shuffle.partitions`` — the reference's
+per-stage task count is Spark's shuffle parallelism (leader.py:155-208
+schedules num_tasks workers per stage; the shuffle for the stateful
+stage is exactly where that parallelism matters).
+"""
+
+from __future__ import annotations
+
+import shlex
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stream_processing_spark.operators import transforms as T
+from stream_processing_spark.streaming.job import StreamJob
+from stream_processing_spark.streaming.stateful import running_count
+
+Op = Callable[[DataFrame], DataFrame]
+
+
+def _filter_pattern(pattern: str) -> Op:
+    # T1: tests/sample1_op1.py — regex filter on the line
+    return lambda df: T.filter_pattern(df, pattern)
+
+
+def _select_columns(*idx: str) -> Op:
+    # T2: tests/sample1_op2.py — project CSV columns; first becomes key,
+    # rest join into the value
+    indices = [int(i) for i in idx]
+    names = ["key"] + [f"v{i}" for i in indices[1:]]
+
+    def op(df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        out = T.select_columns(df, *indices, names=names)
+        return out.select(
+            "key", F.concat_ws(",", *[c for c in names[1:]]).alias("value")
+        )
+
+    return op
+
+
+def _filter_eq(index: str, value: str) -> Op:
+    # T4: tests/sample2_op1.py — equality on CSV column; emits
+    # (matched value, full row)
+    def op(df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        col = F.split(F.col("value"), ",").getItem(int(index))
+        return df.filter(col == value).select(
+            col.alias("key"), F.col("value")
+        )
+
+    return op
+
+
+def _count_by_key() -> Op:
+    # T5/T6: tests/sample2_op2.py, tests/mp4_demo2.py — running count per
+    # key; update mode emits every change
+    return lambda df: running_count(df, "key").withColumnRenamed("cnt", "value")
+
+
+def _count_by_column(index: str) -> Op:
+    def op(df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        keyed = df.select(F.split(F.col("value"), ",").getItem(int(index)).alias("key"))
+        return running_count(keyed, "key").withColumnRenamed("cnt", "value")
+
+    return op
+
+
+OP_LIBRARY: dict[str, Callable[..., Op]] = {
+    "filter_pattern": _filter_pattern,
+    "select_columns": _select_columns,
+    "filter_eq": _filter_eq,
+    "count_by_key": _count_by_key,
+    "count_by_column": _count_by_column,
+}
+
+STATEFUL_OPS = {"count_by_key", "count_by_column"}
+
+
+def parse_op(spec: str) -> tuple[Op, bool]:
+    """'filter_pattern ^\\d+,stop' → (transform, is_stateful)."""
+    parts = shlex.split(spec)
+    name, args = parts[0], parts[1:]
+    if name not in OP_LIBRARY:
+        raise KeyError(f"unknown op {name!r}; library: {sorted(OP_LIBRARY)}")
+    return OP_LIBRARY[name](*args), name in STATEFUL_OPS
+
+
+def rainstorm(
+    spark: SparkSession,
+    op1_spec: str,
+    op2_spec: str,
+    input_dir: str,
+    output_dir: str,
+    num_tasks: int | None = None,
+    stateful: bool | None = None,
+) -> StreamJob:
+    """Build (don't start) the streaming job for the 2-operator contract."""
+    op1, s1 = parse_op(op1_spec)
+    op2, s2 = parse_op(op2_spec)
+    if num_tasks:
+        spark.conf.set("spark.sql.shuffle.partitions", str(num_tasks))
+    return StreamJob(
+        spark,
+        input_dir,
+        output_dir,
+        ops=[op1, op2],
+        stateful=s1 or s2 if stateful is None else stateful,
+    )

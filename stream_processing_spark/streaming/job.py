@@ -1,0 +1,127 @@
+"""The RainStorm job contract on Structured Streaming (SURVEY.md §3.1).
+
+Reference lifecycle: ``Rainstorm <op1> <op2> <input> <output> <num_tasks>
+[stateful]`` → leader schedules 3 stages × n tasks with ack/dedup/replay
+machinery (src/Streaming/leader.py:155-208, worker.py throughout). All
+seven scheduling/delivery steps collapse into ONE Structured Streaming
+query here:
+
+- source        = file stream over a directory of micro-files (the
+                  scale-correct analogue of the reference's tail-read,
+                  SURVEY.md §7.3: Spark's file source tracks new files,
+                  not appended bytes)
+- operators     = the same DataFrame→DataFrame transforms the batch
+                  engine uses (operators/transforms.py) — identical code
+                  runs batch and streaming
+- partitioning  = the shuffle Spark inserts for stateful aggs replaces
+                  sha1(key) % num_tasks routing (worker.py:255-262)
+- exactly-once  = checkpoint + file-source offsets + idempotent
+                  batchId-keyed sink replace acks + dedup dicts + log
+                  replay (worker.py:81-186, 327-368)
+- update mode   = the reference's "emit every aggregate update, no
+                  barrier" semantics (reports/Streaming.pdf p.3)
+
+Sink format is the reference's ``key:value`` lines (leader.py:272).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+Op = Callable[[DataFrame], DataFrame]
+
+
+class StreamJob:
+    """A streaming pipeline: source dir → ops → key:value output dir.
+
+    stateful=False ⇒ append mode (each input row contributes output rows
+    exactly once). stateful=True ⇒ the last op must produce an aggregated
+    frame; every per-batch update is emitted (reference update-mode
+    semantics), keyed writes are batchId-idempotent.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        input_dir: str,
+        output_dir: str,
+        ops: list[Op],
+        stateful: bool = False,
+        key_col: str = "key",
+        value_col: str = "value",
+        checkpoint_dir: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.input_dir = input_dir
+        self.output_dir = output_dir
+        self.ops = ops
+        self.stateful = stateful
+        self.key_col = key_col
+        self.value_col = value_col
+        self.checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
+        self.max_files_per_trigger = max_files_per_trigger
+
+    # ------------------------------------------------------------------
+    def _source(self) -> DataFrame:
+        reader = self.spark.readStream.format("text")
+        if self.max_files_per_trigger:
+            # backpressure: the analogue of the reference's bounded send
+            # queues (worker.py:221)
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        df = reader.load(self.input_dir)
+        # source identity "<filename>:<linenumber>" (worker.py:512-517);
+        # uniqueness is the contract, per-file numbering is not (§7.3).
+        # monotonically_increasing_id is rejected on streaming frames, so
+        # the unique suffix is a uuid.
+        return df.select(
+            F.concat_ws(":", F.input_file_name(), F.expr("uuid()")).alias("key"),
+            F.col("value"),
+        )
+
+    def _transformed(self) -> DataFrame:
+        df = self._source()
+        for op in self.ops:
+            df = op(df)
+        return df
+
+    def _write_batch(self, batch: DataFrame, batch_id: int) -> None:
+        out = batch.select(
+            F.concat_ws(
+                ":", F.col(self.key_col).cast("string"), F.col(self.value_col).cast("string")
+            ).alias("value")
+        )
+        # one sub-directory per micro-batch: replayed batches overwrite
+        # their own directory instead of duplicating output (idempotence
+        # without the reference's dedup dicts)
+        out.write.mode("overwrite").text(
+            os.path.join(self.output_dir, f"batch-{batch_id:010d}")
+        )
+
+    def start(self, available_now: bool = True) -> StreamingQuery:
+        df = self._transformed()
+        writer = (
+            df.writeStream.foreachBatch(self._write_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("update" if self.stateful else "append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, timeout_sec: int = 300) -> None:
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_sec)
+        if q.isActive:  # pragma: no cover
+            q.stop()
+            raise TimeoutError("stream did not drain in time")
+
+    # ------------------------------------------------------------------
+    def read_output(self) -> DataFrame:
+        """All emitted key:value lines (across batches)."""
+        return self.spark.read.text(os.path.join(self.output_dir, "batch-*"))

@@ -1,0 +1,59 @@
+"""Custom stateful streaming operators (T8 parity, SURVEY.md §2.2).
+
+The reference's stateful contract: an operator process holds a
+``key → value`` dict, re-initialized from a replayed log on recovery
+(framework.py:52-54, worker.py:327-368). Structured Streaming's state
+store replaces the dict + log replay; this module exposes the same
+ergonomics through ``applyInPandasWithState`` for operators the built-in
+aggregates can't express, and a plain ``groupBy().count()`` for the one
+aggregate the reference actually ships (running count per key).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+COUNT_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("cnt", LongType())]
+)
+_STATE_SCHEMA = StructType([StructField("cnt", LongType())])
+
+
+def running_count(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """The built-in path: Spark's state store keeps per-key counts;
+    update output mode emits every change (reference A1 semantics)."""
+    return df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def stateful_running_count(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """The custom-operator path: identical semantics via
+    applyInPandasWithState, demonstrating arbitrary user state
+    (dict-per-key, like the reference operator processes). Use this shape
+    for logic groupBy().agg() can't express."""
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (cnt,) = state.get if state.exists else (0,)
+        for b in batches:
+            cnt += len(b)
+        state.update((cnt,))
+        yield pd.DataFrame({"key": [key[0]], "cnt": [cnt]})
+
+    return (
+        df.select(F.col(key_col).alias("key"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=COUNT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

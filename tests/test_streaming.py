@@ -1,0 +1,101 @@
+"""Streaming behavioral tests mirroring the reference's RainStorm
+contract: stateless pipeline output, exactly-once across restart
+(SURVEY.md §4.2 "replayed input produces no duplicate output rows"),
+and update-mode stateful counting (§2.2 T5/T6, §2.3 A1)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stream_processing_spark.operators import count_by, filter_pattern, select_columns
+from stream_processing_spark.streaming import StreamJob
+from stream_processing_spark.streaming.stateful import (
+    running_count,
+    stateful_running_count,
+)
+
+
+def _write_input(d: str, name: str, lines: list[str]) -> None:
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, os.path.join(d, name))  # atomic: file source sees whole files
+
+
+def test_stateless_filter_project(spark, tmp_path):
+    ind, outd = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_input(ind, "f1.csv", ["1,stop,red", "2,go,green", "3,stop,blue"])
+    job = StreamJob(
+        spark,
+        ind,
+        outd,
+        ops=[
+            lambda df: filter_pattern(df, "stop"),
+            lambda df: select_columns(df, 0, 2, names=["key", "value"]),
+        ],
+    )
+    job.run_to_completion()
+    got = sorted(r.value for r in job.read_output().collect())
+    assert got == ["1:red", "3:blue"]
+
+
+def test_exactly_once_across_restart(spark, tmp_path):
+    ind, outd = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_input(ind, "a.txt", [f"line{i}" for i in range(10)])
+    ops = [lambda df: df.select("key", F.upper("value").alias("value"))]
+
+    job = StreamJob(spark, ind, outd, ops=ops)
+    job.run_to_completion()
+    n1 = job.read_output().count()
+    assert n1 == 10
+
+    # restart with no new input: nothing reprocessed
+    StreamJob(spark, ind, outd, ops=ops).run_to_completion()
+    assert job.read_output().count() == 10
+
+    # new file after restart: only the delta is emitted
+    _write_input(ind, "b.txt", [f"extra{i}" for i in range(5)])
+    StreamJob(spark, ind, outd, ops=ops).run_to_completion()
+    out = [r.value for r in job.read_output().collect()]
+    assert len(out) == 15 and len(set(out)) == 15  # no duplicates
+
+
+def test_stateful_update_mode_counts(spark, tmp_path):
+    ind, outd = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_input(ind, "batch1.csv", ["x,a", "y,b", "x,c"])
+    ops = [
+        lambda df: select_columns(df, 0, names=["cat"]),
+        lambda df: running_count(df, "cat").withColumnRenamed("cnt", "value"),
+    ]
+    job = StreamJob(spark, ind, outd, ops=ops, stateful=True)
+    job.run_to_completion()
+    first = {r.value for r in job.read_output().collect()}
+    assert first == {"x:2", "y:1"}
+
+    # second batch: update mode emits the NEW totals for touched keys
+    # (the reference's "output all changes to the aggregate" semantics),
+    # state recovered from checkpoint, not recomputed
+    _write_input(ind, "batch2.csv", ["x,d", "z,e"])
+    StreamJob(spark, ind, outd, ops=ops, stateful=True).run_to_completion()
+    allout = [r.value for r in job.read_output().collect()]
+    assert sorted(allout) == ["x:2", "x:3", "y:1", "z:1"]
+
+
+def test_stateful_apply_in_pandas_with_state(spark, tmp_path):
+    ind, outd = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_input(ind, "b1.csv", ["x,a", "y,b", "x,c"])
+    ops = [
+        lambda df: select_columns(df, 0, names=["cat"]),
+        lambda df: stateful_running_count(df, "cat").withColumnRenamed("cnt", "value"),
+    ]
+    job = StreamJob(spark, ind, outd, ops=ops, stateful=True)
+    job.run_to_completion()
+    assert {r.value for r in job.read_output().collect()} == {"x:2", "y:1"}
+
+    _write_input(ind, "b2.csv", ["x,d"])
+    StreamJob(spark, ind, outd, ops=ops, stateful=True).run_to_completion()
+    allout = [r.value for r in job.read_output().collect()]
+    assert sorted(allout) == ["x:2", "x:3", "y:1"]
