@@ -1,0 +1,58 @@
+"""Multimodal plumbing tests: the Spark-side schema/batching/partitioning
+is real and deterministic; only the codec is faked (absent here)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from stream_processing_spark.catalog import load_table
+from stream_processing_spark.functions import multimodal as mm
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    return mm.synthesize_media(spark, docs, "doc_id", "text")
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "media_type",
+        "payload",
+        "meta_json",
+    ]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+
+
+def test_image_features_deterministic(spark, media):
+    feats = mm.image_features(media).collect()
+    assert feats  # round-robin typing guarantees images exist
+    src = {r.media_id: bytes(r.payload) for r in media.filter("media_type='image'").collect()}
+    assert {r.media_id for r in feats} == set(src)
+    for r in feats:
+        assert r.sha256 == hashlib.sha256(src[r.media_id]).hexdigest()
+        assert r.n_bytes == len(src[r.media_id])
+        assert 16 <= r.width < 256 and 16 <= r.height < 256
+    # deterministic across runs
+    again = mm.image_features(media).collect()
+    assert sorted(map(tuple, feats)) == sorted(map(tuple, again))
+
+
+def test_frame_sample_shape(media):
+    frames = mm.frame_sample(media, every_n=5)
+    rows = frames.collect()
+    assert rows
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r.frame_no)
+    for fnos in by_media.values():
+        assert sorted(fnos) == list(range(0, max(fnos) + 1, 5))
+
+
+def test_real_decoder_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError, match="pillow"):
+        mm.decode_image(b"\x89PNG fake")
