@@ -46,4 +46,5 @@ def register(name: str, oracle: str | None, doc: str = ""):
 # Importing the submodules populates REGISTRY via @register.
 from stream_processing_spark.queries import parity  # noqa: E402,F401
 from stream_processing_spark.queries import relational  # noqa: E402,F401
+from stream_processing_spark.queries import relational2  # noqa: E402,F401
 from stream_processing_spark.queries import llmops  # noqa: E402,F401
