@@ -91,6 +91,66 @@ def signature_col(vec_col: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _cell_rank_array(vec_col: Column, cents: dict[int, list[float]]) -> Column:
+    """array<struct<s: cosine-to-centroid, nc: -cid>> — array_max picks the
+    best cell (highest sim, ties → lowest cid); sorted tail gives nprobe."""
+    entries = [
+        F.struct(
+            cosine(vec_col, F.array(*[F.lit(float(w)) for w in cvec])).alias("s"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, cvec in sorted(cents.items())
+    ]
+    return F.array(*entries)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
+    every vector to its nearest centroid cell map-side (centroids are tiny
+    → collected and inlined as literals, NO shuffle for assignment); the
+    query probes only its ``nprobe`` nearest cells, cutting the scanned
+    fraction to ~nprobe/n_cells. Deterministic "training": centroids are
+    the vectors with id 1..n_cells (a fixed rule both engines can follow —
+    a real deployment would plug k-means centroids into the same plan).
+    """
+    cents = {
+        int(r[0]): list(r[1])
+        for r in embeddings.filter(F.col(id_col).between(1, n_cells))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    rank_arr = _cell_rank_array(F.col(vec_col), cents)
+
+    # query's nprobe best cells — engine arithmetic (no Python float math)
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(F.reverse(F.array_sort(rank_arr)).alias("arr"))
+        .head()
+    )
+    probe = [-r["nc"] for r in qrow["arr"][:nprobe]]
+
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("__q")), 6)
+    return (
+        embeddings.withColumn("__cell", -F.array_max(rank_arr).getField("nc"))
+        .filter(F.col("__cell").isin(probe) & (F.col(id_col) != query_vec_id))
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucketed_pairs(
     embeddings: DataFrame,
     threshold: float,

@@ -196,6 +196,90 @@ def ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_pairs(emb, threshold=0.4)
 
 
+def _lsh_sig_sql(col: str, bits: int = 8, dim: int = 64, seed: int = 42) -> str:
+    """Sign-LSH signature in DuckDB SQL with the SAME seeded hyperplanes the
+    Spark side uses (functions/similarity._hyperplanes) inlined as literals."""
+    planes = sim._hyperplanes(dim, bits, seed)
+    cases = [
+        "CASE WHEN list_dot_product(CAST({c} AS DOUBLE[]), [{w}]) >= 0 "
+        "THEN '1' ELSE '0' END".format(c=col, w=", ".join(repr(w) for w in p))
+        for p in planes
+    ]
+    return "concat(" + ", ".join(cases) + ")"
+
+
+@register(
+    "ann_lsh_bucketed_pairs",
+    f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+    """,
+    doc="Sign-LSH bucketed near-dup pairs: 8-bit random-hyperplane "
+    "signatures (fixed seed) bucket the vectors; exact cosine verifies "
+    "candidates inside each bucket. The all-pairs cross join becomes an "
+    "equi-join on signature — per-bucket work, shuffle on an 8-char key. "
+    "The scale path for ann_cosine_pairs.",
+)
+def ann_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_bucketed_pairs(emb, threshold=0.4, dim=64, bits=8)
+
+
+_IVF_CELL_SQL = """
+    cents AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+    ),
+    csims AS (
+        SELECT e.vec_id, c.cid,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(c.cvec, c.cvec))) AS csim
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid ASC) AS rn
+        FROM csims
+    )
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_IVF_CELL_SQL},
+    cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+    probe AS (SELECT cid AS cell FROM ranked WHERE vec_id = 0 AND rn <= 4),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND({_COS_SQL.format(a="e.embedding", b="q.qe")}, 6) AS cos_sim
+    FROM embeddings e
+    JOIN cells ON cells.vec_id = e.vec_id
+    JOIN probe ON probe.cell = cells.cell, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    doc="IVF approximate top-10: coarse quantizer (centroids = vec_id "
+    "1..16, a deterministic stand-in for k-means) assigns cells MAP-SIDE "
+    "via inlined centroid literals — zero shuffle for assignment; the "
+    "query probes its 4 nearest cells so only ~4/16 of vectors are "
+    "scanned. The IVF scale path for ann_brute_force_topk.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(emb, query_vec_id=0, k=10, n_cells=16, nprobe=4)
+
+
 # ------------------------------------------------------------ text ops
 
 @register(
