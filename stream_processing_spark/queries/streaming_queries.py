@@ -79,6 +79,150 @@ def streaming_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_windows",
+    """
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type
+        FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+               event_type
+        FROM events
+    )
+    SELECT ws AS window_start, event_type, COUNT(*) AS cnt
+    FROM w GROUP BY 1, 2
+    """,
+    doc="Streaming sliding window (1h window / 30min slide): every event "
+    "lands in exactly two windows; the oracle materializes both via a "
+    "shifted UNION ALL of 30-min buckets (same epoch alignment Spark "
+    "uses)",
+)
+def streaming_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.windows import sliding_counts
+
+    src = _events_stream(spark, sf_dir)
+    return _drain_complete(sliding_counts(src), spark)
+
+
+@register(
+    "streaming_session_windows",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           COUNT(*) AS cnt
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Streaming session windows (30-min gap) per user via "
+    "session_window + watermark; the oracle is the classic "
+    "gaps-and-islands rewrite (LAG → new-session flag → running sum → "
+    "group), with session_end = last event + gap exactly as Spark "
+    "defines it",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.windows import session_counts
+
+    src = _events_stream(spark, sf_dir)
+    return _drain_complete(session_counts(src), spark)
+
+
+@register(
+    "streaming_stateful_running_count",
+    """
+    SELECT event_type AS key, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="T8 parity (reference framework.py stateful contract): arbitrary "
+    "per-key state via applyInPandasWithState in update mode; the final "
+    "update per key (max cnt — counts only grow) equals the batch "
+    "count, mirroring how the reference's own evaluation counted 'the "
+    "unique record with the maximum key' (SURVEY.md §4.1)",
+)
+def streaming_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.stateful import stateful_running_count
+
+    src = _events_stream(spark, sf_dir).select(F.col("event_type").alias("key"))
+    counts = stateful_running_count(src, key_col="key")
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError("stream did not drain")
+    # update mode emits one row per key per batch; the last (= max) is final
+    return spark.table(name).groupBy("key").agg(F.max("cnt").alias("cnt"))
+
+
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT event_id, COUNT(*) AS n
+    FROM events
+    GROUP BY event_id
+    """,
+    doc="Streaming exactly-once-by-key (reference ST2, worker.py:446-453 "
+    "dedup dicts): the input directory stages the SAME events file "
+    "twice, dropDuplicatesWithinWatermark collapses replays within the "
+    "watermark horizon with bounded state — every event_id survives "
+    "exactly once",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.windows import dedup_within_watermark
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # stage the file TWICE (replayed delivery)
+    d = tempfile.mkdtemp(prefix="stream_src_events_dup_")
+    for copy in ("a", "b"):
+        os.symlink(
+            table_path(sf_dir, "events"), os.path.join(d, f"events_{copy}.parquet")
+        )
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = dedup_within_watermark(raw, ["event_id"], ts_col="ts", watermark="1 hour")
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.select("event_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError("stream did not drain")
+    return spark.table(name).groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "streaming_hourly_windows",
     """
     SELECT date_trunc('hour', ts) AS window_start,
