@@ -95,22 +95,31 @@ WITH shingles AS (
 """
 
 
-@register(
-    "dedup_jaccard_pairs",
-    _UNIGRAM_SQL
-    + """,
+_JACCARD_CTES = """
     sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
         FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b,
+               n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
     )
-    SELECT doc_a, doc_b,
-           ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+"""
+
+
+@register(
+    "dedup_jaccard_pairs",
+    _UNIGRAM_SQL
+    + ","
+    + _JACCARD_CTES
+    + """
+    SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM jpairs
     """,
     doc="Exact token-set Jaccard near-dup pairs (J >= 0.8). Integer "
     "arithmetic until one exact double division → portable values.",
@@ -118,6 +127,50 @@ WITH shingles AS (
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.jaccard_pairs(dd.shingles(docs, n=1), threshold=0.8)
+
+
+@register(
+    "dedup_connected_components",
+    "WITH RECURSIVE"
+    + _UNIGRAM_SQL.split("WITH", 1)[1]
+    + ","
+    + _JACCARD_CTES
+    + """,
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM jpairs
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.label FROM reach r JOIN edges e ON r.node = e.a
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+    doc="Near-dup CLUSTERS from pairwise Jaccard edges (J>=0.8) via "
+    "iterative min-label propagation (operators/graph.py — the "
+    "Pregel-on-DataFrames pattern: per-round join+min, localCheckpoint "
+    "lineage truncation, O(diameter) rounds). The oracle computes the "
+    "same closure with a recursive CTE. cluster_id = min doc_id in the "
+    "component; singleton docs are their own cluster.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs(dd.shingles(docs, n=1), threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return (
+        docs.select("doc_id")
+        .join(cc, docs.doc_id == cc.node, "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+        )
+    )
 
 
 def _simhash_sql() -> str:
@@ -278,6 +331,37 @@ _IVF_CELL_SQL = """
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.ivf_topk(emb, query_vec_id=0, k=10, n_cells=16, nprobe=4)
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    SELECT label, i - 1 AS pos,
+           CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS centroid
+    FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+    GROUP BY 1, 2
+    """,
+    doc="Per-label centroid vectors (long format: label × dimension), the "
+    "aggregation behind IVF training / class prototypes. Each value is "
+    "rounded to 6dp then decimal-summed so the reduction is "
+    "order-independent — the only way a parallel float aggregation can "
+    "hash-match a sequential engine. posexplode → grouped sum: one "
+    "shuffle of (label, pos, value) triples.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("label", "pos", (F.col("s") / F.col("n")).alias("centroid"))
+    )
 
 
 # ------------------------------------------------------------ text ops

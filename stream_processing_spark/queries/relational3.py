@@ -400,6 +400,24 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_distinct_users",
+    None,  # approximate by design — no exact oracle; see tests/test_approx.py
+    doc="HyperLogLog++ approximate distinct (user_id, event_id) over "
+    "events: constant memory per group vs the exact distinct's "
+    "partial-dedup shuffle — the 100 TB cardinality-estimation path. "
+    "Accuracy (rsd=0.05) is asserted against the exact count in "
+    "tests/test_approx.py; the driver records a rows-only check.",
+)
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.05).alias("approx_events"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "q22_global_sales_opportunity",
     """
     WITH avg_bal AS (
