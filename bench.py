@@ -23,6 +23,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
     "t6_word_count",
     "grep_count_by_source",
     "window_top3_orders_per_customer",
@@ -30,6 +32,9 @@ BENCH_QUERIES = [
     "asof_last_click_before_purchase",
     "dedup_minhash_signatures",
     "ann_brute_force_topk",
+    "ann_lsh_bucketed_pairs",
+    "embedding_label_centroids",
+    "skew_salted_user_counts",
     "text_quality_stats",
     "dedup_exact_groups",
 ]
