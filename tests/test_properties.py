@@ -1,0 +1,146 @@
+"""Property-based tests: custom operators vs brute-force Python references
+on random inputs. The oracle suite proves fixed-dataset correctness; these
+cover the input space (ties, empty groups, singletons, duplicates).
+
+Spark round-trips are slow, so examples are few but each is adversarial
+(hypothesis shrinks failures to minimal cases).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, ts, id) rows; small key/ts domains force collisions and ties
+_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.integers(0, 20),
+        st.integers(0, 999),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=_rows, right=_rows)
+@SET
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from stream_processing_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in left] or [(0, 0, 0)],
+        "k long, lts long, lid long",
+    ).withColumn("lts", F.timestamp_seconds("lts"))
+    rdf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in right], "k long, rts long, rid long"
+    ).withColumn("rts", F.timestamp_seconds("rts"))
+
+    out = asof_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts", right_tiebreak="rid"
+    )
+    got = {
+        (r["k"], r["lts"].timestamp(), r["lid"]): r["rid"] for r in out.collect()
+    }
+
+    for k, t, i in left or [(0, 0, 0)]:
+        cands = [(rt, ri) for rk, rt, ri in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[(k, float(t), i)] == want, (k, t, i, cands)
+
+
+@given(left=_rows, right=_rows, lookback=st.integers(1, 10))
+@SET
+def test_range_join_count_matches_bruteforce(spark, left, right, lookback):
+    from stream_processing_spark.operators.rangejoin import range_join_count
+
+    # unique left ids so the groupBy collapse is well-defined
+    left = [(k, t, idx) for idx, (k, t, _) in enumerate(left)]
+    ldf = spark.createDataFrame(
+        left or [(0, 0, 0)], "k long, ts long, lid long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    rdf = spark.createDataFrame(
+        right, "k long, rts long, rid long"
+    ).withColumn("rts", F.timestamp_seconds("rts"))
+
+    out = range_join_count(
+        ldf,
+        rdf.select("k", "rts"),
+        on="k",
+        left_ts="ts",
+        right_ts="rts",
+        lookback_sec=lookback,
+        count_alias="n",
+    )
+    got = {r["lid"]: r["n"] for r in out.collect()}
+
+    for k, t, lid in left or [(0, 0, 0)]:
+        want = sum(
+            1 for rk, rt, _ in right if rk == k and t - lookback < rt <= t
+        )
+        assert got[lid] == want, (k, t, lid, want)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=20
+)
+
+
+@given(edges=_edges)
+@SET
+def test_connected_components_matches_unionfind(spark, edges):
+    from stream_processing_spark.operators.graph import connected_components
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edf).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)),
+                     min_size=1, max_size=30),
+       buckets=st.integers(2, 8))
+@SET
+def test_salted_agg_equals_plain(spark, rows, buckets):
+    from stream_processing_spark.operators.skew import (
+        salted_count_by,
+        salted_sum_by,
+    )
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    plain_cnt = {r["k"]: r["n"] for r in
+                 df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted_cnt = {r["k"]: r["cnt"] for r in
+                  salted_count_by(df, "k", salt_buckets=buckets).collect()}
+    assert plain_cnt == salted_cnt
+
+    plain_sum = {r["k"]: r["s"] for r in
+                 df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted_sum = {r["k"]: r["total"] for r in
+                  salted_sum_by(df, "k", F.col("v"), salt_buckets=buckets).collect()}
+    assert plain_sum == salted_sum
