@@ -32,6 +32,35 @@ def salted_count_by(
     return partial.groupBy(key_col).agg(F.sum("__pcnt").cast("bigint").alias(alias))
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side's key, replicate the small
+    side once per salt bucket, join on (key, salt). A hot key's rows land
+    on ``salt_buckets`` reducers instead of one straggler.
+
+    Results are identical to ``big.join(small, on, how)`` for inner/left
+    joins (each big row meets each small match exactly once — under one
+    specific salt). AQE's skew-join split covers sort-merge inner joins
+    at runtime; this explicit form also covers aggregating consumers and
+    engines/configs without AQE.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (semantics proof)")
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = salted_big.join(replicated_small, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def salted_sum_by(
     df: DataFrame,
     key_col: str,

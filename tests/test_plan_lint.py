@@ -1,0 +1,46 @@
+"""Plan lint: mechanical scale-discipline checks over the WHOLE query
+registry. Catches regressions where an innocent-looking change degrades
+a query into a plan that cannot survive 100 TB:
+
+- BroadcastNestedLoopJoin / CartesianProduct, except where a cross
+  product is the declared algorithm (brute-force ANN baselines, scalar
+  broadcast);
+- row-at-a-time Python UDFs (BatchEvalPython) — everything must stay
+  JVM-side or Arrow-batched.
+
+Streaming queries are exempt (they execute on .start(), not lazily, and
+their plans are asserted in their own tests).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stream_processing_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# cross products that ARE the algorithm: a 1-row or broadcast-tiny side
+CROSS_OK = {
+    "ann_brute_force_topk",   # 1-row query vector broadcast
+    "ann_cosine_pairs",       # declared O(n²) baseline (LSH is the scale path)
+    "ann_ivf_topk",           # 1-row query vector broadcast
+    "q22_global_sales_opportunity",  # 1-row scalar average broadcast
+}
+
+_SKIP = tuple(
+    name for name in REGISTRY if name.startswith("streaming_")
+)
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(REGISTRY) if n not in _SKIP]
+)
+def test_plan_is_scale_safe(spark, name):
+    df = REGISTRY[name].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    if name not in CROSS_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan  # no row-at-a-time UDFs

@@ -122,6 +122,30 @@ def test_connected_components_matches_unionfind(spark, edges):
     assert got == want
 
 
+@given(
+    big=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)),
+                 min_size=0, max_size=25),
+    small=st.lists(st.tuples(st.integers(0, 3), st.integers(100, 199)),
+                   min_size=0, max_size=8),
+    how=st.sampled_from(["inner", "left"]),
+)
+@SET
+def test_salted_join_equals_plain(spark, big, small, how):
+    from stream_processing_spark.operators.skew import salted_join
+
+    bdf = spark.createDataFrame(big or [], "k long, bv long")
+    sdf = spark.createDataFrame(small or [], "k long, sv long")
+    plain = sorted(
+        (r["k"], r["bv"], r["sv"])
+        for r in bdf.join(sdf, "k", how).collect()
+    )
+    salted = sorted(
+        (r["k"], r["bv"], r["sv"])
+        for r in salted_join(bdf, sdf, "k", salt_buckets=4, how=how).collect()
+    )
+    assert plain == salted
+
+
 @given(rows=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)),
                      min_size=1, max_size=30),
        buckets=st.integers(2, 8))
