@@ -443,6 +443,45 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_counts_pandas",
+    rf"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{tx.BPE_ISH}')) AS bpe_ish_tokens
+    FROM documents
+    """,
+    doc="The SAME token counts as text_token_counts, computed in Python "
+    "via mapInPandas (Arrow-batched) instead of JVM expressions — "
+    "hash-matching the same oracle proves the Pandas-UDF escape hatch "
+    "(the reference's arbitrary-executable operator surface, SURVEY.md "
+    "§2.8) preserves exact semantics. The JVM path remains the default; "
+    "this is the template for logic Catalyst can't express.",
+)
+def text_token_counts_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    pat = re.compile(tx.BPE_ISH)
+
+    def count_tokens(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "ws_tokens": b["text"].map(lambda t: len(t.split(" "))),
+                    "bpe_ish_tokens": b["text"].map(lambda t: len(pat.findall(t))),
+                }
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        count_tokens, schema="doc_id long, ws_tokens long, bpe_ish_tokens long"
+    )
+
+
+@register(
     "text_fingerprint",
     r"""
     SELECT doc_id,
