@@ -523,3 +523,46 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).alias("n_bytes"),
         F.substring(F.lower(F.hex(payload)), 1, 16).alias("head_hex"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+           substr(lower(hex(encode(text))),
+                  CAST(((i * octet_length(encode(text))) // 4) * 2 + 1 AS BIGINT),
+                  16) AS frame_hex
+    FROM documents, UNNEST(range(0, 4)) AS u(i)
+    """,
+    doc="Frame sampling over an opaque binary payload (the video/audio "
+    "pattern): 4 evenly spaced 8-byte frames per blob, emitted as "
+    "(doc_id, frame_idx, frame_hex) — one explode, offsets computed "
+    "from the blob length, all JVM-side. The real codec would replace "
+    "the hex-slice with a decode UDF (functions/multimodal.py); the "
+    "partitioning/explode/offset plumbing is what this query locks in.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        docs.select(
+            "doc_id",
+            F.lower(F.hex(payload)).alias("__hex"),
+            F.octet_length(payload).cast("bigint").alias("__n"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.lit(3).cast("bigint"))
+            ).alias("frame_idx"),
+            "__hex",
+            "__n",
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr(
+                "substring(__hex, CAST((frame_idx * __n) div 4 AS INT) * 2 + 1, 16)"
+            ).alias("frame_hex"),
+        )
+    )

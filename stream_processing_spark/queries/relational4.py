@@ -95,6 +95,40 @@ def window_range_frame_user_value(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "rollup_multires_events",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Hypertable-style multi-resolution rollup: the DAILY aggregate is "
+    "computed FROM THE HOURLY aggregate (re-aggregation of partials), "
+    "not from raw events — at 100 TB the 1d rollup reads 24 rows per "
+    "(day,type) instead of millions. Decimal partial sums make the "
+    "two-level reduction exactly equal to the direct aggregate, which "
+    "is what the oracle (direct from raw) proves.",
+)
+def rollup_multires_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("value")).alias("sv"),  # decimal partials, exact
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sv").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
     "text_trigram_topk",
     """
     WITH t AS (

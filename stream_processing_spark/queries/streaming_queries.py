@@ -200,8 +200,12 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string"
     )
+    # maxFilesPerTrigger=1 → the two copies arrive in SEPARATE
+    # micro-batches, so dedup must work across batches via the state
+    # store, not just within one batch
     raw = (
         spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
         .parquet(d)
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
