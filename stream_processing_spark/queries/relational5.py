@@ -127,6 +127,82 @@ def null_handling_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_lead_lag_events",
+    """
+    SELECT event_id, user_id,
+           CAST(FLOOR(EXTRACT(EPOCH FROM ts - LAG(ts) OVER w)) AS BIGINT)
+               AS gap_sec,
+           LEAD(event_type) OVER w AS next_type,
+           NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+               AS value_quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lead/lag/ntile window surface: inter-event gap seconds, next "
+    "event type, per-user value quartile — one shuffle on user_id "
+    "shared by all three (same partition key), total (ts, event_id) "
+    "order makes every offset function deterministic",
+)
+def window_lead_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wq = Window.partitionBy("user_id").orderBy("value", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.floor(gap / 1_000_000).cast("bigint").alias("gap_sec"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.ntile(4).over(wq).alias("value_quartile"),
+    )
+
+
+@register(
+    "join_full_outer_daily",
+    """
+    WITH p AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    e AS (
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_errors
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT COALESCE(p.day, e.day) AS day,
+           COALESCE(n_purchases, 0) AS n_purchases,
+           COALESCE(n_errors, 0) AS n_errors
+    FROM p FULL OUTER JOIN e ON p.day = e.day
+    """,
+    doc="Full outer join of two daily aggregates with COALESCE'd keys — "
+    "days present on either side survive; the join inputs are already "
+    "reduced (agg-before-join), so the outer join shuffles day-level "
+    "rows, not events",
+)
+def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def daily(etype: str, alias: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == etype)
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    p = daily("purchase", "n_purchases")
+    e = daily("error", "n_errors")
+    return (
+        p.join(e, p.day == e.day, "full_outer")
+        .select(
+            F.coalesce(p.day, e.day).alias("day"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+    )
+
+
+@register(
     "map_functions_surface",
     """
     SELECT event_id,
