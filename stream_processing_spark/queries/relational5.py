@@ -203,6 +203,61 @@ def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 customer order-count distribution: outer join → "
+    "per-customer count → histogram of counts. Two shuffles by "
+    "necessity (different keys); the second input is one row per "
+    "customer, already reduced",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "sort_global_orders_sample",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_totalprice > 450000
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    doc="True global sort (no LIMIT → range-partitioned Exchange + "
+    "per-partition sort, Spark's TeraSort shape) over a selective "
+    "filter; at 100 TB the filter prunes first so the range exchange "
+    "carries only qualifying rows. The hash compare is order-blind — "
+    "this entry exists to keep the global-sort path exercised.",
+)
+def sort_global_orders_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+@register(
     "map_functions_surface",
     """
     SELECT event_id,
