@@ -59,10 +59,22 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (brute force, id_a < id_b)."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    """All pairs with cosine >= threshold (brute force, id_a < id_b).
+
+    Norms are computed ONCE per vector before the join (O(n·dim)), not
+    per pair (O(n²·dim)); `sqrt(dot(v,v))` is the same double either
+    way, so results are bit-identical to the inline-cosine form."""
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -165,12 +177,22 @@ def lsh_bucketed_pairs(
     tunable via bits/bands); the scale path when all-pairs is infeasible.
     """
     planes = _hyperplanes(dim, bits, seed)
+    # signature AND norm computed once per vector, pre-join
     sigs = embeddings.select(
-        F.col(id_col), F.col(vec_col), signature_col(F.col(vec_col), planes).alias("sig")
+        F.col(id_col),
+        F.col(vec_col),
+        signature_col(F.col(vec_col), planes).alias("sig"),
+        norm(F.col(vec_col)).alias("nrm"),
     )
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "sig")
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "sig")
-    sim = cosine(F.col("va"), F.col("vb"))
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        "sig", F.col("nrm").alias("na"),
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        "sig", F.col("nrm").alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "sig")
         .filter(F.col("id_a") < F.col("id_b"))
