@@ -437,3 +437,48 @@ def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     return joined.select(
         "event_id", "user_id", "ts", F.col("click_id").alias("last_click_id")
     )
+
+
+@register(
+    "asof_next_error_after_purchase",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MIN(c.event_id)
+            FROM events c
+            WHERE c.user_id = p.user_id
+              AND c.event_type = 'error'
+              AND c.ts >= p.ts
+              AND c.ts <= p.ts + INTERVAL '2 hours') AS next_error_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="FORWARD as-of join with tolerance (pandas merge_asof parity): "
+    "the first error at-or-after each purchase, same user, within 2 "
+    "hours — matches beyond tolerance are NULL. Same single-shuffle "
+    "union + running-last plan as the backward direction, sorted "
+    "descending. event_id is monotone in ts so MIN(event_id) == "
+    "argmin(ts, event_id).",
+)
+def asof_next_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_tiebreak="error_id",
+        direction="forward",
+        tolerance_sec=7200,
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("error_id").alias("next_error_id")
+    )

@@ -57,6 +57,36 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         assert got[(k, float(t), i)] == want, (k, t, i, cands)
 
 
+@given(left=_rows, right=_rows, tol=st.one_of(st.none(), st.integers(0, 5)))
+@SET
+def test_asof_forward_tolerance_matches_bruteforce(spark, left, right, tol):
+    from stream_processing_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in left] or [(0, 0, 0)],
+        "k long, lts long, lid long",
+    ).withColumn("lts", F.timestamp_seconds("lts"))
+    rdf = spark.createDataFrame(
+        [(k, t, i) for k, t, i in right], "k long, rts long, rid long"
+    ).withColumn("rts", F.timestamp_seconds("rts"))
+
+    out = asof_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        right_tiebreak="rid", direction="forward", tolerance_sec=tol,
+    )
+    got = {
+        (r["k"], r["lts"].timestamp(), r["lid"]): r["rid"] for r in out.collect()
+    }
+
+    for k, t, i in left or [(0, 0, 0)]:
+        cands = [
+            (rt, ri) for rk, rt, ri in right
+            if rk == k and rt >= t and (tol is None or rt - t <= tol)
+        ]
+        want = min(cands)[1] if cands else None
+        assert got[(k, float(t), i)] == want, (k, t, i, cands)
+
+
 @given(left=_rows, right=_rows, lookback=st.integers(1, 10))
 @SET
 def test_range_join_count_matches_bruteforce(spark, left, right, lookback):
