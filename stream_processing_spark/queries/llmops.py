@@ -481,6 +481,113 @@ def text_token_counts_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RH_BASE, _RH_MOD, _RH_WIN = 131, (1 << 31) - 1, 4
+
+
+def _tok16_sql(expr: str) -> str:
+    """16-bit token hash from the first 4 hex chars of md5 — pure integer
+    arithmetic, identical in any engine with md5 + strpos."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    wins AS (
+        SELECT doc_id,
+               ({" + ".join(f"{_tok16_sql(f't[i+{j}]')} * {_RH_BASE ** (_RH_WIN - 1 - j) % _RH_MOD}" for j in range(_RH_WIN))})
+               % {_RH_MOD} AS rh
+        FROM toks, UNNEST(range(1, len(t) - {_RH_WIN - 2})) AS u(i)
+        WHERE len(t) >= {_RH_WIN}
+    )
+    SELECT doc_id, MIN(rh) AS rolling_fp
+    FROM wins GROUP BY doc_id
+    """,
+    doc="Karp-Rabin rolling-hash fingerprint: 16-bit md5-derived token "
+    "hashes combined over 4-token windows with base-131 polynomial "
+    "weights mod 2^31-1; the per-doc MIN window hash is the winnowing-"
+    "style fingerprint. All integer arithmetic → engine-portable. One "
+    "explode + grouped MIN, the same shuffle shape as MinHash.",
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    # slide a 4-token window via zip of shifted slices (codegen-friendly,
+    # same trick as functions/dedup.shingles)
+    win_starts = F.sequence(F.lit(0), F.size(t) - _RH_WIN)
+
+    def tok16(tok_col):
+        pieces = [
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.md5(tok_col.cast("binary")), i + 1, 1),
+                )
+                - 1
+            ).cast("bigint")
+            * F.lit(16 ** (3 - i)).cast("bigint")
+            for i in range(4)
+        ]
+        s = pieces[0]
+        for p in pieces[1:]:
+            s = s + p
+        return s
+
+    rh = None
+    for j in range(_RH_WIN):
+        term = tok16(F.element_at(t, F.col("i") + j + 1)) * F.lit(
+            _RH_BASE ** (_RH_WIN - 1 - j) % _RH_MOD
+        ).cast("bigint")
+        rh = term if rh is None else rh + term
+    return (
+        docs.filter(F.size(t) >= _RH_WIN)
+        .select("doc_id", F.explode(win_starts).alias("i"), F.col("text"))
+        .select("doc_id", (rh % _RH_MOD).alias("rh"))
+        .groupBy("doc_id")
+        .agg(F.min("rh").alias("rolling_fp"))
+    )
+
+
+@register(
+    "embedding_l2_normalize",
+    """
+    SELECT vec_id, i - 1 AS pos,
+           ROUND(CAST(embedding[i] AS DOUBLE)
+                 / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))), 6)
+               AS nval
+    FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+    WHERE vec_id < 100
+    """,
+    doc="L2 vector normalization (long format, first 100 vectors): the "
+    "prerequisite transform for dot-product-only ANN serving — norm "
+    "computed once per vector (same sequential fold both engines), "
+    "division per element, ROUND(6) on the genuinely-float output",
+)
+def embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    n = sim.norm(F.col("embedding"))
+    return (
+        emb.select("vec_id", n.alias("__n"), F.posexplode("embedding").alias("pos", "v"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("v").cast("double") / F.col("__n"), 6).alias("nval"),
+        )
+    )
+
+
 @register(
     "text_fingerprint",
     r"""
