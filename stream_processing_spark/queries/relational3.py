@@ -432,7 +432,8 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer, avg_bal
         WHERE c_acctbal > ab
     ) hot
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     GROUP BY cntrycode
     """,
     doc="TPC-H Q22 sales opportunity: scalar-subquery average (decimal "
@@ -449,7 +450,11 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(
+            orders.filter(F.col("o_totalprice") > 300000),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
         .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
