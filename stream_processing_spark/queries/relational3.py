@@ -191,6 +191,91 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q9_product_type_profit",
+    f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               {REVENUE_SQL}
+               - CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(0.5 AS DECIMAL(4,2))
+                 * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%a%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9-shaped profit by supplier nation × year (adapted: no "
+    "partsupp table, so supply cost = 0.5 × p_retailprice). part/"
+    "supplier/nation broadcast; the decimal amount expression keeps the "
+    "mixed add/multiply exact so grouping order can't change the sum",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = revenue_col() - (
+        dec("p_retailprice") * F.lit(0.5).cast(FRAC) * dec("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue0 AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM({REVENUE_SQL}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+    doc="TPC-H Q15 top supplier: quarterly per-supplier revenue view, "
+    "scalar-subquery max, equality filter (exact — decimal sums make "
+    "revenue ties well-defined). The max is a 1-row broadcast, not a "
+    "global sort.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue0 = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(revenue_col()).cast("double").alias("total_revenue")
+    )
+    mx = revenue0.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue0.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
     "q10_returned_items",
     f"""
     SELECT c_custkey, c_name,
