@@ -481,6 +481,69 @@ def text_token_counts_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_chunk_windows",
+    """
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(length(text) / 150.0) AS BIGINT))) AS u(i)
+    WHERE i * 150 < length(text)
+    """,
+    doc="Document chunking for training pipelines: 200-char windows with "
+    "50-char overlap (stride 150), emitted as (doc_id, chunk_idx, "
+    "chunk). One explode over a computed range — rows multiply ~len/150 "
+    "per doc, so at 100 TB repartition after this explode before any "
+    "downstream shuffle-heavy op.",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.length("text") / 150.0).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+            ).alias("chunk_idx"),
+        )
+        .filter(F.col("chunk_idx") * 150 < F.length("text"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr("substring(text, CAST(chunk_idx * 150 + 1 AS INT), 200)").alias(
+                "chunk"
+            ),
+        )
+    )
+
+
+@register(
+    "corpus_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           MIN(length(text)) AS min_chars,
+           MAX(length(text)) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Per-language corpus summary (doc/char/token totals, extremes) — "
+    "the dataset-card numbers; all integer aggregates, one scan",
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.min(F.length("text")).alias("min_chars"),
+        F.max(F.length("text")).alias("max_chars"),
+    )
+
+
 _RH_BASE, _RH_MOD, _RH_WIN = 131, (1 << 31) - 1, 4
 
 
