@@ -87,6 +87,71 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
 
+@register(
+    "dedup_minhash_verified_pairs",
+    _SHINGLE_SQL
+    + ", sigs AS (SELECT doc_id, "
+    + ", ".join(f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(8))
+    + """ FROM shingles GROUP BY doc_id),
+    buckets AS (
+    """
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS sig FROM sigs"
+        for b in range(4)
+    )
+    + """),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ("""
+    + " + ".join(
+        f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END" for s in range(8)
+    )
+    + """) / 8.0 AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b
+    WHERE ("""
+    + " + ".join(
+        f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END" for s in range(8)
+    )
+    + """) >= 6
+    """,
+    doc="The COMPLETE MinHash dedup pipeline: shingle → signature → LSH "
+    "band buckets → candidate pairs → verify by signature agreement "
+    "(estimated Jaccard = matching hashes / k, keep >= 6/8). No "
+    "document text is ever re-read after the signature pass — the "
+    "verify join ships 8 hashes per doc, which is why this is the "
+    "100 TB path while exact-Jaccard re-verification is not.",
+)
+def dedup_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(dd.shingles(docs, n=3, distinct=False), k=8)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(8)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(8)]
+    )
+    agree = None
+    for s in range(8):
+        t = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("__agree", agree)
+        .filter(F.col("__agree") >= 6)
+        .select(
+            "doc_a", "doc_b", (F.col("__agree") / 8.0).alias("est_jaccard")
+        )
+    )
+
+
 _UNIGRAM_SQL = """
 WITH shingles AS (
     SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS sh
