@@ -47,6 +47,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros() yields a session-TZ timestamp; pin UTC so
+        # window/date_trunc queries agree with the oracle's naive
+        # timestamps even if the caller's session (e.g. the driver's
+        # vanilla one) inherited a non-UTC system zone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))

@@ -31,6 +31,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (ts is TIMESTAMP(NANOS) in the
     footer → read as long + truncate to micros, same as catalog.load_table)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = (
         "event_id bigint, ts bigint, user_id bigint, event_type string, "
         "value double, props string"
