@@ -60,6 +60,17 @@ def _store(args: list[str]) -> int:
         name, local = rest[:2]
         writer = rest[2] if len(rest) > 2 else "cli"
         store.append(name, open(local).read().splitlines(), writer=writer)
+    elif cmd == "multiappend":
+        # multiappend <name> <local1> <local2> … — concurrent appends,
+        # one per file (reference bin/multiappend.py: one per VM)
+        name, locals_ = rest[0], rest[1:]
+        store.multiappend(
+            name,
+            {
+                f"w{i}": open(p).read().splitlines()
+                for i, p in enumerate(locals_)
+            },
+        )
     elif cmd == "merge":
         store.merge(rest[0])
     elif cmd == "get":
@@ -89,7 +100,7 @@ def main(argv: list[str] | None = None) -> int:
         return _rainstorm(rest)
     if cmd == "dgrep":
         return _dgrep(rest)
-    if cmd in ("store", "create", "append", "merge", "get", "ls"):
+    if cmd in ("store", "create", "append", "multiappend", "merge", "get", "ls"):
         return _store(rest if cmd == "store" else [cmd, *rest])
     print(__doc__)
     return 2

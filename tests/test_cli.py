@@ -33,6 +33,19 @@ def test_store_lifecycle_via_cli(spark, tmp_path, capsys):
     assert "ds1" in capsys.readouterr().out
 
 
+def test_multiappend_via_cli(spark, tmp_path, capsys):
+    root = str(tmp_path / "store2")
+    a, b = tmp_path / "a.txt", tmp_path / "b.txt"
+    a.write_text("one\n")
+    b.write_text("two\n")
+    assert main(["store", "create", root, "ds2", str(a)]) == 0
+    assert main(["store", "multiappend", root, "ds2", str(a), str(b)]) == 0
+    assert main(["store", "merge", root, "ds2"]) == 0
+    assert main(["store", "get", root, "ds2"]) == 0
+    out = capsys.readouterr().out
+    assert "one" in out and "two" in out
+
+
 def test_unknown_command_prints_usage(capsys):
     assert main(["bogus"]) == 2
     assert "rainstorm" in capsys.readouterr().out
