@@ -203,6 +203,71 @@ def join_full_outer_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_mode_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    )
+    WHERE rn = 1
+    """,
+    doc="Mode (most frequent value) per group via count + row_number "
+    "with a total tie-break — the deterministic form of mode(), which "
+    "engines otherwise tie-break arbitrarily",
+)
+def agg_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )
+
+
+@register(
+    "array_functions_surface",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+           ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS min_val,
+           len(list_filter(embedding, v -> v > 0)) AS n_positive
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+    doc="Array/higher-order function surface over the embedding column: "
+    "size, element access, max, sort, lambda filter — all JVM-side "
+    "(no UDF), the building blocks the similarity ops compose",
+)
+def array_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(F.element_at(e, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.array_max(e).cast("double"), 6).alias("max_val"),
+        F.round(F.element_at(F.array_sort(e), 1).cast("double"), 6).alias("min_val"),
+        F.size(F.filter(e, lambda v: v > 0)).alias("n_positive"),
+    )
+
+
+@register(
     "q13_customer_distribution",
     """
     SELECT c_count, COUNT(*) AS custdist
