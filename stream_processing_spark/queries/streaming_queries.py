@@ -228,6 +228,84 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_static_join_counts",
+    """
+    SELECT n_name, COUNT(*) AS cnt
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    GROUP BY n_name
+    """,
+    doc="STREAM-STATIC join: the event stream enriched against the "
+    "static nation dim (broadcast — the dim is re-read per micro-batch, "
+    "never shuffled against the stream), then a stateful count. The "
+    "standard enrichment topology for dimension lookups at scale.",
+)
+def streaming_static_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.catalog import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    src = _events_stream(spark, sf_dir)
+    joined = src.join(
+        F.broadcast(nation), src.user_id % 25 == nation.n_nationkey
+    )
+    agg = joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt"))
+    return _drain_complete(agg, spark)
+
+
+@register(
+    "streaming_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    """,
+    doc="STREAM-STREAM inner join with an event-time interval condition "
+    "(clicks within 30 min before each purchase, same user): watermarks "
+    "on both sides bound the join state Spark must buffer — without "
+    "them a stream-stream join accretes state forever. Drained with "
+    "availableNow, so the result equals the batch interval join.",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id")
+
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError("stream did not drain")
+    return spark.table(name)
+
+
+@register(
     "streaming_hourly_windows",
     """
     SELECT date_trunc('hour', ts) AS window_start,
