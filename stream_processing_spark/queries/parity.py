@@ -163,6 +163,27 @@ def grep_total_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grep_case_insensitive",
+    """
+    SELECT source, COUNT(*) AS match_count
+    FROM documents
+    WHERE regexp_matches(text, '(?i)SCAN|MERGE')
+    GROUP BY source
+    """,
+    doc="G2 grep -i parity: case-insensitive regex ((?i) inline flag — "
+    "identical syntax in Spark's rlike and DuckDB's regexp_matches), "
+    "per-source counts",
+)
+def grep_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike("(?i)SCAN|MERGE"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("match_count"))
+    )
+
+
+@register(
     "json_extract_props",
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
