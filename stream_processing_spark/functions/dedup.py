@@ -186,3 +186,34 @@ def simhash32(
         )
         fp = term if fp is None else fp + term
     return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def canonical_from_pairs(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """One-hop canonical assignment from near-dup pairs.
+
+    Every id maps to min(id) over {itself} ∪ its direct neighbors in
+    ``pairs``; rows with canonical_id < id are the duplicates to drop.
+    The symmetrized edge list keeps the shuffle key to a single id
+    column (no vectors/text travel). For transitive closure use
+    ``operators.graph.connected_components`` instead — one-hop is the
+    right cost point when near-dup clusters are shallow (typical for
+    high cosine thresholds).
+    """
+    edges = (
+        pairs.select(F.col(pair_a).alias("__vid"), F.col(pair_b).alias("nbr"))
+        .unionAll(
+            pairs.select(F.col(pair_b).alias("__vid"), F.col(pair_a).alias("nbr"))
+        )
+        .unionAll(ids.select(F.col(id_col).alias("__vid"), F.col(id_col).alias("nbr")))
+    )
+    return (
+        edges.groupBy("__vid")
+        .agg(F.min("nbr").alias("canonical_id"))
+        .select(F.col("__vid").alias(id_col), "canonical_id")
+    )

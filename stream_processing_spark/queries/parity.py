@@ -184,6 +184,26 @@ def grep_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grep_invert_count",
+    """
+    SELECT source, COUNT(*) AS n_unmatched
+    FROM documents
+    WHERE NOT regexp_matches(text, 'SCAN|MERGE')
+    GROUP BY source
+    """,
+    doc="G2 grep -v parity: inverted match — per-source counts of lines "
+    "NOT matching the pattern",
+)
+def grep_invert_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(~F.col("text").rlike("SCAN|MERGE"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_unmatched"))
+    )
+
+
+@register(
     "json_extract_props",
     """
     SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k

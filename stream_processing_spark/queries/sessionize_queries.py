@@ -1,0 +1,95 @@
+"""Batch sessionization and near-dup canonicalization queries.
+
+Sessionization is the batch twin of the streaming session windows
+(``streaming/windows.py``); the canonical-map query turns the LSH
+near-dup *pairs* into the actual dedup decision (which row to keep) —
+the missing last step of the embedding-cosine dedup pipeline from the
+build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_spark.catalog import load_table
+from stream_processing_spark.functions import dedup as dd
+from stream_processing_spark.functions import similarity as sim
+from stream_processing_spark.operators.sessionize import with_sessions
+from stream_processing_spark.queries import register
+from stream_processing_spark.queries.llmops import _COS_SQL, _lsh_sig_sql
+
+
+@register(
+    "sessionize_user_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(FLOOR(EXTRACT(EPOCH FROM MAX(ts) - MIN(ts))) AS BIGINT)
+               AS dur_sec
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="Gap-based sessionization (30-min inactivity), then per-session "
+    "rollup: the lag-gap flag, the running session counter, and the "
+    "final groupBy all share one shuffle on user_id. Gap compared in "
+    "exact integer microseconds (operators/sessionize.py).",
+)
+def sessionize_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    s = with_sessions(
+        events, "user_id", "ts", gap_seconds=1800, order_cols=["ts", "event_id"]
+    )
+    dur_us = F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.floor(dur_us / 1_000_000).cast("bigint").alias("dur_sec"),
+    )
+
+
+@register(
+    "dedup_embedding_canonical",
+    f"""
+    WITH sigs AS (
+        SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+    ),
+    nbrs AS (
+        SELECT id_a AS vec_id, id_b AS nbr FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+        UNION ALL SELECT vec_id, vec_id FROM embeddings
+    )
+    SELECT vec_id, MIN(nbr) AS canonical_id
+    FROM nbrs GROUP BY vec_id
+    """,
+    doc="Embedding-cosine near-dup DEDUP decision: LSH-bucketed candidate "
+    "pairs (the scale path — no all-pairs join), each vector mapped to "
+    "min(id) over itself + direct cosine>=0.4 neighbors; rows where "
+    "canonical_id < vec_id are the drops. One-hop canonicalization; "
+    "dedup_connected_components is the full-closure variant.",
+)
+def dedup_embedding_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = sim.lsh_bucketed_pairs(emb, threshold=0.4, dim=64, bits=8)
+    return dd.canonical_from_pairs(pairs, emb, id_col="vec_id")
