@@ -198,3 +198,30 @@ def test_salted_agg_equals_plain(spark, rows, buckets):
     salted_sum = {r["k"]: r["total"] for r in
                   salted_sum_by(df, "k", F.col("v"), salt_buckets=buckets).collect()}
     assert plain_sum == salted_sum
+
+
+@given(rows=_rows, gap=st.integers(1, 10))
+@SET
+def test_sessionize_matches_bruteforce(spark, rows, gap):
+    """session_seq == 1 + number of preceding within-key gaps > gap_seconds,
+    for any event set (duplicate timestamps, singletons, empty keys)."""
+    from stream_processing_spark.operators.sessionize import with_sessions
+
+    # de-dup (key, ts, id) so the (ts, id) order is total within a key
+    rows = sorted(set(rows))
+    df = spark.createDataFrame(
+        rows or [(0, 0, 0)], "k long, tsec long, eid long"
+    ).withColumn("ts", F.timestamp_seconds("tsec"))
+
+    out = with_sessions(df, "k", "ts", gap_seconds=gap, order_cols=["ts", "eid"])
+    got = {(r["k"], r["tsec"], r["eid"]): r["session_seq"] for r in out.collect()}
+
+    for k in {r[0] for r in rows or [(0, 0, 0)]}:
+        evs = sorted((t, i) for kk, t, i in (rows or [(0, 0, 0)]) if kk == k)
+        seq = 0
+        prev_t = None
+        for t, i in evs:
+            if prev_t is None or t - prev_t > gap:
+                seq += 1
+            prev_t = t
+            assert got[(k, t, i)] == seq, (k, t, i, evs, gap)
