@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "skew_salted_user_counts",
     "text_quality_stats",
     "dedup_exact_groups",
+    "sessionize_user_sessions",
     # a REAL Structured Streaming query (file stream → stateful agg →
     # memory sink, drained): ~100k events at sf0.1 in single-digit
     # seconds ≈ >10k rec/s vs the reference's ~84-330 rec/s
