@@ -140,6 +140,70 @@ def string_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regexp_functions_surface",
+    """
+    SELECT doc_id,
+           regexp_extract(text, 'ta(bl)e', 1) AS grp_extract,
+           len(regexp_extract_all(text, 'scan|merge')) AS n_matches,
+           regexp_replace(substr(text, 1, 60), '[aeiou]', '*', 'g')
+               AS vowels_masked,
+           CASE WHEN regexp_matches(text, '^key ') THEN 1 ELSE 0 END
+               AS starts_with_key
+    FROM documents
+    """,
+    doc="Regex scalar surface: group extraction, match counting, global "
+    "replace, anchored match — grep beyond line-level (the reference "
+    "shells out to grep for ALL regex work, LogQuerier/server.py:30)",
+)
+def regexp_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "ta(bl)e", 1).alias("grp_extract"),
+        F.regexp_count("text", F.lit("scan|merge")).cast("bigint").alias("n_matches"),
+        F.regexp_replace(F.substring("text", 1, 60), "[aeiou]", "*").alias(
+            "vowels_masked"
+        ),
+        F.when(F.col("text").rlike("^key "), 1).otherwise(0).alias("starts_with_key"),
+    )
+
+
+@register(
+    "datetime_functions_surface",
+    """
+    WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+    SELECT o_orderkey,
+           CAST(d + INTERVAL 7 DAY AS DATE) AS d_plus7,
+           date_diff('day', DATE '1995-01-01', d) AS days_since_95,
+           last_day(d) AS month_end,
+           CAST(date_trunc('month', d) AS DATE) AS month_start,
+           isodow(d) AS iso_weekday,
+           CAST(weekofyear(d) AS BIGINT) AS iso_week,
+           CAST(quarter(d) AS BIGINT) AS qtr
+    FROM o
+    """,
+    doc="Date arithmetic surface: offsets, diffs, boundary snapping, ISO "
+    "calendar parts — all JVM-side (no UDFs), all pruned to a "
+    "2-column scan",
+)
+def datetime_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.date_add(d, 7).alias("d_plus7"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("bigint").alias(
+            "days_since_95"
+        ),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "month").alias("month_start"),
+        (F.weekday(d) + 1).cast("bigint").alias("iso_weekday"),
+        F.weekofyear(d).cast("bigint").alias("iso_week"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+    )
+
+
+@register(
     "agg_ordered_list",
     """
     SELECT n_regionkey,
