@@ -344,3 +344,73 @@ def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
         (m.getItem("k") % 10).alias("k_bucket"),
     )
+
+
+@register(
+    "window_rank_surface",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CUME_DIST() OVER w AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+    """,
+    doc="Rank-family window surface under REAL ties (2-decimal prices "
+    "collide): rank/dense_rank/percent_rank/cume_dist depend only on "
+    "the ordering key values, so they are deterministic without a "
+    "tie-breaker — unlike row_number. One shuffle on the partition key.",
+)
+def window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
+    "grouped_minmax_norm_pandas",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           (o_totalprice - MIN(o_totalprice) OVER w)
+           / NULLIF(MAX(o_totalprice) OVER w - MIN(o_totalprice) OVER w, 0)
+               AS price_norm
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus)
+    """,
+    doc="Grouped-map applyInPandas (§2.8 UDAF surface, batch twin of the "
+    "stateful harness): per-status min-max normalization inside an "
+    "Arrow-batched pandas function. Hash-matches the window-function "
+    "oracle because min/max are order-independent and both engines run "
+    "the identical IEEE double ops (x-lo)/(hi-lo). Groups shuffle once "
+    "on the grouping key; a skewed group serializes - for hot keys "
+    "prefer the window-function form, which partial-aggregates.",
+)
+def grouped_minmax_norm_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def norm(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        lo = pdf["o_totalprice"].min()
+        hi = pdf["o_totalprice"].max()
+        if hi == lo:
+            pdf["price_norm"] = None
+        else:
+            pdf["price_norm"] = (pdf["o_totalprice"] - lo) / (hi - lo)
+        return pdf[["o_orderkey", "o_orderstatus", "price_norm"]]
+
+    return orders.groupBy("o_orderstatus").applyInPandas(
+        norm, "o_orderkey long, o_orderstatus string, price_norm double"
+    )
