@@ -93,3 +93,52 @@ def dedup_embedding_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = sim.lsh_bucketed_pairs(emb, threshold=0.4, dim=64, bits=8)
     return dd.canonical_from_pairs(pairs, emb, id_col="vec_id")
+
+
+@register(
+    "resample_hourly_ffill",
+    """
+    WITH hourly AS (
+        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+        FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id,
+               UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM bounds
+    )
+    SELECT s.user_id, s.bucket_ts,
+           last_value(h.val IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_ffill,
+           COALESCE(h.n_events, 0) AS n_events
+    FROM spine s LEFT JOIN hourly h
+      ON s.user_id = h.user_id AND s.bucket_ts = h.bucket_ts
+    """,
+    doc="Time-series regularization (operators/resample.py): hourly "
+    "per-user aggregate densified onto each user's own [min,max] hour "
+    "grid (sequence+explode executor-side - no global calendar cross "
+    "join), gap hours forward-filled from the last observed value and "
+    "zero-filled counts. Every exchange is keyed; spine size is linear "
+    "in output rows.",
+)
+def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.operators.resample import resample_ffill
+    from stream_processing_spark.queries._util import dsum
+
+    events = load_table(spark, sf_dir, "events")
+    return resample_ffill(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        aggs=[dsum("value", "val"), F.count(F.lit(1)).alias("n_events")],
+        unit="hour",
+        fill_cols=["val"],
+        zero_cols=["n_events"],
+    )

@@ -225,3 +225,47 @@ def test_sessionize_matches_bruteforce(spark, rows, gap):
                 seq += 1
             prev_t = t
             assert got[(k, t, i)] == seq, (k, t, i, evs, gap)
+
+
+@given(rows=_rows)
+@SET
+def test_resample_ffill_matches_bruteforce(spark, rows):
+    """Dense per-key hourly grid; gaps carry the last value forward and
+    zero-filled counts; boundaries equal each key's min/max hour."""
+    from stream_processing_spark.operators.resample import resample_ffill
+
+    rows = sorted(set(rows))
+    df = spark.createDataFrame(
+        rows or [(0, 0, 0)], "k long, hoff long, v long"
+    ).withColumn("ts", F.timestamp_seconds(F.col("hoff") * 3600 + 17))
+
+    out = resample_ffill(
+        df,
+        key_col="k",
+        ts_col="ts",
+        aggs=[F.sum("v").alias("val"), F.count(F.lit(1)).alias("n_events")],
+        unit="hour",
+        fill_cols=["val"],
+        zero_cols=["n_events"],
+    )
+    got = {
+        (r["k"], int(r["bucket_ts"].timestamp()) // 3600): (
+            r["val_ffill"],
+            r["n_events"],
+        )
+        for r in out.collect()
+    }
+
+    data = rows or [(0, 0, 0)]
+    for k in {r[0] for r in data}:
+        evs = [(h, v) for kk, h, v in data if kk == k]
+        hours = sorted({h for h, _ in evs})
+        assert {h for kk, h in got if kk == k} == set(
+            range(hours[0], hours[-1] + 1)
+        )
+        last = None
+        for h in range(hours[0], hours[-1] + 1):
+            here = [v for hh, v in evs if hh == h]
+            if here:
+                last = sum(here)
+            assert got[(k, h)] == (last, len(here)), (k, h, evs)
