@@ -1,0 +1,108 @@
+"""Regenerate PLANS.md — audited physical plans for the key queries.
+
+Usage: python tools/gen_plans_md.py > PLANS.md
+Runs each audited query at $SPARK_GRAFT_SF_DIR (default sf0.1) on a
+local session and dumps the `explain('formatted')` header tree with the
+curated audit note. The mechanical criteria live in
+tests/test_plan_lint.py / test_bucketed.py; this file is the
+human-readable tour.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# query name -> one-line audit note (what the plan must show and why)
+AUDITED = {
+    "q6_forecast_revenue": (
+        "All five predicates pushed to the parquet scan; 4-column "
+        "ReadSchema; no join."
+    ),
+    "q3_top_revenue_orders": (
+        "Dims broadcast, single fact shuffle for the agg, "
+        "TakeOrderedAndProject top-10 (no global sort)."
+    ),
+    "sort_topk_orders": (
+        "Global top-k compiles to TakeOrderedAndProject: per-partition "
+        "heap + k-row gather."
+    ),
+    "skew_salted_user_counts": (
+        "Two-phase salted agg: the (key,salt) exchange spreads hot keys; "
+        "second agg reduces S partials/key."
+    ),
+    "ann_lsh_bucketed_pairs": (
+        "Signature equi-join (shuffle on 8-char sig), not a cross join; "
+        "norms precomputed pre-join."
+    ),
+    "range_join_clicks_before_purchase": (
+        "Bucketed range join: plain hash joins on (user_id, bucket); no "
+        "BroadcastNestedLoopJoin."
+    ),
+    "sessionize_user_sessions": (
+        "One Exchange total: lag-gap Window, running-sum Window, and the "
+        "per-session HashAggregate all reuse the user_id hash "
+        "partitioning; one Sort serves both Window nodes."
+    ),
+    "resample_hourly_ffill": (
+        "Per-key grid via sequence+explode (Generate) — no cross join "
+        "against a calendar; keyed exchanges only."
+    ),
+    "asof_last_click_before_purchase": (
+        "As-of join as union + running last_value: ONE shuffle + one "
+        "sort, no per-row range probe."
+    ),
+}
+
+TAIL = """
+## Runtime bloom filters (selective shuffle joins)
+
+Not a per-query plan: at production scale the built-in
+`spark.sql.optimizer.runtime.bloomFilter.*` rule injects a bloom
+filter from a selectively-filtered build side into the probe-side
+scan, killing probe rows before the shuffle. Gated by
+`applicationSideScanSizeThreshold` (10 GB default) so it never fires
+at test scale; `tests/test_runtime_filters.py` lowers the gate and
+pins that the rewrite (`might_contain` in the optimized plan) fires
+on our join shapes and preserves results.
+"""
+
+
+def main(out=sys.stdout) -> None:
+    from pyspark.sql import SparkSession
+
+    from stream_processing_spark.queries import REGISTRY
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("# PLANS — audited physical plans (sf0.1, local)", file=out)
+    print(file=out)
+    print(
+        "Regenerate: `python tools/gen_plans_md.py > PLANS.md`. Each plan\n"
+        "is the `explain('formatted')` header tree; the audit criteria\n"
+        "live in tests/test_plan_lint.py and tests/test_bucketed.py\n"
+        "(mechanically enforced on every run).",
+        file=out,
+    )
+    for name, note in AUDITED.items():
+        df = REGISTRY[name].spark(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        header = buf.getvalue().split("\n\n")[0]
+        print(f"\n## {name}\n\n{note}\n\n```\n{header}\n```", file=out)
+    print(TAIL, end="", file=out)
+
+
+if __name__ == "__main__":
+    main()
