@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "text_quality_stats",
     "dedup_exact_groups",
     "sessionize_user_sessions",
+    # densifies ~1M output rows (grid gen + join + ffill window)
+    "resample_hourly_ffill",
     # a REAL Structured Streaming query (file stream → stateful agg →
     # memory sink, drained): ~100k events at sf0.1 in single-digit
     # seconds ≈ >10k rec/s vs the reference's ~84-330 rec/s

@@ -269,3 +269,24 @@ def test_resample_ffill_matches_bruteforce(spark, rows):
             if here:
                 last = sum(here)
             assert got[(k, h)] == (last, len(here)), (k, h, evs)
+
+
+@given(pairs=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)), max_size=15))
+@SET
+def test_canonical_from_pairs_matches_bruteforce(spark, pairs):
+    """canonical(v) == min over {v} ∪ direct neighbors, any pair soup
+    (self-loops, duplicates, both orientations)."""
+    from stream_processing_spark.functions.dedup import canonical_from_pairs
+
+    ids = sorted({i for p in pairs for i in p} | {0, 1})
+    pdf = spark.createDataFrame(pairs or [(0, 0)], "id_a long, id_b long")
+    idf = spark.createDataFrame([(i,) for i in ids], "vec_id long")
+
+    got = {
+        r["vec_id"]: r["canonical_id"]
+        for r in canonical_from_pairs(pdf, idf).collect()
+    }
+    data = pairs or [(0, 0)]
+    for v in ids:
+        nbrs = {b for a, b in data if a == v} | {a for a, b in data if b == v}
+        assert got[v] == min(nbrs | {v}), (v, nbrs)
