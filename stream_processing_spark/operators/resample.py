@@ -28,17 +28,27 @@ def resample_ffill(
     unit: str = "hour",
     fill_cols: list[str] | None = None,
     zero_cols: list[str] | None = None,
+    lerp_cols: list[str] | None = None,
 ) -> DataFrame:
     """Aggregate ``df`` per (key, time bucket), densify each key's bucket
     range with one row per ``unit`` step, and fill the gap rows:
     ``fill_cols`` carry the last non-null value forward (suffix
-    ``_ffill``), ``zero_cols`` become 0.
+    ``_ffill``), ``zero_cols`` become 0, ``lerp_cols`` linearly
+    interpolate between the surrounding observations (suffix ``_lerp``;
+    flat after the last observation — before the first there is nothing
+    to anchor, but spine rows start at each key's first observation so
+    the case never materializes).
 
     ``aggs`` are the per-bucket aggregate expressions; their aliases are
-    the column names ``fill_cols``/``zero_cols`` refer to.
+    the column names ``fill_cols``/``zero_cols``/``lerp_cols`` refer to.
+
+    All four fill windows share one (key, bucket) sort: the backward
+    (ffill / prev-anchor) and forward (next-anchor) frames differ only
+    in frame bounds, so Catalyst plans them over a single Exchange+Sort.
     """
     fill_cols = fill_cols or []
     zero_cols = zero_cols or []
+    lerp_cols = lerp_cols or []
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
     per_bucket = df.groupBy(F.col(key_col), bucket).agg(*aggs)
     bounds = per_bucket.groupBy(key_col).agg(
@@ -56,9 +66,29 @@ def resample_ffill(
         .orderBy("bucket_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     out_cols = [F.col(key_col), F.col("bucket_ts")]
     for c in fill_cols:
         out_cols.append(F.last(c, ignorenulls=True).over(w).alias(f"{c}_ffill"))
     for c in zero_cols:
         out_cols.append(F.coalesce(F.col(c), F.lit(0)).alias(c))
+    for c in lerp_cols:
+        obs_ts = F.when(F.col(c).isNotNull(), F.col("bucket_ts"))
+        prev_v = F.last(c, ignorenulls=True).over(w)
+        prev_t = F.last(obs_ts, ignorenulls=True).over(w)
+        next_v = F.first(c, ignorenulls=True).over(wf)
+        next_t = F.first(obs_ts, ignorenulls=True).over(wf)
+        ratio = (F.unix_micros(F.col("bucket_ts")) - F.unix_micros(prev_t)) / (
+            F.unix_micros(next_t) - F.unix_micros(prev_t)
+        )
+        lerp = (
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(next_v.isNotNull(), prev_v + (next_v - prev_v) * ratio)
+            .otherwise(prev_v)
+        )
+        out_cols.append(lerp.alias(f"{c}_lerp"))
     return joined.select(*out_cols)

@@ -142,3 +142,70 @@ def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         fill_cols=["val"],
         zero_cols=["n_events"],
     )
+
+
+@register(
+    "resample_hourly_lerp",
+    """
+    WITH hourly AS (
+        SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS val
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, MIN(bucket_ts) AS lo, MAX(bucket_ts) AS hi
+        FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT user_id,
+               UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.user_id, s.bucket_ts, h.val
+        FROM spine s LEFT JOIN hourly h
+          ON s.user_id = h.user_id AND s.bucket_ts = h.bucket_ts
+    ),
+    anch AS (
+        SELECT user_id, bucket_ts, val,
+               last_value(val IGNORE NULLS) OVER wb AS prev_v,
+               last_value(CASE WHEN val IS NOT NULL THEN bucket_ts END
+                          IGNORE NULLS) OVER wb AS prev_t,
+               first_value(val IGNORE NULLS) OVER wf AS next_v,
+               first_value(CASE WHEN val IS NOT NULL THEN bucket_ts END
+                           IGNORE NULLS) OVER wf AS next_t
+        FROM j
+        WINDOW wb AS (PARTITION BY user_id ORDER BY bucket_ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wf AS (PARTITION BY user_id ORDER BY bucket_ts
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket_ts,
+           CASE WHEN val IS NOT NULL THEN val
+                WHEN next_v IS NOT NULL THEN
+                     prev_v + (next_v - prev_v) *
+                     ((epoch_us(bucket_ts) - epoch_us(prev_t))
+                      / (epoch_us(next_t) - epoch_us(prev_t)))
+                ELSE prev_v END AS val_lerp
+    FROM anch
+    """,
+    doc="Linear-interpolation gap fill: gap hours get "
+    "prev + (next-prev) * elapsed-fraction between the surrounding "
+    "observations (flat after the last). The backward and forward "
+    "anchor windows share one (key, bucket) Exchange+Sort - frame "
+    "bounds differ, partitioning does not. Hash-matches because both "
+    "engines run the identical IEEE double expression on exact inputs.",
+)
+def resample_hourly_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.operators.resample import resample_ffill
+    from stream_processing_spark.queries._util import dsum
+
+    events = load_table(spark, sf_dir, "events")
+    return resample_ffill(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        aggs=[dsum("value", "val")],
+        unit="hour",
+        lerp_cols=["val"],
+    )
