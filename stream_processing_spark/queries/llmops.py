@@ -801,3 +801,68 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frame_hex"),
         )
     )
+
+
+@register(
+    "hybrid_search_topk",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, COUNT(*) AS tf FROM tok WHERE term = 'merge' GROUP BY 1
+    ),
+    mx AS (SELECT MAX(tf) AS max_tf FROM tf),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT d.doc_id,
+               COALESCE(tf.tf, 0) AS tf, mx.max_tf,
+               {_COS_SQL.format(a="e.embedding", b="q.qv")} AS cs
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        LEFT JOIN tf ON tf.doc_id = d.doc_id, mx, q
+        WHERE d.doc_id <> 0
+    )
+    SELECT doc_id, ROUND(0.5 * (tf / max_tf) + 0.5 * cs, 6) AS hybrid_score
+    FROM scored
+    ORDER BY 0.5 * (tf / max_tf) + 0.5 * cs DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Hybrid retrieval: lexical term score fused with embedding cosine "
+    "(0.5/0.5), top-10. The linear-IDF term weight cancels to tf/max_tf "
+    "(N/df is constant per term) - integer ratio, one double division. "
+    "Query vector and the max_tf scalar broadcast; the 1:1 "
+    "documents-embeddings join is the only row-shuffle. The "
+    "rerank-after-candidate-fetch pattern at scale: replace the full "
+    "scan with ann_lsh_bucketed_pairs candidates.",
+)
+def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tok = docs.select("doc_id", F.explode(tx.tokens("text")).alias("term"))
+    tf = (
+        tok.filter(F.col("term") == "merge")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    mx = tf.agg(F.max("tf").alias("max_tf"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .join(tf, "doc_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id",
+            F.coalesce("tf", F.lit(0)).alias("tf"),
+            "max_tf",
+            sim.cosine(F.col("embedding"), F.col("qv")).alias("cs"),
+        )
+    )
+    hybrid = 0.5 * (F.col("tf") / F.col("max_tf")) + 0.5 * F.col("cs")
+    return (
+        scored.orderBy(hybrid.desc(), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round(hybrid, 6).alias("hybrid_score"))
+    )

@@ -26,6 +26,7 @@ CROSS_OK = {
     "ann_cosine_pairs",       # declared O(n²) baseline (LSH is the scale path)
     "ann_ivf_topk",           # 1-row query vector broadcast
     "q22_global_sales_opportunity",  # 1-row scalar average broadcast
+    "hybrid_search_topk",     # 1-row max_tf scalar + 1-row query vector
 }
 
 _SKIP = tuple(
