@@ -414,3 +414,35 @@ def grouped_minmax_norm_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").applyInPandas(
         norm, "o_orderkey long, o_orderstatus string, price_norm double"
     )
+
+
+@register(
+    "groupwise_latest_order",
+    """
+    SELECT o_custkey, last_date, last_key
+    FROM (
+        SELECT o_custkey, o_orderdate AS last_date, o_orderkey AS last_key,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC)
+                   AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Groupwise-max via max(struct(ts, key)): lexicographic struct max "
+    "is a PARTIAL-AGGREGABLE reduction - each map task pre-reduces to "
+    "one row per group before the shuffle, so the exchange carries "
+    "|groups| rows instead of every order (the window row_number "
+    "formulation the oracle uses must shuffle+sort ALL rows). The "
+    "key in the struct makes the tie-break total.",
+)
+def groupwise_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_orderdate", "o_orderkey")).alias("m"))
+        .select(
+            "o_custkey",
+            F.col("m.o_orderdate").alias("last_date"),
+            F.col("m.o_orderkey").alias("last_key"),
+        )
+    )
