@@ -79,3 +79,39 @@ def test_ignore_case(spark, logdir):
     up = dgrep(spark, "get ", f"{logdir}/machine.*.log", ignore_case=True)
     lo = dgrep(spark, "GET ", f"{logdir}/machine.*.log")
     assert up.count() == lo.count() > 0
+
+
+def test_grep_gzipped_logs(spark, tmp_path):
+    """Compressed rotated logs: read.text decompresses .gz transparently —
+    grep works over mixed plain + gzipped sources (real log dirs rotate)."""
+    import gzip
+
+    d = tmp_path / "gzlogs"
+    d.mkdir()
+    (d / "machine.1.log").write_text("hit alpha\nmiss beta\nhit gamma\n")
+    with gzip.open(d / "machine.2.log.gz", "wt") as f:
+        f.write("hit delta\nmiss epsilon\n")
+
+    out = dgrep_count(spark, "hit", str(d / "*"))
+    counts = {r["source_file"]: r["match_count"] for r in out.collect()}
+    assert counts == {"machine.1.log": 2, "machine.2.log.gz": 1}
+
+
+def test_csv_quoting_aware_read(spark, tmp_path):
+    """The reference splits CSV rows with value.split(',') — quoted commas
+    corrupt columns (SURVEY.md §1.2, tests/sample1_op2.py). Our CSV source
+    must parse quoting correctly (Traffic_Signs.csv has quoted fields)."""
+    p = tmp_path / "signs.csv"
+    p.write_text(
+        'OBJECTID,Sign_Type,Notes\n'
+        '1,Stop,"plain note"\n'
+        '2,Yield,"note, with comma"\n'
+        '3,"Speed, Limit","a ""quoted"" word"\n'
+    )
+    df = spark.read.csv(str(p), header=True, quote='"', escape='"')
+    rows = {r["OBJECTID"]: (r["Sign_Type"], r["Notes"]) for r in df.collect()}
+    assert rows["2"] == ("Yield", "note, with comma")
+    assert rows["3"] == ("Speed, Limit", 'a "quoted" word')
+    # the reference's naive split would have produced 4 columns for row 2
+    naive = "2,Yield,note, with comma".split(",")
+    assert len(naive) == 4
