@@ -446,3 +446,64 @@ def groupwise_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.o_orderkey").alias("last_key"),
         )
     )
+
+
+@register(
+    "set_except_all_priorities",
+    """
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT ALL multiset semantics: each priority survives with "
+    "(count-in-O minus count-in-F) multiplicity - the bag-difference "
+    "the reference's merge/concat storage model implies but never "
+    "exposes as an operator. Plans as a count-diff aggregate, not a "
+    "row-by-row anti join.",
+)
+def set_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return o.exceptAll(f)
+
+
+@register(
+    "agg_stddev_per_status",
+    """
+    WITH s AS (
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                        * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus, n,
+           ROUND((sxx - sx * sx / n) / (n - 1), 4) AS var_samp_price,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 4) AS stddev_price
+    FROM s
+    """,
+    doc="Per-group sample variance/stddev from decimal-exact moments "
+    "(count, sum, sum-of-squares) + one closed-form double expression - "
+    "same pattern as agg_corr_price_qty, grouped. Engines' stddev() "
+    "accumulators are order-dependent; this is order-independent and "
+    "map-side partial-aggregable.",
+)
+def agg_stddev_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.queries._util import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = dec("o_totalprice")
+    s = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return s.select(
+        "o_orderstatus",
+        "n",
+        F.round(var, 4).alias("var_samp_price"),
+        F.round(F.sqrt(var), 4).alias("stddev_price"),
+    )
