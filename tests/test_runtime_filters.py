@@ -63,3 +63,16 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
         ).count()
     )
     assert n_with == n_plain
+
+
+def test_large_large_join_uses_sort_merge(spark):
+    """With broadcast off (the 100 TB fact-fact case), the planner must
+    pick SortMergeJoin — keyed shuffle both sides, never a nested loop."""
+    with _confs(spark, **{"spark.sql.autoBroadcastJoinThreshold": "-1",
+                          "spark.sql.adaptive.enabled": "false"}):
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
