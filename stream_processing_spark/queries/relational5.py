@@ -507,3 +507,39 @@ def agg_stddev_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var, 4).alias("var_samp_price"),
         F.round(F.sqrt(var), 4).alias("stddev_price"),
     )
+
+
+@register(
+    "union_by_name_entities",
+    """
+    SELECT c_custkey AS ent_id, 'customer' AS etype, c_name AS name,
+           c_acctbal AS bal, c_mktsegment AS segment
+    FROM customer
+    UNION ALL BY NAME
+    SELECT s_suppkey AS ent_id, 'supplier' AS etype, s_name AS name,
+           s_acctbal AS bal, s_nationkey AS nationkey
+    FROM supplier
+    """,
+    doc="Schema-drift union: UNION ALL BY NAME / "
+    "unionByName(allowMissingColumns=True) aligns by column NAME and "
+    "null-fills the disjoint tail (segment only on customers, "
+    "nationkey only on suppliers) - positional UNION would silently "
+    "mix columns. How heterogeneous source generations coexist in one "
+    "scan at scale.",
+)
+def union_by_name_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ent_id"),
+        F.lit("customer").alias("etype"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("ent_id"),
+        F.lit("supplier").alias("etype"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("bal"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
