@@ -543,3 +543,34 @@ def union_by_name_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey"),
     )
     return cust.unionByName(supp, allowMissingColumns=True)
+
+
+@register(
+    "safe_cast_surface",
+    """
+    SELECT doc_id,
+           TRY_CAST(string_split(text, ' ')[1] AS BIGINT) AS first_tok_int,
+           TRY_CAST(lang AS DOUBLE) AS lang_as_num,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS n_chars_rt,
+           COALESCE(TRY_CAST(string_split(text, ' ')[1] AS BIGINT), -1)
+               AS first_tok_filled
+    FROM documents
+    """,
+    doc="Error-safe parsing surface: TRY_CAST / try_cast yields NULL "
+    "instead of failing the job on malformed values - at 100 TB a "
+    "single bad row must never kill the scan (ANSI mode makes plain "
+    "CAST throw). Word tokens and language tags parse to NULL, the "
+    "numeric round-trip survives.",
+)
+def safe_cast_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    first_tok = F.split("text", " ").getItem(0)
+    return docs.select(
+        "doc_id",
+        first_tok.try_cast("bigint").alias("first_tok_int"),
+        F.col("lang").try_cast("double").alias("lang_as_num"),
+        F.col("n_chars").cast("string").try_cast("bigint").alias("n_chars_rt"),
+        F.coalesce(first_tok.try_cast("bigint"), F.lit(-1)).alias(
+            "first_tok_filled"
+        ),
+    )
