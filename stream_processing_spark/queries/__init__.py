@@ -55,3 +55,4 @@ from stream_processing_spark.queries import streaming_queries  # noqa: E402,F401
 from stream_processing_spark.queries import skew_queries  # noqa: E402,F401
 from stream_processing_spark.queries import sampling_queries  # noqa: E402,F401
 from stream_processing_spark.queries import sessionize_queries  # noqa: E402,F401
+from stream_processing_spark.queries import analytics_queries  # noqa: E402,F401

@@ -1,0 +1,262 @@
+"""Event-sequence, vocabulary, and data-prep analytics queries.
+
+These close out classic large-scale analytics shapes the registry did
+not yet exercise: ordered funnel analysis (the event-sequence op every
+product-analytics engine ships), frequency-ranked vocabulary building
+(the first step of every tokenizer-training pipeline), blocked fuzzy
+matching (entity resolution's candidate-generation + verify pattern),
+deterministic train/val/test splits, and value-distribution histograms.
+The reference has no time or sequence notion at all (SURVEY.md §2.5) —
+these are beyond-reference surfaces built on the same events/documents
+tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stream_processing_spark.catalog import load_table
+from stream_processing_spark.queries import register
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        GROUP BY e.user_id
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage_idx, 'view' AS stage,
+               (SELECT COUNT(*) FROM v) AS users
+        UNION ALL
+        SELECT 2, 'view>click', (SELECT COUNT(*) FROM c)
+        UNION ALL
+        SELECT 3, 'view>click>purchase', (SELECT COUNT(*) FROM p)
+    ) ORDER BY stage_idx
+    """,
+    doc="Ordered funnel (view, then a LATER click, then a LATER "
+    "purchase, per user): each stage is a min-timestamp aggregate "
+    "joined against the previous stage's users, so every join carries "
+    "one row per qualifying user — never raw events — and all three "
+    "share the user_id shuffle key. Strictly-increasing timestamps "
+    "encode the sequence constraint; counts are integers, hash-safe.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("users"),
+        )
+
+    return (
+        stage(1, "view", v)
+        .unionAll(stage(2, "view>click", c))
+        .unionAll(stage(3, "view>click>purchase", p))
+        .orderBy("stage_idx")
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    """
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counted AS (
+        SELECT token, COUNT(*) AS cnt FROM tok
+        WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 5
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT)
+               AS token_id,
+           token, cnt
+    FROM counted
+    """,
+    doc="Vocabulary build (tokenizer-training step 1): token "
+    "frequencies with a min-count cutoff, then contiguous ids assigned "
+    "by (count desc, token) — a total order, so ids are deterministic. "
+    "The heavy work (explode + count) is fully parallel; the global "
+    "row_number runs on the post-cutoff vocabulary, which is tiny "
+    "relative to the corpus (vocabularies grow ~log of corpus size), "
+    "so the single-partition window is a non-issue at 100 TB.",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return counted.select(
+        F.row_number().over(w).cast("bigint").alias("token_id"), "token", "cnt"
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    WITH pos AS (
+        SELECT c_custkey, c_name,
+               unnest(generate_series(1, length(c_name))) AS i
+        FROM customer
+    ),
+    v AS (
+        SELECT c_custkey, c_name,
+               substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS variant
+        FROM pos
+    )
+    SELECT DISTINCT a.c_custkey AS key1, b.c_custkey AS key2,
+           a.c_name AS name1, b.c_name AS name2
+    FROM v a JOIN v b ON a.variant = b.variant
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Fuzzy entity matching via DELETION-NEIGHBORHOOD blocking "
+    "(FastSS/SymSpell): each name emits length(name) single-character-"
+    "deletion variants; any two strings within edit distance 1 share a "
+    "variant, so an equi-join on the variant finds EVERY such pair — "
+    "exact, unlike prefix blocking — and levenshtein (integer-identical "
+    "in Spark and DuckDB) verifies candidates. O(n * len) variant rows "
+    "and a hash join on a short string key replace the O(n^2) all-pairs "
+    "scan; this is how spell-correction and entity-resolution candidate "
+    "generation run at 100 TB. Customer names differing in one digit "
+    "are the matches.",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    v = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.sequence(F.lit(1), F.length("c_name"))).alias("i"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.expr(
+            "concat(substring(c_name, 1, i - 1), "
+            "substring(c_name, i + 1, 1000000))"
+        ).alias("variant"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.variant") == F.col("b.variant"))
+        .filter(
+            (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & (F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+        )
+        .select(
+            F.col("a.c_custkey").alias("key1"),
+            F.col("b.c_custkey").alias("key2"),
+            F.col("a.c_name").alias("name1"),
+            F.col("b.c_name").alias("name2"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "split_train_val_test",
+    """
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN md5(text) < 'cc' THEN 'train'
+                    WHEN md5(text) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM tagged GROUP BY lang, split
+    """,
+    doc="Deterministic train/val/test split (~80/10/10) by md5 prefix "
+    "range ('cc' = 204/256, 'e6' = 230/256): content-addressed, so "
+    "assignment is stable under repartition, rerun, and engine — the "
+    "property that prevents test-set leakage when the corpus is "
+    "rebuilt. Pure map-side tagging (no shuffle until the count); the "
+    "split column is also the natural partitionBy key for the write.",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "histogram_doc_lengths",
+    """
+    SELECT CAST(FLOOR(n_chars / 100) AS BIGINT) AS bucket,
+           CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Doc-length histogram (100-char buckets) — the distribution "
+    "check before length-based quality filtering. Integer bucket "
+    "arithmetic (FLOOR on both sides — Spark's integer division "
+    "truncates, DuckDB's / is float), map-side partial agg, one "
+    "shuffle of |buckets| rows.",
+)
+def histogram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 100).cast("bigint")
+    return (
+        docs.select(
+            bucket.alias("bucket"),
+            (bucket * 100).cast("bigint").alias("bucket_lo"),
+            "n_chars",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
