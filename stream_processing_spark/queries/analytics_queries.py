@@ -260,3 +260,143 @@ def histogram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+@register(
+    "quality_percentile_filter",
+    """
+    WITH scored AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               PERCENT_RANK() OVER (PARTITION BY lang
+                                    ORDER BY len(string_split(text, ' ')))
+                   AS pr
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, pr
+    FROM scored WHERE pr >= 0.25
+    """,
+    doc="Percentile-based quality filtering (the 'drop the bottom "
+    "quartile per language' step of corpus curation): percent_rank "
+    "over token count within each language partition, keep pr >= 0.25. "
+    "percent_rank depends only on the ordering VALUES, so it is "
+    "deterministic under ties without a tie-breaker (unlike "
+    "row_number), and (rank-1)/(n-1) is the same one IEEE division in "
+    "both engines. One shuffle on the language key.",
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("lang").orderBy(n_tokens)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tokens.alias("n_tokens"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        .filter(F.col("pr") >= 0.25)
+    )
+
+
+@register(
+    "inverted_index_postings",
+    """
+    WITH t AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id))[1:20], ',')
+               AS postings_head
+    FROM t WHERE token <> ''
+    GROUP BY token HAVING COUNT(*) >= 5
+    """,
+    doc="Inverted-index build (search-engine / RAG-retrieval backbone): "
+    "token -> document frequency + the first 20 doc ids of the sorted "
+    "posting list, rendered as a string (array renderings differ "
+    "across engines; the joined string is portable). distinct "
+    "(doc_id, token) pairs partial-aggregate before the token shuffle; "
+    "at 100 TB the posting LISTS partition by token — the classic "
+    "term-sharded index layout — and the head-of-list here stands in "
+    "for the full list write.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+@register(
+    "bigram_lm_probs",
+    """
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS l FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    big AS (
+        SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                                     i -> l[i] || ' ' || l[i + 1])) AS bg
+        FROM toks
+    ),
+    counted AS (
+        SELECT bg, COUNT(*) AS cnt FROM big GROUP BY bg
+    )
+    SELECT split_part(bg, ' ', 1) AS w1,
+           split_part(bg, ' ', 2) AS w2,
+           cnt,
+           CAST(cnt AS DOUBLE)
+               / CAST(SUM(cnt) OVER (PARTITION BY split_part(bg, ' ', 1))
+                      AS DOUBLE) AS p
+    FROM counted
+    """,
+    doc="Bigram language-model estimation: adjacent-token pairs per "
+    "document (an in-array transform — no self-join, no positional "
+    "explode+rejoin), counted corpus-wide; the conditional probability "
+    "P(w2|w1) = cnt(w1 w2) / cnt(w1 *) is one double division of "
+    "exact integers, and the denominator is a window sum over the "
+    "already-aggregated bigram table (|vocab|^2 rows, not corpus "
+    "rows). The n-gram-LM / next-token-statistics building block.",
+)
+def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.split(F.col("text"), " ").alias("l"))
+        .filter(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 1), "
+                    "i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    w = Window.partitionBy(w1)
+    return counted.select(
+        w1.alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(w).cast("double")).alias("p"),
+    )
