@@ -400,3 +400,96 @@ def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (F.col("cnt").cast("double") / F.sum("cnt").over(w).cast("double")).alias("p"),
     )
+
+
+@register(
+    "zscore_orders_per_status",
+    """
+    WITH s AS (
+        SELECT o_orderstatus AS st, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))
+                        * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           ROUND((o_totalprice - sx / n)
+                 / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z
+    FROM orders JOIN s ON o_orderstatus = st
+    """,
+    doc="Per-group z-score standardization (the feature-scaling step "
+    "before model training): group moments from decimal-exact sums "
+    "(order-independent, map-side partial-aggregable), then one "
+    "identical-IEEE per-row expression (x - mean)/stddev. The "
+    "|groups|-row stats table broadcasts, so standardization is "
+    "map-side — no second shuffle of the fact rows; contrast with the "
+    "window-function formulation, which re-shuffles every row.",
+)
+def zscore_orders_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.queries._util import dec
+
+    orders = load_table(spark, sf_dir, "orders")
+    x = dec("o_totalprice")
+    s = orders.groupBy(F.col("o_orderstatus").alias("st")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (F.col("o_totalprice") - sx / n) / F.sqrt((sxx - sx * sx / n) / (n - 1))
+    return (
+        orders.join(F.broadcast(s), orders["o_orderstatus"] == s["st"])
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+@register(
+    "iqr_outlier_events",
+    """
+    WITH q AS (
+        SELECT event_type AS et,
+               ROUND(quantile_cont(value, 0.25), 2) AS q1,
+               ROUND(quantile_cont(value, 0.75), 2) AS q3
+        FROM events GROUP BY 1
+    )
+    SELECT event_id, event_type, value,
+           q1 - 1.5 * (q3 - q1) AS lo_cut,
+           q3 + 1.5 * (q3 - q1) AS hi_cut
+    FROM events JOIN q ON event_type = et
+    WHERE value > q3 + 1.5 * (q3 - q1)
+       OR value < q1 - 1.5 * (q3 - q1)
+    """,
+    doc="IQR outlier detection (Tukey fences, the standard robust "
+    "data-cleaning rule) on the heavy-tailed event values: per-group "
+    "quartiles (Spark percentile == DuckDB quantile_cont, rounded to "
+    "the data's 2-decimal grid so the fences are engine-identical "
+    "doubles), broadcast back, map-side fence filter. Quantiles are "
+    "the only shuffle; the fact table is never re-shuffled. Swap "
+    "percentile for approx_percentile at 100 TB when exact quartiles "
+    "aren't required.",
+)
+def iqr_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    q = events.groupBy(F.col("event_type").alias("et")).agg(
+        F.round(F.percentile("value", F.lit(0.25)), 2).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.75)), 2).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        events.join(F.broadcast(q), events["event_type"] == q["et"])
+        .filter((F.col("value") > hi) | (F.col("value") < lo))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            lo.alias("lo_cut"),
+            hi.alias("hi_cut"),
+        )
+    )
