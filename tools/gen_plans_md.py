@@ -56,6 +56,19 @@ AUDITED = {
         "As-of join as union + running last_value: ONE shuffle + one "
         "sort, no per-row range probe."
     ),
+    "fuzzy_name_pairs": (
+        "Deletion-neighborhood blocking: Generate (explode) then a "
+        "plain hash join on the variant string — the O(n^2) name "
+        "comparison never appears as a nested-loop plan."
+    ),
+    "zscore_orders_per_status": (
+        "Group moments reduce map-side then BroadcastExchange back to "
+        "the facts: standardization itself is shuffle-free."
+    ),
+    "funnel_view_click_purchase": (
+        "All three stage joins and aggs hash-partition on user_id; "
+        "joins carry one row per qualifying user, never raw events."
+    ),
 }
 
 TAIL = """
