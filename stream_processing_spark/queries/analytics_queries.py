@@ -493,3 +493,41 @@ def iqr_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             hi.alias("hi_cut"),
         )
     )
+
+
+@register(
+    "cumulative_new_users_daily",
+    """
+    WITH first_touch AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events
+        GROUP BY user_id
+    ),
+    daily AS (
+        SELECT d, COUNT(*) AS new_users FROM first_touch GROUP BY d
+    )
+    SELECT d, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    doc="Cumulative distinct users per day via FIRST-TOUCH reduction: "
+    "a running COUNT(DISTINCT) window is not partial-aggregable (state "
+    "grows with users), but min-date per user + daily count + running "
+    "sum over the tiny |days| table computes the identical series with "
+    "two ordinary shuffles and a |days|-row window. The standard "
+    "rewrite for growth-accounting dashboards at scale.",
+)
+def cumulative_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
