@@ -531,3 +531,108 @@ def cumulative_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+@register(
+    "cohort_retention_daily",
+    """
+    WITH first_touch AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_d FROM events
+        GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    cohort_size AS (
+        SELECT cohort_d, COUNT(*) AS n0 FROM first_touch GROUP BY cohort_d
+    ),
+    ret AS (
+        SELECT f.cohort_d, CAST(a.d - f.cohort_d AS BIGINT) AS day_offset,
+               COUNT(*) AS active_users
+        FROM activity a JOIN first_touch f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort_d, r.day_offset, r.active_users, s.n0 AS cohort_users,
+           CAST(r.active_users AS DOUBLE) / CAST(s.n0 AS DOUBLE) AS retention
+    FROM ret r JOIN cohort_size s ON r.cohort_d = s.cohort_d
+    """,
+    doc="Cohort retention (the growth-analytics staple): users "
+    "cohorted by first-touch day, retention(c, k) = fraction of "
+    "cohort c active k days later. first_touch and the distinct "
+    "(user, day) activity table both reduce map-side before the "
+    "user_id join; the |cohorts| x |offsets| result joins the tiny "
+    "cohort-size table broadcast. One double division of exact "
+    "integers keeps it hash-stable.",
+)
+def cohort_retention_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_touch = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_d")
+    )
+    activity = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    cohort_size = first_touch.groupBy("cohort_d").agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    ret = (
+        activity.join(first_touch, "user_id")
+        .groupBy("cohort_d", F.datediff("d", "cohort_d").cast("bigint").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return ret.join(F.broadcast(cohort_size), "cohort_d").select(
+        "cohort_d",
+        "day_offset",
+        "active_users",
+        F.col("n0").alias("cohort_users"),
+        (F.col("active_users").cast("double") / F.col("n0").cast("double")).alias(
+            "retention"
+        ),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    counted AS (
+        SELECT event_type, next_type, COUNT(*) AS cnt
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, cnt,
+           CAST(cnt AS DOUBLE)
+               / CAST(SUM(cnt) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+    FROM counted
+    """,
+    doc="Event-transition (Markov) matrix: P(next event type | current) "
+    "from per-user event sequences. lead() over the total (ts, "
+    "event_id) order is deterministic; one shuffle on user_id for the "
+    "sequence, then the |types|^2 transition table aggregates and the "
+    "window-sum denominator runs on that tiny table — corpus rows are "
+    "shuffled exactly once. The next-action-prediction / "
+    "clickstream-modeling building block.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    counted = (
+        events.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wt = Window.partitionBy("event_type")
+    return counted.select(
+        "event_type",
+        "next_type",
+        "cnt",
+        (F.col("cnt").cast("double") / F.sum("cnt").over(wt).cast("double")).alias("p"),
+    )
