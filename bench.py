@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "text_quality_stats",
     "dedup_exact_groups",
     "sessionize_user_sessions",
+    # event-sequence ops: chained stage joins / lead() transition pairs
+    "funnel_view_click_purchase",
+    "event_transition_matrix",
     # densifies ~1M output rows (grid gen + join + ffill window)
     "resample_hourly_ffill",
     # a REAL Structured Streaming query (file stream → stateful agg →
