@@ -636,3 +636,79 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         (F.col("cnt").cast("double") / F.sum("cnt").over(wt).cast("double")).alias("p"),
     )
+
+
+@register(
+    "sample_weighted_by_length",
+    """
+    WITH mx AS (SELECT MAX(n_chars) AS m FROM documents)
+    SELECT doc_id, lang, n_chars
+    FROM documents, mx
+    WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+              / 4294967296.0
+          < CAST(n_chars AS DOUBLE) / CAST(m AS DOUBLE)
+    """,
+    doc="Importance sampling with per-row weights (longer docs kept "
+    "proportionally more often — the quality-weighted downsampling "
+    "step of corpus curation): the first 8 md5 hex digits of the "
+    "content become a deterministic uniform in [0,1) (Spark conv(hex) "
+    "== DuckDB CAST('0x'||hex), same integer), compared against "
+    "weight = n_chars / max(n_chars). Content-addressed like "
+    "sample_hash_pct, so the sample is stable under rerun, "
+    "repartition, and engine; the 1-row max broadcasts, the filter is "
+    "map-side.",
+)
+def sample_weighted_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("m"))
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 8), 16, 10) "
+            "AS BIGINT)"
+        )
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .filter(u < F.col("n_chars").cast("double") / F.col("m").cast("double"))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "decile_binning_orders",
+    """
+    WITH binned AS (
+        SELECT o_orderstatus, o_totalprice,
+               NTILE(10) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders
+    )
+    SELECT o_orderstatus, decile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM binned GROUP BY 1, 2
+    """,
+    doc="Equal-frequency binning (feature discretization / monotonic "
+    "target encoding prep): NTILE(10) per status over the total "
+    "(o_totalprice, o_orderkey) order — the tie-break makes NTILE "
+    "deterministic, which it is NOT under bare value ordering; both "
+    "engines give earlier deciles the extra rows. The bin boundaries "
+    "(lo/hi per decile) are the artifact a feature store would "
+    "persist. One shuffle on the partition key, then a tiny rollup.",
+)
+def decile_binning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderstatus",
+            "o_totalprice",
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .groupBy("o_orderstatus", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -27,6 +27,7 @@ CROSS_OK = {
     "ann_ivf_topk",           # 1-row query vector broadcast
     "q22_global_sales_opportunity",  # 1-row scalar average broadcast
     "hybrid_search_topk",     # 1-row max_tf scalar + 1-row query vector
+    "sample_weighted_by_length",  # 1-row max(n_chars) scalar broadcast
 }
 
 _SKIP = tuple(
