@@ -712,3 +712,144 @@ def decile_binning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "top_tokens_per_lang",
+    """
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    counted AS (
+        SELECT lang, token, COUNT(*) AS cnt FROM tok
+        WHERE token <> '' GROUP BY lang, token
+    ),
+    ranked AS (
+        SELECT lang, token, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, token) AS rk
+        FROM counted
+    )
+    SELECT lang, CAST(rk AS INTEGER) AS rk, token, cnt
+    FROM ranked WHERE rk <= 5
+    """,
+    doc="Top-k frequent items PER GROUP (the grouped variant of the "
+    "global top-k): token counts reduce map-side, then a row_number "
+    "window on the already-aggregated (lang, token) table — the "
+    "window input is |lang x vocab| rows, never corpus rows. "
+    "(cnt DESC, token) is a total order, so ranks are deterministic. "
+    "The per-segment-leaderboard shape.",
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "rk", "token", "cnt")
+    )
+
+
+@register(
+    "mad_robust_scale_events",
+    """
+    WITH med AS (
+        SELECT event_type AS et,
+               ROUND(quantile_cont(value, 0.5), 2) AS med
+        FROM events GROUP BY 1
+    ),
+    mad AS (
+        SELECT event_type AS et2,
+               ROUND(quantile_cont(abs(value - med), 0.5), 2) AS mad
+        FROM events JOIN med ON event_type = et
+        GROUP BY 1
+    )
+    SELECT et AS event_type, med, mad
+    FROM med JOIN mad ON et = et2
+    """,
+    doc="Median absolute deviation per group — the robust-statistics "
+    "twin of stddev (immune to the heavy tail that breaks z-scores on "
+    "this column). Two quantile passes: median, then median of "
+    "|x - median| with the medians broadcast back; each pass is one "
+    "grouped aggregate, both rounded to the data's 2-decimal grid so "
+    "Spark percentile == DuckDB quantile_cont exactly. Divide by "
+    "1.4826*MAD for the robust z-score downstream.",
+)
+def mad_robust_scale_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy(F.col("event_type").alias("et")).agg(
+        F.round(F.percentile("value", F.lit(0.5)), 2).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), events["event_type"] == med["et"])
+        .groupBy(F.col("event_type").alias("et2"))
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 2
+            ).alias("mad")
+        )
+    )
+    return med.join(mad, med["et"] == mad["et2"]).select(
+        F.col("et").alias("event_type"), "med", "mad"
+    )
+
+
+@register(
+    "profile_orders_columns",
+    """
+    WITH a AS (
+        SELECT COUNT(*) AS n,
+               COUNT(o_custkey) AS nn_cust,
+               COUNT(DISTINCT o_custkey) AS nd_cust,
+               COUNT(o_orderstatus) AS nn_status,
+               COUNT(DISTINCT o_orderstatus) AS nd_status,
+               COUNT(o_orderpriority) AS nn_prio,
+               COUNT(DISTINCT o_orderpriority) AS nd_prio
+        FROM orders
+    )
+    SELECT 'o_custkey' AS col, n, n - nn_cust AS n_null, nd_cust AS n_distinct
+    FROM a
+    UNION ALL
+    SELECT 'o_orderstatus', n, n - nn_status, nd_status FROM a
+    UNION ALL
+    SELECT 'o_orderpriority', n, n - nn_prio, nd_prio FROM a
+    """,
+    doc="Column profiling (the data-quality summary every ingestion "
+    "pipeline runs first): row count, null count, distinct count per "
+    "column in ONE scan — multi-column aggregates then a constant-"
+    "width unpivot to long form, instead of one scan per column. At "
+    "100 TB swap COUNT(DISTINCT) for approx_count_distinct: same "
+    "plan, sketch-mergeable, no exact-distinct shuffle.",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.count_distinct(F.col("o_custkey")).alias("nd_cust"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct(F.col("o_orderstatus")).alias("nd_status"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.count_distinct(F.col("o_orderpriority")).alias("nd_prio"),
+    )
+
+    def row(col: str, nn: str, nd: str) -> DataFrame:
+        return a.select(
+            F.lit(col).alias("col"),
+            F.col("n"),
+            (F.col("n") - F.col(nn)).alias("n_null"),
+            F.col(nd).alias("n_distinct"),
+        )
+
+    return (
+        row("o_custkey", "nn_cust", "nd_cust")
+        .unionAll(row("o_orderstatus", "nn_status", "nd_status"))
+        .unionAll(row("o_orderpriority", "nn_prio", "nd_prio"))
+    )
