@@ -853,3 +853,100 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("o_orderstatus", "nn_status", "nd_status"))
         .unionAll(row("o_orderpriority", "nn_prio", "nd_prio"))
     )
+
+
+@register(
+    "rfm_user_features",
+    """
+    WITH mx AS (SELECT MAX(ts) AS now_ts FROM events)
+    SELECT user_id,
+           CAST(FLOOR(EXTRACT(EPOCH FROM now_ts - MAX(ts)) / 86400.0)
+                AS BIGINT) AS recency_days,
+           COUNT(*) AS frequency,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               AS monetary
+    FROM events, mx
+    GROUP BY user_id, now_ts
+    """,
+    doc="RFM feature extraction (recency / frequency / monetary — the "
+    "classic user-level feature vector): one grouped pass over events "
+    "with the corpus max-timestamp broadcast as 'now'. Monetary is a "
+    "decimal-exact conditional sum; recency floors to whole days on "
+    "both sides (Spark cast truncates, DuckDB rounds — FLOOR "
+    "normalizes). The feature-store materialization shape: one "
+    "shuffle on user_id, output |users| rows.",
+)
+def rfm_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("now_ts"))
+    monetary = F.when(
+        F.col("event_type") == "purchase", F.col("value").cast("decimal(12,2)")
+    ).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "now_ts")
+        .agg(
+            F.floor(
+                (F.unix_micros(F.col("now_ts")) - F.unix_micros(F.max("ts")))
+                / 1_000_000
+                / F.lit(86400.0)
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(monetary).cast("double").alias("monetary"),
+        )
+        .select("user_id", "recency_days", "frequency", "monetary")
+    )
+
+
+@register(
+    "revenue_share_per_nation",
+    """
+    WITH rev AS (
+        SELECT n_name,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(4,2))
+                      - CAST(l_discount AS DECIMAL(4,2)))) AS revd
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT n_name, CAST(revd AS DOUBLE) AS revenue,
+           CAST(revd AS DOUBLE) / CAST(SUM(revd) OVER () AS DOUBLE) AS share
+    FROM rev
+    """,
+    doc="Percent-of-total contribution: per-nation revenue (decimal-"
+    "exact through the star join — nation/customer dims broadcast, "
+    "facts shuffle once), then the grand total is ALSO summed in "
+    "decimal by the window before the single double division — a "
+    "double window-sum would be order-dependent (4-decimal values "
+    "are not exact doubles) and hash-diverge. The window runs on the "
+    "25-row aggregate, never the fact table.",
+)
+def revenue_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.queries._util import revenue_col
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(revenue_col()).alias("revd"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        F.col("revd").cast("double").alias("revenue"),
+        (F.col("revd").cast("double") / F.sum("revd").over(w).cast("double")).alias(
+            "share"
+        ),
+    )

@@ -28,6 +28,7 @@ CROSS_OK = {
     "q22_global_sales_opportunity",  # 1-row scalar average broadcast
     "hybrid_search_topk",     # 1-row max_tf scalar + 1-row query vector
     "sample_weighted_by_length",  # 1-row max(n_chars) scalar broadcast
+    "rfm_user_features",          # 1-row max(ts) 'now' scalar broadcast
 }
 
 _SKIP = tuple(
