@@ -163,6 +163,77 @@ def ivf_topk(
     )
 
 
+def lsh_banded_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    bands: int = 4,
+    rows_per_band: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded multi-table sign-LSH near-dup pairs — the 100 TB ANN path.
+
+    ``bands`` independent signature tables of ``rows_per_band`` bits each
+    (OR-construction): a pair is a candidate iff it agrees on ALL bits of
+    at least one band. With per-bit collision prob p, candidate prob is
+    1-(1-p^r)^b — recall grows with bands while each band keeps 2^r fine
+    buckets, so no single join degrades toward all-pairs (unlike one
+    global signature, where recall and bucket count fight over one knob).
+
+    Plan (three shuffle-bounded stages, mirroring MinHash-LSH in
+    dedup.py lsh_candidate_pairs):
+      1. signature pass — bands×rows dot products map-side, explode to
+         (id, band, sig): the shuffle carries an id + a short string,
+         never the vector;
+      2. per-band equi-join on (band, sig) + distinct → candidate id
+         pairs (ids only through the wide join);
+      3. verify — join the vectors back by id for the candidate set only
+         and filter on exact cosine. Vectors are shipped O(candidates),
+         not O(bucket²).
+    """
+    planes = _hyperplanes(dim, bands * rows_per_band, seed)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            signature_col(
+                F.col(vec_col), planes[b * rows_per_band : (b + 1) * rows_per_band]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = embeddings.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("na"),
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(sim, 6))
+        .filter(sim >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def lsh_bucketed_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -172,9 +243,13 @@ def lsh_bucketed_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate near-dup pairs: candidates share an LSH bucket, then
-    exact cosine filters. Misses pairs split by a hyperplane (recall <1,
-    tunable via bits/bands); the scale path when all-pairs is infeasible.
+    """Single-table sign-LSH (one global ``bits``-bit signature).
+
+    Kept as the recall baseline for ``lsh_banded_pairs``; with one table
+    the bucket count and the recall share a single knob, so at large n
+    either recall collapses (more bits) or buckets grow toward
+    all-pairs/2^bits (fewer bits). Candidates share an LSH bucket, then
+    exact cosine filters.
     """
     planes = _hyperplanes(dim, bits, seed)
     # signature AND norm computed once per vector, pre-join

@@ -314,10 +314,9 @@ def ann_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_pairs(emb, threshold=0.4)
 
 
-def _lsh_sig_sql(col: str, bits: int = 8, dim: int = 64, seed: int = 42) -> str:
-    """Sign-LSH signature in DuckDB SQL with the SAME seeded hyperplanes the
-    Spark side uses (functions/similarity._hyperplanes) inlined as literals."""
-    planes = sim._hyperplanes(dim, bits, seed)
+def _lsh_sig_sql_planes(col: str, planes: list[list[float]]) -> str:
+    """Sign-LSH signature in DuckDB SQL for the given hyperplanes (the SAME
+    seeded planes the Spark side uses, inlined as double literals)."""
     cases = [
         "CASE WHEN list_dot_product(CAST({c} AS DOUBLE[]), [{w}]) >= 0 "
         "THEN '1' ELSE '0' END".format(c=col, w=", ".join(repr(w) for w in p))
@@ -326,27 +325,47 @@ def _lsh_sig_sql(col: str, bits: int = 8, dim: int = 64, seed: int = 42) -> str:
     return "concat(" + ", ".join(cases) + ")"
 
 
+_LSH_BANDS, _LSH_ROWS = 4, 8
+_LSH_PLANES = sim._hyperplanes(64, _LSH_BANDS * _LSH_ROWS, 42)
+_LSH_BUCKET_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, "
+    + _lsh_sig_sql_planes(
+        "embedding", _LSH_PLANES[b * _LSH_ROWS : (b + 1) * _LSH_ROWS]
+    )
+    + " AS sig FROM embeddings"
+    for b in range(_LSH_BANDS)
+)
+
+
 @register(
     "ann_lsh_bucketed_pairs",
     f"""
-    WITH sigs AS (
-        SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig
-        FROM embeddings
+    WITH buckets AS ({_LSH_BUCKET_SQL}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) AS cos_sim
-    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-    WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+    SELECT id_a, id_b,
+           ROUND({_COS_SQL.format(a="ea.embedding", b="eb.embedding")}, 6) AS cos_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE {_COS_SQL.format(a="ea.embedding", b="eb.embedding")} >= 0.4
     """,
-    doc="Sign-LSH bucketed near-dup pairs: 8-bit random-hyperplane "
-    "signatures (fixed seed) bucket the vectors; exact cosine verifies "
-    "candidates inside each bucket. The all-pairs cross join becomes an "
-    "equi-join on signature — per-bucket work, shuffle on an 8-char key. "
-    "The scale path for ann_cosine_pairs.",
+    doc="Banded multi-table sign-LSH near-dup pairs: 4 independent 8-bit "
+    "signature tables (OR-construction — candidate iff all bits of at "
+    "least one band agree), so recall scales with bands while every band "
+    "keeps 256 fine buckets; no single join degrades toward all-pairs "
+    "as n grows. The band shuffle carries (id, band, 8-char sig) only; "
+    "vectors are joined back for the candidate set and verified with "
+    "exact cosine. The scale path for ann_cosine_pairs.",
 )
 def ann_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.lsh_bucketed_pairs(emb, threshold=0.4, dim=64, bits=8)
+    return sim.lsh_banded_pairs(
+        emb, threshold=0.4, dim=64, bands=_LSH_BANDS, rows_per_band=_LSH_ROWS
+    )
 
 
 _IVF_CELL_SQL = """

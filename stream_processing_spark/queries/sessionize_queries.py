@@ -17,7 +17,7 @@ from stream_processing_spark.functions import dedup as dd
 from stream_processing_spark.functions import similarity as sim
 from stream_processing_spark.operators.sessionize import with_sessions
 from stream_processing_spark.queries import register
-from stream_processing_spark.queries.llmops import _COS_SQL, _lsh_sig_sql
+from stream_processing_spark.queries.llmops import _COS_SQL, _LSH_BUCKET_SQL
 
 
 @register(
@@ -66,14 +66,18 @@ def sessionize_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_canonical",
     f"""
-    WITH sigs AS (
-        SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig
-        FROM embeddings
+    WITH buckets AS ({_LSH_BUCKET_SQL}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
     ),
     pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-        WHERE {_COS_SQL.format(a="a.embedding", b="b.embedding")} >= 0.4
+        SELECT id_a, id_b
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE {_COS_SQL.format(a="ea.embedding", b="eb.embedding")} >= 0.4
     ),
     nbrs AS (
         SELECT id_a AS vec_id, id_b AS nbr FROM pairs
@@ -83,15 +87,18 @@ def sessionize_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, MIN(nbr) AS canonical_id
     FROM nbrs GROUP BY vec_id
     """,
-    doc="Embedding-cosine near-dup DEDUP decision: LSH-bucketed candidate "
-    "pairs (the scale path — no all-pairs join), each vector mapped to "
+    doc="Embedding-cosine near-dup DEDUP decision: banded multi-table "
+    "sign-LSH candidate pairs (the scale path — per-band equi-joins, no "
+    "all-pairs join, 4× single-table recall), each vector mapped to "
     "min(id) over itself + direct cosine>=0.4 neighbors; rows where "
     "canonical_id < vec_id are the drops. One-hop canonicalization; "
     "dedup_connected_components is the full-closure variant.",
 )
 def dedup_embedding_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = sim.lsh_bucketed_pairs(emb, threshold=0.4, dim=64, bits=8)
+    pairs = sim.lsh_banded_pairs(
+        emb, threshold=0.4, dim=64, bands=4, rows_per_band=8
+    )
     return dd.canonical_from_pairs(pairs, emb, id_col="vec_id")
 
 
