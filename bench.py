@@ -31,6 +31,10 @@ BENCH_QUERIES = [
     "events_hourly_tumbling",
     "asof_last_click_before_purchase",
     "dedup_minhash_signatures",
+    # df-capped 3-gram Jaccard: proves the shingle self-join is bounded
+    # at sf0.1 (the uncapped unigram form blew up quadratically here)
+    "dedup_jaccard_pairs",
+    "dedup_connected_components",
     "ann_brute_force_topk",
     "ann_lsh_bucketed_pairs",
     "embedding_label_centroids",

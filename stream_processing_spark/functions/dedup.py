@@ -80,14 +80,37 @@ def shingles(
 
 
 def jaccard_pairs(
-    sh: DataFrame, threshold: float, id_col: str = "doc_id"
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over a shingle frame: pairs with J >= threshold.
 
     Plan: shuffle on the shingle (the only all-to-all step), count common
     shingles per pair, join per-doc sizes back, filter. Integer-only
     arithmetic until one exact double division → engine-portable values.
+
+    ``max_df`` is the scale guard: a shingle appearing in d documents
+    contributes d² rows to the self-join, so one stop-shingle in a
+    million docs is 10¹² pair-rows — while carrying ~zero Jaccard signal
+    (near-dup pairs are identified by their RARE shingles). Dropping
+    shingles with document frequency > max_df bounds every join key's
+    contribution to max_df² rows, making total join size linear in the
+    number of distinct shingles instead of quadratic in corpus size.
+    The df filter is a window count over the same shingle partitioning
+    the join shuffles on — no extra exchange. Jaccard is then computed
+    over the CAPPED shingle sets (sizes and intersections from the same
+    filtered vocabulary, so J stays a true Jaccard of well-defined sets).
     """
+    if max_df is not None:
+        from pyspark.sql.window import Window
+
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")

@@ -152,19 +152,23 @@ def dedup_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UNIGRAM_SQL = """
-WITH shingles AS (
-    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS sh
-    FROM documents
-)
-"""
+# df cap: a shingle in d docs contributes d² self-join rows and ~no
+# Jaccard signal (near-dups are identified by their RARE shingles);
+# capping df bounds every join key to MAX_DF² rows — the difference
+# between linear-in-shingles and quadratic-in-corpus at 100 TB.
+_JACCARD_MAX_DF = 20
 
-
-_JACCARD_CTES = """
-    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+_JACCARD_CTES = f"""
+    capped AS (
+        SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+            FROM shingles
+        ) WHERE df <= {_JACCARD_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     jpairs AS (
@@ -180,24 +184,29 @@ _JACCARD_CTES = """
 
 @register(
     "dedup_jaccard_pairs",
-    _UNIGRAM_SQL
+    _SHINGLE_SQL
     + ","
     + _JACCARD_CTES
     + """
     SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM jpairs
     """,
-    doc="Exact token-set Jaccard near-dup pairs (J >= 0.8). Integer "
+    doc="Exact 3-gram Jaccard near-dup pairs (J >= 0.8) over the "
+    f"df-capped shingle vocabulary (df <= {_JACCARD_MAX_DF}): stop-"
+    "shingles are dropped BEFORE the self-join so every join key is "
+    "bounded, and Jaccard is computed over the capped sets. Integer "
     "arithmetic until one exact double division → portable values.",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dd.jaccard_pairs(dd.shingles(docs, n=1), threshold=0.8)
+    return dd.jaccard_pairs(
+        dd.shingles(docs, n=3), threshold=0.8, max_df=_JACCARD_MAX_DF
+    )
 
 
 @register(
     "dedup_connected_components",
     "WITH RECURSIVE"
-    + _UNIGRAM_SQL.split("WITH", 1)[1]
+    + _SHINGLE_SQL.split("WITH", 1)[1]
     + ","
     + _JACCARD_CTES
     + """,
@@ -214,20 +223,21 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node AS doc_id, MIN(label) AS cluster_id
     FROM reach GROUP BY node
     """,
-    doc="Near-dup CLUSTERS from pairwise Jaccard edges (J>=0.8) via "
-    "iterative min-label propagation (operators/graph.py — the "
-    "Pregel-on-DataFrames pattern: per-round join+min, localCheckpoint "
-    "lineage truncation, O(diameter) rounds). The oracle computes the "
-    "same closure with a recursive CTE. cluster_id = min doc_id in the "
-    "component; singleton docs are their own cluster.",
+    doc="Near-dup CLUSTERS from pairwise 3-gram Jaccard edges (J>=0.8, "
+    f"df-capped shingles <= {_JACCARD_MAX_DF}) via iterative min-label "
+    "propagation (operators/graph.py — the Pregel-on-DataFrames "
+    "pattern: per-round join+min, localCheckpoint lineage truncation, "
+    "O(diameter) rounds). The oracle computes the same closure with a "
+    "recursive CTE. cluster_id = min doc_id in the component; singleton "
+    "docs are their own cluster.",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dd.jaccard_pairs(dd.shingles(docs, n=1), threshold=0.8).select(
-        "doc_a", "doc_b"
-    )
+    pairs = dd.jaccard_pairs(
+        dd.shingles(docs, n=3), threshold=0.8, max_df=_JACCARD_MAX_DF
+    ).select("doc_a", "doc_b")
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return (
         docs.select("doc_id")
