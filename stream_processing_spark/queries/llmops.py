@@ -279,6 +279,38 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash32(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH fp AS ({_simhash_sql()}),
+    bands AS (
+        SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+        FROM fp, (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS fa,
+                        b.doc_id AS doc_b, b.simhash AS fb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    )
+    SELECT DISTINCT doc_a, doc_b,
+           CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+    doc="SimHash near-dup PAIRS (Hamming <= 3) without all-pairs: the "
+    "32-bit fingerprint is banded into 4 bytes; by pigeonhole a pair "
+    "within distance 3 matches exactly on >= 1 byte, so a (band, byte) "
+    "equi-join has recall 1 at this radius. The join ships (id, 8-byte "
+    "fp) only and the verify is one bit_count(xor) per candidate — the "
+    "tier that was fingerprint-only in round 1 now produces pairs at "
+    "scale. functions/dedup.py simhash_pairs.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp = dd.simhash32(load_table(spark, sf_dir, "documents"))
+    return dd.simhash_pairs(fp, max_hamming=3)
+
+
 # ----------------------------------------------------------- similarity
 
 _COS_SQL = (
