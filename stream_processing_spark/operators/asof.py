@@ -69,6 +69,13 @@ def asof_join(
     payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
     if not payload_cols:
         raise ValueError("right side has no payload columns to carry")
+    clash = sorted(set(payload_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            "right payload column(s) collide with left columns: "
+            f"{clash} — rename the right side (e.g. .withColumnRenamed) "
+            "before the as-of join"
+        )
 
     tie = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
     r = right.select(

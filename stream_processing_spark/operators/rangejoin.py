@@ -39,7 +39,9 @@ def range_join_count(
 
     Each left interval (lookback window) spans at most 2 buckets of
     width ``lookback_sec`` — join on (key, bucket) twice via explode,
-    then filter exactly. Left rows with zero matches are kept (count 0).
+    then filter exactly. Left rows with zero matches are kept (count 0),
+    and duplicate left rows each keep their own output row (the final
+    regroup is keyed by a per-row id, not by the left columns).
     """
     lb = F.explode(
         F.array(
@@ -47,7 +49,11 @@ def range_join_count(
             _bucket(F.col("__lts"), lookback_sec) - 1,
         )
     )
-    lhs = left.withColumn("__lts", F.col(left_ts)).withColumn("__bucket", lb)
+    lhs = (
+        left.withColumn("__rowid", F.monotonically_increasing_id())
+        .withColumn("__lts", F.col(left_ts))
+        .withColumn("__bucket", lb)
+    )
     rhs = (
         right.select(
             F.col(on).alias("__rkey"),
@@ -76,6 +82,7 @@ def range_join_count(
     )
     group_cols = [c for c in left.columns]
     return (
-        matched.groupBy(*group_cols)
+        matched.groupBy("__rowid", *group_cols)
         .agg(F.sum("__hit").cast("bigint").alias(count_alias))
+        .drop("__rowid")
     )

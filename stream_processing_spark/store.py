@@ -150,9 +150,19 @@ class Store:
 
     def _write_part(self, name: str, df: DataFrame) -> None:
         # each append is its own parquet sub-directory: append never
-        # rewrites existing bytes (the MemTable analogue), merge compacts
-        part = os.path.join(self._dir(name), f"part-{time.time_ns()}-{uuid.uuid4().hex[:8]}")
-        df.write.mode("errorifexists").parquet(part)
+        # rewrites existing bytes (the MemTable analogue), merge compacts.
+        # The Spark write goes to a STAGING path outside the dataset dir
+        # and is published with one os.replace under the lock — a merge
+        # running concurrently can therefore never observe (and trash) a
+        # half-written part: parts appear in the dataset atomically.
+        part = f"part-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
+        stage = os.path.join(self.root, ".staging", part)
+        df.write.mode("errorifexists").parquet(stage)
+        with self._lock:
+            d = self._dir(name)
+            if not os.path.isdir(d):
+                raise DatasetNotFoundError(name)
+            os.replace(stage, os.path.join(d, part))
 
     def multiappend(self, name: str, payloads: dict[str, list[str]]) -> None:
         """Concurrent appends from many writers (reference protocol Q):
@@ -179,21 +189,50 @@ class Store:
         """Compact all append parts into `target_parts` files. The
         invariant (tested): the ordered projection of the dataset is
         IDENTICAL before and after — merge changes layout, never content.
+
+        Concurrent-append safe: the expensive Spark rewrite runs OUTSIDE
+        the lock over a snapshot of part names; inside the lock, any
+        part-* created after the snapshot is moved verbatim into the
+        merged directory and meta is RE-READ before the swap, so late
+        appends are neither lost nor their wseq counters rolled back.
+        The new directory gets its meta written before the swap, so a
+        reader never observes a dataset directory without _meta.json.
         """
-        meta = self._read_meta(name)
-        df = self._read_all(name)
-        tmp = self._dir(name) + ".__merge_tmp"
-        (
-            df.repartition(target_parts)
-            .sortWithinPartitions("writer", "wseq", "idx")
-            .write.mode("overwrite")
-            .parquet(os.path.join(tmp, f"part-{time.time_ns()}-merged"))
-        )
+        d = self._dir(name)
+        tmp = d + ".__merge_tmp"
+        trash = d + ".__trash"
         with self._lock:
-            trash = self._dir(name) + ".__trash"
-            os.replace(self._dir(name), trash)
-            os.replace(tmp, self._dir(name))
-            self._write_meta(name, {**meta, "version": meta["version"] + 1})
+            if not os.path.isdir(d):
+                raise DatasetNotFoundError(name)
+            # a crash between the tmp write and the swap can leave either
+            # directory behind; both are safe to discard (tmp is a partial
+            # rewrite of parts that still live in `d`, trash is pre-swap)
+            for stale in (tmp, trash):
+                if os.path.isdir(stale):
+                    shutil.rmtree(stale)
+            snapshot = [p for p in os.listdir(d) if p.startswith("part-")]
+        if snapshot:
+            df = self.spark.read.schema(LINE_SCHEMA).parquet(
+                *[os.path.join(d, p) for p in snapshot]
+            )
+            (
+                df.repartition(target_parts)
+                .sortWithinPartitions("writer", "wseq", "idx")
+                .write.mode("overwrite")
+                .parquet(os.path.join(tmp, f"part-{time.time_ns()}-merged"))
+            )
+        else:
+            os.makedirs(tmp)
+        with self._lock:
+            meta = self._read_meta(name)  # fresh: keeps post-snapshot wseq
+            snapshot_set = set(snapshot)
+            for p in os.listdir(d):
+                if p.startswith("part-") and p not in snapshot_set:
+                    os.replace(os.path.join(d, p), os.path.join(tmp, p))
+            with open(os.path.join(tmp, "_meta.json"), "w") as f:
+                json.dump({**meta, "version": meta["version"] + 1}, f)
+            os.replace(d, trash)
+            os.replace(tmp, d)
             shutil.rmtree(trash)
 
     # ----------------------------------------------------------- reads
@@ -249,7 +288,10 @@ class Store:
         return sorted(
             p
             for p in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, p)) and not p.endswith("__trash")
+            if os.path.isdir(os.path.join(self.root, p))
+            and not p.startswith(".")
+            and not p.endswith("__trash")
+            and not p.endswith("__merge_tmp")
         )
 
     def delete(self, name: str) -> None:

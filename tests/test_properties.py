@@ -290,3 +290,38 @@ def test_canonical_from_pairs_matches_bruteforce(spark, pairs):
     for v in ids:
         nbrs = {b for a, b in data if a == v} | {a for a, b in data if b == v}
         assert got[v] == min(nbrs | {v}), (v, nbrs)
+
+
+def test_range_join_count_keeps_duplicate_left_rows(spark):
+    # ADVICE r1: two identical left rows must each get their own count
+    # row (not one collapsed row summing both)
+    from datetime import datetime
+
+    from stream_processing_spark.operators.rangejoin import range_join_count
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [("k", t), ("k", t)], "k string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", datetime(2024, 1, 1, 11, 59, 30))], "k string, rts timestamp"
+    )
+    out = range_join_count(
+        left, right, on="k", left_ts="lts", right_ts="rts", lookback_sec=60
+    ).collect()
+    assert len(out) == 2
+    assert sorted(r.n_in_range for r in out) == [1, 1]
+
+
+def test_asof_join_rejects_payload_collision(spark):
+    from datetime import datetime
+
+    import pytest
+
+    from stream_processing_spark.operators.asof import asof_join
+
+    t = datetime(2024, 1, 1)
+    left = spark.createDataFrame([("k", t, 1.0)], "k string, lts timestamp, v double")
+    right = spark.createDataFrame([("k", t, 2.0)], "k string, rts timestamp, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="lts", right_ts="rts")

@@ -93,3 +93,59 @@ def test_append_df_scale_path(store, spark):
     store.merge("big", target_parts=2)
     assert store.get("big").count() == 1000
     assert len(store.ls("big")["parts"]) == 1  # one merged part dir
+
+
+def test_merge_concurrent_append_not_lost(store):
+    # ADVICE r1: an append landing between merge's snapshot and its
+    # directory swap must survive (late parts are moved into the merged
+    # dir under the lock, and meta is re-read so wseq never rolls back)
+    import threading
+
+    store.create("f6", [f"base{i}" for i in range(20)], writer="w0")
+
+    done = threading.Event()
+    errs: list[Exception] = []
+
+    def appender() -> None:
+        try:
+            for i in range(15):
+                store.append("f6", [f"late{i}a", f"late{i}b"], writer="wlate")
+                if done.is_set():
+                    break
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t = threading.Thread(target=appender)
+    t.start()
+    for _ in range(3):
+        store.merge("f6")
+    done.set()
+    t.join()
+    assert not errs
+    lines = store.get_lines("f6")
+    # every append the writer issued is fully present, in order
+    n_late = sum(1 for ln in lines if ln.startswith("late")) // 2
+    late = [ln for ln in lines if ln.startswith("late")]
+    assert late == [f"late{i}{s}" for i in range(n_late) for s in "ab"]
+    assert [ln for ln in lines if ln.startswith("base")] == [
+        f"base{i}" for i in range(20)
+    ]
+    # wseq not rolled back: one more append lands after everything
+    store.append("f6", ["tail"], writer="wlate")
+    assert store.get_lines("f6")[-1] == "tail"
+
+
+def test_merge_cleans_stale_tmp_and_trash(store, tmp_path):
+    import os
+
+    store.create("f7", ["a", "b"])
+    root = store.root
+    os.makedirs(os.path.join(root, "f7.__merge_tmp"))
+    os.makedirs(os.path.join(root, "f7.__trash"))
+    # stale crash leftovers are not datasets
+    assert store.datasets() == ["f7"]
+    # and do not break the next merge
+    store.merge("f7")
+    assert store.get_lines("f7") == ["a", "b"]
+    assert not os.path.exists(os.path.join(root, "f7.__merge_tmp"))
+    assert not os.path.exists(os.path.join(root, "f7.__trash"))
