@@ -1,1 +1,6 @@
-from stream_processing_spark.plans.rainstorm import OP_LIBRARY, parse_op, rainstorm  # noqa: F401
+from stream_processing_spark.plans.rainstorm import (  # noqa: F401
+    OP_LIBRARY,
+    parse_op,
+    rainstorm,
+    register_op,
+)

@@ -90,13 +90,73 @@ OP_LIBRARY: dict[str, Callable[..., Op]] = {
 
 STATEFUL_OPS = {"count_by_key", "count_by_column"}
 
+# user-registered record functions: name -> fn(key, value) -> list[(k,v)]
+USER_OPS: dict[str, Callable[[str, str], list | None]] = {}
+
+
+def register_op(name: str, fn: Callable[[str, str], list | None]) -> None:
+    """Register an arbitrary user operator under ``name``.
+
+    The contract is the reference's exactly (src/Streaming/framework.py:
+    11-65): ``fn(key, value) -> list[(k', v')] | None`` — None/[] drops
+    the record, one tuple maps, many flat-map. The fn runs Arrow-batched
+    through ``transforms.flat_map`` (mapInPandas), so it must be
+    cloudpickle-serializable (a plain module-level function is).
+    """
+    if name in OP_LIBRARY or name == "udf":
+        raise ValueError(f"op name {name!r} shadows a library op")
+    USER_OPS[name] = fn
+
+
+def _load_callable(ref: str) -> Callable:
+    """Resolve ``pkg.module:fn`` or ``/path/to/file.py:fn`` — the
+    analogue of the reference taking any op executable path
+    (src/Streaming/Rainstorm.py:9-24)."""
+    mod, sep, attr = ref.rpartition(":")
+    if not sep:
+        raise ValueError(f"op ref {ref!r} must be 'module:function' or 'file.py:function'")
+    if mod.endswith(".py"):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "_rainstorm_user_op", mod
+        )
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)  # type: ignore[union-attr]
+    else:
+        import importlib
+
+        m = importlib.import_module(mod)
+    return getattr(m, attr)
+
 
 def parse_op(spec: str) -> tuple[Op, bool]:
-    """'filter_pattern ^\\d+,stop' → (transform, is_stateful)."""
+    """'filter_pattern ^\\d+,stop' → (transform, is_stateful).
+
+    Three spec forms, mirroring the reference's "any executable"
+    contract (Rainstorm.py:20-24):
+      - ``"<library_op> <args…>"``            — built-in OP_LIBRARY
+      - ``"udf <module-or-file.py>:<fn> [extra args…]"`` — load a user
+        fn(key, value) -> list[(k,v)] from any module/file (the
+        tests/sample1_op1.py shape); extra args are partial-applied
+      - ``"<registered_name>"``               — a fn registered via
+        ``register_op`` in this process
+    """
     parts = shlex.split(spec)
     name, args = parts[0], parts[1:]
+    if name == "udf":
+        fn = _load_callable(args[0])
+        extra = tuple(args[1:])
+        rec = (lambda k, v: fn(k, v, *extra)) if extra else fn
+        return (lambda df: T.flat_map(df, rec)), False
+    if name in USER_OPS:
+        rec = USER_OPS[name]
+        return (lambda df: T.flat_map(df, rec)), False
     if name not in OP_LIBRARY:
-        raise KeyError(f"unknown op {name!r}; library: {sorted(OP_LIBRARY)}")
+        raise KeyError(
+            f"unknown op {name!r}; library: {sorted(OP_LIBRARY)}, "
+            f"registered: {sorted(USER_OPS)} (or 'udf <ref>:<fn>')"
+        )
     return OP_LIBRARY[name](*args), name in STATEFUL_OPS
 
 

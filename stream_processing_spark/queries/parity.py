@@ -220,3 +220,34 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
     )
+
+
+def _user_token_stats(key: str, value: str) -> list[tuple[str, str]]:
+    """A genuinely user-defined record op — NOT in plans.rainstorm's
+    OP_LIBRARY — following the reference contract fn(key, value) ->
+    list[(k', v')] (src/Streaming/framework.py:11-65)."""
+    toks = value.split(" ")
+    return [(toks[0], str(len(toks)))]
+
+
+@register(
+    "t7_custom_flatmap",
+    """
+    SELECT split_part(text, ' ', 1) AS key,
+           CAST(len(string_split(text, ' ')) AS VARCHAR) AS value
+    FROM documents
+    """,
+    doc="T7 arbitrary-operator parity: a user fn(key, value) -> "
+    "list[(k,v)] that is NOT in the op library, run Arrow-batched "
+    "through transforms.flat_map (mapInPandas) over the {key, value} "
+    "envelope — the same path `cli rainstorm \"udf file.py:fn\"` "
+    "submits (plans/rainstorm.py parse_op).",
+)
+def t7_custom_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.operators import transforms as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    kv = docs.select(
+        F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
+    )
+    return T.flat_map(kv, _user_token_stats)
