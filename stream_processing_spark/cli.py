@@ -29,22 +29,52 @@ def _rainstorm(args: list[str]) -> int:
 
 
 def _dgrep(args: list[str]) -> int:
+    """dgrep [-i] [-v] [-c] [-n] [-w] [-x] [-F] [-A n] [-B n] <pattern> <glob>
+
+    The reference passes raw grep flags through the shell
+    (src/LogQuerier/server.py:30-33); this parses the same flags onto
+    the DataFrame plan.
+    """
     from stream_processing_spark.sources.grep import dgrep, dgrep_count
 
-    count = "-c" in args
-    args = [a for a in args if a != "-c"]
-    pattern, glob = args
+    flags = {"i": False, "v": False, "c": False, "n": False,
+             "w": False, "x": False, "F": False}
+    after = before = 0
+    pos: list[str] = []
+    it = iter(args)
+    for a in it:
+        if a == "-A":
+            after = int(next(it))
+        elif a == "-B":
+            before = int(next(it))
+        elif a.startswith("-") and len(a) > 1 and all(ch in flags for ch in a[1:]):
+            for ch in a[1:]:
+                flags[ch] = True
+        else:
+            pos.append(a)
+    pattern, glob = pos
+    kw = dict(
+        ignore_case=flags["i"], invert=flags["v"], word=flags["w"],
+        line=flags["x"], fixed=flags["F"],
+    )
     spark = get_spark()
-    if count:
-        rows = dgrep_count(spark, pattern, glob).collect()
+    if flags["c"]:
+        rows = dgrep_count(spark, pattern, glob, **kw).collect()
         total = 0
         for r in rows:
             print(f"{r.source_file}: {r.match_count}")
             total += r.match_count
         print(f"TOTAL: {total}")  # reference client.py:151-152
     else:
-        for r in dgrep(spark, pattern, glob).collect():
-            print(f"{r.source_file}: {r.value}")
+        rows = dgrep(
+            spark, pattern, glob,
+            line_numbers=flags["n"], after=after, before=before, **kw,
+        ).collect()
+        for r in rows:
+            if flags["n"]:
+                print(f"{r.source_file}:{r.line_no}: {r.value}")
+            else:
+                print(f"{r.source_file}: {r.value}")
     return 0
 
 

@@ -251,3 +251,57 @@ def t7_custom_flatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("key"), F.col("text").alias("value")
     )
     return T.flat_map(kv, _user_token_stats)
+
+
+@register(
+    "grep_word_anchor_count",
+    r"""
+    SELECT source, COUNT(*) AS n_matched
+    FROM documents
+    WHERE regexp_matches(text, '\b(?:scan|merge)\b')
+    GROUP BY source
+    """,
+    doc="G2 `grep -w` parity: word-anchored match via \\b boundaries "
+    "(portable Java-regex/RE2 subset — sources/grep.py "
+    "compile_pattern(word=True)); per-source counts of lines containing "
+    "'scan' or 'merge' as whole words.",
+)
+def grep_word_anchor_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.sources.grep import compile_pattern
+
+    pat = compile_pattern("scan|merge", word=True)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike(pat))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+
+
+@register(
+    "grep_fixed_literal_count",
+    """
+    SELECT source,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'scan.merge')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_as_regex,
+           CAST(SUM(CASE WHEN contains(text, 'scan.merge')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fixed
+    FROM documents
+    GROUP BY source
+    """,
+    doc="G2 `grep -F` parity: the same pattern 'scan.merge' counted as a "
+    "regex (the '.' matches the space in 'scan merge' -> hits) and as a "
+    "-F literal (compile_pattern(fixed=True) re.escape's it -> 0 hits "
+    "in this punctuation-free corpus); the contrast per source proves "
+    "the literal path escapes metacharacters.",
+)
+def grep_fixed_literal_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.sources.grep import compile_pattern
+
+    as_regex = compile_pattern("scan.merge")
+    as_fixed = compile_pattern("scan.merge", fixed=True)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.col("text").rlike(as_regex).cast("long")).alias("n_as_regex"),
+        F.sum(F.col("text").rlike(as_fixed).cast("long")).alias("n_fixed"),
+    )

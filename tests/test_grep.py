@@ -115,3 +115,115 @@ def test_csv_quoting_aware_read(spark, tmp_path):
     # the reference's naive split would have produced 4 columns for row 2
     naive = "2,Yield,note, with comma".split(",")
     assert len(naive) == 4
+
+
+def _flagdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("flaglogs")
+    (d / "machine.1.log").write_text(
+        "error: disk full\n"
+        "warning: retry\n"
+        "errors were logged\n"
+        "ERROR: mount failed\n"
+        "all ok\n"
+        "preerror suffix\n"
+        "error\n"
+    )
+    (d / "machine.2.log").write_text(
+        "ok\nok\nerror: net down\nok\nok\n"
+    )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def flagdir(tmp_path_factory):
+    return _flagdir(tmp_path_factory)
+
+
+def test_grep_word_anchor(spark, flagdir):
+    # -w: 'error' as a whole word — not 'errors', not 'preerror'
+    counts = {
+        r.source_file: r.match_count
+        for r in dgrep_count(spark, "error", f"{flagdir}/*", word=True).collect()
+    }
+    assert counts == {"machine.1.log": 2, "machine.2.log": 1}
+
+
+def test_grep_line_anchor_and_fixed(spark, flagdir):
+    # -x: whole-line match only
+    xc = dgrep_count(spark, "error", f"{flagdir}/*", line=True).collect()
+    assert {r.source_file: r.match_count for r in xc} == {
+        "machine.1.log": 1,
+        "machine.2.log": 0,
+    }
+    # -F: regex metacharacters are literal
+    fc = dgrep_count(spark, "disk full", f"{flagdir}/*", fixed=True).collect()
+    assert sum(r.match_count for r in fc) == 1
+    dot = dgrep_count(spark, "error.", f"{flagdir}/*", fixed=True).collect()
+    assert sum(r.match_count for r in dot) == 0  # literal dot, no match
+
+
+def test_grep_line_numbers(spark, flagdir):
+    # -n: 1-based per-file line numbers in file order
+    rows = dgrep(
+        spark, "error", f"{flagdir}/*", word=True, line_numbers=True
+    ).collect()
+    got = {(r.source_file, r.line_no) for r in rows}
+    # case-sensitive, so line 4 ('ERROR: mount failed') is excluded
+    assert got == {
+        ("machine.1.log", 1),
+        ("machine.1.log", 7),
+        ("machine.2.log", 3),
+    }
+    # -i -n together picks up the upper-case line too
+    with_i = dgrep(
+        spark, "error", f"{flagdir}/*",
+        word=True, line_numbers=True, ignore_case=True,
+    ).collect()
+    assert {(r.source_file, r.line_no) for r in with_i} == got | {
+        ("machine.1.log", 4)
+    }
+
+
+def test_grep_context_after_before(spark, flagdir):
+    # -A 1: each match plus the following line
+    rows = dgrep(
+        spark, "warning", f"{flagdir}/*", line_numbers=True, after=1
+    ).collect()
+    assert {(r.source_file, r.line_no) for r in rows} == {
+        ("machine.1.log", 2),
+        ("machine.1.log", 3),
+    }
+    # -B 2: each match plus the two preceding lines
+    rows = dgrep(
+        spark, "net down", f"{flagdir}/*", line_numbers=True, before=2
+    ).collect()
+    assert {(r.source_file, r.line_no) for r in rows} == {
+        ("machine.2.log", 1),
+        ("machine.2.log", 2),
+        ("machine.2.log", 3),
+    }
+
+
+def test_grep_invert_with_context_selects_inverted(spark, flagdir):
+    # grep -v -c: count NON-matching lines
+    rows = dgrep_count(spark, "^ok$", f"{flagdir}/*", invert=True).collect()
+    assert {r.source_file: r.match_count for r in rows} == {
+        "machine.1.log": 7,
+        "machine.2.log": 1,
+    }
+
+
+def test_grep_cli_flag_passthrough(spark, flagdir, capsys):
+    from stream_processing_spark import cli
+
+    rc = cli.main(["dgrep", "-cw", "error", f"{flagdir}/*"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "machine.1.log: 2" in out
+    assert "machine.2.log: 1" in out
+    assert "TOTAL: 3" in out
+
+    rc = cli.main(["dgrep", "-n", "-A", "1", "warning", f"{flagdir}/*"])
+    out = capsys.readouterr().out
+    assert "machine.1.log:2: warning: retry" in out
+    assert "machine.1.log:3: errors were logged" in out
