@@ -103,14 +103,26 @@ class StreamJob:
             os.path.join(self.output_dir, f"batch-{batch_id:010d}")
         )
 
-    def start(self, available_now: bool = True) -> StreamingQuery:
+    def start(
+        self,
+        available_now: bool = True,
+        processing_time: str | None = None,
+    ) -> StreamingQuery:
+        """Start the query. ``available_now=True`` drains what exists and
+        stops (the test/batch-parity mode). ``processing_time`` (e.g.
+        "1 second") runs CONTINUOUSLY — the reference's actual operating
+        mode (src/Streaming/worker.py:503-511 tails the source forever):
+        the file source picks up files that arrive while the query runs,
+        firing a micro-batch per interval."""
         df = self._transformed()
         writer = (
             df.writeStream.foreachBatch(self._write_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .outputMode("update" if self.stateful else "append")
         )
-        if available_now:
+        if processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        elif available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
