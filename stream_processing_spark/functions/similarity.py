@@ -116,6 +116,64 @@ def _cell_rank_array(vec_col: Column, cents: dict[int, list[float]]) -> Column:
     return F.array(*entries)
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, list[float]]:
+    """Deterministic k-means coarse quantizer for IVF.
+
+    Seeds: the ``n_cells`` vectors with the smallest md5(id) — an
+    engine-portable "uniform random" sample (md5 is a fixed hash, so any
+    engine picks the same seeds; cell id = seed rank 0..n_cells-1).
+    Refinement: ONE Lloyd round — assign every vector to its
+    nearest-cosine seed map-side (seed literals inlined, no shuffle for
+    assignment), then per-(cell, dim) means via posexplode + grouped
+    sum. Each value is rounded to 6dp and decimal-summed so the parallel
+    reduction is order-independent — the same trick as
+    embedding_label_centroids, which is what lets an oracle engine
+    reproduce the centroids bit-exactly. A cell that captures no vectors
+    keeps its seed (both engines apply the same fallback rule).
+
+    Cost at scale: two tiny driver collects (n_cells vectors / n_cells x
+    dim means); the heavy passes are one map-side assignment and one
+    shuffle of (cell, dim, value) triples. More Lloyd rounds = repeat;
+    one round is the IVF-typical cost point (quantizer quality barely
+    moves retrieval recall past the first round).
+    """
+    seed_rows = (
+        embeddings.select(
+            id_col, vec_col, F.md5(F.col(id_col).cast("string")).alias("__r")
+        )
+        .orderBy("__r", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    seeds = {i: list(r[1]) for i, r in enumerate(seed_rows)}
+
+    rank_arr = _cell_rank_array(F.col(vec_col), seeds)
+    assigned = embeddings.withColumn(
+        "__cell", -F.array_max(rank_arr).getField("nc")
+    )
+    mean_rows = (
+        assigned.select("__cell", F.posexplode(vec_col).alias("pos", "v"))
+        .withColumn(
+            "vr", F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+        )
+        .groupBy("__cell", "pos")
+        .agg((F.sum("vr").cast("double") / F.count(F.lit(1))).alias("m"))
+        .collect()
+    )
+    by_cell: dict[int, dict[int, float]] = {}
+    for r in mean_rows:
+        by_cell.setdefault(int(r["__cell"]), {})[int(r["pos"])] = float(r["m"])
+    return {
+        c: [by_cell[c][p] for p in range(len(seeds[c]))] if c in by_cell else seeds[c]
+        for c in seeds
+    }
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -129,16 +187,11 @@ def ivf_topk(
     every vector to its nearest centroid cell map-side (centroids are tiny
     → collected and inlined as literals, NO shuffle for assignment); the
     query probes only its ``nprobe`` nearest cells, cutting the scanned
-    fraction to ~nprobe/n_cells. Deterministic "training": centroids are
-    the vectors with id 1..n_cells (a fixed rule both engines can follow —
-    a real deployment would plug k-means centroids into the same plan).
+    fraction to ~nprobe/n_cells. Centroids come from the deterministic
+    k-means in ``kmeans_centroids`` (md5-sampled seeds + one Lloyd
+    round), so an oracle engine can reproduce the identical quantizer.
     """
-    cents = {
-        int(r[0]): list(r[1])
-        for r in embeddings.filter(F.col(id_col).between(1, n_cells))
-        .select(id_col, vec_col)
-        .collect()
-    }
+    cents = kmeans_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
     rank_arr = _cell_rank_array(F.col(vec_col), cents)
 
     # query's nprobe best cells — engine arithmetic (no Python float math)

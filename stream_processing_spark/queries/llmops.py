@@ -411,9 +411,42 @@ def ann_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CELL_SQL = """
+    seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS cid,
+               CAST(embedding AS DOUBLE[]) AS svec
+        FROM embeddings
+        QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                   vec_id) <= 16
+    ),
+    sseed AS (
+        SELECT e.vec_id, s.cid,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), s.svec) /
+               (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(s.svec, s.svec))) AS csim
+        FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign0 AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY csim DESC, cid ASC) AS rn
+            FROM sseed
+        ) WHERE rn = 1
+    ),
+    means AS (
+        SELECT a.cid, i - 1 AS pos,
+               CAST(SUM(CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM assign0 a JOIN embeddings e USING (vec_id),
+             UNNEST(range(1, 65)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    mlists AS (SELECT cid, list(m ORDER BY pos) AS mvec FROM means GROUP BY cid),
     cents AS (
-        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-        FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+        SELECT s.cid, COALESCE(ml.mvec, s.svec) AS cvec
+        FROM seeds s LEFT JOIN mlists ml USING (cid)
     ),
     csims AS (
         SELECT e.vec_id, c.cid,
@@ -448,11 +481,13 @@ _IVF_CELL_SQL = """
     ORDER BY cos_sim DESC, e.vec_id
     LIMIT 10
     """,
-    doc="IVF approximate top-10: coarse quantizer (centroids = vec_id "
-    "1..16, a deterministic stand-in for k-means) assigns cells MAP-SIDE "
-    "via inlined centroid literals — zero shuffle for assignment; the "
-    "query probes its 4 nearest cells so only ~4/16 of vectors are "
-    "scanned. The IVF scale path for ann_brute_force_topk.",
+    doc="IVF approximate top-10 with a REAL quantizer: deterministic "
+    "k-means (seeds = 16 vectors with smallest md5(id), one Lloyd round "
+    "of decimal-rounded per-cell means — reproducible bit-exactly in "
+    "any engine) assigns cells MAP-SIDE via inlined centroid literals — "
+    "zero shuffle for assignment; the query probes its 4 nearest cells "
+    "so only ~4/16 of vectors are scanned. The IVF scale path for "
+    "ann_brute_force_topk.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

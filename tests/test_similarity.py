@@ -54,3 +54,22 @@ def test_banded_lsh_band_count_monotone(spark):
         sim.lsh_banded_pairs(emb, threshold=THRESHOLD, dim=DIM, bands=4, rows_per_band=8)
     )
     assert p2 <= p4
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    # IVF with nprobe=4/16 must recover most of the exact top-10 (the
+    # quantizer is deterministic, so this is a fixed number per dataset)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = [r.vec_id for r in sim.brute_force_topk(emb, query_vec_id=0, k=10).collect()]
+    approx = {r.vec_id for r in sim.ivf_topk(emb, query_vec_id=0, k=10, n_cells=16, nprobe=4).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.6, (recall, exact, sorted(approx))
+
+
+def test_kmeans_centroids_deterministic_and_complete(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    c1 = sim.kmeans_centroids(emb, n_cells=16)
+    c2 = sim.kmeans_centroids(emb, n_cells=16)
+    assert c1 == c2  # bit-identical across runs (decimal-summed means)
+    assert set(c1) == set(range(16))
+    assert all(len(v) == 64 for v in c1.values())
