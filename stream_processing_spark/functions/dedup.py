@@ -111,6 +111,11 @@ def jaccard_pairs(
             .filter(F.col("__df") <= max_df)
             .drop("__df")
         )
+    # the shingle frame feeds FOUR plan branches (join sides a/b + both
+    # size lookups); without materialization Spark recomputes the whole
+    # explode+distinct+df-cap pipeline per branch. One lazy checkpoint =
+    # one computation. (Cluster spelling: persist / checkpoint.)
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")

