@@ -1,0 +1,209 @@
+"""Round-2 curation flagships: benchmark decontamination, token-budget
+document packing, the end-to-end dedup KEEP decision, and int8 scalar
+quantization of embeddings — the remaining ops a pretraining-data
+pipeline runs between raw corpus and training shards.
+
+Same determinism rules as the rest of the registry (md5 for hashing,
+integer arithmetic where possible, decimal-summed means, ROUND(…, 6)
+on float outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_processing_spark.catalog import load_table
+from stream_processing_spark.queries import register
+
+# ------------------------------------------------------ decontamination
+
+# train/test assignment reuses split_train_val_test's content-addressed
+# md5-prefix rule so the check composes with the split queries.
+_SPLIT_CASE = "CASE WHEN md5(text) < 'cc' THEN 'train' ELSE 'eval' END"
+
+_NGRAM_N = 5
+
+
+def _ngram_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+    return f"""
+    toks AS (SELECT doc_id, {_SPLIT_CASE} AS split, string_split(text, ' ') AS t
+             FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, split, md5({parts}) AS g
+        FROM toks, UNNEST(range(1, len(t) - {n - 2})) AS u(i)
+        WHERE len(t) >= {n}
+    )
+    """
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH {_ngram_sql(_NGRAM_N)},
+    train_grams AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+    eval_grams AS (SELECT doc_id, g FROM grams WHERE split = 'eval')
+    SELECT e.doc_id, COUNT(*) AS n_contaminated_ngrams
+    FROM eval_grams e JOIN train_grams t ON e.g = t.g
+    GROUP BY e.doc_id
+    """,
+    doc=f"Benchmark decontamination: eval-split documents sharing any "
+    f"{_NGRAM_N}-gram with the train split, with the count of shared "
+    "n-grams per eval doc. The scale-critical move: the train side is "
+    "projected to a DISTINCT n-gram hash set BEFORE the join, so each "
+    "eval n-gram matches at most one row — join volume is linear in "
+    "eval n-grams, immune to stop-n-gram frequency skew (no df cap "
+    "needed, unlike pair-generating joins). Hashes are md5 of the "
+    "n-gram, so the shuffle carries fixed-width keys, never text.",
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    split = F.when(F.md5(F.col("text").cast("binary")) < "cc", "train").otherwise(
+        "eval"
+    )
+    toks = F.split(F.col("text"), " ")
+    n = _NGRAM_N
+    length = F.size(toks)
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, length - (n - 1)) for j in range(n)])
+    grams = (
+        docs.filter(length >= n)
+        .select("doc_id", split.alias("split"), F.explode(zipped).alias("__z"))
+        .select(
+            "doc_id",
+            "split",
+            F.md5(F.concat_ws(" ", *[f"__z.{j}" for j in range(n)])).alias("g"),
+        )
+        .distinct()
+    )
+    train_grams = grams.filter(F.col("split") == "train").select("g").distinct()
+    eval_grams = grams.filter(F.col("split") == "eval").select("doc_id", "g")
+    return (
+        eval_grams.join(train_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
+# ------------------------------------------------------ sequence packing
+
+_PACK_BUDGET = 256
+
+
+@register(
+    "pack_docs_token_budget",
+    f"""
+    WITH counted AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    runsum AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM counted
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(cum_before / {_PACK_BUDGET}) AS BIGINT) AS bin_id
+    FROM runsum
+    """,
+    doc=f"Document packing for pretraining shards: per-language streams "
+    f"(ordered by doc_id) are cut into bins of ~{_PACK_BUDGET} tokens by "
+    "cumulative token count — the streaming-append packing rule (a doc "
+    "lands in the bin its running offset falls in; deterministic, "
+    "single window shuffle per language, no iteration). This is the "
+    "sharding step between curation and the training dataloader; exact "
+    "bin-capacity packing is NP-ish and iterative, while offset packing "
+    "is the standard one-pass approximation.",
+)
+def pack_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        "bin_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET
+        ).cast("bigint"),
+    )
+
+
+# ------------------------------------------------- end-to-end keep list
+
+@register(
+    "dedup_survivors",
+    """
+    WITH exact AS (
+        SELECT MIN(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT keep_id AS doc_id FROM exact
+    """,
+    doc="The end-to-end exact-dedup KEEP decision: one surviving doc_id "
+    "(the minimum) per distinct text — the list a writer joins against "
+    "to emit the deduplicated corpus. groupBy on md5(text) keeps the "
+    "shuffle fixed-width; the survivors frame is the semi-join key set "
+    "for the output pass (near-dup tiers subtract further via "
+    "dedup_embedding_canonical / dedup_minhash_verified_pairs).",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+# --------------------------------------------- int8 scalar quantization
+
+@register(
+    "embedding_scalar_quantize",
+    """
+    WITH vals AS (
+        SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+    ),
+    ranges AS (
+        SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM vals GROUP BY pos
+    )
+    SELECT vec_id, v.pos,
+           CAST(ROUND(CASE WHEN r.mx = r.mn THEN 0
+                           ELSE (v.v - r.mn) / (r.mx - r.mn) * 255 END)
+                AS INT) AS q
+    FROM vals v JOIN ranges r ON v.pos = r.pos
+    """,
+    doc="Int8 scalar quantization of the embedding corpus: per-DIMENSION "
+    "min/max over the dataset define the scale (the IVF-PQ-style "
+    "codebook-free baseline), each value maps to 0..255. 4× memory/IO "
+    "reduction for ANN serving. Plan: posexplode once, per-pos min/max "
+    "agg (64-row broadcast back), map-side quantize — min/max (unlike "
+    "mean) are order-independent in float, so the reduction is "
+    "hash-matchable without decimal tricks.",
+)
+def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    ranges = vals.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    q = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255
+    )
+    return (
+        vals.join(F.broadcast(ranges), "pos")
+        .select("vec_id", "pos", F.round(q, 0).cast("int").alias("q"))
+    )
