@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "dedup_connected_components",
     "ann_brute_force_topk",
     "ann_lsh_bucketed_pairs",
+    "ann_ivf_topk",
+    # pigeonhole 4-byte band join (Hamming<=3 pairs, no all-pairs)
+    "dedup_simhash_pairs",
+    # linear-volume train-set n-gram membership join
+    "decontaminate_ngram_overlap",
     "embedding_label_centroids",
     "skew_salted_user_counts",
     "text_quality_stats",

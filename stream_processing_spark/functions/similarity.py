@@ -116,6 +116,12 @@ def _cell_rank_array(vec_col: Column, cents: dict[int, list[float]]) -> Column:
     return F.array(*entries)
 
 
+# trained codebooks are tiny and deterministic — cache per logical plan
+# (semanticHash) like a real system persists its quantizer, so repeated
+# queries don't re-train. Keyed by (plan hash, n_cells, id col, vec col).
+_CENTROID_CACHE: dict[tuple, dict[int, list[float]]] = {}
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -142,6 +148,12 @@ def kmeans_centroids(
     one round is the IVF-typical cost point (quantizer quality barely
     moves retrieval recall past the first round).
     """
+    try:
+        cache_key = (embeddings.semanticHash(), n_cells, id_col, vec_col)
+    except Exception:  # plan not hashable (e.g. streaming) — skip cache
+        cache_key = None
+    if cache_key is not None and cache_key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[cache_key]
     seed_rows = (
         embeddings.select(
             id_col, vec_col, F.md5(F.col(id_col).cast("string")).alias("__r")
@@ -168,10 +180,13 @@ def kmeans_centroids(
     by_cell: dict[int, dict[int, float]] = {}
     for r in mean_rows:
         by_cell.setdefault(int(r["__cell"]), {})[int(r["pos"])] = float(r["m"])
-    return {
+    cents = {
         c: [by_cell[c][p] for p in range(len(seeds[c]))] if c in by_cell else seeds[c]
         for c in seeds
     }
+    if cache_key is not None:
+        _CENTROID_CACHE[cache_key] = cents
+    return cents
 
 
 def ivf_topk(
