@@ -92,10 +92,13 @@ STATEFUL_OPS = {"count_by_key", "count_by_column"}
 
 # user-registered record functions: name -> fn(key, value) -> list[(k,v)]
 USER_OPS: dict[str, Callable[[str, str], list | None]] = {}
+# stateful: name -> (fn(key, value, state) -> (state', [(k,v)...]), state0)
+USER_STATEFUL_OPS: dict[str, tuple[Callable, object]] = {}
+_RESERVED_OP_NAMES = {"udf", "udf_stateful"}
 
 
 def register_op(name: str, fn: Callable[[str, str], list | None]) -> None:
-    """Register an arbitrary user operator under ``name``.
+    """Register an arbitrary STATELESS user operator under ``name``.
 
     The contract is the reference's exactly (src/Streaming/framework.py:
     11-65): ``fn(key, value) -> list[(k', v')] | None`` — None/[] drops
@@ -103,9 +106,23 @@ def register_op(name: str, fn: Callable[[str, str], list | None]) -> None:
     through ``transforms.flat_map`` (mapInPandas), so it must be
     cloudpickle-serializable (a plain module-level function is).
     """
-    if name in OP_LIBRARY or name == "udf":
+    if name in OP_LIBRARY or name in _RESERVED_OP_NAMES:
         raise ValueError(f"op name {name!r} shadows a library op")
     USER_OPS[name] = fn
+
+
+def register_stateful_op(name: str, fn: Callable, state0=None) -> None:
+    """Register an arbitrary STATEFUL user operator under ``name``.
+
+    Contract (the reference's stateful-exe shape, framework.py:52-54):
+    ``fn(key, value, state) -> (new_state, [(k', v')...])``; state is
+    any JSON-serializable per-key value, ``state0`` on first sight of a
+    key, persisted in Spark's state store across micro-batches and
+    restarts (streaming/stateful.py stateful_flat_map).
+    """
+    if name in OP_LIBRARY or name in _RESERVED_OP_NAMES:
+        raise ValueError(f"op name {name!r} shadows a library op")
+    USER_STATEFUL_OPS[name] = (fn, state0)
 
 
 def _load_callable(ref: str) -> Callable:
@@ -149,13 +166,24 @@ def parse_op(spec: str) -> tuple[Op, bool]:
         extra = tuple(args[1:])
         rec = (lambda k, v: fn(k, v, *extra)) if extra else fn
         return (lambda df: T.flat_map(df, rec)), False
+    if name == "udf_stateful":
+        from stream_processing_spark.streaming.stateful import stateful_flat_map
+
+        sfn = _load_callable(args[0])
+        return (lambda df: stateful_flat_map(df, sfn)), True
     if name in USER_OPS:
         rec = USER_OPS[name]
         return (lambda df: T.flat_map(df, rec)), False
+    if name in USER_STATEFUL_OPS:
+        from stream_processing_spark.streaming.stateful import stateful_flat_map
+
+        sfn, state0 = USER_STATEFUL_OPS[name]
+        return (lambda df: stateful_flat_map(df, sfn, state0=state0)), True
     if name not in OP_LIBRARY:
         raise KeyError(
             f"unknown op {name!r}; library: {sorted(OP_LIBRARY)}, "
-            f"registered: {sorted(USER_OPS)} (or 'udf <ref>:<fn>')"
+            f"registered: {sorted(USER_OPS) + sorted(USER_STATEFUL_OPS)} "
+            "(or 'udf <ref>:<fn>' / 'udf_stateful <ref>:<fn>')"
         )
     return OP_LIBRARY[name](*args), name in STATEFUL_OPS
 

@@ -326,3 +326,61 @@ def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
     )
     return _drain_complete(agg, spark)
+
+
+def _running_max_op(key: str, value: str, state):
+    """A genuinely user-defined STATEFUL operator (not in any library):
+    per-key running max, emitting only on change — the reference's
+    'output all changes to the aggregate' stateful-exe shape
+    (framework.py:52-54), with state as a JSON-serializable scalar."""
+    from decimal import Decimal
+
+    if state is None or Decimal(value) > Decimal(state):
+        return value, [(key, value)]
+    return state, []
+
+
+@register(
+    "streaming_custom_stateful_max",
+    """
+    SELECT user_id AS key,
+           CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="T8 arbitrary-STATEFUL-operator parity: a user fn(key, value, "
+    "state) -> (state', emissions) running through the generic "
+    "stateful_flat_map harness (applyInPandasWithState, JSON state "
+    "blob) — per-user running max emitting only changes; the max of "
+    "the emitted updates equals the batch MAX. The same path "
+    "`cli rainstorm \"udf_stateful file.py:fn\"` submits.",
+)
+def streaming_custom_stateful_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.stateful import stateful_flat_map
+
+    src = _events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    )
+    out = stateful_flat_map(src, _running_max_op)
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError("stream did not drain")
+    return (
+        spark.table(name)
+        .groupBy(F.col("key").cast("bigint").alias("key"))
+        .agg(
+            F.max(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("max_value")
+        )
+    )

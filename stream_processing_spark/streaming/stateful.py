@@ -57,3 +57,61 @@ def stateful_running_count(df: DataFrame, key_col: str = "key") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+KV_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("value", StringType())]
+)
+_BLOB_STATE_SCHEMA = StructType([StructField("blob", StringType())])
+
+
+def stateful_flat_map(
+    df: DataFrame,
+    fn,
+    state0=None,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """ARBITRARY user stateful operator — the reference's stateful-exe
+    contract (framework.py:52-54: a per-key dict kept by the op process,
+    re-initialized from the replayed log on recovery) as a first-class
+    harness.
+
+    Contract: ``fn(key, value, state) -> (new_state, [(k', v')...])``.
+    ``state`` is any JSON-serializable per-key value (``state0`` for the
+    first record of a key); emissions are flat-mapped to the output.
+    Spark's state store replaces the reference's dict + log replay:
+    state survives micro-batches AND restarts via the checkpoint, which
+    is exactly the recovery path the reference rebuilt by hand. State is
+    kept as a JSON blob so one harness serves any user state shape
+    (records within a micro-batch arrive in no defined order — same as
+    the reference's multi-worker delivery).
+    """
+    import json as _json
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        st = _json.loads(state.get[0]) if state.exists else state0
+        out_k: list[str] = []
+        out_v: list[str] = []
+        for b in batches:
+            for v in b[value_col]:
+                st, outs = fn(key[0], v, st)
+                for k2, v2 in outs or []:
+                    out_k.append(str(k2))
+                    out_v.append(str(v2))
+        state.update((_json.dumps(st),))
+        yield pd.DataFrame({"key": out_k, "value": out_v})
+
+    return (
+        df.select(F.col(key_col).alias("key"), F.col(value_col).alias("value"))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=KV_SCHEMA,
+            stateStructType=_BLOB_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

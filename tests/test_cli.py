@@ -115,3 +115,49 @@ def test_rainstorm_registered_op(tmp_path, spark):
         assert out == {("x", "a"), ("y", "b")}
     finally:
         rs.USER_OPS.pop("swap_kv", None)
+
+
+def test_rainstorm_custom_stateful_udf_end_to_end(tmp_path, spark):
+    # arbitrary STATEFUL user op through the CLI: a per-key running
+    # total submitted as 'udf_stateful <file>:<fn>', state persisted by
+    # Spark's state store (the reference's stateful-exe contract)
+    op_file = tmp_path / "stateful_op.py"
+    op_file.write_text(
+        "def running_total(key, value, state):\n"
+        "    total = (state or 0) + int(value)\n"
+        "    return total, [(key, total)]\n"
+    )
+    key_file = tmp_path / "key_op.py"
+    key_file.write_text(
+        "def to_kv(key, value):\n"
+        "    k, v = value.split(',')\n"
+        "    return [(k, v)]\n"
+    )
+    ind = tmp_path / "in"
+    ind.mkdir()
+    (ind / "p1.txt").write_text("a,5\nb,7\na,3\n")
+    outd = tmp_path / "out"
+
+    from stream_processing_spark import cli
+
+    rc = cli.main(
+        [
+            "rainstorm",
+            f"udf {key_file}:to_kv",
+            f"udf_stateful {op_file}:running_total",
+            str(ind),
+            str(outd),
+            "4",
+        ]
+    )
+    assert rc == 0
+    lines = sorted(
+        ln
+        for p in outd.rglob("part-*")
+        if p.is_file() and "_checkpoint" not in p.parts
+        for ln in p.read_text().splitlines()
+    )
+    # running totals per key; within-batch record order is undefined so
+    # a's updates are {5,8} or {3,8} — the final total is always 8
+    assert "b:7" in lines
+    assert "a:8" in lines
