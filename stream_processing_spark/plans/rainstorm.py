@@ -133,11 +133,13 @@ def _load_callable(ref: str) -> Callable:
     if not sep:
         raise ValueError(f"op ref {ref!r} must be 'module:function' or 'file.py:function'")
     if mod.endswith(".py"):
+        import hashlib
         import importlib.util
 
-        spec = importlib.util.spec_from_file_location(
-            "_rainstorm_user_op", mod
-        )
+        # unique module name per file so two user op files in one job
+        # don't collide in pickling/module identity
+        modname = "_rainstorm_user_op_" + hashlib.md5(mod.encode()).hexdigest()[:10]
+        spec = importlib.util.spec_from_file_location(modname, mod)
         m = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(m)  # type: ignore[union-attr]
     else:

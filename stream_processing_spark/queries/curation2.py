@@ -207,3 +207,51 @@ def embedding_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals.join(F.broadcast(ranges), "pos")
         .select("vec_id", "pos", F.round(q, 0).cast("int").alias("q"))
     )
+
+
+# ------------------------------------------- repetition quality filter
+
+@register(
+    "quality_bigram_repetition",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+    ),
+    freq AS (
+        SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
+           CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+           ROUND(MAX(n) * 1.0 / SUM(n), 6) AS top_bigram_ratio
+    FROM freq GROUP BY doc_id
+    """,
+    doc="Gopher-rule repetition quality signal: the fraction of a "
+    "document's bigrams taken by its single most frequent bigram "
+    "(looped/boilerplate text scores high and gets filtered). One "
+    "explode + per-(doc, gram) count + per-doc max/sum — two "
+    "aggregations sharing the doc_id shuffle key. Integer counts until "
+    "one exact division.",
+)
+def quality_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    toks = F.split(F.col("text"), " ")
+    length = F.size(toks)
+    zipped = F.arrays_zip(F.slice(toks, 1, length - 1), F.slice(toks, 2, length - 1))
+    grams = (
+        docs.filter(length >= 2)
+        .select("doc_id", F.explode(zipped).alias("__z"))
+        .select("doc_id", F.concat_ws(" ", "__z.0", "__z.1").alias("g"))
+    )
+    freq = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    return freq.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+        F.max("n").cast("bigint").alias("top_bigram_n"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_bigram_ratio"),
+    )
