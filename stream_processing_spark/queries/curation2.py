@@ -255,3 +255,40 @@ def quality_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("top_bigram_n"),
         F.round(F.max("n") / F.sum("n"), 6).alias("top_bigram_ratio"),
     )
+
+
+# -------------------------------------------------- mixture rebalancing
+
+@register(
+    "mixture_equalize_langs",
+    """
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    target AS (SELECT MIN(n) AS m FROM counts),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(text), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, lang FROM ranked, target WHERE rn <= m
+    """,
+    doc="Training-mixture rebalancing: every language downsampled to the "
+    "size of the smallest one (uniform target mix). The sample is the "
+    "m smallest md5(text) hashes per language — content-addressed, so "
+    "it is a uniform random subset that is STABLE under repartition, "
+    "rerun, and corpus append (docs don't enter/leave the sample when "
+    "unrelated docs arrive, unlike rand()-based sampling). One window "
+    "shuffle on lang + a 1-row broadcast of the target size.",
+)
+def mixture_equalize_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.groupBy("lang").count().agg(F.min("count").alias("m"))
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("text")), "doc_id")
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("doc_id", "lang")
+    )
