@@ -29,6 +29,7 @@ CROSS_OK = {
     "hybrid_search_topk",     # 1-row max_tf scalar + 1-row query vector
     "sample_weighted_by_length",  # 1-row max(n_chars) scalar broadcast
     "rfm_user_features",          # 1-row max(ts) 'now' scalar broadcast
+    "mixture_equalize_langs",     # 1-row min-lang-count target broadcast
 }
 
 _SKIP = tuple(
