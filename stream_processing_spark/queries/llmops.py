@@ -962,3 +962,109 @@ def hybrid_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("doc_id", F.round(hybrid, 6).alias("hybrid_score"))
     )
+
+
+_SHINGLE_SRC_SQL = """
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    WHERE len(t) >= 3
+)
+"""
+
+
+@register(
+    "dedup_incremental_new_vs_corpus",
+    _SHINGLE_SRC_SQL
+    + ", sigs AS (SELECT doc_id, source, "
+    + ", ".join(f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(8))
+    + """ FROM shingles GROUP BY doc_id, source),
+    buckets AS (
+    """
+    + " UNION ALL ".join(
+        f"SELECT doc_id, source, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS sig FROM sigs"
+        for b in range(4)
+    )
+    + """),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.sig = b.sig
+        WHERE a.source = 'src0' AND b.source <> 'src0'
+    )
+    SELECT new_id, corpus_id,
+           ("""
+    + " + ".join(
+        f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END" for s in range(8)
+    )
+    + """) / 8.0 AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = new_id
+    JOIN sigs sb ON sb.doc_id = corpus_id
+    WHERE ("""
+    + " + ".join(
+        f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END" for s in range(8)
+    )
+    + """) >= 6
+    """,
+    doc="INCREMENTAL ingest dedup: only the new batch (source='src0') is "
+    "checked against the existing corpus — the asymmetric band join "
+    "(new × corpus, never corpus × corpus) is what makes daily ingest "
+    "O(new·collision) instead of re-deduping the whole corpus. In "
+    "production the corpus side's signatures are a persisted table "
+    "updated per batch; here both sides compute from the same scan. "
+    "Same MinHash family and 6/8-agreement verify as "
+    "dedup_minhash_verified_pairs.",
+)
+def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dd.shingles(docs.select("doc_id", "source", "text"), n=3, distinct=False)
+    # shingles() keeps only (id, sh); recompute with source carried via join-
+    # free path: aggregate signatures then re-attach source (id is unique)
+    sigs = dd.minhash_signatures(sh, k=8).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    sigs = sigs.localCheckpoint(eager=False)  # feeds bucket + 2 verify branches
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", f"h{2*b}", f"h{2*b+1}")).alias("sig"),
+        )
+        for b in range(4)
+    ]
+    buckets = sigs.select(
+        "doc_id", "source", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "source", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    new_b = buckets.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("new_id"), "band", "sig"
+    )
+    corpus_b = buckets.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("corpus_id"), "band", "sig"
+    )
+    cand = (
+        new_b.join(corpus_b, ["band", "sig"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("corpus_id"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(8)],
+    )
+    agree = None
+    for s in range(8):
+        t = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn("__agree", agree)
+        .filter(F.col("__agree") >= 6)
+        .select("new_id", "corpus_id", (F.col("__agree") / 8.0).alias("est_jaccard"))
+    )
