@@ -42,17 +42,27 @@ def _dgrep(args: list[str]) -> int:
     after = before = 0
     pos: list[str] = []
     it = iter(args)
-    for a in it:
-        if a == "-A":
-            after = int(next(it))
-        elif a == "-B":
-            before = int(next(it))
-        elif a.startswith("-") and len(a) > 1 and all(ch in flags for ch in a[1:]):
-            for ch in a[1:]:
-                flags[ch] = True
-        else:
-            pos.append(a)
-    pattern, glob = pos
+    try:
+        for a in it:
+            if a in ("-A", "-B"):
+                operand = next(it, None)
+                if operand is None or not operand.isdigit():
+                    raise SystemExit(f"dgrep: {a} requires a count, e.g. '{a} 2'")
+                if a == "-A":
+                    after = int(operand)
+                else:
+                    before = int(operand)
+            elif a.startswith("-") and len(a) > 1 and all(ch in flags for ch in a[1:]):
+                for ch in a[1:]:
+                    flags[ch] = True
+            else:
+                pos.append(a)
+        pattern, glob = pos
+    except ValueError:
+        raise SystemExit(
+            "usage: dgrep [-i] [-v] [-c] [-n] [-w] [-x] [-F] "
+            "[-A n] [-B n] <pattern> <glob>"
+        ) from None
     kw = dict(
         ignore_case=flags["i"], invert=flags["v"], word=flags["w"],
         line=flags["x"], fixed=flags["F"],

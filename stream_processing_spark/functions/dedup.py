@@ -235,6 +235,12 @@ def simhash_pairs(
     filter bit_count(a XOR b) is a single integer instruction per
     candidate — no text, no vectors, no re-read.
     """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4-byte banding guarantees full "
+            "recall only for Hamming distance <= 3 (pigeonhole over 4 "
+            "bands); larger radii need more/finer bands"
+        )
     bands = [
         F.struct(
             F.lit(b).alias("band"),

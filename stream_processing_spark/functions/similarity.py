@@ -119,7 +119,18 @@ def _cell_rank_array(vec_col: Column, cents: dict[int, list[float]]) -> Column:
 # trained codebooks are tiny and deterministic — cache per logical plan
 # (semanticHash) like a real system persists its quantizer, so repeated
 # queries don't re-train. Keyed by (plan hash, n_cells, id col, vec col).
+# Staleness caveat: the key sees the PLAN, not the file contents — if the
+# parquet behind the same path is rewritten, call clear_centroid_cache()
+# (the same rule as any persisted quantizer: retrain when the corpus
+# changes). Size-capped FIFO so a long-lived process can't grow it
+# unboundedly.
 _CENTROID_CACHE: dict[tuple, dict[int, list[float]]] = {}
+_CENTROID_CACHE_CAP = 64
+
+
+def clear_centroid_cache() -> None:
+    """Drop all cached IVF codebooks (call after rewriting source data)."""
+    _CENTROID_CACHE.clear()
 
 
 def kmeans_centroids(
@@ -185,6 +196,8 @@ def kmeans_centroids(
         for c in seeds
     }
     if cache_key is not None:
+        if len(_CENTROID_CACHE) >= _CENTROID_CACHE_CAP:
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
         _CENTROID_CACHE[cache_key] = cents
     return cents
 

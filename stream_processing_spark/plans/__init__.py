@@ -3,4 +3,5 @@ from stream_processing_spark.plans.rainstorm import (  # noqa: F401
     parse_op,
     rainstorm,
     register_op,
+    register_stateful_op,
 )

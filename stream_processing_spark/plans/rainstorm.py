@@ -172,7 +172,9 @@ def parse_op(spec: str) -> tuple[Op, bool]:
         from stream_processing_spark.streaming.stateful import stateful_flat_map
 
         sfn = _load_callable(args[0])
-        return (lambda df: stateful_flat_map(df, sfn)), True
+        extra = tuple(args[1:])
+        srec = (lambda k, v, st: sfn(k, v, st, *extra)) if extra else sfn
+        return (lambda df: stateful_flat_map(df, srec)), True
     if name in USER_OPS:
         rec = USER_OPS[name]
         return (lambda df: T.flat_map(df, rec)), False

@@ -85,7 +85,7 @@ _PRIORITY = [
     "embedding_label_centroids", "hybrid_search_topk",
     # LLM-pipeline flagships: text analysis + sampling
     "text_quality_stats", "text_lang_id", "text_token_counts",
-    "text_fingerprint", "sample_hash_pct", "sample_stratified_per_lang",
+    "sample_hash_pct", "sample_stratified_per_lang",
     # analytics flagships
     "funnel_view_click_purchase", "sessionize_user_sessions",
     "event_transition_matrix", "cohort_retention_daily",
@@ -98,6 +98,10 @@ _PRIORITY = [
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
 assert not _missing, f"priority list names unknown queries: {_missing}"
+assert len(_PRIORITY) <= 50, (
+    f"_PRIORITY has {len(_PRIORITY)} entries; the driver certifies only "
+    "the first 50 registry entries"
+)
 _ordered = {n: REGISTRY[n] for n in _PRIORITY}
 _ordered.update({n: s for n, s in REGISTRY.items() if n not in _ordered})
 REGISTRY.clear()

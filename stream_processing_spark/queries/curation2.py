@@ -158,12 +158,10 @@ def pack_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_canonical / dedup_minhash_verified_pairs).",
 )
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.functions.dedup import exact_dedup_groups
+
     docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(F.md5(F.col("text")).alias("__fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    return exact_dedup_groups(docs).select(F.col("keep_id").alias("doc_id"))
 
 
 # --------------------------------------------- int8 scalar quantization

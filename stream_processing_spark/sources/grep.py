@@ -35,7 +35,11 @@ def _lines(spark: SparkSession, path_glob: str) -> DataFrame:
     return (
         spark.read.text(path_glob)
         # element_at(split(...), -1) = basename, matching the reference's
-        # "machine.{id}.log: " prefix (src/LogQuerier/server.py:30-33)
+        # "machine.{id}.log: " prefix (src/LogQuerier/server.py:30-33).
+        # __path keeps the FULL path as the file identity: two files with
+        # the same basename in different directories must not share a
+        # numbering partition.
+        .withColumn("__path", F.input_file_name())
         .withColumn("source_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
         # file-order witnesses — MUST be evaluated at scan time (both
         # functions return garbage after an exchange)
@@ -94,7 +98,7 @@ def dgrep(
     if not (line_numbers or after or before):
         return df.filter(sel).select("source_file", "value")
 
-    w = Window.partitionBy("source_file").orderBy("__off", "__id")
+    w = Window.partitionBy("__path").orderBy("__off", "__id")
     df = df.withColumn("line_no", F.row_number().over(w)).withColumn(
         "__sel", sel.cast("int")
     )

@@ -75,6 +75,9 @@ class Store:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._lock = threading.Lock()
+        # one merge at a time per dataset: a second merge must not treat
+        # a live peer's __merge_tmp as a stale crash leftover
+        self._merge_locks: dict[str, threading.Lock] = {}
         self._cache: dict[str, tuple[int, DataFrame]] = {}
 
     # ---------------------------------------------------------- paths
@@ -201,6 +204,14 @@ class Store:
         d = self._dir(name)
         tmp = d + ".__merge_tmp"
         trash = d + ".__trash"
+        with self._lock:
+            mlock = self._merge_locks.setdefault(name, threading.Lock())
+        with mlock:
+            self._merge_locked(name, d, tmp, trash, target_parts)
+
+    def _merge_locked(
+        self, name: str, d: str, tmp: str, trash: str, target_parts: int
+    ) -> None:
         with self._lock:
             if not os.path.isdir(d):
                 raise DatasetNotFoundError(name)

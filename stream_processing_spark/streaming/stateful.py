@@ -96,7 +96,8 @@ def stateful_flat_map(
         out_k: list[str] = []
         out_v: list[str] = []
         for b in batches:
-            for v in b[value_col]:
+            # the frame was aliased to (key, value) before the groupBy
+            for v in b["value"]:
                 st, outs = fn(key[0], v, st)
                 for k2, v2 in outs or []:
                     out_k.append(str(k2))

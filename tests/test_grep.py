@@ -227,3 +227,18 @@ def test_grep_cli_flag_passthrough(spark, flagdir, capsys):
     out = capsys.readouterr().out
     assert "machine.1.log:2: warning: retry" in out
     assert "machine.1.log:3: errors were logged" in out
+
+
+def test_line_numbers_distinct_dirs_same_basename(spark, tmp_path):
+    # two files named app.log in different directories must be numbered
+    # independently (partition identity is the full path, display name
+    # is the basename)
+    for sub, body in [("dirA", "m1\nm2\nhit\n"), ("dirB", "hit\nx\n")]:
+        d = tmp_path / sub
+        d.mkdir()
+        (d / "app.log").write_text(body)
+    rows = dgrep(
+        spark, "hit", f"{tmp_path}/*/app.log", line_numbers=True
+    ).collect()
+    got = {(r.source_file, r.line_no) for r in rows}
+    assert got == {("app.log", 3), ("app.log", 1)}
