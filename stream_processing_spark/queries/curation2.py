@@ -290,3 +290,95 @@ def mixture_equalize_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("m"))
         .select("doc_id", "lang")
     )
+
+
+# ------------------------------------------------------- BM25 retrieval
+
+_BM25_TERMS = ("scan", "merge", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_topk_docs",
+    f"""
+    WITH lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS L FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS N, CAST(SUM(L) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM lens
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN {_BM25_TERMS!r}
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ((s.N - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * ({_BM25_K1} + 1))
+                   / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                        + {_BM25_B} * l.L / s.avgdl)),
+                   6) AS DECIMAL(18,6)) AS term_score
+        FROM tf t
+        JOIN dfreq d ON d.token = t.token
+        JOIN lens l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 lexical retrieval top-10 for a fixed query termset (k1=1.2 "
+    "b=0.75) — the sparse half of hybrid RAG retrieval. idf is the "
+    "rational (N-df+0.5)/(df+0.5) WITHOUT ln: rank-equivalent, and it "
+    "keeps every value in exact rational arithmetic so engines agree "
+    "bit-for-bit (libm's ln does not). Per-term scores round to 6dp "
+    "then DECIMAL-sum per doc — an order-independent reduction. Plan: "
+    "tf explode+agg shuffles on (doc, term); df and the 1-row (N, "
+    "avgdl) stats broadcast; TakeOrderedAndProject for the top-k.",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("L")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("L").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    idf = (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    den = F.col("tf") + k1 * (1 - b + b * F.col("L") / F.col("avgdl"))
+    term_score = F.round(idf * (F.col("tf") * (k1 + 1)) / den, 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )

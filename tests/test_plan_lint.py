@@ -30,6 +30,7 @@ CROSS_OK = {
     "sample_weighted_by_length",  # 1-row max(n_chars) scalar broadcast
     "rfm_user_features",          # 1-row max(ts) 'now' scalar broadcast
     "mixture_equalize_langs",     # 1-row min-lang-count target broadcast
+    "bm25_topk_docs",             # 1-row (N, avgdl) stats broadcast
 }
 
 _SKIP = tuple(

@@ -149,3 +149,27 @@ def test_merge_cleans_stale_tmp_and_trash(store, tmp_path):
     assert store.get_lines("f7") == ["a", "b"]
     assert not os.path.exists(os.path.join(root, "f7.__merge_tmp"))
     assert not os.path.exists(os.path.join(root, "f7.__trash"))
+
+
+def test_concurrent_merges_serialize(store):
+    # two merges of one dataset must not destroy each other's tmp dirs
+    import threading
+
+    store.create("f8", [f"m{i}" for i in range(30)])
+    store.append("f8", ["extra1", "extra2"])
+    errs: list[Exception] = []
+
+    def do_merge() -> None:
+        try:
+            store.merge("f8")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=do_merge) for _ in range(3)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    lines = store.get_lines("f8")
+    assert lines == [f"m{i}" for i in range(30)] + ["extra1", "extra2"]
