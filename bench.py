@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "dedup_simhash_pairs",
     # linear-volume train-set n-gram membership join
     "decontaminate_ngram_overlap",
+    # sparse retrieval: tf shuffle + broadcast df/stats + top-k
+    "bm25_topk_docs",
     "embedding_label_centroids",
     "skew_salted_user_counts",
     "text_quality_stats",
