@@ -382,3 +382,70 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ------------------------------------------------------- SCD2 history
+
+@register(
+    "scd2_user_event_type_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    starts AS (
+        SELECT user_id, event_type, ts,
+               SUM(CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_id
+        FROM ordered
+    ),
+    runs AS (
+        SELECT user_id, event_type, CAST(run_id AS BIGINT) AS run_id,
+               MIN(ts) AS valid_from
+        FROM starts GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, run_id, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, run_id) AS valid_to
+    FROM runs
+    """,
+    doc="SCD2 (slowly-changing-dimension type 2) history build: per-user "
+    "runs of consecutive equal event_type collapse into validity "
+    "intervals [valid_from, valid_to) — valid_to NULL marks the current "
+    "row. Gaps-and-islands via lag-change flag + running sum; every "
+    "window and the final rollup share ONE shuffle on user_id. The "
+    "dimension-table construction step of a warehouse load.",
+)
+def scd2_user_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = events.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w_ord).alias("prev_type"),
+    )
+    change = F.when(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    starts = ordered.withColumn(
+        "run_id", F.sum(change).over(w_run).cast("bigint")
+    )
+    runs = starts.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from")
+    )
+    w_next = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
+    return runs.select(
+        "user_id", "event_type", "run_id", "valid_from",
+        F.lead("valid_from").over(w_next).alias("valid_to"),
+    )
