@@ -585,6 +585,44 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_langid_confusion",
+    f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+               {_LANG_SCORE_SQL['en']} AS s_en,
+               {_LANG_SCORE_SQL['de']} AS s_de,
+               {_LANG_SCORE_SQL['fr']} AS s_fr,
+               {_LANG_SCORE_SQL['es']} AS s_es
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+                    WHEN s_es > 0 THEN 'es'
+                    ELSE 'unk' END AS lang_guess
+        FROM scores
+    )
+    SELECT lang, lang_guess, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, lang_guess
+    """,
+    doc="Classifier-quality CONFUSION MATRIX for the marker-word lang-id "
+    "heuristic: (true label, prediction, count) — the evaluation step a "
+    "curation pipeline runs before trusting a filter model. One pass "
+    "over documents + one grouped count; the per-doc argmax is the "
+    "same expression as text_lang_id.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", tx.lang_guess("text").alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
     "text_token_counts",
     rf"""
     SELECT doc_id,
