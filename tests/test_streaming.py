@@ -143,3 +143,36 @@ def test_continuous_processing_time_trigger(spark, tmp_path):
         wait_for({"z:3"})
     finally:
         q.stop()
+
+
+def test_custom_stateful_op_state_survives_restart(spark, tmp_path):
+    # ST5 for the generic user-op harness: per-key state from
+    # stateful_flat_map must be recovered from the checkpoint on
+    # restart, not recomputed from scratch
+    from stream_processing_spark.streaming.stateful import stateful_flat_map
+
+    def running_total(key, value, state):
+        total = (state or 0) + int(value)
+        return total, [(key, total)]
+
+    def keyed(df):
+        return df.select(
+            F.split(F.col("value"), ",").getItem(0).alias("key"),
+            F.split(F.col("value"), ",").getItem(1).alias("value"),
+        )
+
+    ind, outd = str(tmp_path / "in"), str(tmp_path / "out")
+    ops = [keyed, lambda df: stateful_flat_map(df, running_total)]
+
+    _write_input(ind, "b1.txt", ["a,5", "a,3", "b,7"])
+    job = StreamJob(spark, ind, outd, ops=ops, stateful=True)
+    job.run_to_completion()
+    first = {r.value for r in job.read_output().collect()}
+    assert "b:7" in first and ("a:8" in first)
+
+    # restart with the same checkpoint: totals CONTINUE from state
+    _write_input(ind, "b2.txt", ["a,2", "b,1"])
+    StreamJob(spark, ind, outd, ops=ops, stateful=True).run_to_completion()
+    allout = {r.value for r in job.read_output().collect()}
+    assert "a:10" in allout  # 8 + 2, not 2
+    assert "b:8" in allout   # 7 + 1, not 1
