@@ -449,3 +449,103 @@ def scd2_user_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "run_id", "valid_from",
         F.lead("valid_from").over(w_next).alias("valid_to"),
     )
+
+
+# ------------------------------------------- quantized ANN serving
+
+@register(
+    "ann_quantized_topk",
+    """
+    WITH vals AS (
+        SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+    ),
+    ranges AS (
+        SELECT pos, MIN(v) AS mn, MAX(v) AS mx FROM vals GROUP BY pos
+    ),
+    recon AS (
+        SELECT v.vec_id, v.pos,
+               r.mn + (CAST(ROUND(CASE WHEN r.mx = r.mn THEN 0
+                            ELSE (v.v - r.mn) / (r.mx - r.mn) * 255 END)
+                       AS INT) / 255.0) * (r.mx - r.mn) AS rv
+        FROM vals v JOIN ranges r ON v.pos = r.pos
+    ),
+    q AS (SELECT pos, rv AS qr FROM recon WHERE vec_id = 0),
+    qn AS (
+        SELECT sqrt(CAST(SUM(CAST(ROUND(qr * qr, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE)) AS qnorm
+        FROM q
+    ),
+    per_vec AS (
+        SELECT rc.vec_id,
+               CAST(SUM(CAST(ROUND(rc.rv * q.qr, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE) AS dot,
+               sqrt(CAST(SUM(CAST(ROUND(rc.rv * rc.rv, 6) AS DECIMAL(18,6)))
+                    AS DOUBLE)) AS vnorm
+        FROM recon rc JOIN q ON q.pos = rc.pos
+        WHERE rc.vec_id <> 0
+        GROUP BY rc.vec_id
+    )
+    SELECT vec_id, ROUND(dot / (vnorm * qnorm), 6) AS cos_sim
+    FROM per_vec, qn
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc="ANN serving over the int8-QUANTIZED corpus: vectors are "
+    "reconstructed from their per-dimension codes (mn + q/255*(mx-mn)) "
+    "and cosine-ranked against the reconstructed query — the memory/IO "
+    "story of embedding_scalar_quantize carried through to retrieval. "
+    "Long-format plan: (vec, pos) terms join a 64-row broadcast of the "
+    "query dims, per-vec decimal-summed dot/norm (order-independent "
+    "reduction, map-side partial agg), 1-row qnorm broadcast, "
+    "TakeOrderedAndProject. One shuffle on vec_id.",
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    ranges = vals.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    qcode = F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+        (F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255
+    )
+    recon = (
+        vals.join(F.broadcast(ranges), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            (
+                F.col("mn")
+                + (F.round(qcode, 0).cast("int") / 255.0)
+                * (F.col("mx") - F.col("mn"))
+            ).alias("rv"),
+        )
+    )
+    q = recon.filter(F.col("vec_id") == 0).select("pos", F.col("rv").alias("qr"))
+    dec = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    qn = q.agg(
+        F.sqrt(F.sum(dec(F.col("qr") * F.col("qr"))).cast("double")).alias("qnorm")
+    )
+    per_vec = (
+        recon.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(dec(F.col("rv") * F.col("qr"))).cast("double").alias("dot"),
+            F.sqrt(
+                F.sum(dec(F.col("rv") * F.col("rv"))).cast("double")
+            ).alias("vnorm"),
+        )
+    )
+    return (
+        per_vec.crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            F.round(F.col("dot") / (F.col("vnorm") * F.col("qnorm")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -31,6 +31,7 @@ CROSS_OK = {
     "rfm_user_features",          # 1-row max(ts) 'now' scalar broadcast
     "mixture_equalize_langs",     # 1-row min-lang-count target broadcast
     "bm25_topk_docs",             # 1-row (N, avgdl) stats broadcast
+    "ann_quantized_topk",         # 1-row query-norm scalar broadcast
 }
 
 _SKIP = tuple(

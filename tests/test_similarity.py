@@ -73,3 +73,22 @@ def test_kmeans_centroids_deterministic_and_complete(spark):
     assert c1 == c2  # bit-identical across runs (decimal-summed means)
     assert set(c1) == set(range(16))
     assert all(len(v) == 64 for v in c1.values())
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    # int8 reconstruction must preserve the neighborhood: the quantized
+    # top-10 recovers most of the exact top-10 (deterministic per dataset)
+    from stream_processing_spark.queries import REGISTRY
+
+    exact = [
+        r.vec_id
+        for r in sim.brute_force_topk(
+            load_table(spark, SF_ORACLE, "embeddings"), query_vec_id=0, k=10
+        ).collect()
+    ]
+    quant = {
+        r.vec_id
+        for r in REGISTRY["ann_quantized_topk"].spark(spark, SF_ORACLE).collect()
+    }
+    recall = len(set(exact) & quant) / len(exact)
+    assert recall >= 0.7, (recall, exact, sorted(quant))
