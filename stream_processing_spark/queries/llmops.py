@@ -1106,3 +1106,78 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
         .filter(F.col("__agree") >= 6)
         .select("new_id", "corpus_id", (F.col("__agree") / 8.0).alias("est_jaccard"))
     )
+
+
+@register(
+    "dedup_survivors_near",
+    _SHINGLE_SQL
+    + ", sigs AS (SELECT doc_id, "
+    + ", ".join(f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(8))
+    + """ FROM shingles GROUP BY doc_id),
+    buckets AS (
+    """
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) AS sig FROM sigs"
+        for b in range(4)
+    )
+    + """),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sigs sa ON sa.doc_id = doc_a
+        JOIN sigs sb ON sb.doc_id = doc_b
+        WHERE ("""
+    + " + ".join(
+        f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END" for s in range(8)
+    )
+    + """) >= 6
+    ),
+    nbrs AS (
+        SELECT doc_a AS doc_id, doc_b AS nbr FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+        UNION ALL SELECT doc_id, doc_id FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, MIN(nbr) AS canonical_id FROM nbrs GROUP BY doc_id
+    )
+    SELECT doc_id FROM canon WHERE canonical_id = doc_id
+    """,
+    doc="The FINAL near-dup KEEP list: one-hop canonicalization over "
+    "MinHash-verified pairs (>= 6/8 signature agreement — which "
+    "subsumes exact duplicates, whose signatures agree 8/8); a doc "
+    "survives iff it is the minimum id of its neighborhood. The writer "
+    "semi-joins the corpus against this list to emit the deduplicated "
+    "output. Composes dedup_minhash_verified_pairs with "
+    "canonical_from_pairs; no text re-read after the signature pass.",
+)
+def dedup_survivors_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(dd.shingles(docs, n=3, distinct=False), k=8)
+    sigs = sigs.localCheckpoint(eager=False)
+    cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{s}").alias(f"a{s}") for s in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{s}").alias(f"b{s}") for s in range(8)],
+    )
+    agree = None
+    for s in range(8):
+        t = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(agree >= 6)
+        .select("doc_a", "doc_b")
+    )
+    canon = dd.canonical_from_pairs(
+        pairs, docs.select("doc_id"), id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
+    )
+    return canon.filter(F.col("canonical_id") == F.col("doc_id")).select("doc_id")
