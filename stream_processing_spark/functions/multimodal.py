@@ -160,3 +160,63 @@ def synthesize_media(spark, df: DataFrame, id_col: str, text_col: str) -> DataFr
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.to_json(F.struct(F.length(text_col).alias("n_chars"))).alias("meta_json"),
     )
+
+
+THUMB_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mean_px", IntegerType(), False),
+        StructField("std_px", IntegerType(), False),
+        StructField("grad_energy", LongType(), False),
+    ]
+)
+
+
+def thumbnail_features(
+    media: DataFrame, out_w: int = 8, out_h: int = 8
+) -> DataFrame:
+    """REAL vectorized image compute over the (faked) decode: the raw
+    payload is rasterized into its _fake_dims grid (the stand-in for a
+    codec), then numpy does genuine production work per Arrow batch —
+    mean-pool resize to (out_h, out_w), global mean/std, and gradient
+    energy (sum |dx|+|dy| over the thumbnail). Only the codec parse is
+    a stub; the resize/feature math is the real thing and vectorized
+    (no per-pixel Python).
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"media_id": [], "mean_px": [], "std_px": [], "grad_energy": []}
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                w, h = _fake_dims(data)
+                buf = np.frombuffer(data, dtype=np.uint8)
+                px = np.resize(buf if buf.size else np.zeros(1, np.uint8), h * w)
+                img = px.reshape(h, w).astype(np.float64)
+                # mean-pool to (out_h, out_w): crop to a divisible grid
+                ch, cw = (h // out_h) * out_h, (w // out_w) * out_w
+                if ch == 0 or cw == 0:  # tiny image: pad up by tiling
+                    img = np.resize(img, (out_h, out_w))
+                    thumb = img
+                else:
+                    thumb = (
+                        img[:ch, :cw]
+                        .reshape(out_h, ch // out_h, out_w, cw // out_w)
+                        .mean(axis=(1, 3))
+                    )
+                dx = np.abs(np.diff(thumb, axis=1)).sum()
+                dy = np.abs(np.diff(thumb, axis=0)).sum()
+                out["media_id"].append(mid)
+                out["mean_px"].append(int(round(float(thumb.mean()))))
+                out["std_px"].append(int(round(float(thumb.std()))))
+                out["grad_energy"].append(int(round(float(dx + dy))))
+            yield pd.DataFrame(out)
+
+    n = media.sparkSession.sparkContext.defaultParallelism
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .repartition(n)
+        .mapInPandas(run, schema=THUMB_FEATURES_SCHEMA)
+    )

@@ -56,3 +56,28 @@ def test_frame_sample_shape(media):
 def test_real_decoder_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError, match="pillow"):
         mm.decode_image(b"\x89PNG fake")
+
+
+def test_thumbnail_features_real_numpy_compute(spark):
+    # the resize/feature math is real numpy over the faked raster:
+    # deterministic, stable across runs, and one row per image
+    from stream_processing_spark.catalog import load_table
+    from stream_processing_spark.functions.multimodal import (
+        synthesize_media,
+        thumbnail_features,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    media = synthesize_media(spark, docs, "doc_id", "text")
+    n_images = media.filter("media_type = 'image'").count()
+    rows = thumbnail_features(media).collect()
+    assert len(rows) == n_images > 0
+    byid = {r.media_id: (r.mean_px, r.std_px, r.grad_energy) for r in rows}
+    again = {
+        r.media_id: (r.mean_px, r.std_px, r.grad_energy)
+        for r in thumbnail_features(media).collect()
+    }
+    assert byid == again
+    # text-derived rasters are non-constant: features must show variance
+    assert any(r.std_px > 0 for r in rows)
+    assert any(r.grad_energy > 0 for r in rows)
