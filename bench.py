@@ -9,6 +9,12 @@ Each query is forced end-to-end with the noop sink (full computation,
 no driver-side collect). Queries are chosen to cover the engine's load-
 bearing paths: scan+agg, multi-join, window, top-k, grep, shuffle-heavy
 dedup, embedding similarity, as-of join.
+
+Round-over-round note: round 2 ADDED six headliners (dedup_jaccard_pairs,
+dedup_connected_components, ann_ivf_topk, dedup_simhash_pairs,
+decontaminate_ngram_overlap, bm25_topk_docs) and replaced the single-band
+LSH algorithm with the 4-table banded one (~4x recall, more signature
+math) — compare totals per-query against BENCH_r01, not in aggregate.
 """
 
 from __future__ import annotations

@@ -68,3 +68,22 @@ def views(spark):
 def test_shared_sql(spark, duck, views, name):
     sql = CORPUS[name]
     compare(spark.sql(sql), duck.sql(sql), name)
+
+
+def test_queries_md_is_current():
+    # QUERIES.md is generated from the registry; drift means someone
+    # forgot `python tools/gen_queries_md.py > QUERIES.md`
+    import os
+
+    from stream_processing_spark.queries import REGISTRY
+
+    path = os.path.join(os.path.dirname(__file__), "..", "QUERIES.md")
+    head = open(path).read(300)
+    assert f"{len(REGISTRY)} queries" in head
+
+
+def test_every_query_documented():
+    from stream_processing_spark.queries import REGISTRY
+
+    undocumented = [n for n, s in REGISTRY.items() if not s.doc.strip()]
+    assert not undocumented, undocumented
