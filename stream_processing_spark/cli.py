@@ -123,6 +123,9 @@ def _store(args: list[str]) -> int:
             print(out)
     elif cmd == "ls":
         print(store.ls(rest[0]))
+    elif cmd == "delete":
+        store.delete(rest[0])
+        print(f"deleted {rest[0]}")
     elif cmd == "list":
         print("\n".join(store.datasets()))
     else:
@@ -140,7 +143,7 @@ def main(argv: list[str] | None = None) -> int:
         return _rainstorm(rest)
     if cmd == "dgrep":
         return _dgrep(rest)
-    if cmd in ("store", "create", "append", "multiappend", "merge", "get", "ls"):
+    if cmd in ("store", "create", "append", "multiappend", "merge", "get", "ls", "delete"):
         return _store(rest if cmd == "store" else [cmd, *rest])
     print(__doc__)
     return 2

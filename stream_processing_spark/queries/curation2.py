@@ -549,3 +549,79 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------- LM fluency quality score
+
+@register(
+    "quality_lm_avg_bigram_prob",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    doc_bigrams AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(l) - 1),
+                                     i -> l[i] || ' ' || l[i + 1])) AS bg
+        FROM toks
+    ),
+    counted AS (
+        SELECT bg, COUNT(*) AS cnt FROM doc_bigrams GROUP BY bg
+    ),
+    probs AS (
+        SELECT bg,
+               CAST(cnt AS DOUBLE)
+                   / CAST(SUM(cnt) OVER (PARTITION BY split_part(bg, ' ', 1))
+                          AS DOUBLE) AS p
+        FROM counted
+    )
+    SELECT d.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(CAST(ROUND(pr.p, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_bigram_p
+    FROM doc_bigrams d JOIN probs pr ON pr.bg = d.bg
+    GROUP BY d.doc_id
+    """,
+    doc="LM-based fluency quality score (the KenLM-filter analogue): "
+    "each document scored by the MEAN corpus-bigram probability of its "
+    "bigrams — low scores mark disfluent/garbled text for filtering. "
+    "Mean instead of log-perplexity keeps arithmetic rational (libm log "
+    "diverges across engines); per-bigram probs round to 6dp then "
+    "decimal-sum. The probs lookup is a membership join (each doc "
+    "bigram matches exactly one prob row) — linear volume, stop-bigram "
+    "skew only affects the partial-agg'd LM build, not the join.",
+)
+def quality_lm_avg_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    toks = F.split(F.col("text"), " ")
+    length = F.size(toks)
+    zipped = F.arrays_zip(F.slice(toks, 1, length - 1), F.slice(toks, 2, length - 1))
+    doc_bigrams = (
+        docs.filter(length >= 2)
+        .select("doc_id", F.explode(zipped).alias("__z"))
+        .select("doc_id", F.concat_ws(" ", "__z.0", "__z.1").alias("bg"))
+    )
+    doc_bigrams = doc_bigrams.localCheckpoint(eager=False)  # LM build + join
+    counted = doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    wsum = Window.partitionBy(w1)
+    probs = counted.select(
+        "bg",
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(wsum).cast("double")
+        ).alias("p"),
+    )
+    dec_p = F.round(F.col("p"), 6).cast("decimal(18,6)")
+    return (
+        doc_bigrams.join(probs, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum(dec_p).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bigram_p"
+            ),
+        )
+    )

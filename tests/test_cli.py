@@ -161,3 +161,17 @@ def test_rainstorm_custom_stateful_udf_end_to_end(tmp_path, spark):
     # a's updates are {5,8} or {3,8} — the final total is always 8
     assert "b:7" in lines
     assert "a:8" in lines
+
+
+def test_store_delete_cli(tmp_path, spark, capsys):
+    from stream_processing_spark import cli
+
+    root = str(tmp_path / "store")
+    f = tmp_path / "x.txt"
+    f.write_text("l1\nl2\n")
+    cli.main(["store", "create", root, "ds1", str(f)])
+    capsys.readouterr()
+    cli.main(["store", "delete", root, "ds1"])
+    assert "deleted ds1" in capsys.readouterr().out
+    cli.main(["store", "list", root])
+    assert "ds1" not in capsys.readouterr().out
