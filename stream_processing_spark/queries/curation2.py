@@ -625,3 +625,100 @@ def quality_lm_avg_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- collocation mining
+
+_COOC_TOP_VOCAB = 50
+
+
+@register(
+    "token_cooccurrence_lift",
+    f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tok_df AS (
+        SELECT token, COUNT(*) AS df FROM toks WHERE token <> ''
+        GROUP BY token
+    ),
+    vocab AS (
+        SELECT token, df FROM (
+            SELECT token, df,
+                   ROW_NUMBER() OVER (ORDER BY df DESC, token) AS rk
+            FROM tok_df
+        ) WHERE rk <= {_COOC_TOP_VOCAB}
+    ),
+    kept AS (
+        SELECT t.doc_id, t.token FROM toks t JOIN vocab v ON v.token = t.token
+    ),
+    pairs AS (
+        SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS n_ab
+        FROM kept a JOIN kept b
+          ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY 1, 2
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tok_a, tok_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) * n.n_docs
+                 / (va.df * CAST(vb.df AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN vocab va ON va.token = tok_a
+    JOIN vocab vb ON vb.token = tok_b
+    CROSS JOIN n
+    """,
+    doc="Collocation mining: document-level co-occurrence LIFT "
+    "p(a,b)/(p(a)p(b)) for pairs of the top-"
+    f"{_COOC_TOP_VOCAB} tokens by document frequency. The vocabulary "
+    "cap is the scale guard: the within-doc self-join is bounded by "
+    "cap² per document regardless of corpus vocabulary (same principle "
+    "as the Jaccard df cap, applied as a top-k allowlist). Rational "
+    "arithmetic — integer counts, one division, round 6dp. Lift "
+    "instead of log-PMI keeps libm out of the oracle comparison.",
+)
+def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    toks = toks.localCheckpoint(eager=False)  # df build + both join sides
+    tok_df = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # top-k by orderBy+limit → TakeOrderedAndProject (partial top-k per
+    # partition, no global sort/window — the shape that survives a huge
+    # token dictionary)
+    vocab = (
+        tok_df.orderBy(F.desc("df"), F.asc("token"))
+        .limit(_COOC_TOP_VOCAB)
+        .select("token", "df")
+    )
+    kept = toks.join(F.broadcast(vocab.select("token")), "token")
+    a = kept.select("doc_id", F.col("token").alias("tok_a"))
+    b = kept.select("doc_id", F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    va = vocab.select(F.col("token").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "tok_a", "tok_b", "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_docs")
+                / (F.col("df_a") * F.col("df_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )

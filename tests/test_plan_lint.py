@@ -32,6 +32,7 @@ CROSS_OK = {
     "mixture_equalize_langs",     # 1-row min-lang-count target broadcast
     "bm25_topk_docs",             # 1-row (N, avgdl) stats broadcast
     "ann_quantized_topk",         # 1-row query-norm scalar broadcast
+    "token_cooccurrence_lift",    # 1-row corpus-count scalar broadcast
 }
 
 _SKIP = tuple(
