@@ -722,3 +722,62 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------- dataset-card rollup
+
+@register(
+    "corpus_quality_by_source",
+    """
+    WITH per_doc AS (
+        SELECT source,
+               length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN ('the','a','of','and','to','in','is','it')))
+                   AS n_stop
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_tokens), 6) AS chars_per_token,
+           ROUND(SUM(n_stop) * 1.0 / SUM(n_tokens), 6) AS stopword_ratio
+    FROM per_doc GROUP BY source
+    """,
+    doc="Dataset-card rollup per source: doc/char/token totals, token "
+    "range, chars-per-token and corpus stopword ratio — the per-shard "
+    "summary a curation run publishes next to the data. Ratios are "
+    "computed from INTEGER sums with one final division (no mean-of-"
+    "means skew, no float reduction). Single scan, one grouped agg "
+    "with map-side partials.",
+)
+def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array([F.lit(w) for w in
+                    ("the", "a", "of", "and", "to", "in", "is", "it")])
+    per_doc = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).alias(
+            "n_stop"
+        ),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.round(F.sum("n_chars") / F.sum("n_tokens"), 6).alias(
+            "chars_per_token"
+        ),
+        F.round(F.sum("n_stop") / F.sum("n_tokens"), 6).alias(
+            "stopword_ratio"
+        ),
+    )

@@ -175,3 +175,30 @@ def test_store_delete_cli(tmp_path, spark, capsys):
     assert "deleted ds1" in capsys.readouterr().out
     cli.main(["store", "list", root])
     assert "ds1" not in capsys.readouterr().out
+
+
+def test_parse_op_error_messages():
+    import importlib
+
+    import pytest
+
+    rs = importlib.import_module("stream_processing_spark.plans.rainstorm")
+    with pytest.raises(KeyError, match="unknown op"):
+        rs.parse_op("no_such_op arg")
+    with pytest.raises(ValueError, match="module:function"):
+        rs.parse_op("udf not_a_ref")
+    with pytest.raises(ValueError, match="shadows"):
+        rs.register_op("udf", lambda k, v: [])
+    with pytest.raises(ValueError, match="shadows"):
+        rs.register_stateful_op("filter_pattern", lambda k, v, s: (s, []))
+
+
+def test_dgrep_cli_bad_args_exit_cleanly(capsys):
+    import pytest
+
+    from stream_processing_spark import cli
+
+    with pytest.raises(SystemExit, match="requires a count"):
+        cli.main(["dgrep", "-A", "pattern", "glob/*"])
+    with pytest.raises(SystemExit, match="usage"):
+        cli.main(["dgrep", "onlypattern"])

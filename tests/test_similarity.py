@@ -92,3 +92,34 @@ def test_quantized_topk_recall_vs_exact(spark):
     }
     recall = len(set(exact) & quant) / len(exact)
     assert recall >= 0.7, (recall, exact, sorted(quant))
+
+
+def test_banded_candidates_match_python_reference(spark):
+    # the band join must produce EXACTLY the pairs sharing >=1 per-band
+    # signature — verified against a plain-Python reimplementation over
+    # the collected signatures (sf0.001: 500 vectors)
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    planes = sim._hyperplanes(DIM, 32, 42)
+    sigs = {}
+    for band in range(4):
+        col = sim.signature_col(F.col("embedding"), planes[band * 8 : (band + 1) * 8])
+        for r in emb.select("vec_id", col.alias("s")).collect():
+            sigs.setdefault(r.vec_id, []).append(r.s)
+    expect = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if any(sa == sb for sa, sb in zip(sigs[a], sigs[b]))
+    }
+    # threshold -1 keeps every candidate (cosine in [-1, 1]) so the
+    # output IS the candidate set
+    got = {
+        (r.id_a, r.id_b)
+        for r in sim.lsh_banded_pairs(
+            emb, threshold=-1.0, dim=DIM, bands=4, rows_per_band=8
+        ).collect()
+    }
+    assert got == expect and expect
