@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "decontaminate_ngram_overlap",
     # sparse retrieval: tf shuffle + broadcast df/stats + top-k
     "bm25_topk_docs",
+    # LM build + linear membership scoring join over one checkpointed
+    # bigram frame
+    "quality_lm_avg_bigram_prob",
     "embedding_label_centroids",
     "skew_salted_user_counts",
     "text_quality_stats",

@@ -781,3 +781,72 @@ def corpus_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stopword_ratio"
         ),
     )
+
+
+# ---------------------------------------------------- time-bounded funnel
+
+@register(
+    "funnel_time_bounded",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS vmin FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS cmin
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click'
+          AND e.ts >= v.vmin AND e.ts <= v.vmin + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS pmin
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= c.cmin AND e.ts <= c.cmin + INTERVAL 1 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_1h,
+           (SELECT COUNT(*) FROM p) AS n_purchased_1h
+    """,
+    doc="TIME-BOUNDED funnel: users whose first view is followed by a "
+    "click within 1 hour and then a purchase within 1 hour of that "
+    "click — the attribution-window variant of "
+    "funnel_view_click_purchase (unbounded order-only). Each stage is "
+    "an equi-join on user_id with the window as a join-side filter "
+    "(never a theta-join), then a grouped min — three user_id-keyed "
+    "shuffles, no range explosion.",
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vmin"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("vmin"))
+            & (F.col("ts") <= F.col("vmin") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cmin"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("cmin"))
+            & (F.col("ts") <= F.col("cmin") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pmin"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked_1h"))))
+        .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased_1h"))))
+    )

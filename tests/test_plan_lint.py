@@ -33,6 +33,7 @@ CROSS_OK = {
     "bm25_topk_docs",             # 1-row (N, avgdl) stats broadcast
     "ann_quantized_topk",         # 1-row query-norm scalar broadcast
     "token_cooccurrence_lift",    # 1-row corpus-count scalar broadcast
+    "funnel_time_bounded",        # three 1-row stage-count broadcasts
 }
 
 _SKIP = tuple(
