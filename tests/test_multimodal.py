@@ -81,3 +81,34 @@ def test_thumbnail_features_real_numpy_compute(spark):
     # text-derived rasters are non-constant: features must show variance
     assert any(r.std_px > 0 for r in rows)
     assert any(r.grad_energy > 0 for r in rows)
+
+
+def test_audio_frame_energy_real_numpy_compute(spark):
+    from stream_processing_spark.catalog import load_table
+    from stream_processing_spark.functions.multimodal import (
+        audio_frame_energy,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    media = synthesize_media(spark, docs, "doc_id", "text")
+    n_audio = media.filter("media_type = 'audio'").count()
+    rows = audio_frame_energy(media, frame_len=64).collect()
+    assert len({r.media_id for r in rows}) == n_audio > 0
+    assert all(r.rms >= 0 and r.peak >= r.rms for r in rows)
+    # deterministic across runs
+    a = {(r.media_id, r.frame_no): (r.rms, r.peak) for r in rows}
+    b = {
+        (r.media_id, r.frame_no): (r.rms, r.peak)
+        for r in audio_frame_energy(media, frame_len=64).collect()
+    }
+    assert a == b
+
+
+def test_image_decode_stub_names_dependency(spark):
+    import pytest
+
+    from stream_processing_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(b"\x89PNG fake")
