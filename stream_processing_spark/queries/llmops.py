@@ -1181,3 +1181,78 @@ def dedup_survivors_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, docs.select("doc_id"), id_col="doc_id", pair_a="doc_a", pair_b="doc_b"
     )
     return canon.filter(F.col("canonical_id") == F.col("doc_id")).select("doc_id")
+
+
+# ------------------------------------------------ end-to-end curation
+
+@register(
+    "curation_final_keep",
+    f"""
+    WITH survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               PERCENT_RANK() OVER (PARTITION BY lang
+                                    ORDER BY len(string_split(text, ' ')))
+                   AS pr
+        FROM documents
+    ),
+    lang_scores AS (
+        SELECT doc_id, lang,
+               {_LANG_SCORE_SQL['en']} AS s_en,
+               {_LANG_SCORE_SQL['de']} AS s_de,
+               {_LANG_SCORE_SQL['fr']} AS s_fr,
+               {_LANG_SCORE_SQL['es']} AS s_es
+        FROM documents
+    ),
+    lang_ok AS (
+        SELECT doc_id FROM lang_scores
+        WHERE lang = CASE
+            WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+            WHEN s_es > 0 THEN 'es'
+            ELSE 'unk' END
+    )
+    SELECT s.doc_id, sc.lang
+    FROM survivors s
+    JOIN scored sc ON sc.doc_id = s.doc_id AND sc.pr >= 0.25
+    JOIN lang_ok lo ON lo.doc_id = s.doc_id
+    """,
+    doc="The END-TO-END curation keep decision in ONE plan: a document "
+    "survives iff it (a) is the exact-dedup representative of its "
+    "content group, (b) sits above the 25th token-count percentile "
+    "within its language, and (c) passes the lang-id consistency check "
+    "(predicted == labeled). Composes dedup_survivors, "
+    "quality_percentile_filter, and text_lang_id as three semi-join "
+    "legs over one documents scan lineage — the decision list a writer "
+    "semi-joins the corpus against to emit the training shard.",
+)
+def curation_final_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from stream_processing_spark.functions.dedup import exact_dedup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = exact_dedup_groups(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.percent_rank()
+        .over(W.partitionBy("lang").orderBy(n_tokens))
+        .alias("pr"),
+    ).filter(F.col("pr") >= 0.25)
+    lang_ok = (
+        docs.select("doc_id", "lang", tx.lang_guess("text").alias("g"))
+        .filter(F.col("lang") == F.col("g"))
+        .select("doc_id")
+    )
+    return (
+        survivors.join(scored, "doc_id")
+        .join(lang_ok, "doc_id")
+        .select("doc_id", "lang")
+    )
