@@ -850,3 +850,106 @@ def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_clicked_1h"))))
         .crossJoin(F.broadcast(p.agg(F.count(F.lit(1)).alias("n_purchased_1h"))))
     )
+
+
+# ------------------------------------------------ anomaly + inequality
+
+@register(
+    "events_anomaly_days",
+    """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    med AS (
+        SELECT quantile_cont(n_events, 0.5) AS med FROM daily
+    ),
+    dev AS (
+        SELECT d.day, d.n_events, ABS(d.n_events - m.med) AS ad
+        FROM daily d, med m
+    ),
+    mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev)
+    SELECT dev.day, CAST(dev.n_events AS BIGINT) AS n_events,
+           ROUND(dev.ad / NULLIF(mad.mad, 0), 6) AS mad_score
+    FROM dev, mad
+    WHERE dev.ad > 3 * mad.mad
+    """,
+    doc="Ingest-monitoring anomaly detection: days whose event volume "
+    "deviates more than 3 MADs from the median daily volume (median/"
+    "MAD, not mean/stddev — robust to the outliers being hunted). Two "
+    "tiny 1-row aggregates broadcast back over the daily counts; all "
+    "arithmetic from integer counts and percentile_cont midpoints.",
+)
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = daily.agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY n_events)").alias(
+            "med"
+        )
+    )
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day", "n_events", F.abs(F.col("n_events") - F.col("med")).alias("ad")
+    )
+    mad = dev.agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ad)").alias("mad")
+    )
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("ad") > 3 * F.col("mad"))
+        .select(
+            "day",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(
+                F.col("ad") / F.nullif(F.col("mad"), F.lit(0)), 6
+            ).alias("mad_score"),
+        )
+    )
+
+
+@register(
+    "user_activity_gini",
+    """
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i,
+               COUNT(*) OVER () AS nu, SUM(n) OVER () AS total
+        FROM per_user
+    )
+    SELECT ROUND(CAST(SUM((2 * i - nu - 1) * n) AS DOUBLE)
+                 / (MAX(nu) * CAST(MAX(total) AS DOUBLE)), 6) AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of per-user event activity — the inequality "
+    "summary behind skew planning (a high Gini predicts hot keys that "
+    "need salting) and engagement dashboards. Closed-form sorted "
+    "formula sum((2i-n-1)x_i)/(n*sum x): integer arithmetic until ONE "
+    "final division. The global rank is a single |users|-row sort — "
+    "fine for a per-dataset scalar; counts partial-aggregate first.",
+)
+def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    wr = W.orderBy("n", "user_id")
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("nu"),
+        F.sum("n").over(W.partitionBy()).alias("total"),
+    )
+    return ranked.agg(
+        F.round(
+            F.sum((2 * F.col("i") - F.col("nu") - 1) * F.col("n")).cast(
+                "double"
+            )
+            / (F.max("nu") * F.max("total").cast("double")),
+            6,
+        ).alias("gini")
+    )

@@ -34,6 +34,7 @@ CROSS_OK = {
     "ann_quantized_topk",         # 1-row query-norm scalar broadcast
     "token_cooccurrence_lift",    # 1-row corpus-count scalar broadcast
     "funnel_time_bounded",        # three 1-row stage-count broadcasts
+    "events_anomaly_days",        # 1-row median/MAD scalar broadcasts
 }
 
 _SKIP = tuple(
