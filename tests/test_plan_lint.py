@@ -35,6 +35,7 @@ CROSS_OK = {
     "token_cooccurrence_lift",    # 1-row corpus-count scalar broadcast
     "funnel_time_bounded",        # three 1-row stage-count broadcasts
     "events_anomaly_days",        # 1-row median/MAD scalar broadcasts
+    "heavy_hitter_tokens",        # 1-row total-token-count scalar broadcast
 }
 
 _SKIP = tuple(
