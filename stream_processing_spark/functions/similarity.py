@@ -103,16 +103,25 @@ def signature_col(vec_col: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
-def _cell_rank_array(vec_col: Column, cents: dict[int, list[float]]) -> Column:
-    """array<struct<s: cosine-to-centroid, nc: -cid>> — array_max picks the
-    best cell (highest sim, ties → lowest cid); sorted tail gives nprobe."""
-    entries = [
-        F.struct(
-            cosine(vec_col, F.array(*[F.lit(float(w)) for w in cvec])).alias("s"),
-            F.lit(-cid).alias("nc"),
-        )
-        for cid, cvec in sorted(cents.items())
-    ]
+def _cell_rank_array(
+    vec_col: Column, cents: dict[int, list[float]], metric: str = "cosine"
+) -> Column:
+    """array<struct<s: affinity-to-centroid, nc: -cid>> — array_max picks
+    the best cell (highest score, ties → lowest cid); sorted tail gives
+    nprobe. ``metric='cosine'`` scores angular affinity; ``'l2'`` scores
+    -0.5·‖x−c‖² up to a per-x constant (x·c − 0.5·c·c), i.e. nearest
+    EUCLIDEAN centroid — the right assignment rule for PQ codebooks,
+    where subvector magnitude carries signal. Both keep every float op
+    engine-side (sequential folds), so an oracle engine reproduces the
+    assignment bit-exactly."""
+    entries = []
+    for cid, cvec in sorted(cents.items()):
+        c = F.array(*[F.lit(float(w)) for w in cvec])
+        if metric == "l2":
+            s = dot(vec_col, c) - F.lit(0.5) * dot(c, c)
+        else:
+            s = cosine(vec_col, c)
+        entries.append(F.struct(s.alias("s"), F.lit(-cid).alias("nc")))
     return F.array(*entries)
 
 
@@ -138,15 +147,16 @@ def kmeans_centroids(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> dict[int, list[float]]:
     """Deterministic k-means coarse quantizer for IVF.
 
     Seeds: the ``n_cells`` vectors with the smallest md5(id) — an
     engine-portable "uniform random" sample (md5 is a fixed hash, so any
     engine picks the same seeds; cell id = seed rank 0..n_cells-1).
-    Refinement: ONE Lloyd round — assign every vector to its
-    nearest-cosine seed map-side (seed literals inlined, no shuffle for
-    assignment), then per-(cell, dim) means via posexplode + grouped
+    Refinement: ONE Lloyd round — assign every vector to its nearest
+    seed map-side (seed literals inlined, no shuffle for assignment;
+    ``metric`` picks cosine or euclidean nearest, see _cell_rank_array), then per-(cell, dim) means via posexplode + grouped
     sum. Each value is rounded to 6dp and decimal-summed so the parallel
     reduction is order-independent — the same trick as
     embedding_label_centroids, which is what lets an oracle engine
@@ -160,7 +170,7 @@ def kmeans_centroids(
     moves retrieval recall past the first round).
     """
     try:
-        cache_key = (embeddings.semanticHash(), n_cells, id_col, vec_col)
+        cache_key = (embeddings.semanticHash(), n_cells, id_col, vec_col, metric)
     except Exception:  # plan not hashable (e.g. streaming) — skip cache
         cache_key = None
     if cache_key is not None and cache_key in _CENTROID_CACHE:
@@ -175,7 +185,7 @@ def kmeans_centroids(
     )
     seeds = {i: list(r[1]) for i, r in enumerate(seed_rows)}
 
-    rank_arr = _cell_rank_array(F.col(vec_col), seeds)
+    rank_arr = _cell_rank_array(F.col(vec_col), seeds, metric=metric)
     assigned = embeddings.withColumn(
         "__cell", -F.array_max(rank_arr).getField("nc")
     )
@@ -361,4 +371,81 @@ def lsh_bucketed_pairs(
         .withColumn("cos_sim", F.round(sim, 6))
         .filter(sim >= threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    m: int = 16,
+    n_codes: int = 16,
+    dim: int = 64,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ADC top-k with exact re-rank.
+
+    Train: the vector space is split into ``m`` contiguous subspaces of
+    dim/m dims; each gets its own ``n_codes``-codeword codebook from the
+    same deterministic k-means as IVF (md5-sampled seeds + one Lloyd
+    round of decimal-rounded means), so every engine reproduces the
+    quantizer bit-exactly. Encode: each vector maps to its best codeword
+    per subspace MAP-SIDE (codebooks inlined as literals — zero shuffle,
+    and at scale the scan reads only the m log2(n_codes)-bit codes, not
+    the full vectors). Score: asymmetric distance computation — the
+    query's EXACT subvectors dotted with each candidate's reconstructed
+    codewords, summed across subspaces; the fixed left-to-right addition
+    order keeps it deterministic. Refine: the ADC top ``refine*k``
+    candidates are re-ranked by exact cosine (a semi-join reads just
+    those full vectors) — the standard PQ+refine topology (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search").
+
+    The fixture embeddings are ~unit-norm, so inner-product ADC ranks
+    like cosine; for general corpora L2-normalize first.
+    """
+    sub = dim // m
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    base = embeddings.filter(F.col(id_col) != query_vec_id).crossJoin(
+        F.broadcast(q)
+    )
+    score = None
+    for j in range(m):
+        cb = kmeans_centroids(
+            embeddings.select(
+                id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+            ),
+            n_codes,
+            id_col=id_col,
+            vec_col=vec_col,
+            metric="l2",
+        )
+        code = -F.array_max(
+            _cell_rank_array(
+                F.slice(F.col(vec_col), j * sub + 1, sub), cb, metric="l2"
+            )
+        ).getField("nc")
+        cw_arr = F.array(
+            *[F.array(*[F.lit(float(w)) for w in cb[c]]) for c in sorted(cb)]
+        )
+        term = dot(
+            F.slice(F.col("__q"), j * sub + 1, sub),
+            F.element_at(cw_arr, code.cast("int") + 1),
+        )
+        score = term if score is None else score + term
+    adc = (
+        base.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(refine * k)
+    )
+    cand = embeddings.join(adc.select(id_col), id_col, "left_semi")
+    cos_sim = F.round(cosine(F.col(vec_col), F.col("__q")), 6)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cos_sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
     )

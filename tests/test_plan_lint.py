@@ -36,6 +36,7 @@ CROSS_OK = {
     "funnel_time_bounded",        # three 1-row stage-count broadcasts
     "events_anomaly_days",        # 1-row median/MAD scalar broadcasts
     "heavy_hitter_tokens",        # 1-row total-token-count scalar broadcast
+    "ann_pq_topk",                # 1-row query vector broadcast (ADC + re-rank)
 }
 
 _SKIP = tuple(

@@ -123,3 +123,35 @@ def test_banded_candidates_match_python_reference(spark):
         ).collect()
     }
     assert got == expect and expect
+
+
+def test_pq_recall_vs_brute_force(spark):
+    # PQ ADC (16 subspaces x 16 codewords, l2 assignment) + exact
+    # re-rank of the ADC top-80 must recover most of the exact top-10
+    # (quantizer deterministic -> fixed number per dataset)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = [
+        r.vec_id
+        for r in sim.brute_force_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    approx = {
+        r.vec_id for r in sim.pq_topk(emb, query_vec_id=0, k=10).collect()
+    }
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.7, (recall, exact, sorted(approx))
+
+
+def test_pq_refine_widening_recovers_exact_order(spark):
+    # with refine covering the whole corpus the re-rank IS exact cosine:
+    # pq_topk must then equal brute force exactly (order included)
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    exact = [
+        (r.vec_id, r.cos_sim)
+        for r in sim.brute_force_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    full = [
+        (r.vec_id, r.cos_sim)
+        for r in sim.pq_topk(emb, query_vec_id=0, k=10, refine=n).collect()
+    ]
+    assert full == exact
