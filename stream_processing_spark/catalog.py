@@ -39,15 +39,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Parquet scans get column pruning + predicate pushdown
     from Catalyst for free — do NOT cache or materialize here.
 
-    events.ts is TIMESTAMP(NANOS) in the parquet footer, which Spark
-    refuses to read natively; read it as long nanos and truncate to
-    microseconds — the same truncation DuckDB applies, so oracle
-    comparisons agree."""
+    events.ts has shipped in two parquet layouts across driver testdata
+    generations: TIMESTAMP(NANOS) (which Spark only reads via the
+    nanosAsLong legacy flag) and plain TIMESTAMP micros (NTZ). Normalize
+    both to a session-TZ TimestampType under a pinned UTC session so
+    every downstream window/date_trunc query — and the DuckDB oracle,
+    which reads naive timestamps — sees identical wall-clock values."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros() yields a session-TZ timestamp; pin UTC so
+        # timestamp_micros()/cast yield a session-TZ timestamp; pin UTC so
         # window/date_trunc queries agree with the oracle's naive
         # timestamps even if the caller's session (e.g. the driver's
         # vanilla one) inherited a non-UTC system zone
@@ -55,9 +57,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        # integer division — double division would lose precision on
-        # ~1.7e18 nanosecond values (53-bit mantissa)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long nanos: integer-divide to
+            # micros — double division would lose precision on ~1.7e18
+            # nanosecond values (53-bit mantissa)
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

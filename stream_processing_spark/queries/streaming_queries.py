@@ -27,17 +27,37 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     return d
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet (ts is TIMESTAMP(NANOS) in the
-    footer → read as long + truncate to micros, same as catalog.load_table)."""
+def _events_ts_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Probe the events parquet footer (cheap batch-read of the schema)
+    for the ts physical type — the driver's testdata has shipped both
+    TIMESTAMP(NANOS) (reads as bigint under nanosAsLong) and plain
+    TIMESTAMP micros (reads as timestamp_ntz). Same normalization as
+    catalog.load_table, applied to the stream's declared schema."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probe = spark.read.parquet(table_path(sf_dir, "events"))
+    return dict(probe.dtypes).get("ts", "timestamp")
+
+
+def _events_schema_and_norm(ts_layout: str):
+    """(readStream schema DDL, ts normalizer) for a given footer layout."""
     schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
+        f"event_id bigint, ts {ts_layout}, user_id bigint, "
+        "event_type string, value double, props string"
     )
+    if ts_layout == "bigint":
+        norm = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        norm = F.col("ts").cast("timestamp")
+    return schema, norm
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet, ts normalized to session-TZ
+    micros under a pinned UTC session (see _events_ts_layout)."""
+    schema, norm = _events_schema_and_norm(_events_ts_layout(spark, sf_dir))
     raw = spark.readStream.schema(schema).parquet(_stream_dir(sf_dir, "events"))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", norm)
 
 
 def _drain_complete(df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -190,17 +210,13 @@ def streaming_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFr
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_spark.streaming.windows import dedup_within_watermark
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, norm = _events_schema_and_norm(_events_ts_layout(spark, sf_dir))
     # stage the file TWICE (replayed delivery)
     d = tempfile.mkdtemp(prefix="stream_src_events_dup_")
     for copy in ("a", "b"):
         os.symlink(
             table_path(sf_dir, "events"), os.path.join(d, f"events_{copy}.parquet")
         )
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
     # maxFilesPerTrigger=1 → the two copies arrive in SEPARATE
     # micro-batches, so dedup must work across batches via the state
     # store, not just within one batch
@@ -208,7 +224,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", norm)
     )
     deduped = dedup_within_watermark(raw, ["event_id"], ts_col="ts", watermark="1 hour")
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
