@@ -58,6 +58,7 @@ from stream_processing_spark.queries import sessionize_queries  # noqa: E402,F40
 from stream_processing_spark.queries import analytics_queries  # noqa: E402,F401
 from stream_processing_spark.queries import curation2  # noqa: E402,F401
 from stream_processing_spark.queries import curation3  # noqa: E402,F401
+from stream_processing_spark.queries import curation4  # noqa: E402,F401
 from stream_processing_spark.queries import graph_retrieval  # noqa: E402,F401
 from stream_processing_spark.queries import pq  # noqa: E402,F401
 

@@ -1,0 +1,317 @@
+"""Round-2 batch 3 curation operators — the safety/quality filters of a
+training-data pipeline:
+
+- PII redaction (email/phone regex masking with audit counts — the
+  scrubbing stage every public-corpus pipeline runs before training);
+- blocklist token filtering (bad-word ratio keep/drop, the C4 rule);
+- type-token-ratio lexical diversity (Gopher-style repetition filter,
+  complementing quality_bigram_repetition's top-bigram rule);
+- winsorized statistics (clamped robust means, the outlier-tolerant
+  aggregate for ingest monitoring dashboards).
+
+Determinism rules as elsewhere in the registry: integer/decimal
+arithmetic until one exact double division, ROUND(…, n) only on
+genuinely-float outputs, identical regex dialect subset (character
+classes + bounded repetition) so Java regex and RE2 agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_spark.catalog import load_table
+from stream_processing_spark.queries import register
+from stream_processing_spark.queries._util import dec
+
+# ------------------------------------------------------- PII redaction
+
+# Patterns restricted to the syntax subset where Java regex (Spark) and
+# RE2 (DuckDB) agree: character classes, +, bounded {m,n}. No
+# backreferences, no lookaround.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+# The synthetic corpus is PII-free, so the query first plants
+# deterministic contact strings on a fixed doc_id slice (3 in 7 docs;
+# 7 is coprime with the generator's doc_id%20 source assignment, so
+# every source gets a mix of tagged and clean docs) — the redactor must
+# then find exactly those. This keeps the match count nonzero and
+# oracle-checkable while documenting that the fixture is synthetic,
+# not discovered.
+_PII_TAG_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com tel 415-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "pii_redact_stats",
+    f"""
+    WITH tagged AS (
+        SELECT source,
+               CASE WHEN doc_id % 7 < 3 THEN {_PII_TAG_SQL}
+                    ELSE text END AS t
+        FROM documents
+    ),
+    red AS (
+        SELECT source, t,
+               len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+               regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+        FROM tagged
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_redacted,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(len(t) - len(clean)) AS BIGINT) AS chars_removed
+    FROM red
+    GROUP BY source
+    """,
+    doc="PII redaction with audit stats: email and phone patterns are "
+    "masked via regexp_replace and counted via regexp_count, reporting "
+    "per-source docs-touched / matches / chars-removed — the scrub "
+    "report a compliance pipeline emits. The corpus is synthetic and "
+    "PII-free, so a fixed doc_id slice (3 in 7) is first enriched with "
+    "deterministic contact strings the redactor must then find — the "
+    "oracle checks the redactor recovers exactly the planted set. "
+    "Scale shape: pure map-side string work (regexp_replace/count are "
+    "JVM codegen expressions, no UDF, no shuffle before the final "
+    "per-source aggregate); the regex subset (character classes + "
+    "bounded repetition, no lookaround) is chosen so Java regex and "
+    "RE2 produce identical matches.",
+)
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 7 < 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com tel 415-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    red = tagged.select(
+        "source",
+        "t",
+        F.regexp_count(F.col("t"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("clean"),
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_emails") + F.col("n_phones") > 0, 1).otherwise(0)
+        ).alias("n_docs_redacted"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.sum(F.length("t") - F.length("clean")).alias("chars_removed"),
+    )
+
+
+# -------------------------------------------------- blocklist filtering
+
+# Tokens drawn from the synthetic vocabulary so hits are nonzero; a real
+# pipeline broadcasts a list of thousands — array_contains over a
+# broadcast literal array is the same plan at that size.
+_BLOCKLIST = ("slow", "merge", "scan")
+# keep iff blocked tokens are under 6% of the doc's tokens.
+_BLOCK_PCT = 6
+
+
+@register(
+    "quality_blocklist_filter",
+    f"""
+    WITH d AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN {str(tuple(_BLOCKLIST))})) AS hits,
+               len(string_split(text, ' ')) AS n_toks
+        FROM documents
+    )
+    SELECT lang,
+           hits * 100 < n_toks * {_BLOCK_PCT} AS keep,
+           COUNT(*) AS n_docs,
+           CAST(SUM(hits) AS BIGINT) AS blocked_tokens,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           ROUND(SUM(hits) / SUM(n_toks), 6) AS blocked_ratio
+    FROM d
+    GROUP BY lang, keep
+    """,
+    doc="Blocklist token filter (the C4 bad-words rule): per-doc count "
+    "of blocklisted tokens via a higher-order array filter (JVM "
+    "codegen lambda, no explode, no shuffle), keep decision at a 6% "
+    "ratio threshold compared in exact integer cross-multiplication "
+    "(hits*100 < n_toks*6 — no float ratio), then per-(lang, keep) "
+    "audit counts. Scale shape: the blocklist is a literal/broadcast "
+    "array so the scan stays map-side; the only shuffle is the final "
+    "tiny (lang, keep) aggregate. The pooled blocked_ratio divides "
+    "exact integer sums once at the end.",
+)
+def quality_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select(
+        "lang",
+        F.size(F.filter(toks, lambda t: t.isin(*_BLOCKLIST))).alias("hits"),
+        F.size(toks).alias("n_toks"),
+    )
+    return d.groupBy(
+        "lang",
+        (F.col("hits") * 100 < F.col("n_toks") * _BLOCK_PCT).alias("keep"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("hits").alias("blocked_tokens"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(F.sum("hits") / F.sum("n_toks"), 6).alias("blocked_ratio"),
+    )
+
+
+# --------------------------------------------- type-token ratio quality
+
+
+@register(
+    "text_type_token_ratio",
+    """
+    WITH d AS (
+        SELECT lang, source,
+               len(list_distinct(string_split(text, ' '))) AS u,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN u * 2 < n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_diversity,
+           ROUND(SUM(u) / SUM(n), 6) AS pooled_ttr,
+           ROUND(CAST(SUM(CAST(ROUND(u / n, 8) AS DECIMAL(12,8))) AS DOUBLE)
+                 / COUNT(*), 6) AS macro_avg_ttr
+    FROM d
+    GROUP BY lang, source
+    """,
+    doc="Type-token ratio (lexical diversity) quality signal per (lang, "
+    "source): unique tokens / total tokens per doc, with a "
+    "low-diversity flag at TTR < 0.5 (exact integer comparison u*2 < "
+    "n) — the Gopher-style repetition filter at the whole-doc level, "
+    "complementing quality_bigram_repetition's top-bigram rule. Two "
+    "aggregate forms with different determinism discipline: pooled_ttr "
+    "divides exact integer sums once; macro_avg_ttr averages per-doc "
+    "ratios by snapping each IEEE-exact division to an 8-dp DECIMAL "
+    "before summing, making the distributed sum order-independent. "
+    "Scale shape: array_distinct/size are map-side codegen (no "
+    "explode); one tiny (lang, source) shuffle.",
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select(
+        "lang",
+        "source",
+        F.size(F.array_distinct(toks)).alias("u"),
+        F.size(toks).alias("n"),
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("u") * 2 < F.col("n"), 1).otherwise(0)).alias(
+            "n_low_diversity"
+        ),
+        F.round(F.sum("u") / F.sum("n"), 6).alias("pooled_ttr"),
+        F.round(
+            F.sum(
+                F.round(F.col("u") / F.col("n"), 8).cast("decimal(12,8)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("macro_avg_ttr"),
+    )
+
+
+# ------------------------------------------------- winsorized statistics
+
+
+@register(
+    "winsorized_price_stats",
+    """
+    WITH cuts AS (
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.05), 2) AS q05,
+               ROUND(quantile_cont(o_totalprice, 0.95), 2) AS q95
+        FROM orders
+        GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o.o_totalprice < c.q05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_low,
+           CAST(SUM(CASE WHEN o.o_totalprice > c.q95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_high,
+           -- CASE, not LEAST/GREATEST: DuckDB's LEAST/GREATEST promote
+           -- DECIMAL args to DOUBLE, losing the exact-sum property
+           CAST(SUM(CASE WHEN o.o_totalprice < c.q05
+                              THEN CAST(c.q05 AS DECIMAL(12,2))
+                         WHEN o.o_totalprice > c.q95
+                              THEN CAST(c.q95 AS DECIMAL(12,2))
+                         ELSE CAST(o.o_totalprice AS DECIMAL(12,2))
+                    END) AS DOUBLE)
+               / COUNT(*) AS avg_winsorized,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS avg_raw
+    FROM orders o JOIN cuts c USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+    doc="Winsorized mean order value per status: per-group p05/p95 "
+    "cutoffs (Spark percentile == DuckDB quantile_cont, rounded to the "
+    "data's 2-dp grain), every price clamped into [p05, p95] with "
+    "least/greatest, then an exact decimal mean beside the raw mean "
+    "and clamp counts — the robust aggregate for dashboards where a "
+    "single fat-finger order must not move the metric (complements "
+    "iqr_outlier_events, which REPORTS outliers; winsorizing BOUNDS "
+    "them). Scale shape: the cutoff table is |status| rows, broadcast "
+    "back over the fact — two status-keyed aggregations and zero "
+    "fact-to-fact joins; at 100 TB the percentile pass can swap to "
+    "approx_percentile without changing the plan shape.",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.05)), 2).alias("q05"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 2).alias("q95"),
+    )
+    clamped = F.least(
+        F.greatest(dec("o_totalprice"), dec("q05")), dec("q95")
+    )
+    return (
+        orders.join(F.broadcast(cuts), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("q05"), 1).otherwise(0)
+            ).alias("n_clamped_low"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("q95"), 1).otherwise(0)
+            ).alias("n_clamped_high"),
+            (F.sum(clamped).cast("double") / F.count(F.lit(1))).alias(
+                "avg_winsorized"
+            ),
+            (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_raw"
+            ),
+        )
+    )
