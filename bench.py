@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "skew_salted_user_counts",
     "text_quality_stats",
     "dedup_exact_groups",
+    # map-side regex scrub over the full corpus (PII masking throughput)
+    "pii_redact_stats",
+    # linear span-fingerprint self-join bounded by catalog-size fan-out
+    "cross_source_span_overlap",
     "sessionize_user_sessions",
     # event-sequence ops: chained stage joins / lead() transition pairs
     "funnel_view_click_purchase",

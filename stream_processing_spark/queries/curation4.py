@@ -17,10 +17,11 @@ classes + bounded repetition) so Java regex and RE2 agree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_processing_spark.catalog import load_table
+from stream_processing_spark.functions import similarity as sim
 from stream_processing_spark.queries import register
 from stream_processing_spark.queries._util import dec
 
@@ -313,5 +314,189 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
                 "avg_raw"
             ),
+        )
+    )
+
+
+# ------------------------------------- cross-source span overlap matrix
+
+_XS_SPAN_W = 8
+_XS_SPAN_TERMS = " || ' ' || ".join(f"t[i+{j}]" for j in range(_XS_SPAN_W))
+
+
+@register(
+    "cross_source_span_overlap",
+    f"""
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT DISTINCT source, md5({_XS_SPAN_TERMS}) AS fp
+        FROM toks, UNNEST(range(1, len(t) - {_XS_SPAN_W - 2})) AS u(i)
+        WHERE len(t) >= {_XS_SPAN_W}
+    ),
+    per_src AS (
+        SELECT source, COUNT(*) AS n_spans FROM spans GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS shared_spans,
+           ROUND(COUNT(*) / LEAST(MIN(pa.n_spans), MIN(pb.n_spans)), 6)
+               AS overlap_coef
+    FROM spans a
+    JOIN spans b ON a.fp = b.fp AND a.source < b.source
+    JOIN per_src pa ON pa.source = a.source
+    JOIN per_src pb ON pb.source = b.source
+    GROUP BY a.source, b.source
+    """,
+    doc=f"Cross-source contamination matrix: per source pair, the count "
+    f"of distinct {_XS_SPAN_W}-token spans both contain, plus the "
+    "overlap coefficient (shared / smaller side) — the dataset-card "
+    "diagnostic that tells you two crawl snapshots substantially "
+    "duplicate each other BEFORE you pay for full dedup between them. "
+    "Scale shape: spans are fingerprinted md5 and deduped per source "
+    "first, so each join key appears at most once per source — the "
+    "fp self-join fans out to at most n_sources^2 rows per span "
+    "(bounded by the catalog size, not the corpus), and the span "
+    "generation is linear in corpus tokens with no text shuffled "
+    "(fixed-width 32-hex keys only). Per-source totals are a tiny "
+    "broadcast joined back for the coefficient.",
+)
+def cross_source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    spans = (
+        docs.select("source", F.split(F.col("text"), " ").alias("t"))
+        .where(F.size("t") >= _XS_SPAN_W)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {_XS_SPAN_W}), "
+                    f"i -> md5(concat_ws(' ', slice(t, i + 1, {_XS_SPAN_W}))))"
+                )
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    per_src = spans.groupBy("source").agg(F.count(F.lit(1)).alias("n_spans"))
+    a, b = spans.alias("a"), spans.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_spans"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_spans").alias("na")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_spans").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_spans",
+            F.round(
+                F.col("shared_spans") / F.least("na", "nb"), 6
+            ).alias("overlap_coef"),
+        )
+    )
+
+
+# ------------------------------------------- contrastive triplet mining
+
+_NEG_STEP = 137  # coprime with every sf's embedding count
+
+_TRIP_COS_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@register(
+    "contrastive_triplets",
+    f"""
+    WITH base AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    n AS (SELECT COUNT(*) AS c FROM base),
+    anch AS (
+        SELECT vec_id, label, e,
+               COALESCE(LEAD(vec_id) OVER (PARTITION BY label ORDER BY vec_id),
+                        MIN(vec_id) OVER (PARTITION BY label)) AS pos_id,
+               (vec_id + {_NEG_STEP}) % (SELECT c FROM n) AS neg_id
+        FROM base
+    )
+    SELECT a.vec_id AS anchor_id, a.pos_id, a.neg_id,
+           ROUND({_TRIP_COS_SQL.format(a="a.e", b="p.e")}, 6) AS cos_pos,
+           ROUND({_TRIP_COS_SQL.format(a="a.e", b="g.e")}, 6) AS cos_neg,
+           ROUND({_TRIP_COS_SQL.format(a="a.e", b="p.e")}
+                 - {_TRIP_COS_SQL.format(a="a.e", b="g.e")}, 6) AS margin
+    FROM anch a
+    JOIN base p ON p.vec_id = a.pos_id
+    JOIN base g ON g.vec_id = a.neg_id
+    WHERE a.pos_id <> a.vec_id AND g.label <> a.label
+    """,
+    doc="Contrastive triplet mining for embedding-model training: each "
+    "anchor pairs with the next same-label vector (cyclic via "
+    "lead/min window — every anchor in a multi-member label gets "
+    "exactly one positive, deterministically) and a modular-step "
+    "negative (anchor_id + 137 mod N, kept only when the label "
+    "differs), with cosine-to-positive, cosine-to-negative, and the "
+    "triplet margin. Scale shape: positives come from one label-keyed "
+    "window (no self-join); the two vector lookups are id equi-joins; "
+    "N is a 1-row broadcast scalar. A real miner would swap the "
+    "modular negative for ANN-ranked hard negatives (ann_lsh/ivf/pq "
+    "supply that tier) — the modular rule keeps the fixture "
+    "deterministic and oracle-checkable.",
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    n = base.agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("label").orderBy("vec_id")
+    anch = (
+        base.withColumn(
+            "pos_id",
+            F.coalesce(
+                F.lead("vec_id").over(w),
+                F.min("vec_id").over(Window.partitionBy("label")),
+            ),
+        )
+        .join(F.broadcast(n))
+        .withColumn("neg_id", (F.col("vec_id") + _NEG_STEP) % F.col("c"))
+    )
+    p = base.select(
+        F.col("vec_id").alias("pos_id"), F.col("e").alias("pe")
+    )
+    g = base.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("e").alias("ge"),
+    )
+    cos_pos = sim.cosine(F.col("e"), F.col("pe"))
+    cos_neg = sim.cosine(F.col("e"), F.col("ge"))
+    return (
+        anch.where(F.col("pos_id") != F.col("vec_id"))
+        .join(p, "pos_id")
+        .join(g, "neg_id")
+        .where(F.col("neg_label") != F.col("label"))
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            "pos_id",
+            "neg_id",
+            F.round(cos_pos, 6).alias("cos_pos"),
+            F.round(cos_neg, 6).alias("cos_neg"),
+            F.round(cos_pos - cos_neg, 6).alias("margin"),
         )
     )

@@ -37,6 +37,7 @@ CROSS_OK = {
     "events_anomaly_days",        # 1-row median/MAD scalar broadcasts
     "heavy_hitter_tokens",        # 1-row total-token-count scalar broadcast
     "ann_pq_topk",                # 1-row query vector broadcast (ADC + re-rank)
+    "contrastive_triplets",       # 1-row corpus-count scalar broadcast
 }
 
 _SKIP = tuple(
