@@ -500,3 +500,122 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos_pos - cos_neg, 6).alias("margin"),
         )
     )
+
+
+# --------------------------------------------------- k-anonymity report
+
+_K_ANON = 5
+
+
+@register(
+    "k_anonymity_report",
+    f"""
+    WITH grp AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN n_users < {_K_ANON} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN n_users < {_K_ANON} THEN n_events ELSE 0 END)
+                AS BIGINT) AS events_suppressed,
+           ROUND(SUM(CASE WHEN n_users < {_K_ANON} THEN n_events ELSE 0 END)
+                 / SUM(n_events), 6) AS suppression_rate
+    FROM grp
+    GROUP BY event_type
+    """,
+    doc=f"k-anonymity audit (k={_K_ANON}) over the quasi-identifier "
+    "(event_type, hour): per event type, how many hour-groups contain "
+    f"fewer than {_K_ANON} distinct users (re-identification risk) and "
+    "what fraction of events a suppress-violating-groups release "
+    "policy would drop. Violations naturally shrink as data grows "
+    "(denser hours → more users per group — sf0.1 reports zero, the "
+    "expected property), so the report, not the violation list, is "
+    "the stable output shape. Scale: one (event_type, hour) shuffle "
+    "for the distinct-count, one tiny event_type rollup; integer "
+    "arithmetic with a single final division.",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    viol = F.when(F.col("n_users") < _K_ANON, F.col("n_events")).otherwise(0)
+    return grp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(
+            F.when(F.col("n_users") < _K_ANON, 1).otherwise(0)
+        ).alias("n_violating_groups"),
+        F.sum(viol).alias("events_suppressed"),
+        F.round(F.sum(viol) / F.sum("n_events"), 6).alias(
+            "suppression_rate"
+        ),
+    )
+
+
+# ---------------------------------------------- epoch shuffle assignment
+
+_N_EPOCHS = 3
+_HEX_DIGITS = "0123456789abcdef"
+
+
+@register(
+    "epoch_shuffle_assignment",
+    f"""
+    WITH assign AS (
+        SELECT e.epoch,
+               strpos('{_HEX_DIGITS}',
+                      substr(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+                                 CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                   AS shard,
+               n_chars
+        FROM documents,
+             (SELECT UNNEST(range({_N_EPOCHS})) AS epoch) e
+    )
+    SELECT epoch, shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assign
+    GROUP BY epoch, shard
+    """,
+    doc=f"Deterministic per-epoch shard shuffle: for each of "
+    f"{_N_EPOCHS} training epochs, every doc is assigned one of 16 "
+    "shards by the first hex digit of md5(epoch:doc_id) — a different "
+    "but fully reproducible permutation per epoch (the property "
+    "training-data loaders need: same data order on job restart, "
+    "different order across epochs; rand() gives neither). Output is "
+    "the per-(epoch, shard) doc/char balance sheet that validates "
+    "shard sizing before the write. Scale: the epoch fan-out is a "
+    "{_N_EPOCHS}-row Generate (explode), assignment is map-side md5, "
+    "and the only shuffle is the 16×epochs-row aggregate; the same "
+    "expression feeds shards.py's partitioned writer as the "
+    "partition column.",
+)
+def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.expr(
+        "locate(substr(md5(concat(cast(epoch as string), ':', "
+        f"cast(doc_id as string))), 1, 1), '{_HEX_DIGITS}') - 1"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1))
+            ).alias("epoch"),
+        )
+        .select("epoch", shard.alias("shard"), "n_chars")
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
