@@ -400,3 +400,54 @@ def streaming_custom_stateful_max(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("max_value")
         )
     )
+
+
+@register(
+    "streaming_trending_topk",
+    """
+    WITH w AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_type, COUNT(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT window_start, event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY window_start
+                                  ORDER BY cnt DESC, event_type) AS rk
+        FROM w
+    )
+    SELECT window_start, event_type, cnt, rk
+    FROM r WHERE rk <= 3
+    """,
+    doc="Streaming trending top-k: 6-hour tumbling windows of per-type "
+    "counts maintained by a REAL streaming aggregation (complete-mode "
+    "memory sink, drained), then the top-3 rank per window applied on "
+    "the sink table — the dashboard pattern where the stream maintains "
+    "the windowed counts (the unbounded, stateful part) and the "
+    "renderer ranks the current snapshot (bounded: |windows|×|types| "
+    "rows, never raw events). Ties broken by event_type so the rank "
+    "is total and deterministic. Scale: the stream shuffles on "
+    "(window, type) with partial aggregation; the rank runs over the "
+    "tiny materialized state, not the stream.",
+)
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    src = _events_stream(spark, sf_dir)
+    agg = src.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    snap = _drain_complete(agg, spark)
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.col("cnt").desc(), F.col("event_type")
+        )
+    )
+    return (
+        snap.select(
+            F.col("w.start").alias("window_start"), "event_type", "cnt"
+        )
+        .withColumn("rk", rk)
+        .where(F.col("rk") <= 3)
+    )
