@@ -619,3 +619,59 @@ def epoch_shuffle_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ------------------------------------- span-corruption pair generation
+
+_MASK_EVERY = 7  # mask token positions where pos % 7 == 0
+_SENTINEL = "<extra_id>"
+
+
+@register(
+    "span_corruption_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i, t[i] AS tok, (i - 1) % {_MASK_EVERY} = 0 AS m
+        FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN m THEN '{_SENTINEL}' ELSE tok END,
+                      ' ' ORDER BY i) AS input_text,
+           string_agg(CASE WHEN m THEN tok END, ' ' ORDER BY i)
+               AS target_text,
+           CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+    FROM pos
+    GROUP BY doc_id
+    """,
+    doc="Denoising-objective training pairs (the T5 span-corruption "
+    f"shape): every {_MASK_EVERY}th token position is replaced by a "
+    "sentinel in the input and collected, in order, as the target — "
+    "(input_text, target_text, n_masked) per document. The mask rule "
+    "is positional and deterministic (a real pipeline seeds an RNG "
+    "per doc; position mod keeps both engines and every rerun "
+    "identical). Scale shape: pure per-row array work in Spark "
+    "(transform + filter + concat_ws over the token array — no "
+    "explode, no shuffle, no UDF; the oracle's UNNEST+string_agg is "
+    "the SQL spelling of the same thing); output cardinality equals "
+    "input. Pairs feed pack_docs_token_budget/shards.py downstream.",
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', transform(split(text, ' '), "
+            f"(tok, i) -> CASE WHEN i % {_MASK_EVERY} = 0 "
+            f"THEN '{_SENTINEL}' ELSE tok END))"
+        ).alias("input_text"),
+        F.expr(
+            "concat_ws(' ', filter(split(text, ' '), "
+            f"(tok, i) -> i % {_MASK_EVERY} = 0))"
+        ).alias("target_text"),
+        F.expr(
+            f"size(filter(split(text, ' '), (tok, i) -> i % {_MASK_EVERY} = 0))"
+        ).cast("bigint").alias("n_masked"),
+    )
