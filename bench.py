@@ -10,11 +10,16 @@ no driver-side collect). Queries are chosen to cover the engine's load-
 bearing paths: scan+agg, multi-join, window, top-k, grep, shuffle-heavy
 dedup, embedding similarity, as-of join.
 
-Round-over-round note: round 2 ADDED six headliners (dedup_jaccard_pairs,
+Round-over-round note: round 2 ADDED headliners (dedup_jaccard_pairs,
 dedup_connected_components, ann_ivf_topk, dedup_simhash_pairs,
-decontaminate_ngram_overlap, bm25_topk_docs) and replaced the single-band
-LSH algorithm with the 4-table banded one (~4x recall, more signature
-math) — compare totals per-query against BENCH_r01, not in aggregate.
+decontaminate_ngram_overlap, bm25_topk_docs, quality_lm_avg_bigram_prob,
+pii_redact_stats, cross_source_span_overlap) and replaced the
+single-band LSH algorithm with the 4-table banded one (~4x recall, more
+signature math) — compare totals per-query against BENCH_r01, not in
+aggregate. Measured mid-round-2 on an idle box: the 22 round-1 queries
+total 14.1s vs 15.5s in BENCH_r01 (slightly faster); the only >1.5x
+per-query mover is ann_lsh_bucketed_pairs (1.35s -> 2.7s), which is the
+intentional banded-multi-table upgrade, not a plan regression.
 """
 
 from __future__ import annotations
