@@ -675,3 +675,100 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"size(filter(split(text, ' '), (tok, i) -> i % {_MASK_EVERY} = 0))"
         ).cast("bigint").alias("n_masked"),
     )
+
+
+# ------------------------------------------------ dataset pairing audit
+
+
+@register(
+    "dataset_pairing_audit",
+    """
+    SELECT
+        CASE WHEN e.vec_id IS NULL THEN 'doc_only'
+             WHEN d.doc_id IS NULL THEN 'embedding_only'
+             ELSE 'paired' END AS pair_status,
+        COUNT(*) AS n_rows,
+        CAST(COALESCE(SUM(d.n_chars), 0) AS BIGINT) AS total_chars
+    FROM documents d
+    FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY 1
+    """,
+    doc="Modality-pairing audit: a full outer join of documents and "
+    "embeddings on id classifies every row as paired / doc_only / "
+    "embedding_only — the alignment sheet a multimodal or "
+    "text+embedding dataset needs before training (unpaired rows are "
+    "either un-embedded backlog or orphaned vectors pointing at "
+    "deleted docs). Scale shape: one sort-merge full outer join on "
+    "the id, then a <=3-row aggregate; at sf0.1 the corpus genuinely "
+    "has un-embedded docs (5000 docs vs 2000 vectors) so the doc_only "
+    "branch is real, and tests cover the orphaned-vector branch.",
+)
+def dataset_pairing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    j = docs.join(emb, docs.doc_id == emb.vec_id, "full_outer")
+    status = (
+        F.when(F.col("vec_id").isNull(), "doc_only")
+        .when(F.col("doc_id").isNull(), "embedding_only")
+        .otherwise("paired")
+    )
+    return j.groupBy(status.alias("pair_status")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+    )
+
+
+# -------------------------------------------- length-bucketed batching
+
+_LEN_BUCKET = 64   # chars per length bucket
+_BATCH_SIZE = 32   # docs per batch
+
+
+@register(
+    "length_bucketed_batches",
+    f"""
+    WITH b AS (
+        SELECT doc_id, n_chars,
+               n_chars // {_LEN_BUCKET} AS bucket,
+               (ROW_NUMBER() OVER (PARTITION BY n_chars // {_LEN_BUCKET}
+                                   ORDER BY doc_id) - 1) // {_BATCH_SIZE}
+                   AS batch_id
+        FROM documents
+    )
+    SELECT bucket, batch_id,
+           COUNT(*) AS n_docs,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(SUM(n_chars) / (COUNT(*) * MAX(n_chars)), 6)
+               AS padding_efficiency
+    FROM b
+    GROUP BY bucket, batch_id
+    """,
+    doc="Length-bucketed batch assignment (dynamic-batching prep): docs "
+    f"group into {_LEN_BUCKET}-char length buckets, and within each "
+    f"bucket a doc_id-ordered row_number slices deterministic "
+    f"{_BATCH_SIZE}-doc batches; output is the per-batch padding "
+    "sheet — padding_efficiency = sum(len)/(count*max), the fraction "
+    "of a padded batch tensor that is real content. Bucketing by "
+    "length is what keeps that ratio near 1 (batching unsorted docs "
+    "pads everything to the corpus max). Scale shape: one Exchange on "
+    "the bucket key for the window, then the per-batch aggregate "
+    "reuses the same partitioning; integer arithmetic throughout with "
+    "one final exact division.",
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("n_chars") / _LEN_BUCKET).cast("bigint")
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    b = docs.select("doc_id", "n_chars", bucket.alias("bucket")).withColumn(
+        "batch_id",
+        ((F.row_number().over(w) - 1) / _BATCH_SIZE).cast("bigint"),
+    )
+    return b.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            F.sum("n_chars") / (F.count(F.lit(1)) * F.max("n_chars")), 6
+        ).alias("padding_efficiency"),
+    )

@@ -215,3 +215,46 @@ def test_triplets_skip_singleton_labels(spark, tmp_path):
     )
     got = REGISTRY["contrastive_triplets"].spark(spark, d).collect()
     assert all(r["anchor_id"] != 2 for r in got)
+
+
+# ------------------------------------------------ dataset pairing audit
+
+
+def test_pairing_audit_all_three_branches(spark, tmp_path):
+    d = _docs(
+        spark,
+        str(tmp_path),
+        [(0, "a b", "en", "s0", 3), (1, "c d", "en", "s0", 3)],
+    )
+    # vec 1 pairs with doc 1; vec 99 is an orphan; doc 0 is un-embedded
+    _write(
+        spark,
+        str(tmp_path),
+        "embeddings",
+        [(1, [1.0, 0.0], 0), (99, [0.0, 1.0], 1)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    got = {
+        r["pair_status"]: (r["n_rows"], r["total_chars"])
+        for r in REGISTRY["dataset_pairing_audit"].spark(spark, d).collect()
+    }
+    assert got == {
+        "paired": (1, 3),
+        "doc_only": (1, 3),
+        "embedding_only": (1, 0),
+    }
+
+
+# -------------------------------------------- length-bucketed batching
+
+
+def test_length_bucketed_batches_slicing_and_padding(spark, tmp_path):
+    # 70 docs of identical length: one bucket, batches of 32 → 32+32+6,
+    # padding_efficiency exactly 1.0 (max == every len)
+    rows = [(i, "x", "en", "s0", 100) for i in range(70)]
+    d = _docs(spark, str(tmp_path), rows)
+    got = sorted(
+        (r["batch_id"], r["n_docs"], r["padding_efficiency"])
+        for r in REGISTRY["length_bucketed_batches"].spark(spark, d).collect()
+    )
+    assert got == [(0, 32, 1.0), (1, 32, 1.0), (2, 6, 1.0)]
