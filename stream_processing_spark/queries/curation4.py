@@ -772,3 +772,80 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars") / (F.count(F.lit(1)) * F.max("n_chars")), 6
         ).alias("padding_efficiency"),
     )
+
+
+# ---------------------------------------------------- pivot wide table
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_daily_event_counts",
+    f"""
+    SELECT CAST(ts AS DATE) AS d,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS {t}" for t in _EVENT_TYPES
+           )}
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    """,
+    doc="PIVOT to a wide daily dashboard table: one column per event "
+    "type with daily counts — the relational reshape every BI export "
+    "needs. Spark's pivot with an EXPLICIT value list compiles to the "
+    "same single-pass conditional aggregation as the oracle's "
+    "SUM(CASE) columns (one shuffle on the day key, no second pass); "
+    "omitting the value list would add a distinct-scan job AND make "
+    "the output schema data-dependent — never do that at scale. "
+    "Missing cells are zero-filled to match the SUM(CASE) semantics.",
+)
+def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("d"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+    )
+
+
+# ------------------------------------------------- rollup subtotal tree
+
+
+@register(
+    "rollup_revenue_region_nation",
+    """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="ROLLUP subtotal tree over the customer geography: per-nation "
+    "rows, per-region subtotals (n_name NULL), and the grand total "
+    "(both NULL) in one pass — the OLAP drill-down contract. Spark's "
+    "rollup produces the expanded grouping sets inside a single "
+    "aggregation (partial aggs map-side, one shuffle), identical to "
+    "the SQL ROLLUP; revenue is decimal-summed so every level is "
+    "exact and order-independent. Dims are broadcast; the fact "
+    "shuffles once.",
+)
+def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
