@@ -849,3 +849,52 @@ def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# -------------------------------------------------- unpivot long table
+
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "unpivot_lineitem_measures",
+    f"""
+    WITH long AS (
+        {" UNION ALL ".join(
+            f"SELECT l_returnflag, '{m}' AS measure, "
+            f"CAST({m} AS DECIMAL(12,2)) AS v FROM lineitem"
+            for m in _MEASURES
+        )}
+    )
+    SELECT l_returnflag, measure,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS DOUBLE) AS total,
+           CAST(MIN(v) AS DOUBLE) AS min_v,
+           CAST(MAX(v) AS DOUBLE) AS max_v
+    FROM long
+    GROUP BY l_returnflag, measure
+    """,
+    doc="UNPIVOT (melt) of the four lineitem measures into long "
+    "(measure, value) form, then a per-(returnflag, measure) profile — "
+    "the reshape that feeds generic profiling/plotting tools one "
+    "measure column instead of four. Spark's unpivot compiles to a "
+    "map-side Expand (each row fans to 4, no join, no shuffle before "
+    "the aggregate — the oracle's UNION ALL of 4 scans is the SQL "
+    "spelling; Spark reads the parquet once). Values go through "
+    "DECIMAL(12,2) BEFORE aggregation so sums are exact at every "
+    "grouping; unpivot requires a common type anyway — pinning it to "
+    "decimal beats the implicit double.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", *[dec(m).alias(m) for m in _MEASURES]
+    )
+    long = li.unpivot(
+        ["l_returnflag"], list(_MEASURES), "measure", "v"
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").cast("double").alias("total"),
+        F.min("v").cast("double").alias("min_v"),
+        F.max("v").cast("double").alias("max_v"),
+    )
