@@ -59,10 +59,14 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so the
+        # convergence check is a filter over the already-materialized
+        # RDD — no new-vs-old JOIN (and its shuffle) per round
+        delta = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
                     "label"
                 ),
@@ -70,13 +74,9 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
+            delta.filter(F.col("label") < F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = delta.select("node", "label")
         if changed == 0:
             break
 
