@@ -898,3 +898,29 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").cast("double").alias("min_v"),
         F.max("v").cast("double").alias("max_v"),
     )
+
+
+# -------------------------------------------- approximate percentiles
+
+
+@register(
+    "agg_approx_price_percentiles",
+    None,  # approximate by design — error-bounded in tests/test_approx.py
+    doc="approx_percentile (KLL-style sketch) of o_totalprice per "
+    "status at p05/p50/p95 with accuracy parameter 10000 — the 100 TB "
+    "swap-in for the exact percentile passes used by "
+    "winsorized_price_stats and the IQR/MAD queries: constant sketch "
+    "memory and a mergeable partial per partition instead of the "
+    "exact percentile's full-sort-per-group. No SQL oracle (the "
+    "sketch is engine-specific by design); tests/test_approx.py "
+    "bounds each estimate against the exact rank neighborhood and "
+    "the driver records a rows-only check.",
+)
+def agg_approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.05), F.lit(0.5), F.lit(0.95)), 10000
+        ).alias("approx_p"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
