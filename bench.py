@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "pii_redact_stats",
     # linear span-fingerprint self-join bounded by catalog-size fan-out
     "cross_source_span_overlap",
+    # grouping-sets agg over broadcast dims (subtotal tree in one pass)
+    "rollup_revenue_region_nation",
     "sessionize_user_sessions",
     # event-sequence ops: chained stage joins / lead() transition pairs
     "funnel_view_click_purchase",
