@@ -235,3 +235,83 @@ def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r"),
         )
     return ranks.select("part_id", F.col("r").alias("rank_scaled"))
+
+
+# ----------------------------------------------------- triangle count
+
+
+@register(
+    "triangle_count_copurchase",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+    ),
+    corners AS (
+        SELECT a AS part_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT part_id, COUNT(*) AS n_triangles
+    FROM corners
+    GROUP BY part_id
+    """,
+    doc="Triangle participation count per part over the co-purchase "
+    "graph — the clustering-coefficient numerator and the standard "
+    "community-density signal. Orientation does the heavy lifting: "
+    "edges are kept only as (u < v), so each triangle a<b<c is "
+    "enumerated exactly once by the wedge join (e1: a-b, e2: b-c) "
+    "closed by e3: a-c — three equi-joins, no factor of 6 "
+    "overcounting and no post-dedup. Scale shape: edges are generated "
+    "per order (pair volume bounded by order size), the wedge join's "
+    "cost is sum of deg² over MIDDLE nodes — at production scale the "
+    "id orientation swaps for degree orientation (direct each edge "
+    "low-degree to high-degree), the classic bound that keeps hub "
+    "nodes from exploding the wedge count; the plan shape is "
+    "identical. Corner explosion is a 3-way UNION (Spark: explode of "
+    "a 3-array), then one fixed-width count shuffle.",
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+    )
+    return (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("part_id")
+        )
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
