@@ -93,3 +93,31 @@ def test_pagerank_hub_outranks_leaves(spark, tmp_path):
     }
     assert rows[0] > rows[1]
     assert rows[1] == rows[2] == rows[3]
+
+
+def test_triangle_count_k4(spark, tmp_path):
+    """One order containing 4 parts forms K4: C(4,3) = 4 triangles, and
+    every part participates in exactly C(3,2) = 3 of them. A second
+    order sharing only 2 parts adds an edge but no triangle."""
+    rows_in = [
+        (1, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-01")
+        for p in (10, 11, 12, 13)
+    ] + [
+        (2, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-01")
+        for p in (13, 99)
+    ]
+    li = spark.createDataFrame(
+        rows_in,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber bigint, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    li.coalesce(1).write.parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    got = {
+        r.part_id: r.n_triangles
+        for r in REGISTRY["triangle_count_copurchase"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {10: 3, 11: 3, 12: 3, 13: 3}  # part 99: no triangle
