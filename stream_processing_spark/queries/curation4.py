@@ -924,3 +924,48 @@ def agg_approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_p"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ------------------------------------------------ day-over-day growth
+
+
+@register(
+    "daily_event_growth",
+    """
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type, day, cnt,
+           cnt - LAG(cnt) OVER (PARTITION BY event_type ORDER BY day)
+               AS delta,
+           ROUND((cnt - LAG(cnt) OVER (PARTITION BY event_type
+                                       ORDER BY day)) * 1.0
+                 / LAG(cnt) OVER (PARTITION BY event_type ORDER BY day), 6)
+               AS pct_change
+    FROM d
+    """,
+    doc="Day-over-day growth per event type: daily counts with lag "
+    "delta and percent change — the ingest-monitoring trend view "
+    "that pairs with events_anomaly_days (that one flags outliers; "
+    "this one shows the trajectory). First day per type has NULL "
+    "delta/pct (no prior), preserved identically in both engines. "
+    "Scale shape: one (type, day) count shuffle, then a window over "
+    "|types| tiny partitions; the growth ratio is one exact "
+    "integer-difference division rounded at the end.",
+)
+def daily_event_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("cnt").over(w)
+    return d.select(
+        "event_type",
+        "day",
+        "cnt",
+        (F.col("cnt") - prev).alias("delta"),
+        F.round((F.col("cnt") - prev) * 1.0 / prev, 6).alias("pct_change"),
+    )

@@ -315,3 +315,107 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# ------------------------------------------- clustering coefficient
+
+
+@register(
+    "clustering_coeff_copurchase",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT part_id, COUNT(*) AS degree FROM (
+            SELECT u AS part_id FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY part_id
+    ),
+    tri AS (
+        SELECT part_id, COUNT(*) AS n_tri FROM (
+            SELECT e1.u AS part_id FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+            UNION ALL
+            SELECT e1.v FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+            UNION ALL
+            SELECT e2.v FROM e e1
+            JOIN e e2 ON e1.v = e2.u
+            JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+        ) GROUP BY part_id
+    )
+    SELECT d.part_id, d.degree,
+           COALESCE(t.n_tri, 0) AS n_triangles,
+           ROUND(COALESCE(t.n_tri, 0) * 2.0
+                 / (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+    FROM deg d LEFT JOIN tri t ON t.part_id = d.part_id
+    WHERE d.degree >= 2
+    """,
+    doc="Local clustering coefficient per part: triangles_at_v / "
+    "C(degree,2) — the community-density ratio that separates parts "
+    "bought in tight bundles (coeff near 1) from hub parts that "
+    "co-occur with everything but whose neighbors never co-occur "
+    "(coeff near 0). Degree-1 nodes are excluded (undefined "
+    "denominator). Builds on the oriented-wedge triangle enumeration "
+    "(each triangle once, no overcount); the ratio is one exact "
+    "integer*2/(d*(d-1)) division rounded at the end. Scale shape "
+    "identical to triangle_count_copurchase plus one degree aggregate "
+    "and a left join on the part key.",
+)
+def clustering_coeff_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("part_id"))
+        .union(e.select(F.col("v").alias("part_id")))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri_corners = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u"))
+            & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.u"), F.col("e1.v"), F.col("e2.v"))
+            ).alias("part_id")
+        )
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(tri_corners, "part_id", "left")
+        .select(
+            "part_id",
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.coalesce("n_tri", F.lit(0))
+                * 2.0
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
