@@ -969,3 +969,128 @@ def daily_event_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cnt") - prev).alias("delta"),
         F.round((F.col("cnt") - prev) * 1.0 / prev, 6).alias("pct_change"),
     )
+
+
+# ------------------------------------------- ship latency distribution
+
+
+@register(
+    "ship_latency_distribution",
+    """
+    SELECT o_orderstatus,
+           -- explicit floor(): DuckDB's integer // truncates toward
+           -- zero, Spark's floor() floors — they differ on the
+           -- negative delays this synthetic data is full of
+           CAST(FLOOR(date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) / 7.0)
+                AS BIGINT) AS delay_weeks,
+           COUNT(*) AS n_lineitems,
+           ROUND(CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_delay_days
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    """,
+    doc="Order-to-ship latency distribution: per (status, delay-week "
+    "bucket), lineitem counts and the exact average delay in days — "
+    "the fulfillment-SLA histogram. Both engines diff CALENDAR DATES "
+    "(timestamps cast to date first) so the day count is "
+    "time-of-day-independent and identical; the bucket is integer "
+    "floor-division, the average one exact integer-sum division. "
+    "Scale shape: the orders date column broadcasts with the dim-side "
+    "join (orders is the smaller side at TPC-H shape), one "
+    "(status, bucket) aggregate shuffle.",
+)
+def ship_latency_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .select("o_orderstatus", delay.alias("delay_days"))
+        .groupBy(
+            "o_orderstatus",
+            F.floor(F.col("delay_days") / 7).alias("delay_weeks"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum("delay_days").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_delay_days"),
+        )
+    )
+
+
+# ------------------------------------------ user profile similarity
+
+_PROFILE_TYPES = ("click", "error", "purchase", "signup", "view")
+_PROFILE_QUERY_USER = 0
+
+
+def _profile_cos_sql(a: str, b: str) -> str:
+    dot = " + ".join(f"{a}.{t} * {b}.{t}" for t in _PROFILE_TYPES)
+    na = " + ".join(f"{a}.{t} * {a}.{t}" for t in _PROFILE_TYPES)
+    nb = " + ".join(f"{b}.{t} * {b}.{t}" for t in _PROFILE_TYPES)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "user_profile_similarity",
+    f"""
+    WITH p AS (
+        SELECT user_id,
+               {", ".join(
+                   f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                   f" AS BIGINT) AS {t}" for t in _PROFILE_TYPES
+               )}
+        FROM events GROUP BY user_id
+    ),
+    q AS (SELECT * FROM p WHERE user_id = {_PROFILE_QUERY_USER})
+    SELECT p.user_id,
+           ROUND({_profile_cos_sql("p", "q")}, 6) AS cos_sim
+    FROM p, q
+    WHERE p.user_id <> {_PROFILE_QUERY_USER}
+    ORDER BY cos_sim DESC, p.user_id
+    LIMIT 10
+    """,
+    doc="Behavioral twin search: each user's profile vector is their "
+    "event-type count histogram (built with the same explicit-value "
+    "conditional aggregation as the pivot query), and the top-10 "
+    "most-similar users to user 0 are ranked by cosine over those "
+    "count vectors — feature engineering and similarity search in one "
+    "plan, the collaborative-filtering entry point. Determinism: dot "
+    "products and norms are INTEGER sums (counts), so only the final "
+    "sqrt/division touch floats — bit-identical across engines; "
+    "total order via the user_id tie-break. Scale shape: one user_id "
+    "count shuffle, a 1-row broadcast of the query profile, "
+    "TakeOrderedAndProject top-10.",
+)
+def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_PROFILE_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_PROFILE_TYPES))
+    )
+    q = p.where(F.col("user_id") == _PROFILE_QUERY_USER).select(
+        *[F.col(t).alias(f"q_{t}") for t in _PROFILE_TYPES]
+    )
+    dot = sum(F.col(t) * F.col(f"q_{t}") for t in _PROFILE_TYPES)
+    na = sum(F.col(t) * F.col(t) for t in _PROFILE_TYPES)
+    nb = sum(F.col(f"q_{t}") * F.col(f"q_{t}") for t in _PROFILE_TYPES)
+    return (
+        p.where(F.col("user_id") != _PROFILE_QUERY_USER)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "user_id",
+            F.round(dot / (F.sqrt(na) * F.sqrt(nb)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("user_id"))
+        .limit(10)
+    )

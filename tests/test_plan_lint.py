@@ -38,6 +38,7 @@ CROSS_OK = {
     "heavy_hitter_tokens",        # 1-row total-token-count scalar broadcast
     "ann_pq_topk",                # 1-row query vector broadcast (ADC + re-rank)
     "contrastive_triplets",       # 1-row corpus-count scalar broadcast
+    "user_profile_similarity",    # 1-row query-profile broadcast
 }
 
 _SKIP = tuple(
