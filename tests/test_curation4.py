@@ -258,3 +258,59 @@ def test_length_bucketed_batches_slicing_and_padding(spark, tmp_path):
         for r in REGISTRY["length_bucketed_batches"].spark(spark, d).collect()
     )
     assert got == [(0, 32, 1.0), (1, 32, 1.0), (2, 6, 1.0)]
+
+
+# --------------------------------------- cross-query invariant checks
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_pivot_row_sums_match_daily_totals(spark):
+    """The pivoted wide table must conserve mass: summing the five type
+    columns per day equals the plain daily count."""
+    piv = REGISTRY["pivot_daily_event_counts"].spark(spark, SF001)
+    type_cols = [c for c in piv.columns if c != "d"]
+    wide = {
+        r["d"]: sum(r[c] for c in type_cols) for r in piv.collect()
+    }
+    from stream_processing_spark.catalog import load_table
+
+    plain = {
+        r["d"]: r["n"]
+        for r in load_table(spark, SF001, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert wide == plain
+
+
+def test_epoch_shuffle_is_balanced_and_epoch_dependent(spark):
+    """Shards must be near-uniform within an epoch (md5 uniformity) and
+    the per-shard doc counts must differ across epochs (the whole point
+    of reshuffling per epoch)."""
+    rows = REGISTRY["epoch_shuffle_assignment"].spark(spark, SF001).collect()
+    by_epoch: dict[int, dict[int, int]] = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["shard"]] = r["n_docs"]
+    assert set(by_epoch) == {0, 1, 2}
+    for epoch, shards in by_epoch.items():
+        n = sum(shards.values())
+        assert len(shards) == 16
+        # every shard within 3x of the uniform share (loose: n=500)
+        for cnt in shards.values():
+            assert cnt < 3 * n / 16, (epoch, cnt)
+    assert by_epoch[0] != by_epoch[1] != by_epoch[2]
+
+
+def test_daily_growth_first_day_null_and_telescoping(spark):
+    rows = REGISTRY["daily_event_growth"].spark(spark, SF001).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        assert rs[0]["delta"] is None and rs[0]["pct_change"] is None
+        # deltas telescope: sum of deltas == last count - first count
+        deltas = [r["delta"] for r in rs[1:]]
+        assert sum(deltas) == rs[-1]["cnt"] - rs[0]["cnt"], t
