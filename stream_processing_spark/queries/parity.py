@@ -305,3 +305,56 @@ def grep_fixed_literal_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("text").rlike(as_regex).cast("long")).alias("n_as_regex"),
         F.sum(F.col("text").rlike(as_fixed).cast("long")).alias("n_fixed"),
     )
+
+
+@register(
+    "grep_context_count",
+    f"""
+    WITH lines AS (
+        SELECT source, doc_id,
+               regexp_matches(text, '{GREP_PATTERN}') AS m
+        FROM documents
+    ),
+    ctx AS (
+        SELECT source,
+               (m OR COALESCE(LAG(m) OVER w, FALSE)
+                  OR COALESCE(LEAD(m) OVER w, FALSE)) AS printed
+        FROM lines
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN printed THEN 1 ELSE 0 END) AS BIGINT)
+               AS printed_lines
+    FROM ctx
+    GROUP BY source
+    """,
+    doc="grep -A1 -B1 context-line accounting per source: a line is "
+    "printed iff it matches or an adjacent line (previous/next in the "
+    "file's line order) matches — overlapping context windows dedup "
+    "naturally because the rule is per-line, exactly how grep prints. "
+    "The registry twin of sources/grep.py's context rows "
+    "(lead/lag over per-file order; reference passthrough "
+    "src/LogQuerier/server.py:30-33), promoting the -A/-B feature "
+    "from pytest-only into the oracle-gated surface. One window over "
+    "each source's line order, then a tiny per-source count.",
+)
+def grep_context_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    m = F.col("text").rlike(GREP_PATTERN)
+    printed = (
+        m
+        | F.coalesce(F.lag(m.cast("boolean")).over(w), F.lit(False))
+        | F.coalesce(F.lead(m.cast("boolean")).over(w), F.lit(False))
+    )
+    return (
+        docs.select("source", printed.alias("printed"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("printed"), 1).otherwise(0)).alias(
+                "printed_lines"
+            )
+        )
+    )
