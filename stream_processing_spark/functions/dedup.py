@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stream_processing_spark.runtime import materialize, rebalance_for_expansion
+
 
 def exact_dedup_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -57,9 +59,10 @@ def shingles(
     and the dedup would cost a full extra shuffle for nothing.
     """
     # the explode expands each doc ~token-count×; rebalance BEFORE the
-    # expansion so it runs on all cores even when the scan has few splits
-    # (a single-row-group parquet file reads as one task)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # expansion so it runs on all cores when the scan has few splits (a
+    # single-row-group parquet file reads as one task) — but NOT when the
+    # scan is already wide, where it would be a full shuffle of the text
+    df = rebalance_for_expansion(df)
     toks = F.split(F.col(text_col), " ")
     length = F.size(toks)
     # arrays_zip of shifted slices + concat AFTER the explode keeps the
@@ -84,6 +87,8 @@ def jaccard_pairs(
     threshold: float,
     id_col: str = "doc_id",
     max_df: int | None = None,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over a shingle frame: pairs with J >= threshold.
 
@@ -113,9 +118,10 @@ def jaccard_pairs(
         )
     # the shingle frame feeds FOUR plan branches (join sides a/b + both
     # size lookups); without materialization Spark recomputes the whole
-    # explode+distinct+df-cap pipeline per branch. One lazy checkpoint =
-    # one computation. (Cluster spelling: persist / checkpoint.)
-    sh = sh.localCheckpoint(eager=False)
+    # explode+distinct+df-cap pipeline per branch. One checkpoint = one
+    # computation; reliable=True writes it to the context checkpoint dir
+    # (shared storage on a cluster) so executor loss can't kill the query.
+    sh = materialize(sh, eager=False, reliable=reliable, checkpoint_dir=checkpoint_dir)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
@@ -190,7 +196,7 @@ def simhash32(
     engines (no 64-bit parse, no engine-specific hash()).
     """
     # rebalance before the expanding explode (see shingles())
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = rebalance_for_expansion(df)
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.md5(F.col("tok")))

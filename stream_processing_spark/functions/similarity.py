@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stream_processing_spark.runtime import materialize
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision."""
@@ -127,14 +129,43 @@ def _cell_rank_array(
 
 # trained codebooks are tiny and deterministic — cache per logical plan
 # (semanticHash) like a real system persists its quantizer, so repeated
-# queries don't re-train. Keyed by (plan hash, n_cells, id col, vec col).
-# Staleness caveat: the key sees the PLAN, not the file contents — if the
-# parquet behind the same path is rewritten, call clear_centroid_cache()
-# (the same rule as any persisted quantizer: retrain when the corpus
-# changes). Size-capped FIFO so a long-lived process can't grow it
-# unboundedly.
+# queries don't re-train. Keyed by (plan hash, SOURCE-FILE fingerprint,
+# n_cells, id col, vec col): the fingerprint digests the scan's input
+# file list plus local mtime/size, so rewriting the parquet behind the
+# same path retrains instead of serving a stale quantizer. (Remote/
+# unstat-able files contribute path-only — same staleness contract as
+# any mtime-based cache; clear_centroid_cache() remains the big hammer.)
+# Size-capped FIFO so a long-lived process can't grow it unboundedly.
 _CENTROID_CACHE: dict[tuple, dict[int, list[float]]] = {}
 _CENTROID_CACHE_CAP = 64
+
+
+def _source_fingerprint(df: DataFrame) -> str | None:
+    """md5 over the scan's (path, mtime_ns, size) triples. Driver-side
+    metadata only — the file listing already exists in the scan relation;
+    no job runs. None if the plan exposes no input files (e.g. a local
+    in-memory frame), in which case the plan hash alone must decide."""
+    import hashlib
+    import os
+
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    if not files:
+        return None
+    h = hashlib.md5()
+    for f in files:
+        h.update(f.encode())
+        p = f[7:] if f.startswith("file:///") else f[5:] if f.startswith("file:") else f
+        if not p.startswith("/"):
+            p = "/" + p
+        try:
+            st = os.stat(p)
+            h.update(f"|{st.st_mtime_ns}|{st.st_size}".encode())
+        except OSError:  # remote path — path identity only
+            pass
+    return h.hexdigest()
 
 
 def clear_centroid_cache() -> None:
@@ -170,7 +201,14 @@ def kmeans_centroids(
     moves retrieval recall past the first round).
     """
     try:
-        cache_key = (embeddings.semanticHash(), n_cells, id_col, vec_col, metric)
+        cache_key = (
+            embeddings.semanticHash(),
+            _source_fingerprint(embeddings),
+            n_cells,
+            id_col,
+            vec_col,
+            metric,
+        )
     except Exception:  # plan not hashable (e.g. streaming) — skip cache
         cache_key = None
     if cache_key is not None and cache_key in _CENTROID_CACHE:
@@ -263,6 +301,8 @@ def lsh_banded_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Banded multi-table sign-LSH near-dup pairs — the 100 TB ANN path.
 
@@ -299,10 +339,13 @@ def lsh_banded_pairs(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
     # the signature pass (bands×rows hyperplane dots per vector) is the
     # dominant cost and the self-join would otherwise evaluate it on BOTH
-    # sides; materialize it once. (On a multi-executor cluster this would
-    # be persist(MEMORY_AND_DISK) / a checkpoint to shared storage —
-    # localCheckpoint is the single-JVM spelling of the same reuse.)
-    buckets = buckets.localCheckpoint(eager=False)
+    # sides; materialize it once. reliable=True writes the signatures to
+    # the context checkpoint dir (shared storage on a cluster) so an
+    # executor loss mid-join can't kill the query; the default
+    # localCheckpoint is the fast single-JVM spelling of the same reuse.
+    buckets = materialize(
+        buckets, eager=False, reliable=reliable, checkpoint_dir=checkpoint_dir
+    )
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "sig")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "sig")
     cand = (

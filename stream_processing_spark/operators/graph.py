@@ -29,28 +29,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from stream_processing_spark.runtime import materialize
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
     ``edges`` is undirected input (one row per pair, either orientation);
     isolated nodes are NOT emitted — union the full node set afterwards
     if singletons matter (dedup_connected_components does).
-    """
-    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
 
-    labels = (
+    ``reliable=True`` swaps every per-round ``localCheckpoint`` for a
+    reliable ``checkpoint`` to the context checkpoint directory (shared
+    storage on a cluster) — executor loss mid-iteration then recovers
+    from the checkpoint instead of killing the query.
+    """
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return materialize(
+            df, eager=True, reliable=reliable, checkpoint_dir=checkpoint_dir
+        )
+
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = _cut(
+        fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
+
+    labels = _cut(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
@@ -62,7 +77,7 @@ def connected_components(
         # carry the previous label through the checkpoint so the
         # convergence check is a filter over the already-materialized
         # RDD — no new-vs-old JOIN (and its shuffle) per round
-        delta = (
+        delta = _cut(
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
@@ -71,7 +86,6 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             delta.filter(F.col("label") < F.col("__old")).limit(1).count()

@@ -69,19 +69,37 @@ class StreamJob:
 
     # ------------------------------------------------------------------
     def _source(self) -> DataFrame:
-        reader = self.spark.readStream.format("text")
+        reader = self.spark.readStream.format("text").option("wholetext", "true")
         if self.max_files_per_trigger:
             # backpressure: the analogue of the reference's bounded send
             # queues (worker.py:221)
             reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
         df = reader.load(self.input_dir)
-        # source identity "<filename>:<linenumber>" (worker.py:512-517);
-        # uniqueness is the contract, per-file numbering is not (§7.3).
-        # monotonically_increasing_id is rejected on streaming frames, so
-        # the unique suffix is a uuid.
-        return df.select(
-            F.concat_ws(":", F.input_file_name(), F.expr("uuid()")).alias("key"),
-            F.col("value"),
+        # source identity "<filename>:<linenumber>" — the reference's
+        # EXACT record id (worker.py:512-517), and deterministic across
+        # micro-batch replays (a replayed batch re-reads the same files
+        # and numbers the same lines), so replay is record-identical, not
+        # merely set-idempotent. Row-order functions are rejected on
+        # streaming frames, so the line number comes from reading each
+        # micro-file WHOLE and posexploding its lines (all JVM-side).
+        # This pins one row per file pre-explode — fine for the
+        # directory-of-micro-files shape this source documents (§7.3),
+        # where files are small by construction.
+        lines = F.split(F.col("value"), "\n")
+        # a trailing newline yields one empty trailing element — drop it
+        # (interior empty lines are real and kept, matching read.text)
+        n_lines = F.size(lines) - F.when(
+            F.element_at(lines, -1) == "", F.lit(1)
+        ).otherwise(F.lit(0))
+        return (
+            df.select(
+                F.input_file_name().alias("__file"),
+                F.posexplode(F.slice(lines, 1, n_lines)).alias("__pos", "value"),
+            )
+            .select(
+                F.concat_ws(":", F.col("__file"), F.col("__pos") + 1).alias("key"),
+                F.col("value"),
+            )
         )
 
     def _transformed(self) -> DataFrame:

@@ -63,6 +63,33 @@ def test_exactly_once_across_restart(spark, tmp_path):
     assert len(out) == 15 and len(set(out)) == 15  # no duplicates
 
 
+def test_replay_is_record_identical(spark, tmp_path):
+    """VERDICT r2 item 3: source record ids are the reference's
+    deterministic "<filename>:<linenumber>" (worker.py:512-517), so a
+    FORCED micro-batch replay (commit marker removed, offsets intact)
+    must rewrite byte-identical output — not merely a same-cardinality
+    set with fresh uuids."""
+    import shutil
+
+    ind, outd = str(tmp_path / "in"), str(tmp_path / "out")
+    _write_input(ind, "a.txt", ["al", "bl", "", "cl"])  # interior empty line kept
+    ops = [lambda df: df.select("key", F.upper("value").alias("value"))]
+
+    job = StreamJob(spark, ind, outd, ops=ops)
+    job.run_to_completion()
+    first = sorted(r.value for r in job.read_output().collect())
+    assert len(first) == 4
+    # keys are file:lineno — check the numbering is 1-based file order
+    assert [v.split(":")[-2] for v in first] == ["1", "2", "3", "4"]
+
+    # force a replay of batch 0: drop its commit marker, keep offsets
+    commits = os.path.join(job.checkpoint_dir, "commits")
+    shutil.rmtree(commits)
+    StreamJob(spark, ind, outd, ops=ops).run_to_completion()
+    replayed = sorted(r.value for r in job.read_output().collect())
+    assert replayed == first  # byte-identical, not just same count
+
+
 def test_stateful_update_mode_counts(spark, tmp_path):
     ind, outd = str(tmp_path / "in"), str(tmp_path / "out")
     _write_input(ind, "batch1.csv", ["x,a", "y,b", "x,c"])
