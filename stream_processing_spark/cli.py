@@ -29,29 +29,39 @@ def _rainstorm(args: list[str]) -> int:
 
 
 def _dgrep(args: list[str]) -> int:
-    """dgrep [-i] [-v] [-c] [-n] [-w] [-x] [-F] [-A n] [-B n] <pattern> <glob>
+    """dgrep [-i] [-v] [-c] [-n] [-w] [-x] [-F] [-o] [-l]
+    [-A n] [-B n] [-C n] [-m n] <pattern> <glob>
 
     The reference passes raw grep flags through the shell
     (src/LogQuerier/server.py:30-33); this parses the same flags onto
     the DataFrame plan.
     """
-    from stream_processing_spark.sources.grep import dgrep, dgrep_count
+    from stream_processing_spark.sources.grep import (
+        dgrep,
+        dgrep_count,
+        dgrep_files,
+    )
 
     flags = {"i": False, "v": False, "c": False, "n": False,
-             "w": False, "x": False, "F": False}
-    after = before = 0
+             "w": False, "x": False, "F": False, "o": False, "l": False}
+    after = before = context = 0
+    max_count: int | None = None
     pos: list[str] = []
     it = iter(args)
     try:
         for a in it:
-            if a in ("-A", "-B"):
+            if a in ("-A", "-B", "-C", "-m"):
                 operand = next(it, None)
                 if operand is None or not operand.isdigit():
                     raise SystemExit(f"dgrep: {a} requires a count, e.g. '{a} 2'")
                 if a == "-A":
                     after = int(operand)
-                else:
+                elif a == "-B":
                     before = int(operand)
+                elif a == "-C":
+                    context = int(operand)
+                else:
+                    max_count = int(operand)
             elif a.startswith("-") and len(a) > 1 and all(ch in flags for ch in a[1:]):
                 for ch in a[1:]:
                     flags[ch] = True
@@ -60,16 +70,19 @@ def _dgrep(args: list[str]) -> int:
         pattern, glob = pos
     except ValueError:
         raise SystemExit(
-            "usage: dgrep [-i] [-v] [-c] [-n] [-w] [-x] [-F] "
-            "[-A n] [-B n] <pattern> <glob>"
+            "usage: dgrep [-i] [-v] [-c] [-n] [-w] [-x] [-F] [-o] [-l] "
+            "[-A n] [-B n] [-C n] [-m n] <pattern> <glob>"
         ) from None
     kw = dict(
         ignore_case=flags["i"], invert=flags["v"], word=flags["w"],
         line=flags["x"], fixed=flags["F"],
     )
     spark = get_spark()
-    if flags["c"]:
-        rows = dgrep_count(spark, pattern, glob, **kw).collect()
+    if flags["l"]:
+        for r in dgrep_files(spark, pattern, glob, **kw).collect():
+            print(r.source_file)
+    elif flags["c"]:
+        rows = dgrep_count(spark, pattern, glob, max_count=max_count, **kw).collect()
         total = 0
         for r in rows:
             print(f"{r.source_file}: {r.match_count}")
@@ -78,7 +91,9 @@ def _dgrep(args: list[str]) -> int:
     else:
         rows = dgrep(
             spark, pattern, glob,
-            line_numbers=flags["n"], after=after, before=before, **kw,
+            line_numbers=flags["n"], after=after, before=before,
+            context=context, max_count=max_count,
+            only_matching=flags["o"], **kw,
         ).collect()
         for r in rows:
             if flags["n"]:

@@ -358,3 +358,85 @@ def grep_context_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "grep_only_matching_counts",
+    """
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text, 'scan|merge'))) AS BIGINT)
+               AS n_occurrences,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'scan|merge')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lines
+    FROM documents
+    GROUP BY source
+    """,
+    doc="G2 `grep -o` parity: per-source count of pattern OCCURRENCES "
+    "(regexp_extract_all + size — every hit counted, not every line) "
+    "next to the plain line count, proving -o multiplies matches "
+    "within a line. Both engines use leftmost non-overlapping match "
+    "semantics, so the occurrence totals agree exactly. The registry "
+    "twin of sources/grep.py dgrep(only_matching=True) (reference "
+    "passthrough src/LogQuerier/server.py:30-33). Single scan + one "
+    "grouped sum; everything pre-shuffle is codegen'd.",
+)
+def grep_only_matching_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    occ = F.size(F.regexp_extract_all(F.col("text"), F.lit("scan|merge"), F.lit(0)))
+    return docs.groupBy("source").agg(
+        F.sum(occ.cast("long")).alias("n_occurrences"),
+        F.sum(F.col("text").rlike("scan|merge").cast("long")).alias("n_lines"),
+    )
+
+
+@register(
+    "grep_max_count_first_matches",
+    """
+    SELECT source, doc_id, rk
+    FROM (
+        SELECT source, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                    AS BIGINT) AS rk
+        FROM documents
+        WHERE regexp_matches(text, 'scan|merge')
+    )
+    WHERE rk <= 5
+    """,
+    doc="G2 `grep -m 5` parity: the FIRST five matching lines per source "
+    "in line order (doc_id stands in for the file line number, as in "
+    "grep_context_count) — a running rank over matching lines only, "
+    "capped per file. The registry twin of sources/grep.py "
+    "dgrep(max_count=...). The filter runs before the window, so the "
+    "shuffle carries only matching lines.",
+)
+def grep_max_count_first_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.filter(F.col("text").rlike("scan|merge"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "rk")
+    )
+
+
+@register(
+    "grep_files_with_matches",
+    """
+    SELECT DISTINCT source FROM documents
+    WHERE regexp_matches(text, 'merge .* sort')
+    """,
+    doc="G2 `grep -l` parity: names of sources containing at least one "
+    "match — scan+filter in codegen, then a distinct over the tiny "
+    "source-name column (the shuffle carries one short string per "
+    "matching file). The registry twin of sources/grep.py dgrep_files.",
+)
+def grep_files_with_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike("merge .* sort"))
+        .select("source")
+        .distinct()
+    )

@@ -11,7 +11,10 @@ codegen.
 Flag support and the scale story:
 - -i / -v / -F / -w / -x are pure predicate rewrites — still a single
   codegen'd scan+filter, zero shuffle.
-- -n / -A / -B need per-file line order. Spark rows carry no intrinsic
+- -o (only-matching) is a regexp_extract_all + posexplode over selected
+  lines — codegen'd, zero shuffle; -l (files-with-matches) is a
+  distinct over the file-name column (one tiny shuffle).
+- -n / -A / -B / -C / -m need per-file line order. Spark rows carry no intrinsic
   order, so the scan materializes (input_file_block_start(),
   monotonically_increasing_id()) AT READ TIME: block start is the
   in-file byte offset of the split and the id is increasing in read
@@ -82,27 +85,64 @@ def dgrep(
     line_numbers: bool = False,
     after: int = 0,
     before: int = 0,
+    context: int = 0,
+    max_count: int | None = None,
+    only_matching: bool = False,
 ) -> DataFrame:
     """Matched lines with their source file — `grep` over all logs.
 
     invert → -v, line_numbers → -n (adds a 1-based ``line_no`` column),
     after/before → -A/-B context lines (context is measured around
-    SELECTED lines, i.e. after -v if given, exactly like grep).
+    SELECTED lines, i.e. after -v if given, exactly like grep),
+    context → -C (symmetric shorthand: max with any explicit -A/-B),
+    max_count → -m (first m selected lines per FILE, in file order;
+    context still prints around those m lines), only_matching → -o
+    (one row per pattern OCCURRENCE within each selected line; like
+    GNU grep, -o suppresses context lines, and with -v it yields no
+    rows since selected lines contain no matches by definition).
     """
+    if context:
+        after, before = max(after, context), max(before, context)
     pat = compile_pattern(pattern, ignore_case, fixed, word, line)
     df = _lines(spark, path_glob)
     sel = F.col("value").rlike(pat)
     if invert:
         sel = ~sel
 
-    if not (line_numbers or after or before):
-        return df.filter(sel).select("source_file", "value")
+    def _extract(selected: DataFrame) -> DataFrame:
+        # -o: every occurrence on its own row, left-to-right order kept
+        # via posexplode (grep prints occurrences in line order)
+        cols = ["source_file"] + (["line_no"] if line_numbers else [])
+        return selected.select(
+            *cols,
+            F.posexplode(
+                F.regexp_extract_all(F.col("value"), F.lit(pat), F.lit(0))
+            ).alias("__mpos", "value"),
+        ).drop("__mpos")
+
+    if not (line_numbers or after or before or max_count is not None):
+        out = df.filter(sel).select("source_file", "value")
+        return _extract(out) if only_matching else out
 
     w = Window.partitionBy("__path").orderBy("__off", "__id")
     df = df.withColumn("line_no", F.row_number().over(w)).withColumn(
         "__sel", sel.cast("int")
     )
+    if max_count is not None:
+        # -m: only the first m selected lines per file stay selected —
+        # a running count over the SAME per-file window the numbering
+        # uses (one shuffle total, shared by all window functions)
+        run = F.sum("__sel").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        df = df.withColumn(
+            "__sel",
+            F.when((F.col("__sel") == 1) & (run <= max_count), 1).otherwise(0),
+        )
     keep = F.col("__sel") == 1
+    if only_matching:
+        cols = ["source_file"] + (["line_no"] if line_numbers else []) + ["value"]
+        return _extract(df.filter(keep).select(*cols))
     if after:  # a selected line at m prints m..m+A → look back A rows
         df = df.withColumn("__a", F.max("__sel").over(w.rowsBetween(-after, 0)))
         keep = keep | (F.col("__a") == 1)
@@ -111,6 +151,34 @@ def dgrep(
         keep = keep | (F.col("__b") == 1)
     cols = ["source_file"] + (["line_no"] if line_numbers else []) + ["value"]
     return df.filter(keep).select(*cols)
+
+
+def dgrep_files(
+    spark: SparkSession,
+    pattern: str,
+    path_glob: str,
+    ignore_case: bool = False,
+    invert: bool = False,
+    word: bool = False,
+    line: bool = False,
+    fixed: bool = False,
+) -> DataFrame:
+    """`grep -l` mode: names of files with at least one selected line.
+
+    Plan: scan+filter in codegen, then a distinct on the (tiny) file-name
+    column — the shuffle carries one short string per matching FILE, and
+    AQE collapses it to almost nothing. (grep -l also stops reading a
+    file at its first match; a declarative scan can't early-exit per
+    file, but the filter prunes everything but the winners immediately.)
+    """
+    pat = compile_pattern(pattern, ignore_case, fixed, word, line)
+    df = _lines(spark, path_glob)
+    sel = F.col("value").rlike(pat)
+    if invert:
+        sel = ~sel
+    return (
+        df.filter(sel).select("source_file").distinct().orderBy("source_file")
+    )
 
 
 def dgrep_count(
@@ -122,10 +190,12 @@ def dgrep_count(
     word: bool = False,
     line: bool = False,
     fixed: bool = False,
+    max_count: int | None = None,
 ) -> DataFrame:
     """`grep -c` mode: per-file match counts (reference:
     src/LogQuerier/client.py:103-111). Counts SELECTED lines (grep -c
-    ignores context flags). The cluster TOTAL is `df.agg(sum(...))` —
+    ignores context flags); ``max_count`` caps each file's count at m
+    exactly like `grep -c -m`. The cluster TOTAL is `df.agg(sum(...))` —
     computed by the caller (cli.py prints it like client.py:151-152).
     """
     pat = compile_pattern(pattern, ignore_case, fixed, word, line)
@@ -133,8 +203,11 @@ def dgrep_count(
     sel = F.col("value").rlike(pat)
     if invert:
         sel = ~sel
+    cnt = F.sum(sel.cast("long"))
+    if max_count is not None:
+        cnt = F.least(cnt, F.lit(max_count).cast("long"))
     return (
         df.groupBy("source_file")
-        .agg(F.sum(sel.cast("long")).alias("match_count"))
+        .agg(cnt.alias("match_count"))
         .orderBy("source_file")
     )

@@ -229,6 +229,127 @@ def test_grep_cli_flag_passthrough(spark, flagdir, capsys):
     assert "machine.1.log:3: errors were logged" in out
 
 
+def test_grep_only_matching(spark, flagdir):
+    # -o: one row per OCCURRENCE; 'error: disk full' has one 'error',
+    # 'preerror suffix' contains the substring too
+    rows = dgrep(spark, "error", f"{flagdir}/*", only_matching=True).collect()
+    assert all(r.value == "error" for r in rows)
+    counts = {}
+    for r in rows:
+        counts[r.source_file] = counts.get(r.source_file, 0) + 1
+    # m1: 'error:'(1) + 'errors'(1) + 'preerror'(1) + 'error'(1) = 4
+    # ('ERROR:' excluded — case-sensitive)
+    assert counts == {"machine.1.log": 4, "machine.2.log": 1}
+    # multiple occurrences in ONE line each become their own row:
+    # machine.2.log 'error: net down' has 'o' in 'error' AND 'down'
+    rows = dgrep(spark, "o", f"{flagdir}/*", only_matching=True).collect()
+    n_in_m2 = sum(1 for r in rows if r.source_file == "machine.2.log")
+    assert n_in_m2 == 6  # ok,ok,(error+down)=2,ok,ok
+    # -o with line numbers keeps the source line's number per occurrence
+    rows = dgrep(
+        spark, "o", f"{flagdir}/*", only_matching=True, line_numbers=True
+    ).collect()
+    m2 = sorted((r.line_no, r.value) for r in rows if r.source_file == "machine.2.log")
+    assert m2 == [(1, "o"), (2, "o"), (3, "o"), (3, "o"), (4, "o"), (5, "o")]
+
+
+def test_grep_only_matching_with_invert_is_empty(spark, flagdir):
+    # GNU grep -v -o prints nothing: selected lines contain no matches
+    rows = dgrep(
+        spark, "error", f"{flagdir}/*", invert=True, only_matching=True
+    ).collect()
+    assert rows == []
+
+
+def test_grep_max_count(spark, flagdir):
+    # -m 1: only the FIRST selected line per file (in file order)
+    rows = dgrep(
+        spark, "error", f"{flagdir}/*", max_count=1, line_numbers=True
+    ).collect()
+    assert {(r.source_file, r.line_no) for r in rows} == {
+        ("machine.1.log", 1),
+        ("machine.2.log", 3),
+    }
+    # -m 2 takes the first two per file in order
+    rows = dgrep(
+        spark, "error", f"{flagdir}/*", max_count=2, line_numbers=True
+    ).collect()
+    assert {(r.source_file, r.line_no) for r in rows} == {
+        ("machine.1.log", 1),
+        ("machine.1.log", 3),
+        ("machine.2.log", 3),
+    }
+    # -c -m: counts cap at m per file
+    counts = {
+        r.source_file: r.match_count
+        for r in dgrep_count(spark, "error", f"{flagdir}/*", max_count=2).collect()
+    }
+    assert counts == {"machine.1.log": 2, "machine.2.log": 1}
+
+
+def test_grep_max_count_with_context(spark, flagdir):
+    # context prints around the first m matches only
+    rows = dgrep(
+        spark, "error", f"{flagdir}/*", max_count=1, after=1, line_numbers=True
+    ).collect()
+    assert {(r.source_file, r.line_no) for r in rows} == {
+        ("machine.1.log", 1),
+        ("machine.1.log", 2),
+        ("machine.2.log", 3),
+        ("machine.2.log", 4),
+    }
+
+
+def test_grep_symmetric_context(spark, flagdir):
+    # -C 1 == -A 1 -B 1
+    from stream_processing_spark.sources.grep import dgrep as g
+
+    sym = g(spark, "warning", f"{flagdir}/*", line_numbers=True, context=1).collect()
+    explicit = g(
+        spark, "warning", f"{flagdir}/*", line_numbers=True, after=1, before=1
+    ).collect()
+    assert sorted(map(tuple, sym)) == sorted(map(tuple, explicit))
+    assert {(r.source_file, r.line_no) for r in sym} == {
+        ("machine.1.log", 1),
+        ("machine.1.log", 2),
+        ("machine.1.log", 3),
+    }
+
+
+def test_grep_files_with_matches(spark, flagdir):
+    from stream_processing_spark.sources.grep import dgrep_files
+
+    # -l: 'warning' appears only in machine.1.log
+    rows = dgrep_files(spark, "warning", f"{flagdir}/*").collect()
+    assert [r.source_file for r in rows] == ["machine.1.log"]
+    # both files contain 'error'
+    rows = dgrep_files(spark, "error", f"{flagdir}/*").collect()
+    assert [r.source_file for r in rows] == ["machine.1.log", "machine.2.log"]
+
+
+def test_grep_cli_new_flags(spark, flagdir, capsys):
+    from stream_processing_spark import cli
+
+    rc = cli.main(["dgrep", "-l", "warning", f"{flagdir}/*"])
+    assert rc == 0
+    assert capsys.readouterr().out.strip() == "machine.1.log"
+
+    rc = cli.main(["dgrep", "-n", "-m", "1", "error", f"{flagdir}/*"])
+    out = capsys.readouterr().out
+    assert "machine.1.log:1: error: disk full" in out
+    assert "machine.1.log:3:" not in out
+
+    rc = cli.main(["dgrep", "-o", "error", f"{flagdir}/*"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 5 and all(l.endswith("error") for l in out)
+
+    rc = cli.main(["dgrep", "-n", "-C", "1", "warning", f"{flagdir}/*"])
+    out = capsys.readouterr().out
+    assert "machine.1.log:1: error: disk full" in out
+    assert "machine.1.log:2: warning: retry" in out
+    assert "machine.1.log:3: errors were logged" in out
+
+
 def test_line_numbers_distinct_dirs_same_basename(spark, tmp_path):
     # two files named app.log in different directories must be numbered
     # independently (partition identity is the full path, display name
