@@ -67,6 +67,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         if ts_type == "timestamp_ntz":
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if ts_type != "timestamp":
+            # a third footer layout must fail HERE, loudly, not later as
+            # per-query oracle mismatches with no signal at load time
+            raise TypeError(
+                f"events.ts read as unexpected dtype {ts_type!r}; known "
+                "layouts: bigint (TIMESTAMP(NANOS) via nanosAsLong), "
+                "timestamp_ntz, timestamp — teach load_table the new "
+                "testdata layout before running queries against it"
+            )
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -70,7 +70,9 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """Real decode is stubbed: PIL is not installed in this container."""
+    """Real decode — gated on pillow (absent in this container; the
+    conditional test in tests/test_multimodal.py proves this path the
+    day the dependency exists)."""
     if not _HAVE_PIL:
         raise NotImplementedError(
             "image decode requires pillow; install PIL and replace "
@@ -80,7 +82,43 @@ def decode_image(payload: bytes) -> tuple[int, int]:
 
     import PIL.Image
 
-    return PIL.Image.open(io.BytesIO(payload)).size  # pragma: no cover
+    return PIL.Image.open(io.BytesIO(payload)).size
+
+
+def _have_ffprobe() -> bool:
+    import shutil as _shutil
+
+    return _shutil.which("ffprobe") is not None
+
+
+def probe_media_duration(payload: bytes, suffix: str = ".bin") -> float:
+    """Real container probe via ffprobe (audio/video duration in
+    seconds) — gated on ffmpeg being installed, like decode_image on
+    pillow. The payload is spooled to a temp file because ffprobe wants
+    a seekable input; per Arrow batch that's one small file per blob,
+    deleted immediately (the same shape a real decode stage uses)."""
+    if not _have_ffprobe():
+        raise NotImplementedError(
+            "media probe requires ffmpeg/ffprobe; install ffmpeg — "
+            "probe_media_duration then shells out to "
+            "'ffprobe -show_entries format=duration'"
+        )
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=suffix) as f:
+        f.write(payload)
+        f.flush()
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "error", "-show_entries", "format=duration",
+                "-of", "default=noprint_wrappers=1:nokey=1", f.name,
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return float(out.stdout.strip())
 
 
 def image_features(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:

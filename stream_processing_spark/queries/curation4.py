@@ -278,8 +278,11 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Winsorized mean order value per status: per-group p05/p95 "
     "cutoffs (Spark percentile == DuckDB quantile_cont, rounded to the "
-    "data's 2-dp grain), every price clamped into [p05, p95] with "
-    "least/greatest, then an exact decimal mean beside the raw mean "
+    "data's 2-dp grain), every price clamped into [p05, p95] — the "
+    "Spark side spells the clamp least/greatest over decimals, while "
+    "the oracle spells the same clamp as CASE because DuckDB's "
+    "LEAST/GREATEST would promote DECIMAL to DOUBLE — then an exact "
+    "decimal mean beside the raw mean "
     "and clamp counts — the robust aggregate for dashboards where a "
     "single fat-finger order must not move the metric (complements "
     "iqr_outlier_events, which REPORTS outliers; winsorizing BOUNDS "

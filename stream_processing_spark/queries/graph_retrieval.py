@@ -335,16 +335,13 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY part_id
     ),
     tri AS (
+        -- ONE wedge join enumerating each triangle once, then the three
+        -- corners unnested — mirrors the engine's explode(array(u,v,w))
+        -- so oracle cost tracks the engine instead of paying the
+        -- triangle join three times
         SELECT part_id, COUNT(*) AS n_tri FROM (
-            SELECT e1.u AS part_id FROM e e1
-            JOIN e e2 ON e1.v = e2.u
-            JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
-            UNION ALL
-            SELECT e1.v FROM e e1
-            JOIN e e2 ON e1.v = e2.u
-            JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
-            UNION ALL
-            SELECT e2.v FROM e e1
+            SELECT UNNEST([e1.u, e1.v, e2.v]) AS part_id
+            FROM e e1
             JOIN e e2 ON e1.v = e2.u
             JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
         ) GROUP BY part_id

@@ -27,16 +27,30 @@ def _stream_dir(sf_dir: str, table: str) -> str:
     return d
 
 
+# footer layout per sf_dir — the probe is schema-only but not free, and
+# every streaming query calls it; one probe per fixture dir is enough
+_TS_LAYOUT_CACHE: dict[str, str] = {}
+
+
 def _events_ts_layout(spark: SparkSession, sf_dir: str) -> str:
     """Probe the events parquet footer (cheap batch-read of the schema)
     for the ts physical type — the driver's testdata has shipped both
     TIMESTAMP(NANOS) (reads as bigint under nanosAsLong) and plain
     TIMESTAMP micros (reads as timestamp_ntz). Same normalization as
-    catalog.load_table, applied to the stream's declared schema."""
+    catalog.load_table, applied to the stream's declared schema.
+
+    SIDE EFFECT (deliberate, same contract as catalog.load_table): pins
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` and the session time
+    zone to UTC on every call — any events consumer needs both set for
+    wall-clock values to match the oracle's naive timestamps. The
+    footer probe itself is cached per sf_dir; the conf pinning is not
+    (a fresh driver session must still get pinned)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    probe = spark.read.parquet(table_path(sf_dir, "events"))
-    return dict(probe.dtypes).get("ts", "timestamp")
+    if sf_dir not in _TS_LAYOUT_CACHE:
+        probe = spark.read.parquet(table_path(sf_dir, "events"))
+        _TS_LAYOUT_CACHE[sf_dir] = dict(probe.dtypes).get("ts", "timestamp")
+    return _TS_LAYOUT_CACHE[sf_dir]
 
 
 def _events_schema_and_norm(ts_layout: str):

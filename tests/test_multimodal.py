@@ -112,3 +112,71 @@ def test_image_decode_stub_names_dependency(spark):
 
     with pytest.raises(NotImplementedError, match="pillow"):
         decode_image(b"\x89PNG fake")
+
+
+# ---------------------------------------------------------------------------
+# Conditional REAL-codec tests (VERDICT r2 item 5): skipped in this
+# container (pillow/ffmpeg absent), they prove the use_real_decoder /
+# ffprobe paths the day the dependencies exist — no silent bit-rot.
+# ---------------------------------------------------------------------------
+
+
+def test_real_decoder_path_has_same_schema_as_fake(spark, media):
+    # lazily-built frames (no execution, so no PIL needed): the real and
+    # fake decoder paths must agree on the output contract exactly
+    real = mm.image_features(media, use_real_decoder=True)
+    fake = mm.image_features(media, use_real_decoder=False)
+    assert real.schema == fake.schema == mm.IMAGE_FEATURES_SCHEMA
+
+
+def test_pil_real_decode_roundtrip(spark):
+    PIL = pytest.importorskip("PIL")  # absent here → skipped
+    import io
+
+    from PIL import Image
+
+    def png(w: int, h: int) -> bytes:
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color=(120, 10, 200)).save(buf, "PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", png(20, 10), None),
+        (2, "image", png(5, 7), None),
+        (3, "audio", b"\x00" * 32, None),  # non-image: must be filtered out
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r.media_id: (r.width, r.height)
+        for r in mm.image_features(media, use_real_decoder=True).collect()
+    }
+    assert got == {1: (20, 10), 2: (5, 7)}
+    assert PIL is not None
+
+
+def test_probe_media_duration_stub_names_dependency():
+    import shutil
+
+    if shutil.which("ffprobe") is not None:
+        pytest.skip("ffprobe present — stub contract not applicable")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm.probe_media_duration(b"\x00" * 64)
+
+
+def test_ffprobe_real_duration_on_generated_wav():
+    import shutil
+
+    if shutil.which("ffprobe") is None:
+        pytest.skip("ffmpeg/ffprobe not installed in this container")
+    # a REAL RIFF/WAVE payload from the stdlib — 8000 samples @ 8 kHz = 1 s
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 8000)
+    dur = mm.probe_media_duration(buf.getvalue(), suffix=".wav")
+    assert abs(dur - 1.0) < 0.05
