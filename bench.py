@@ -108,18 +108,28 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # adversarial skew/scale stress section (VERDICT r2 #1): hostile
+    # fixtures (~10x sf0.1: Zipf-hot keys, stop-shingle saturation, LSH
+    # mode collapse, blob skew) measured with every scale guard active.
+    # Fixture generation is cached on disk; set SPARK_GRAFT_SKIP_SKEW=1
+    # to skip the section entirely.
+    skew = None
+    if not os.environ.get("SPARK_GRAFT_SKIP_SKEW"):
+        from stream_processing_spark.stressbench import run_stress
+
+        skew = run_stress(spark)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if skew is not None:
+        out["skew"] = skew
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -82,6 +82,27 @@ def shingles(
     return out.distinct() if distinct else out
 
 
+def cap_document_frequency(
+    sh: DataFrame, max_df: int, term_col: str = "sh"
+) -> DataFrame:
+    """Drop terms whose document frequency exceeds ``max_df`` — the
+    stop-shingle guard shared by Jaccard and MinHash: a term in d docs
+    contributes d² rows to any term-keyed self-join (and, for MinHash,
+    a corpus-wide stop-shingle can become every document's minimum,
+    collapsing all signatures into one bucket). The count is a window
+    over the same term partitioning downstream joins shuffle on — no
+    extra exchange."""
+    from pyspark.sql.window import Window
+
+    return (
+        sh.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy(term_col))
+        )
+        .filter(F.col("__df") <= max_df)
+        .drop("__df")
+    )
+
+
 def jaccard_pairs(
     sh: DataFrame,
     threshold: float,
@@ -109,13 +130,7 @@ def jaccard_pairs(
     filtered vocabulary, so J stays a true Jaccard of well-defined sets).
     """
     if max_df is not None:
-        from pyspark.sql.window import Window
-
-        sh = (
-            sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
-        )
+        sh = cap_document_frequency(sh, max_df)
     # the shingle frame feeds FOUR plan branches (join sides a/b + both
     # size lookups); without materialization Spark recomputes the whole
     # explode+distinct+df-cap pipeline per branch. One checkpoint = one
@@ -158,9 +173,26 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2, id_col: str = "doc_id"
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs sharing at least one LSH band bucket."""
+    """Candidate pairs sharing at least one LSH band bucket.
+
+    ``max_bucket`` is the adversarial-data guard: LSH bucket sizes are
+    DATA-dependent, so a boilerplate-saturated corpus (every doc's
+    min-hash dominated by the same stop-shingles) can collapse a whole
+    band into one bucket — and one bucket of d docs is d² join rows, the
+    all-pairs blowup LSH exists to avoid. Buckets larger than
+    ``max_bucket`` are dropped before the self-join, bounding every join
+    key to max_bucket² rows. That trades recall ONLY on buckets whose
+    members are overwhelmingly near-identical boilerplate (the standard
+    production cap, cf. stop-shingle removal in MinHash dedup systems);
+    the bucket-size count runs as a window over the same (band, sig)
+    partitioning the join shuffles on — no extra exchange.
+    """
     band_cols = []
     for b in range(bands):
         hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -170,6 +202,16 @@ def lsh_candidate_pairs(
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        buckets = (
+            buckets.withColumn(
+                "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+            )
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     a = buckets.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = buckets.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (
@@ -227,6 +269,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     fp_col: str = "simhash",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from 32-bit SimHash fingerprints: Hamming distance
     <= max_hamming, found WITHOUT an all-pairs comparison.
@@ -257,6 +300,21 @@ def simhash_pairs(
     buckets = fp.select(
         F.col(id_col), F.col(fp_col), F.explode(F.array(*bands)).alias("bk")
     ).select(id_col, fp_col, F.col("bk.band").alias("band"), F.col("bk.byte").alias("byte"))
+    if max_bucket is not None:
+        # adversarial-data guard (see lsh_candidate_pairs): a fingerprint-
+        # saturated corpus can pile most docs into one byte bucket; cap
+        # it so no join key exceeds max_bucket² rows. Recall loss is
+        # confined to the dropped boilerplate buckets; the count shares
+        # the join's (band, byte) partitioning — no extra exchange.
+        from pyspark.sql.window import Window
+
+        buckets = (
+            buckets.withColumn(
+                "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "byte"))
+            )
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     a = buckets.select(
         F.col(id_col).alias("doc_a"), F.col(fp_col).alias("fa"), "band", "byte"
     )

@@ -303,8 +303,21 @@ def lsh_banded_pairs(
     vec_col: str = "embedding",
     reliable: bool = False,
     checkpoint_dir: str | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded multi-table sign-LSH near-dup pairs — the 100 TB ANN path.
+
+    ``max_bucket``: adversarial-data guard. Sign-LSH bucket sizes are
+    data-dependent — a corpus where most vectors share one dominant
+    direction (mode collapse, duplicated web boilerplate embeddings)
+    lands them all in ONE signature bucket per band, and a bucket of d
+    vectors is d² candidate rows: the all-pairs blowup back again.
+    Buckets above the cap are dropped before the join (bounding every
+    join key to max_bucket² rows); pairs inside a mega-bucket are
+    overwhelmingly the same near-identical cluster, which callers
+    handle via exact dedup/canonicalization rather than pairwise
+    enumeration. The size count is a window over the same (band, sig)
+    partitioning the join shuffles on — no extra exchange.
 
     ``bands`` independent signature tables of ``rows_per_band`` bits each
     (OR-construction): a pair is a candidate iff it agrees on ALL bits of
@@ -337,6 +350,16 @@ def lsh_banded_pairs(
     buckets = embeddings.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        buckets = (
+            buckets.withColumn(
+                "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+            )
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     # the signature pass (bands×rows hyperplane dots per vector) is the
     # dominant cost and the self-join would otherwise evaluate it on BOTH
     # sides; materialize it once. reliable=True writes the signatures to

@@ -1,0 +1,109 @@
+"""Mini-scale run of the adversarial skew/scale stress bench
+(stressgen + stressbench at ~1/25 volume): asserts the fixture really
+is hostile, every scale guard holds, planted-pair recall survives the
+caps, and — crucially — that a cap is a NO-OP on benign data (so the
+oracle-gated production queries are untouched by the new parameters).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processing_spark import stressgen
+from stream_processing_spark.functions import dedup, similarity
+from stream_processing_spark.stressbench import run_stress
+
+
+@pytest.fixture(scope="module")
+def stress(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("stress"))
+    return run_stress(spark, root=root, sizes=stressgen.MINI)
+
+
+def test_fixture_is_hostile(stress):
+    fx = stress["fixture"]
+    sz = stress["sizes"]
+    # one user owns ~30% of all events
+    assert fx["top_user_rows"] > 0.25 * fx["n_events"]
+    # boilerplate shingles appear in EVERY document
+    assert fx["max_shingle_df"] == fx["n_docs"] == sz["documents"]
+    # the mode-collapsed region shares one sign-LSH bucket
+    assert fx["hot_lsh_bucket"] >= 0.8 * sz["embeddings"]
+
+
+def test_guards_hold_and_recall_survives(stress):
+    assert stress["bounds_ok"], stress
+    assert stress["recall"]["jaccard"] >= 0.9
+    assert stress["recall"]["minhash_lsh"] >= 0.9
+    assert stress["recall"]["ann_banded"] >= 0.9
+    # every tier actually ran
+    assert set(stress["queries"]) == {
+        "jaccard_capped",
+        "minhash_lsh_capped",
+        "simhash_capped",
+        "ann_banded_capped",
+        "sessionize_hot_user",
+        "salted_counts",
+        "media_thumbnails",
+    }
+    # media stage processed every blob despite the 256KB hot ones
+    assert stress["counts"]["media_thumbnails"] == stress["sizes"]["media"]
+    # sessionize labeled every user (hot user included)
+    assert stress["counts"]["sessionize_hot_user"] > 0
+
+
+def test_generation_is_deterministic(spark, tmp_path):
+    a = stressgen.documents_skew(spark, 300).orderBy("doc_id").collect()
+    b = stressgen.documents_skew(spark, 300).orderBy("doc_id").collect()
+    assert a == b
+    va = stressgen.embeddings_skew(spark, 200).orderBy("vec_id").collect()
+    vb = stressgen.embeddings_skew(spark, 200).orderBy("vec_id").collect()
+    assert va == vb
+
+
+def test_planted_doc_pairs_are_near_dups(spark):
+    docs = stressgen.documents_skew(spark, 500)
+    sh = dedup.shingles(docs, n=3)
+    pairs = dedup.jaccard_pairs(sh, threshold=0.7, max_df=20)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert stressgen.planted_doc_pairs(500) <= got
+
+
+def test_bucket_cap_is_noop_on_benign_buckets(spark):
+    # on benign data (no bucket near the cap) capped == uncapped, so the
+    # oracle-gated production queries keep identical results
+    from stream_processing_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    kw = dict(threshold=0.9, dim=dim, bands=4, rows_per_band=8)
+    uncapped = sorted(map(tuple, similarity.lsh_banded_pairs(emb, **kw).collect()))
+    capped = sorted(
+        map(tuple, similarity.lsh_banded_pairs(emb, max_bucket=10_000, **kw).collect())
+    )
+    assert uncapped == capped
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = dedup.minhash_signatures(dedup.shingles(docs, n=3, distinct=False))
+    u = sorted(map(tuple, dedup.lsh_candidate_pairs(sigs).collect()))
+    c = sorted(
+        map(tuple, dedup.lsh_candidate_pairs(sigs, max_bucket=10_000).collect())
+    )
+    assert u == c
+
+
+def test_capped_candidates_are_linear_not_quadratic(spark, tmp_path):
+    # the headline bound: with the mode-collapsed hot bucket dropped the
+    # candidate count stays ~linear in corpus size, far below the
+    # quadratic blowup the hot bucket would produce
+    n = 1000
+    emb = stressgen.embeddings_skew(spark, n)
+    cand = similarity.lsh_banded_pairs(
+        emb, threshold=0.98, dim=stressgen.EMB_DIM, bands=4, rows_per_band=8,
+        max_bucket=100,
+    )
+    n_pairs = cand.count()
+    hot = int(n * 0.85)
+    assert n_pairs < 20 * n  # linear-ish
+    assert n_pairs < 0.01 * (hot * (hot - 1) / 2)  # nowhere near quadratic
