@@ -50,6 +50,7 @@ from stream_processing_spark.queries import relational2  # noqa: E402,F401
 from stream_processing_spark.queries import relational3  # noqa: E402,F401
 from stream_processing_spark.queries import relational4  # noqa: E402,F401
 from stream_processing_spark.queries import relational5  # noqa: E402,F401
+from stream_processing_spark.queries import relational6  # noqa: E402,F401
 from stream_processing_spark.queries import llmops  # noqa: E402,F401
 from stream_processing_spark.queries import streaming_queries  # noqa: E402,F401
 from stream_processing_spark.queries import skew_queries  # noqa: E402,F401

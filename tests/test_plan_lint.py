@@ -39,6 +39,7 @@ CROSS_OK = {
     "ann_pq_topk",                # 1-row query vector broadcast (ADC + re-rank)
     "contrastive_triplets",       # 1-row corpus-count scalar broadcast
     "user_profile_similarity",    # 1-row query-profile broadcast
+    "q11_important_part_values",  # 1-row global-threshold scalar broadcast
 }
 
 _SKIP = tuple(
