@@ -156,6 +156,17 @@ def main(argv: list[str] | None = None) -> int:
     cmd, rest = argv[0].lower(), argv[1:]
     if cmd == "rainstorm":
         return _rainstorm(rest)
+    if cmd == "tail":
+        # tail <src_file> <spool_dir> [poll_sec] — bridge a single
+        # append-only file into the micro-file directory a StreamJob
+        # consumes (reference worker.py:503-511 tail-forever mode)
+        from stream_processing_spark.streaming.tailer import FileTailer
+
+        src, spool = rest[0], rest[1]
+        poll = float(rest[2]) if len(rest) > 2 else 0.5
+        print(f"tailing {src} -> {spool} every {poll}s (ctrl-c to stop)")
+        FileTailer(src, spool).run(poll_interval=poll)
+        return 0
     if cmd == "dgrep":
         return _dgrep(rest)
     if cmd in ("store", "create", "append", "multiappend", "merge", "get", "ls", "delete"):
