@@ -440,6 +440,49 @@ def lsh_bucketed_pairs(
     )
 
 
+def _pq_adc_score(
+    train: DataFrame,
+    m: int,
+    n_codes: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> Column:
+    """ADC score column: sum over subspaces of (query subvector · the
+    row's reconstructed codeword). References ``vec_col`` on the scored
+    row and ``__q`` (the broadcast query vector). Codebooks are trained
+    on ``train`` (the FULL corpus — never a pruned subset, so IVF cell
+    filtering can't shift the quantizer) via the deterministic k-means,
+    then inlined as literals: code assignment and reconstruction are
+    both map-side, zero shuffle."""
+    sub = dim // m
+    score = None
+    for j in range(m):
+        cb = kmeans_centroids(
+            train.select(
+                id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+            ),
+            n_codes,
+            id_col=id_col,
+            vec_col=vec_col,
+            metric="l2",
+        )
+        code = -F.array_max(
+            _cell_rank_array(
+                F.slice(F.col(vec_col), j * sub + 1, sub), cb, metric="l2"
+            )
+        ).getField("nc")
+        cw_arr = F.array(
+            *[F.array(*[F.lit(float(w)) for w in cb[c]]) for c in sorted(cb)]
+        )
+        term = dot(
+            F.slice(F.col("__q"), j * sub + 1, sub),
+            F.element_at(cw_arr, code.cast("int") + 1),
+        )
+        score = term if score is None else score + term
+    return score
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -471,39 +514,81 @@ def pq_topk(
     The fixture embeddings are ~unit-norm, so inner-product ADC ranks
     like cosine; for general corpora L2-normalize first.
     """
-    sub = dim // m
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__q")
     )
     base = embeddings.filter(F.col(id_col) != query_vec_id).crossJoin(
         F.broadcast(q)
     )
-    score = None
-    for j in range(m):
-        cb = kmeans_centroids(
-            embeddings.select(
-                id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
-            ),
-            n_codes,
-            id_col=id_col,
-            vec_col=vec_col,
-            metric="l2",
-        )
-        code = -F.array_max(
-            _cell_rank_array(
-                F.slice(F.col(vec_col), j * sub + 1, sub), cb, metric="l2"
-            )
-        ).getField("nc")
-        cw_arr = F.array(
-            *[F.array(*[F.lit(float(w)) for w in cb[c]]) for c in sorted(cb)]
-        )
-        term = dot(
-            F.slice(F.col("__q"), j * sub + 1, sub),
-            F.element_at(cw_arr, code.cast("int") + 1),
-        )
-        score = term if score is None else score + term
+    score = _pq_adc_score(embeddings, m, n_codes, dim, id_col, vec_col)
     adc = (
         base.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+        .orderBy(F.desc("adc_score"), F.asc(id_col))
+        .limit(refine * k)
+    )
+    cand = embeddings.join(adc.select(id_col), id_col, "left_semi")
+    cos_sim = F.round(cosine(F.col(vec_col), F.col("__q")), 6)
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cos_sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    n_codes: int = 16,
+    dim: int = 64,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC: IVF coarse cells prune the scan, PQ codes replace the
+    vectors inside the probed cells, exact cosine re-ranks the survivors
+    — the composition Jégou et al. call IVFADC and every production ANN
+    store (FAISS IVF-PQ tier) ships as its default large-scale index.
+
+    Topology (all pruning/encoding map-side via inlined literals):
+      1. coarse: the cosine k-means quantizer from ``ivf_topk`` assigns
+         every vector a cell; the query probes its ``nprobe`` nearest —
+         only ~nprobe/n_cells of rows survive;
+      2. ADC: the survivors are scored by PQ codes (codebooks trained on
+         the FULL corpus so cell pruning can't shift the quantizer —
+         classic IVFADC trains PQ on residuals, we score raw subvectors
+         to keep every float op engine-portable for the oracle);
+      3. refine: ADC top ``refine*k`` re-ranked by exact cosine via a
+         semi-join that reads only those full vectors.
+
+    At 100 TB the scan for step 2 reads (cell_id, m×log2(n_codes)-bit
+    codes) — with m=16, n_codes=16 that is 8 bytes/vector instead of a
+    256-byte float vector, and only nprobe/n_cells of those.
+    """
+    cents = kmeans_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+    rank_arr = _cell_rank_array(F.col(vec_col), cents)
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(F.reverse(F.array_sort(rank_arr)).alias("arr"))
+        .head()
+    )
+    probe = [-r["nc"] for r in qrow["arr"][:nprobe]]
+
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    scanned = (
+        embeddings.withColumn("__cell", -F.array_max(rank_arr).getField("nc"))
+        .filter(F.col("__cell").isin(probe) & (F.col(id_col) != query_vec_id))
+        .crossJoin(F.broadcast(q))
+    )
+    score = _pq_adc_score(embeddings, m, n_codes, dim, id_col, vec_col)
+    adc = (
+        scanned.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
         .orderBy(F.desc("adc_score"), F.asc(id_col))
         .limit(refine * k)
     )

@@ -37,6 +37,7 @@ CROSS_OK = {
     "events_anomaly_days",        # 1-row median/MAD scalar broadcasts
     "heavy_hitter_tokens",        # 1-row total-token-count scalar broadcast
     "ann_pq_topk",                # 1-row query vector broadcast (ADC + re-rank)
+    "ann_ivfpq_topk",             # 1-row query vector broadcast (IVFADC)
     "contrastive_triplets",       # 1-row corpus-count scalar broadcast
     "user_profile_similarity",    # 1-row query-profile broadcast
     "q11_important_part_values",  # 1-row global-threshold scalar broadcast

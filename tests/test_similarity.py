@@ -155,3 +155,49 @@ def test_pq_refine_widening_recovers_exact_order(spark):
         for r in sim.pq_topk(emb, query_vec_id=0, k=10, refine=n).collect()
     ]
     assert full == exact
+
+
+def test_ivfpq_recall_and_subset_of_ivf_scan(spark):
+    # IVFADC composes both pruning tiers, so its result can only draw
+    # from vectors inside the probed IVF cells; recall vs the exact
+    # top-10 stays useful (>=0.5 at these settings on this fixture),
+    # and every returned id must also appear in the plain-IVF scan of
+    # the same cells scored exactly (ADC+re-rank can't invent rows).
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    exact = [
+        r.vec_id
+        for r in sim.brute_force_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    # k must stay O(n): TakeOrderedAndProject sizes its bounded priority
+    # queue by the limit, so an "unbounded" sentinel like 10**9 OOMs
+    n = emb.count()
+    ivf_scan = {
+        r.vec_id
+        for r in sim.ivf_topk(
+            emb, query_vec_id=0, k=n, n_cells=16, nprobe=4
+        ).collect()
+    }
+    got = [
+        r.vec_id for r in sim.ivfpq_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    assert set(got) <= ivf_scan
+    recall = len(set(exact) & set(got)) / len(exact)
+    assert recall >= 0.5, (recall, exact, got)
+
+
+def test_ivfpq_full_probe_full_refine_is_exact(spark):
+    # with every cell probed and refine covering the corpus, both
+    # pruning tiers are no-ops and the re-rank IS brute force
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    exact = [
+        (r.vec_id, r.cos_sim)
+        for r in sim.brute_force_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    full = [
+        (r.vec_id, r.cos_sim)
+        for r in sim.ivfpq_topk(
+            emb, query_vec_id=0, k=10, nprobe=16, refine=n
+        ).collect()
+    ]
+    assert full == exact
