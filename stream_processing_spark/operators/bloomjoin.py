@@ -1,0 +1,130 @@
+"""Bloom-prefiltered join: a runtime semi-join filter for big joins.
+
+The scale problem: joining a 100 TB fact table to a selective slice of
+a dimension (e.g. "lineitems of this month's urgent orders") shuffles
+the ENTIRE fact table even though only a few percent of its rows can
+possibly match. Engines solve this with runtime filters: build a bloom
+filter of the selective side's join keys, push it into the fact scan,
+and drop non-matching rows BEFORE the shuffle. Spark's AQE can inject
+one (`spark.sql.optimizer.runtime.bloomFilter.enabled`), but only under
+size heuristics it controls; this operator is the explicit, always-on
+spelling — the same topology as the reference's client-side fan-out
+pruning idea (query only the machines that can match,
+/root/reference/src/LogQuerier/client.py:113-152), lifted to join keys.
+
+Design constraints honored here:
+
+- **Result-invariant.** A bloom filter has false positives but NO false
+  negatives; the equi-join that follows drops the false positives, so
+  the output is bit-identical to the unfiltered join. (That is also why
+  the DuckDB oracle for a bloom-joined query is just the plain join.)
+- **Constant-size driver traffic.** The bitset is `m_bits` wide
+  (default 2^16 = 8 KB packed) regardless of data volume: the build
+  aggregates DISTINCT bit positions (≤ m_bits rows, a hard cap) to the
+  driver, packs them into longs, and inlines the packed array as a
+  literal — the probe side then tests bits MAP-SIDE with zero extra
+  shuffle and zero Python. Size m_bits ~ 10× expected distinct keys
+  for a ~1% false-positive rate (k=3 hashes); an undersized filter
+  only costs selectivity, never correctness.
+- **Engine-portable hashing.** Bit positions come from md5 hex slices
+  (`conv(substr(md5(i || ':' || key), 1, 8), 16, 10) % m_bits`) — no
+  JVM-private hash, so tests can recompute positions in Python and the
+  whole build is deterministic across runs and engines.
+
+At 1000 executors the win is shuffle volume: with a 2% selective build
+side, ~98% of fact rows die at the scan instead of crossing the network.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD = 64
+
+
+def _bit_positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
+    """k deterministic bit positions for a key (md5-sliced, 32-bit)."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+        for i in range(k_hashes)
+    ]
+
+
+def bloom_bitset(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> list[int]:
+    """Build the packed bitset (list of m_bits/64 ints) from the build
+    side's keys. The only driver transfer is the distinct position set,
+    hard-capped at m_bits rows — constant in data volume."""
+    pos_cols = _bit_positions(F.col(key_col), m_bits, k_hashes)
+    positions = (
+        keys.select(F.explode(F.array(*pos_cols)).alias("p")).distinct().collect()
+    )
+    words = [0] * ((m_bits + _WORD - 1) // _WORD)
+    for r in positions:
+        p = int(r["p"])
+        words[p // _WORD] |= 1 << (p % _WORD)
+    return words
+
+
+def bloom_might_contain(
+    key: Column, words: list[int], m_bits: int, k_hashes: int = 3
+) -> Column:
+    """Map-side membership test against an inlined packed bitset.
+
+    Long literals must be built from the SIGNED 64-bit value (Python
+    ints > 2^63-1 don't fit a LongType literal)."""
+    signed = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
+    arr = F.array(*[F.lit(w).cast("long") for w in signed])
+    cond = None
+    for pos in _bit_positions(key, m_bits, k_hashes):
+        word = F.element_at(arr, (pos / _WORD).cast("int") + 1)
+        test = F.getbit(word, pos % _WORD) == 1
+        cond = test if cond is None else cond & test
+    return cond
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    build: DataFrame,
+    big_key: str,
+    build_key: str | None = None,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """``big`` reduced to rows whose key MIGHT appear in ``build`` —
+    a superset of the true semi-join (no false negatives). The filter
+    evaluates in the scan stage, before any exchange."""
+    words = bloom_bitset(build, build_key or big_key, m_bits, k_hashes)
+    return big.filter(
+        bloom_might_contain(F.col(big_key), words, m_bits, k_hashes)
+    )
+
+
+def bloom_join(
+    big: DataFrame,
+    build: DataFrame,
+    big_key: str,
+    build_key: str | None = None,
+    how: str = "inner",
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Equi-join with a bloom prefilter on the big side. Identical
+    output to ``big.join(build, on=keys, how=how)`` for inner/semi
+    joins (false positives die in the join); the prefilter just keeps
+    non-matching fact rows out of the shuffle."""
+    bk = build_key or big_key
+    pre = bloom_prefilter(big, build, big_key, bk, m_bits, k_hashes)
+    if bk == big_key:
+        return pre.join(build, on=big_key, how=how)
+    return pre.join(build, on=pre[big_key] == build[bk], how=how)
