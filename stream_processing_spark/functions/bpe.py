@@ -1,0 +1,108 @@
+"""Distributed BPE (byte-pair-encoding) merge training.
+
+Tokenizer training is a standard step of a large-corpus data pipeline.
+BPE's classic formulation is sequential, but its heavy work — counting
+adjacent symbol pairs — is a pure aggregation, and it runs over the
+WORD-FREQUENCY table, not the corpus: vocabulary grows ~log of corpus
+size, so after the one corpus-sized word count each merge iteration
+touches a table millions of rows wide at 100 TB, not terabytes. That is
+exactly how production BPE trainers scale, and it maps onto Spark as:
+
+    per merge step:
+      1. explode each word's symbol sequence into adjacent pairs,
+         sum word frequencies per pair        (distributed agg)
+      2. take the argmax pair, deterministic tie-break
+         (count DESC, left ASC, right ASC)    (constant driver trip)
+      3. rewrite every word's symbols, merging that pair left-to-right
+         non-overlapping                      (map-side string rewrite)
+
+The merge rewrite is engine-portable string algebra (no UDF, no
+lookbehind — RE2 engines lack it): with symbols space-joined, double
+every gap and wrap in spaces, then a plain non-regex replace of
+`' a  b '` with `' ab '` is exactly the left-to-right non-overlapping
+scan (each match consumes at most one space from each doubled gap, so
+neighboring matches never starve each other: 'a b a b' -> 'ab ab'),
+then collapse gaps back. The DuckDB oracle unrolls the same three
+steps per merge as CTEs.
+
+Lineage: each iteration's frame is localCheckpoint'd (or reliably
+checkpointed on a cluster via ``reliable=True``) so the plan doesn't
+grow a tower of string rewrites — same discipline as
+operators/graph.py's label propagation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stream_processing_spark.runtime import materialize
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(repr, freq): space-joined character sequence per distinct word."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("repr"),
+            "freq",
+        )
+    )
+
+
+def _adjacent_pairs(wf: DataFrame) -> DataFrame:
+    """(a, b, c): adjacent symbol pairs weighted by word frequency."""
+    pairs = F.expr(
+        "transform(slice(split(repr, ' '), 1, size(split(repr, ' ')) - 1), "
+        "(s, i) -> struct(s AS a, element_at(split(repr, ' '), i + 2) AS b))"
+    )
+    return (
+        wf.select(F.explode(pairs).alias("p"), "freq")
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "freq")
+        .groupBy("a", "b")
+        .agg(F.sum("freq").cast("bigint").alias("c"))
+    )
+
+
+def merge_pair_expr(repr_col: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping merge of (a, b) in a space-joined
+    symbol string — the doubled-gap replace described in the module doc."""
+    doubled = F.concat(
+        F.lit(" "), F.regexp_replace(repr_col, " ", "  "), F.lit(" ")
+    )
+    merged = F.replace(doubled, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    return F.trim(F.replace(merged, F.lit("  "), F.lit(" ")))
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns
+    [(step, left_sym, right_sym, pair_count), ...]. Each step costs one
+    distributed pair-count aggregation plus a 1-row driver trip."""
+    cur = word_frequencies(docs, text_col)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        cur = materialize(
+            cur, eager=False, reliable=reliable, checkpoint_dir=checkpoint_dir
+        )
+        top = (
+            _adjacent_pairs(cur)
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .head()
+        )
+        if top is None:
+            break
+        merges.append((step, top["a"], top["b"], int(top["c"])))
+        cur = cur.select(
+            merge_pair_expr(F.col("repr"), top["a"], top["b"]).alias("repr"),
+            "freq",
+        )
+    return merges

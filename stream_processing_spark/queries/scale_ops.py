@@ -116,3 +116,71 @@ def zorder_shard_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_BPE_MERGES = 5
+
+
+def _bpe_oracle(n: int) -> str:
+    """Unrolled CTE ladder: per merge step, a pair-count agg, a
+    deterministic argmax, and the same doubled-gap literal replace the
+    engine uses (left-to-right non-overlapping merge)."""
+    parts = [
+        """
+    tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    r0 AS (
+        SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr,
+               COUNT(*) AS freq
+        FROM tok WHERE w <> '' GROUP BY 1
+    )"""
+    ]
+    for k in range(1, n + 1):
+        parts.append(f"""
+    p{k} AS (
+        SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (SELECT string_split(repr, ' ') AS l, freq FROM r{k - 1}) t,
+             UNNEST(range(1, len(l))) AS u(i)
+        GROUP BY 1, 2
+    ),
+    m{k} AS (SELECT a, b, c FROM p{k} ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    r{k} AS (
+        SELECT trim(replace(replace(
+                   ' ' || replace(repr, ' ', '  ') || ' ',
+                   (SELECT ' ' || a || '  ' || b || ' ' FROM m{k}),
+                   (SELECT ' ' || a || b || ' ' FROM m{k})),
+               '  ', ' ')) AS repr, freq
+        FROM r{k - 1}
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS step, a AS left_sym, b AS right_sym, "
+        f"c AS pair_count FROM m{k}"
+        for k in range(1, n + 1)
+    )
+    return "WITH " + ",".join(parts) + f" {finals} ORDER BY step"
+
+
+@register(
+    "bpe_train_merges",
+    _bpe_oracle(_BPE_MERGES),
+    doc=f"Distributed BPE tokenizer training (functions/bpe.py): the "
+    f"first {_BPE_MERGES} learned merges over the documents corpus. "
+    "Each step is one distributed adjacent-pair aggregation over the "
+    "WORD-FREQUENCY table (vocabulary-sized — ~log of corpus — so "
+    "iterations never rescan the corpus; the one corpus-wide pass is "
+    "the initial word count) plus a 1-row argmax driver trip with a "
+    "total tie-break. The merge rewrite is engine-portable string "
+    "algebra: doubled gaps + a literal replace give the left-to-right "
+    "non-overlapping scan without lookbehind (RE2-safe), and the "
+    "oracle unrolls the identical three steps per merge as CTEs. "
+    "Frames are checkpointed per round (reliable=True available for "
+    "clusters) so lineage stays flat. Parity vs a pure-Python BPE "
+    "reference asserted in test_bpe.py.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count bigint"
+    )

@@ -1,0 +1,83 @@
+"""BPE training parity vs an independent pure-Python reference
+implementing the canonical left-to-right scan merge, plus unit coverage
+of the doubled-gap merge rewrite's overlap semantics."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from stream_processing_spark.catalog import load_table
+from stream_processing_spark.functions import bpe
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_bpe(word_freq: dict[str, int], n_merges: int):
+    """Canonical BPE: scan-merge, argmax with (count desc, a, b)."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, c))
+        new_vocab: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_python_reference(spark):
+    docs = load_table(spark, SF, "documents")
+    words = [
+        w
+        for r in docs.select("text").collect()
+        for w in r.text.split(" ")
+        if w
+    ]
+    expect = _py_bpe(Counter(words), n_merges=6)
+    got = bpe.bpe_train(docs, n_merges=6)
+    assert got == expect, (got, expect)
+
+
+def test_merge_expr_overlap_semantics(spark):
+    # 'a b a b' must become 'ab ab' (both pairs merge), 'a a a' with
+    # pair (a,a) must become 'aa a' (left-to-right non-overlapping)
+    cases = [
+        ("a b a b", "a", "b", "ab ab"),
+        ("a a a", "a", "a", "aa a"),
+        ("b a b", "a", "b", "b ab"),
+        ("x a b x", "a", "b", "x ab x"),
+        ("a b", "a", "b", "ab"),
+        ("c d", "a", "b", "c d"),
+        ("a", "a", "b", "a"),
+    ]
+    df = spark.createDataFrame(
+        [(r, a, b, want) for r, a, b, want in cases],
+        "repr string, a string, b string, want string",
+    )
+    for r, a, b, want in cases:
+        got = (
+            df.filter((F.col("repr") == r) & (F.col("want") == want))
+            .select(bpe.merge_pair_expr(F.col("repr"), a, b).alias("m"))
+            .head()["m"]
+        )
+        assert got == want, (r, a, b, got, want)
