@@ -184,3 +184,187 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left_sym string, right_sym string, pair_count bigint"
     )
+
+
+_CUTOFF = "2024-01-25"
+
+
+@register(
+    "incremental_rollup_merge",
+    """
+    SELECT event_type,
+           date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_value,
+           CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, day
+    """,
+    doc="Incremental view maintenance: the daily rollup is kept fresh "
+    "by MERGING stored partial aggregates with the new batch's "
+    "partials (count+count, decimal sum+sum, min/min, max/max) instead "
+    "of rescanning history — at 100 TB the nightly recompute dies and "
+    "this is the standard replacement (materialized-view delta "
+    "maintenance). Here history (ts < cutoff) and the new batch (ts >= "
+    "cutoff) are aggregated separately and merged by key; the oracle "
+    "is the full recompute over everything, which the merge must equal "
+    "EXACTLY — that equality is precisely the associativity contract "
+    "partial aggregation rests on (and why the sums are decimal: "
+    "float partials would drift between the two plans).",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+    val = F.col("value").cast("decimal(12,2)")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return (
+            df.select("event_type", day.alias("day"), val.alias("v"))
+            .groupBy("event_type", "day")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("v").alias("sum_v"),
+                F.min("v").alias("min_value"),
+                F.max("v").alias("max_value"),
+            )
+        )
+
+    cutoff = F.to_timestamp(F.lit(_CUTOFF))
+    hist = partials(ev.filter(F.col("ts") < cutoff))
+    batch = partials(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        hist.unionByName(batch)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_v").cast("double").alias("total_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+    return merged.select(
+        "event_type", "day", "n_events", "total_value",
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    ).orderBy("event_type", "day")
+
+
+_DQ_PRIORITIES = "'1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'"
+
+
+@register(
+    "dq_expectations_report",
+    f"""
+    WITH row_checks AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                        THEN 1 ELSE 0 END) AS f_pos,
+               SUM(CASE WHEN NOT COALESCE(o_totalprice < 400000, FALSE)
+                        THEN 1 ELSE 0 END) AS f_cap,
+               SUM(CASE WHEN NOT COALESCE(
+                        o_orderdate >= DATE '1995-01-01'
+                        AND o_orderdate < DATE '2002-01-01', FALSE)
+                        THEN 1 ELSE 0 END) AS f_date,
+               SUM(CASE WHEN NOT COALESCE(
+                        o_orderpriority IN ({_DQ_PRIORITIES}), FALSE)
+                        THEN 1 ELSE 0 END) AS f_dom,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS f_null,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS f_uniq
+        FROM orders
+    ),
+    ref AS (
+        SELECT (SELECT COUNT(*) FROM orders) AS n,
+               COUNT(*) AS f
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+    )
+    SELECT chk AS check_name, CAST(n AS BIGINT) AS n_checked,
+           CAST(f AS BIGINT) AS n_failed, f = 0 AS passed
+    FROM (
+        SELECT 'custkey_not_null' AS chk, n, f_null AS f FROM row_checks
+        UNION ALL
+        SELECT 'custkey_references_customer', n, f FROM ref
+        UNION ALL
+        SELECT 'orderdate_in_range', n, f_date FROM row_checks
+        UNION ALL
+        SELECT 'orderkey_unique', n, f_uniq FROM row_checks
+        UNION ALL
+        SELECT 'priority_in_domain', n, f_dom FROM row_checks
+        UNION ALL
+        SELECT 'totalprice_below_cap_400k', n, f_cap FROM row_checks
+        UNION ALL
+        SELECT 'totalprice_positive', n, f_pos FROM row_checks
+    )
+    ORDER BY check_name
+    """,
+    doc="Data-quality expectation suite (the dbt-test / Deequ shape): "
+    "one report row per declared check — null, range, domain, "
+    "uniqueness, positivity, and a referential check against the "
+    "customer dimension. ALL row-level checks ride ONE scan of orders "
+    "as conditional aggregates (adding a check costs a column, not a "
+    "pass — the property that keeps expectation suites affordable at "
+    "100 TB); uniqueness shares that same aggregate via a distinct "
+    "count, and the referential check is a broadcast anti-join against "
+    "the dimension. The cap check is deliberately violated by the "
+    "data, so the report proves failures are COUNTED, not just "
+    "flagged.",
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def failed(cond):  # NULL never passes a check
+        return F.sum(
+            F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+        )
+
+    prios = [p.strip().strip("'") for p in _DQ_PRIORITIES.split(", ")]
+    row = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        failed(F.col("o_totalprice") > 0).alias("f_pos"),
+        failed(F.col("o_totalprice") < 400000).alias("f_cap"),
+        failed(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("2002-01-01").cast("date"))
+        ).alias("f_date"),
+        failed(F.col("o_orderpriority").isin(prios)).alias("f_dom"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("f_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("f_uniq"),
+    )
+    ref_failed = (
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("f"))
+        .head()["f"]
+    )
+    report = row.select(
+        F.expr(
+            "stack(6, "
+            "'custkey_not_null', n, f_null, "
+            "'orderdate_in_range', n, f_date, "
+            "'orderkey_unique', n, f_uniq, "
+            "'priority_in_domain', n, f_dom, "
+            "'totalprice_below_cap_400k', n, f_cap, "
+            "'totalprice_positive', n, f_pos) "
+            "AS (check_name, n_checked, n_failed)"
+        )
+    ).unionByName(
+        row.select(
+            F.lit("custkey_references_customer").alias("check_name"),
+            F.col("n").alias("n_checked"),
+            F.lit(ref_failed).alias("n_failed"),
+        )
+    )
+    return report.select(
+        "check_name",
+        F.col("n_checked").cast("bigint").alias("n_checked"),
+        F.col("n_failed").cast("bigint").alias("n_failed"),
+        (F.col("n_failed") == 0).alias("passed"),
+    ).orderBy("check_name")
