@@ -465,3 +465,81 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", rk)
         .where(F.col("rk") <= 3)
     )
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase'
+            AND ts < TIMESTAMP '2024-01-30 00:00:00') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    """,
+    doc="STREAM-STREAM LEFT OUTER join with watermarks: purchases keep "
+    "a row even with zero preceding clicks. The semantic subtlety this "
+    "query exists to pin down: an outer join's null-padded rows emit "
+    "ONLY once the watermark passes the row's event time (before that, "
+    "a match could still arrive), so rows newer than max(ts) - delay "
+    "are withheld at drain and the stream would undercount vs batch. "
+    "Bounding the outer side to a CLOSED window (ts < Jan 30, final "
+    "watermark ~Jan 30 21:57 clears it) makes the drained result equal "
+    "the batch left join exactly — the oracle proves it. This "
+    "closed-window discipline is how production jobs reconcile outer "
+    "stream joins against batch backfills.",
+)
+def streaming_stream_stream_left_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # With two watermarked inputs Spark's GLOBAL watermark defaults to
+    # the MIN of the per-input ones — here the purchase side is cut at
+    # Jan 30 so its own watermark can never pass its own tail, and the
+    # last 2 h of purchases would be withheld forever. The 'max' policy
+    # lets the unbounded click side (runs to Jan 30 23:57) drive the
+    # global watermark past the whole closed purchase window. Session
+    # conf side effect, like catalog.load_table's nanos conf: it only
+    # changes behavior for multi-watermark queries, where min is just
+    # the conservative default for late cross-input data we don't have.
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit("2024-01-30 00:00:00").cast("timestamp"))
+        )
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("purchase_id", "click_id")
+
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError("stream did not drain")
+    return spark.table(name)

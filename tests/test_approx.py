@@ -100,3 +100,43 @@ def test_approx_percentiles_cross_engine_bound(spark, duck):
     for status, approx in rows.items():
         for a, e in zip(approx, d[status]):
             assert abs(a - float(e)) / float(e) < 0.05, (status, a, e)
+
+
+def test_hll_sketch_rollup_bound_and_mergeability(spark):
+    # the union-of-daily-sketches estimate must (a) sit within HLL's
+    # error envelope of the exact distinct count (lgK=12 -> ~1.6% rse;
+    # 3% is ~2 sigma) and (b) equal the direct one-pass sketch estimate
+    # — the re-aggregation property the architecture rests on
+    from pyspark.sql import functions as F
+
+    from stream_processing_spark.catalog import load_table
+    from stream_processing_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r.event_type: r.est_users
+        for r in REGISTRY["hll_sketch_rollup_users"].spark(spark, sf).collect()
+    }
+    ev = load_table(spark, sf, "events")
+    exact = {
+        r.event_type: r.x
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    direct = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+            .cast("bigint")
+            .alias("d")
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= max(2, 0.03 * exact[et]), (
+            et, est, exact[et],
+        )
+        assert est == direct[et], (et, est, direct[et])
