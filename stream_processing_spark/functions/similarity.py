@@ -26,6 +26,45 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+# NOTE on a rejected "optimization": inlining literal-codebook dots as
+# explicit element_at/multiply/add chains (instead of zip_with+aggregate
+# folds) was tried and REVERTED — the expanded expressions blow janino's
+# 64 KB generated-method limit on the 32-plane signature and 256-codeword
+# ADC paths, and Spark's fallback (compile-attempt per task + interpreted
+# projection of the huge tree) benchmarked 2-6x SLOWER than the fold
+# (ann_lsh_bucketed_pairs 2.8s -> 16.3s at sf0.1). The fold's per-row
+# interpretation cost is dwarfed by plan-compilation overhead, which is
+# CONSTANT in data volume — the right trade at 100 TB.
+#
+# What WAS worth fixing: building those folds through the PySpark
+# higher-order-function API costs ~17 ms of py4j round-trips PER dot at
+# expression-CONSTRUCTION time (lambda plumbing) — 512 codebook dots ≈
+# 18 s of driver-side Python before any job runs. _dot_sql builds the
+# IDENTICAL Catalyst expression via one spark-SQL string parsed
+# JVM-side (same zip_with/aggregate/casts, so results are bit-equal),
+# collapsing construction to milliseconds.
+
+
+def _dot_sql(vec_sql: str, weights: list[float]) -> str:
+    """SQL text for ``dot(<vec_sql>, array(<literal weights>))`` —
+    parses to the exact expression ``dot`` builds (verified equal)."""
+    lits = ", ".join(repr(float(w)) + "D" for w in weights)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({lits}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+
+
+def _self_dot_sql(vec_sql: str) -> str:
+    lits_free = (
+        f"aggregate(zip_with({vec_sql}, {vec_sql}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    return lits_free
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -94,19 +133,31 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def signature_col(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH signature string, one char per hyperplane."""
-    bits = [
-        F.when(dot(vec_col, F.array(*[F.lit(w) for w in p])) >= 0, F.lit("1")).otherwise(
-            F.lit("0")
-        )
-        for p in planes
-    ]
+def signature_col(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-LSH signature string, one char per hyperplane.
+
+    Pass the vector as a SQL string (column name / slice expression)
+    for the fast construction path (_dot_sql); a Column still works but
+    pays the py4j lambda cost per plane."""
+    if isinstance(vec, str):
+        bits = [
+            F.when(F.expr(_dot_sql(vec, p)) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for p in planes
+        ]
+    else:
+        bits = [
+            F.when(
+                dot(vec, F.array(*[F.lit(w) for w in p])) >= 0, F.lit("1")
+            ).otherwise(F.lit("0"))
+            for p in planes
+        ]
     return F.concat(*bits)
 
 
 def _cell_rank_array(
-    vec_col: Column, cents: dict[int, list[float]], metric: str = "cosine"
+    vec_sql: str, cents: dict[int, list[float]], metric: str = "cosine"
 ) -> Column:
     """array<struct<s: affinity-to-centroid, nc: -cid>> — array_max picks
     the best cell (highest score, ties → lowest cid); sorted tail gives
@@ -118,11 +169,18 @@ def _cell_rank_array(
     assignment bit-exactly."""
     entries = []
     for cid, cvec in sorted(cents.items()):
-        c = F.array(*[F.lit(float(w)) for w in cvec])
+        lits = ", ".join(repr(float(w)) + "D" for w in cvec)
         if metric == "l2":
-            s = dot(vec_col, c) - F.lit(0.5) * dot(c, c)
+            s = F.expr(
+                f"{_dot_sql(vec_sql, cvec)} - 0.5D * "
+                f"{_dot_sql(f'array({lits})', cvec)}"
+            )
         else:
-            s = cosine(vec_col, c)
+            s = F.expr(
+                f"{_dot_sql(vec_sql, cvec)} / "
+                f"(sqrt({_self_dot_sql(vec_sql)}) * "
+                f"sqrt({_dot_sql(f'array({lits})', cvec)}))"
+            )
         entries.append(F.struct(s.alias("s"), F.lit(-cid).alias("nc")))
     return F.array(*entries)
 
@@ -223,7 +281,7 @@ def kmeans_centroids(
     )
     seeds = {i: list(r[1]) for i, r in enumerate(seed_rows)}
 
-    rank_arr = _cell_rank_array(F.col(vec_col), seeds, metric=metric)
+    rank_arr = _cell_rank_array(vec_col, seeds, metric=metric)
     assigned = embeddings.withColumn(
         "__cell", -F.array_max(rank_arr).getField("nc")
     )
@@ -268,7 +326,7 @@ def ivf_topk(
     round), so an oracle engine can reproduce the identical quantizer.
     """
     cents = kmeans_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
-    rank_arr = _cell_rank_array(F.col(vec_col), cents)
+    rank_arr = _cell_rank_array(vec_col, cents)
 
     # query's nprobe best cells — engine arithmetic (no Python float math)
     qrow = (
@@ -342,7 +400,7 @@ def lsh_banded_pairs(
         F.struct(
             F.lit(b).alias("band"),
             signature_col(
-                F.col(vec_col), planes[b * rows_per_band : (b + 1) * rows_per_band]
+                vec_col, planes[b * rows_per_band : (b + 1) * rows_per_band]
             ).alias("sig"),
         )
         for b in range(bands)
@@ -419,7 +477,7 @@ def lsh_bucketed_pairs(
     sigs = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        signature_col(F.col(vec_col), planes).alias("sig"),
+        signature_col(vec_col, planes).alias("sig"),
         norm(F.col(vec_col)).alias("nrm"),
     )
     a = sigs.select(
@@ -440,6 +498,102 @@ def lsh_bucketed_pairs(
     )
 
 
+def pq_codebooks(
+    train: DataFrame,
+    m: int,
+    n_codes: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[int, dict[int, list[float]]]:
+    """All ``m`` subspace codebooks in TWO jobs instead of 2·m.
+
+    Bit-identical to calling ``kmeans_centroids(slice_j, metric='l2')``
+    per subspace (the per-subspace oracles depend on that): the seed
+    sample is the same md5(id) order for every subspace (slicing
+    driver-side), the Lloyd assignment uses the same per-subspace L2
+    rank expression — evaluated for all subspaces in ONE pass — and
+    the per-(subspace, cell, dim) means use the same round-to-6dp
+    decimal sum. Empty cells keep their seed, same fallback rule."""
+    try:
+        cache_key = (
+            train.semanticHash(),
+            _source_fingerprint(train),
+            "pq",
+            m,
+            n_codes,
+            dim,
+            id_col,
+            vec_col,
+        )
+    except Exception:
+        cache_key = None
+    if cache_key is not None and cache_key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[cache_key]  # type: ignore[return-value]
+    sub = dim // m
+    seed_rows = (
+        train.select(
+            id_col, vec_col, F.md5(F.col(id_col).cast("string")).alias("__r")
+        )
+        .orderBy("__r", id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    seeds = {
+        j: {c: list(r[1])[j * sub : (j + 1) * sub] for c, r in enumerate(seed_rows)}
+        for j in range(m)
+    }
+    cells = [
+        (
+            -F.array_max(
+                _cell_rank_array(
+                    f"slice({vec_col}, {j * sub + 1}, {sub})",
+                    seeds[j],
+                    metric="l2",
+                )
+            ).getField("nc")
+        ).alias(f"__c{j}")
+        for j in range(m)
+    ]
+    assigned = train.select(vec_col, *cells).select(
+        F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("__cells"),
+        F.posexplode(vec_col).alias("pos0", "v"),
+    )
+    mean_rows = (
+        assigned.select(
+            (F.col("pos0") / sub).cast("int").alias("j"),
+            F.element_at("__cells", (F.col("pos0") / sub).cast("int") + 1).alias(
+                "cell"
+            ),
+            (F.col("pos0") % sub).alias("pos"),
+            F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)").alias(
+                "vr"
+            ),
+        )
+        .groupBy("j", "cell", "pos")
+        .agg((F.sum("vr").cast("double") / F.count(F.lit(1))).alias("m"))
+        .collect()
+    )
+    by: dict[int, dict[int, dict[int, float]]] = {}
+    for r in mean_rows:
+        by.setdefault(int(r["j"]), {}).setdefault(int(r["cell"]), {})[
+            int(r["pos"])
+        ] = float(r["m"])
+    books: dict[int, dict[int, list[float]]] = {}
+    for j in range(m):
+        books[j] = {
+            c: [by[j][c][p] for p in range(sub)]
+            if j in by and c in by.get(j, {})
+            else seeds[j][c]
+            for c in seeds[j]
+        }
+    if cache_key is not None:
+        if len(_CENTROID_CACHE) >= _CENTROID_CACHE_CAP:
+            _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
+        _CENTROID_CACHE[cache_key] = books  # type: ignore[assignment]
+    return books
+
+
 def _pq_adc_score(
     train: DataFrame,
     m: int,
@@ -456,20 +610,13 @@ def _pq_adc_score(
     then inlined as literals: code assignment and reconstruction are
     both map-side, zero shuffle."""
     sub = dim // m
+    books = pq_codebooks(train, m, n_codes, dim, id_col, vec_col)
     score = None
     for j in range(m):
-        cb = kmeans_centroids(
-            train.select(
-                id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
-            ),
-            n_codes,
-            id_col=id_col,
-            vec_col=vec_col,
-            metric="l2",
-        )
+        cb = books[j]
         code = -F.array_max(
             _cell_rank_array(
-                F.slice(F.col(vec_col), j * sub + 1, sub), cb, metric="l2"
+                f"slice({vec_col}, {j * sub + 1}, {sub})", cb, metric="l2"
             )
         ).getField("nc")
         cw_arr = F.array(
@@ -570,7 +717,7 @@ def ivfpq_topk(
     256-byte float vector, and only nprobe/n_cells of those.
     """
     cents = kmeans_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
-    rank_arr = _cell_rank_array(F.col(vec_col), cents)
+    rank_arr = _cell_rank_array(vec_col, cents)
     qrow = (
         embeddings.filter(F.col(id_col) == query_vec_id)
         .select(F.reverse(F.array_sort(rank_arr)).alias("arr"))

@@ -71,7 +71,7 @@ def fixture_stats(spark: SparkSession, paths: dict[str, str]) -> dict:
     planes = similarity._hyperplanes(stressgen.EMB_DIM, 8, seed=42)
     hot_bucket = (
         emb.select(
-            similarity.signature_col(F.col("embedding"), planes).alias("sig")
+            similarity.signature_col("embedding", planes).alias("sig")
         )
         .groupBy("sig")
         .count()

@@ -106,7 +106,7 @@ def test_banded_candidates_match_python_reference(spark):
     planes = sim._hyperplanes(DIM, 32, 42)
     sigs = {}
     for band in range(4):
-        col = sim.signature_col(F.col("embedding"), planes[band * 8 : (band + 1) * 8])
+        col = sim.signature_col("embedding", planes[band * 8 : (band + 1) * 8])
         for r in emb.select("vec_id", col.alias("s")).collect():
             sigs.setdefault(r.vec_id, []).append(r.s)
     expect = {
