@@ -30,7 +30,7 @@ def _rainstorm(args: list[str]) -> int:
 
 def _dgrep(args: list[str]) -> int:
     """dgrep [-i] [-v] [-c] [-n] [-w] [-x] [-F] [-o] [-l]
-    [-A n] [-B n] [-C n] [-m n] <pattern> <glob>
+    [-A n] [-B n] [-C n] [-m n] [-e pat]... <pattern> <glob>
 
     The reference passes raw grep flags through the shell
     (src/LogQuerier/server.py:30-33); this parses the same flags onto
@@ -47,10 +47,16 @@ def _dgrep(args: list[str]) -> int:
     after = before = context = 0
     max_count: int | None = None
     pos: list[str] = []
+    pats: list[str] = []
     it = iter(args)
     try:
         for a in it:
-            if a in ("-A", "-B", "-C", "-m"):
+            if a == "-e":  # -e p1 -e p2 ... (any-match, GNU grep)
+                operand = next(it, None)
+                if operand is None:
+                    raise SystemExit("dgrep: -e requires a pattern")
+                pats.append(operand)
+            elif a in ("-A", "-B", "-C", "-m"):
                 operand = next(it, None)
                 if operand is None or not operand.isdigit():
                     raise SystemExit(f"dgrep: {a} requires a count, e.g. '{a} 2'")
@@ -67,7 +73,10 @@ def _dgrep(args: list[str]) -> int:
                     flags[ch] = True
             else:
                 pos.append(a)
-        pattern, glob = pos
+        if pats:
+            pattern, (glob,) = pats, pos
+        else:
+            pattern, glob = pos
     except ValueError:
         raise SystemExit(
             "usage: dgrep [-i] [-v] [-c] [-n] [-w] [-x] [-F] [-o] [-l] "

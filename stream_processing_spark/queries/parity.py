@@ -440,3 +440,33 @@ def grep_files_with_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source")
         .distinct()
     )
+
+
+@register(
+    "grep_multi_pattern_count",
+    """
+    SELECT source, COUNT(*) AS match_count
+    FROM documents
+    WHERE text LIKE '%sort merge%' OR text LIKE '%hash join%'
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="G2 `grep -e p1 -e p2` parity (any-match across multiple "
+    "patterns, reference raw-flag passthrough "
+    "src/LogQuerier/server.py:30-33): compile_patterns OR's the "
+    "per-pattern compilations into ONE alternation so the scan stays a "
+    "single codegen'd regex filter — never one pass per pattern. The "
+    "patterns are -F literals here, so the oracle can spell the same "
+    "selection as two LIKEs.",
+)
+def grep_multi_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.sources.grep import compile_patterns
+
+    pat = compile_patterns(["sort merge", "hash join"], fixed=True)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike(pat))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("match_count"))
+        .orderBy("source")
+    )

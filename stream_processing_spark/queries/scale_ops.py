@@ -368,3 +368,132 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_failed").cast("bigint").alias("n_failed"),
         (F.col("n_failed") == 0).alias("passed"),
     ).orderBy("check_name")
+
+
+_ORDERS_ROW = (
+    "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, "
+    "CAST(o_totalprice AS DECIMAL(12,2)), CAST(o_orderdate AS DATE), "
+    "o_orderpriority)"
+)
+
+
+@register(
+    "dataset_content_digest",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST('0x' || substr(md5({_ORDERS_ROW}), 1, 15)
+                          AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS digest
+    FROM orders
+    """,
+    doc="Order-independent dataset content digest: each row is rendered "
+    "to a canonical string (decimals/dates cast to fixed lexical "
+    "forms), md5'd, truncated to 60 bits, and SUMMED as DECIMAL(38,0) "
+    "— addition commutes, so the digest is invariant to partitioning, "
+    "row order, shuffle layout, and engine, while any single changed "
+    "byte shifts it. This is how you verify a 100 TB replica/migration "
+    "without ordering guarantees: one scan, one number each side, no "
+    "sort anywhere. (Truncation keeps per-row terms in BIGINT range; "
+    "the decimal sum never overflows below 10^23 rows.)",
+)
+def dataset_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(12,2)"),
+        F.col("o_orderdate").cast("date"),
+        F.col("o_orderpriority"),
+    )
+    term = (
+        F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(term).cast("string").alias("digest"),
+    )
+
+
+@register(
+    "snapshot_diff_events",
+    """
+    WITH old AS (
+        SELECT event_id,
+               md5(concat_ws('|', epoch_us(ts), user_id, event_type,
+                             CAST(value AS DECIMAL(12,2)))) AS h
+        FROM events WHERE event_id % 11 <> 0
+    ),
+    new AS (
+        SELECT event_id,
+               md5(concat_ws('|', epoch_us(ts), user_id, event_type,
+                             CAST(CASE WHEN event_id % 13 = 0
+                                       THEN CAST(value AS DECIMAL(12,2))
+                                            + CAST(1 AS DECIMAL(12,2))
+                                       ELSE CAST(value AS DECIMAL(12,2))
+                                  END AS DECIMAL(12,2)))) AS h
+        FROM events WHERE event_id % 17 <> 0
+    )
+    SELECT CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           COUNT(*) AS n
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    GROUP BY 1
+    ORDER BY change_type
+    """,
+    doc="Snapshot diff (CDC between table versions): two synthetic "
+    "versions of events (the new one adds the %11 rows, drops the %17 "
+    "rows, and bumps value on the %13 rows) compared with ONE "
+    "key-equi full-outer join carrying only (key, row-hash) — never "
+    "the payload — then classified added/removed/changed/unchanged. "
+    "At 100 TB this is a sort-merge join on the key with 16-byte rows; "
+    "the row hash uses epoch micros (not timestamp rendering, whose "
+    "trailing-zero trimming differs across engines) and decimal-cast "
+    "values for canonical bytes. The degenerate twin of "
+    "dataset_content_digest: the digest says WHETHER replicas match, "
+    "the diff says WHAT diverged.",
+)
+def snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(12,2)")
+    old = ev.filter(F.col("event_id") % 11 != 0).select(
+        "event_id",
+        F.md5(
+            F.concat_ws(
+                "|", F.unix_micros("ts"), F.col("user_id"),
+                F.col("event_type"), val,
+            )
+        ).alias("h"),
+    )
+    new_val = F.when(
+        F.col("event_id") % 13 == 0,
+        (val + F.lit(1).cast("decimal(12,2)")).cast("decimal(12,2)"),
+    ).otherwise(val)
+    new = ev.filter(F.col("event_id") % 17 != 0).select(
+        "event_id",
+        F.md5(
+            F.concat_ws(
+                "|", F.unix_micros("ts"), F.col("user_id"),
+                F.col("event_type"), new_val,
+            )
+        ).alias("h"),
+    )
+    o = old.select(F.col("event_id").alias("o_id"), F.col("h").alias("o_h"))
+    n = new.select(F.col("event_id").alias("n_id"), F.col("h").alias("n_h"))
+    joined = o.join(n, o.o_id == n.n_id, "full_outer")
+    return (
+        joined.select(
+            F.when(F.col("o_id").isNull(), "added")
+            .when(F.col("n_id").isNull(), "removed")
+            .when(F.col("o_h") != F.col("n_h"), "changed")
+            .otherwise("unchanged")
+            .alias("change_type")
+        )
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )

@@ -73,9 +73,30 @@ def compile_pattern(
     return pat
 
 
+def compile_patterns(
+    patterns: list[str],
+    ignore_case: bool = False,
+    fixed: bool = False,
+    word: bool = False,
+    line: bool = False,
+) -> str:
+    """``grep -e p1 -e p2 ...``: a line is selected if ANY pattern
+    matches. -w/-x/-F apply per pattern (GNU grep semantics), then the
+    compiled patterns are OR'd into one alternation — so the engine
+    still runs a single regex scan, not one pass per pattern."""
+    compiled = [
+        compile_pattern(p, ignore_case=False, fixed=fixed, word=word, line=line)
+        for p in patterns
+    ]
+    pat = "|".join(f"(?:{p})" for p in compiled)
+    if ignore_case:
+        pat = f"(?i){pat}"
+    return pat
+
+
 def dgrep(
     spark: SparkSession,
-    pattern: str,
+    pattern: str | list[str],
     path_glob: str,
     ignore_case: bool = False,
     invert: bool = False,
@@ -103,7 +124,10 @@ def dgrep(
     """
     if context:
         after, before = max(after, context), max(before, context)
-    pat = compile_pattern(pattern, ignore_case, fixed, word, line)
+    if isinstance(pattern, list):  # -e p1 -e p2 ... (any-match)
+        pat = compile_patterns(pattern, ignore_case, fixed, word, line)
+    else:
+        pat = compile_pattern(pattern, ignore_case, fixed, word, line)
     df = _lines(spark, path_glob)
     sel = F.col("value").rlike(pat)
     if invert:
@@ -155,7 +179,7 @@ def dgrep(
 
 def dgrep_files(
     spark: SparkSession,
-    pattern: str,
+    pattern: str | list[str],
     path_glob: str,
     ignore_case: bool = False,
     invert: bool = False,
@@ -171,7 +195,10 @@ def dgrep_files(
     file at its first match; a declarative scan can't early-exit per
     file, but the filter prunes everything but the winners immediately.)
     """
-    pat = compile_pattern(pattern, ignore_case, fixed, word, line)
+    if isinstance(pattern, list):
+        pat = compile_patterns(pattern, ignore_case, fixed, word, line)
+    else:
+        pat = compile_pattern(pattern, ignore_case, fixed, word, line)
     df = _lines(spark, path_glob)
     sel = F.col("value").rlike(pat)
     if invert:
@@ -183,7 +210,7 @@ def dgrep_files(
 
 def dgrep_count(
     spark: SparkSession,
-    pattern: str,
+    pattern: str | list[str],
     path_glob: str,
     ignore_case: bool = False,
     invert: bool = False,
@@ -198,7 +225,10 @@ def dgrep_count(
     exactly like `grep -c -m`. The cluster TOTAL is `df.agg(sum(...))` —
     computed by the caller (cli.py prints it like client.py:151-152).
     """
-    pat = compile_pattern(pattern, ignore_case, fixed, word, line)
+    if isinstance(pattern, list):  # -e p1 -e p2 ...
+        pat = compile_patterns(pattern, ignore_case, fixed, word, line)
+    else:
+        pat = compile_pattern(pattern, ignore_case, fixed, word, line)
     df = _lines(spark, path_glob)
     sel = F.col("value").rlike(pat)
     if invert:

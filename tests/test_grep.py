@@ -363,3 +363,36 @@ def test_line_numbers_distinct_dirs_same_basename(spark, tmp_path):
     ).collect()
     got = {(r.source_file, r.line_no) for r in rows}
     assert got == {("app.log", 3), ("app.log", 1)}
+
+
+def test_grep_multi_pattern_any_match(spark, logdir):
+    # -e MED -e RARE: every machine has 300 + 100 = 400 selected lines
+    # (the two IPs never share a line), and the count equals the sum of
+    # the single-pattern counts — the OR-alternation really is any-match
+    rows = dgrep_count(
+        spark, [MED_IP, RARE_IP], f"{logdir}/machine.*.log", fixed=True
+    ).collect()
+    assert len(rows) == N_MACHINES
+    assert all(r.match_count == 400 for r in rows)
+
+
+def test_grep_multi_pattern_flags_apply_per_pattern(spark, logdir):
+    # -w with multiple patterns: word anchoring wraps EACH alternative.
+    # '68.1' sits mid-token in every IP ('...168.1...' is preceded by a
+    # word char), so its \b-wrapped alternative can never fire and only
+    # the RARE_IP alternative contributes. (NB: a dot-flanked substring
+    # like '192.168.1' WOULD match under -w — '.' is a non-word char —
+    # exactly as GNU grep treats it.)
+    rows = dgrep_count(
+        spark, ["68.1", RARE_IP], f"{logdir}/machine.*.log", word=True
+    ).collect()
+    assert all(r.match_count == 100 for r in rows)
+
+
+def test_grep_cli_multi_pattern(spark, logdir, capsys):
+    from stream_processing_spark import cli
+
+    cli.main(["dgrep", "-c", "-F", "-e", MED_IP, "-e", RARE_IP,
+              f"{logdir}/machine.*.log"])
+    out = capsys.readouterr().out
+    assert "TOTAL: 1600" in out  # 400 x 4 machines
