@@ -117,3 +117,87 @@ def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_NB_TOP = 5
+
+
+@register(
+    "nb_lang_model_train",
+    f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tc AS (
+        SELECT lang, token, COUNT(*) AS cnt FROM tok
+        WHERE token <> '' GROUP BY 1, 2
+    ),
+    totals AS (SELECT lang, SUM(cnt) AS tot FROM tc GROUP BY lang),
+    vocab AS (SELECT COUNT(DISTINCT token) AS v FROM tc),
+    docs AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    alldocs AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tc.lang, tc.token, tc.cnt,
+               CAST(tc.cnt + 1 AS DOUBLE) / CAST(t.tot + v.v AS DOUBLE)
+                   AS p_smoothed,
+               ROW_NUMBER() OVER (PARTITION BY tc.lang
+                                  ORDER BY tc.cnt DESC, tc.token ASC) AS rn
+        FROM tc JOIN totals t USING (lang) CROSS JOIN vocab v
+    )
+    SELECT s.lang, CAST(d.n_docs AS DOUBLE) / a.n AS prior,
+           s.token, s.cnt, ROUND(s.p_smoothed, 9) AS p_smoothed
+    FROM scored s JOIN docs d USING (lang) CROSS JOIN alldocs a
+    WHERE s.rn <= {_NB_TOP}
+    ORDER BY s.lang, s.cnt DESC, s.token
+    """,
+    doc="Multinomial naive-Bayes training (language model over labeled "
+    "documents): class priors and Laplace-smoothed per-(lang, token) "
+    "probabilities, surfaced as the top tokens per class. ALL the "
+    "distributed work is exact integer counting — the canonical scale "
+    "shape for NB, which is why it was the workhorse classifier of the "
+    "MapReduce era; the smoothed probability is a SINGLE IEEE division "
+    "of exact integers, so it is bit-deterministic across engines "
+    "(no logs anywhere in the oracle surface — libm log differs per "
+    "platform; scoring composes logs driver-side). The fixture's lang "
+    "labels are deliberately random over one shared vocabulary, so "
+    "test_ml.py validates the CLASSIFIER mechanism on a synthetic "
+    "separable corpus trained through this same counting path "
+    "(accuracy 1.0) and pins the priors here to the label marginals.",
+)
+def nb_lang_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tc = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = tc.groupBy("lang").agg(F.sum("cnt").alias("tot"))
+    vocab = tc.agg(F.countDistinct("token").alias("v"))
+    ndocs = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    alln = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    scored = (
+        tc.join(totals, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p_smoothed",
+            (F.col("cnt") + 1).cast("double")
+            / (F.col("tot") + F.col("v")).cast("double"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NB_TOP)
+    )
+    return (
+        scored.join(ndocs, "lang")
+        .crossJoin(F.broadcast(alln))
+        .select(
+            "lang",
+            (F.col("n_docs").cast("double") / F.col("n")).alias("prior"),
+            "token",
+            "cnt",
+            F.round("p_smoothed", 9).alias("p_smoothed"),
+        )
+        .orderBy("lang", F.desc("cnt"), "token")
+    )
