@@ -315,3 +315,160 @@ def audio_frame_energy(
         .repartition(n)
         .mapInPandas(run, schema=AUDIO_ENERGY_SCHEMA)
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+
+def image_phash(media: DataFrame, out: int = 8) -> DataFrame:
+    """Perceptual hash (pHash) per image: mean-pool to a 32x32 raster,
+    2D DCT-II (explicit cosine-matrix matmul — numpy only), keep the
+    top-left ``out`` x ``out`` low-frequency block, threshold each
+    coefficient against the block's median (DC excluded) → 64 bits
+    packed into a signed int64.
+
+    This is the standard image near-dup fingerprint: small visual
+    edits (recompression, resize, brightness) perturb high-frequency
+    DCT coefficients first, so the low-frequency sign pattern is
+    stable and Hamming distance ranks perceptual similarity. Only the
+    codec parse is the honest stub (_fake_dims raster); the
+    DCT/threshold/packing is the real algorithm, vectorized per Arrow
+    batch. Pairs are extracted scale-safely in phash_hamming_pairs.
+    """
+    import numpy as np
+
+    n_in = 32
+
+    # DCT-II basis, orthonormal — computed once per executor batch fn
+    k = np.arange(n_in)
+    basis = np.sqrt(2.0 / n_in) * np.cos(
+        np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n_in)
+    )
+    basis[0, :] = np.sqrt(1.0 / n_in)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        for b in batches:
+            ids, hashes = [], []
+            metas = (
+                b["meta_json"] if "meta_json" in b.columns else [None] * len(b)
+            )
+            for mid, payload, meta in zip(b["media_id"], b["payload"], metas):
+                data = bytes(payload) if payload is not None else b""
+                # dims from typed metadata when the catalog carries them
+                # (how real pipelines ship width/height); the content-
+                # hashed _fake_dims fallback means any byte flip is a
+                # "different image" — fine for exact dups, but
+                # perturbation robustness needs metadata dims.
+                w = h = None
+                if meta:
+                    try:
+                        m = json.loads(meta)
+                        w, h = m.get("width"), m.get("height")
+                    except (ValueError, TypeError):
+                        pass
+                if not (w and h):
+                    w, h = _fake_dims(data)
+                buf = np.frombuffer(data, dtype=np.uint8)
+                px = np.resize(buf if buf.size else np.zeros(1, np.uint8), h * w)
+                img = px.reshape(h, w).astype(np.float64)
+                # canonical pHash smooths BEFORE the DCT: mean-pool the
+                # whole raster to n_in x n_in (averaging ~(h·w)/1024
+                # pixels per cell) so small payload edits nudge cell
+                # means instead of replacing raster pixels outright —
+                # this is what makes the low-frequency sign pattern
+                # stable under light perturbation. Tiny images tile up.
+                ch, cw = (h // n_in) * n_in, (w // n_in) * n_in
+                if ch == 0 or cw == 0:
+                    raster = np.resize(img, (n_in, n_in))
+                else:
+                    raster = (
+                        img[:ch, :cw]
+                        .reshape(n_in, ch // n_in, n_in, cw // n_in)
+                        .mean(axis=(1, 3))
+                    )
+                coeffs = basis @ raster @ basis.T
+                block = coeffs[:out, :out].copy()
+                flat = block.flatten()
+                med = np.median(flat[1:])  # DC excluded from the median
+                bits = (flat > med).astype(np.uint64)
+                val = np.uint64(0)
+                for i, bit in enumerate(bits):
+                    val |= np.uint64(bit) << np.uint64(i)
+                ids.append(mid)
+                hashes.append(int(val.astype(np.int64)))  # wrap to signed
+            yield pd.DataFrame({"media_id": ids, "phash": hashes})
+
+    n = media.sparkSession.sparkContext.defaultParallelism
+    cols = ["media_id", "payload"] + (
+        ["meta_json"] if "meta_json" in media.columns else []
+    )
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select(*cols)
+        .repartition(n)
+        .mapInPandas(run, schema=PHASH_SCHEMA)
+    )
+
+
+def phash_hamming_pairs(
+    hashes: DataFrame, radius: int = 3, max_bucket: int | None = None
+) -> DataFrame:
+    """All pairs with Hamming(phash_a, phash_b) <= radius, without the
+    all-pairs join: pigeonhole banding over four 16-bit bands — any
+    pair within radius <= 3 agrees on at least one band exactly
+    (4 bands, <=3 differing bits → recall 1), so candidates come from
+    four equi-joins on (band, 16-bit value) and the verify step is one
+    bit_count(XOR) per candidate. The same topology as the SimHash
+    pair extractor in functions/dedup.py, widened to 64-bit hashes.
+    ``max_bucket`` drops degenerate bands (e.g. all-zero high bits on
+    near-constant rasters) exactly like the LSH bucket caps."""
+    if radius > 3:
+        raise ValueError(
+            f"radius {radius} needs >4 bands for recall 1 with 16-bit "
+            "bands; use more/narrower bands"
+        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("phash"), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("bv"),
+            )
+            for i in range(4)
+        ]
+    )
+    b = hashes.select("media_id", "phash", F.explode(bands).alias("bk")).select(
+        "media_id", "phash", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv")
+    )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        b = (
+            b.withColumn(
+                "__bsz", F.count(F.lit(1)).over(Window.partitionBy("band", "bv"))
+            )
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+    left = b.select(
+        F.col("media_id").alias("id_a"), F.col("phash").alias("ha"), "band", "bv"
+    )
+    right = b.select(
+        F.col("media_id").alias("id_b"), F.col("phash").alias("hb"), "band", "bv"
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= radius)
+        .distinct()
+    )

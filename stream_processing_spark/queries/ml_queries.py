@@ -201,3 +201,29 @@ def nb_lang_model_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", F.desc("cnt"), "token")
     )
+
+
+@register(
+    "image_phash_near_dups",
+    None,  # numpy DCT is not SQL-expressible; planted-dup tests instead
+    doc="Perceptual-hash image near-dup detection "
+    "(functions/multimodal.py image_phash + phash_hamming_pairs): "
+    "every image is fingerprinted by the sign pattern of its 8x8 "
+    "low-frequency 2D-DCT block (the standard pHash — stable under "
+    "recompression/resize/brightness, which perturb high frequencies "
+    "first), then Hamming<=3 pairs come from pigeonhole 16-bit bands — "
+    "four equi-joins and one bit_count(XOR) per candidate, never "
+    "all-pairs. The codec parse is the honest fake-raster stub (PIL "
+    "absent); the DCT/threshold/packing math is the real algorithm, "
+    "vectorized per Arrow batch. No SQL oracle by design (numpy DCT); "
+    "test_multimodal.py plants byte-identical and lightly-perturbed "
+    "payloads and asserts both are recovered while distinct images "
+    "are not.",
+)
+def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.functions import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.synthesize_media(spark, docs, "doc_id", "text")
+    hashes = mm.image_phash(media)
+    return mm.phash_hamming_pairs(hashes, radius=3).orderBy("id_a", "id_b")

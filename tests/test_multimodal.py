@@ -180,3 +180,80 @@ def test_ffprobe_real_duration_on_generated_wav():
         w.writeframes(b"\x00\x00" * 8000)
     dur = mm.probe_media_duration(buf.getvalue(), suffix=".wav")
     assert abs(dur - 1.0) < 0.05
+
+
+def test_phash_recovers_planted_near_dups(spark):
+    import json
+    import math
+
+    from stream_processing_spark.functions import multimodal as mm
+
+    # a structured 128x80 "image": smooth 2D gradient + texture, dims
+    # shipped in meta_json (the fake-dims fallback hashes payload bytes,
+    # so without metadata ANY byte flip would be a different-sized
+    # image; with dims pinned, light edits are honestly perceptual)
+    W, H = 128, 80
+    base = bytes(
+        int(127 + 90 * math.sin((i % W) / 22.0) + 30 * math.sin((i // W) / 9.0))
+        & 0xFF
+        for i in range(W * H)
+    )
+    tweaked = bytearray(base)
+    for i in range(16):  # brightness nudge on 16 scattered pixels
+        tweaked[i * 157] = min(255, tweaked[i * 157] + 4)
+    distinct = bytes(
+        int(127 + 110 * math.sin((i % W) / 3.1 + 2.0)) & 0xFF
+        for i in range(W * H)
+    )
+    meta = json.dumps({"width": W, "height": H})
+    rows = [
+        (0, "image", base, meta),
+        (1, "image", bytes(base), meta),     # byte-identical dup
+        (2, "image", bytes(tweaked), meta),  # perceptual near-dup
+        (3, "image", distinct, meta),        # unrelated image
+        (4, "audio", bytes(base), meta),     # wrong modality: ignored
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, payload binary, meta_json string",
+    )
+    hashes = mm.image_phash(media)
+    got = {r.media_id: r.phash for r in hashes.collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == got[1]
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.phash_hamming_pairs(hashes, radius=3).collect()
+    }
+    assert pairs.get((0, 1)) == 0           # exact dup at distance 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 3  # near-dup recovered
+    assert not any(3 in p for p in pairs)   # distinct image stays out
+
+
+def test_phash_hamming_pairs_match_bruteforce(spark):
+    # banded extraction must equal the brute-force Hamming<=3 pair set
+    # over a spread of hashes (including band-collision decoys)
+    from stream_processing_spark.functions import multimodal as mm
+
+    vals = [
+        0, 1, 3, 7,                      # distances 1-3 from 0
+        15,                              # distance 4 from 0: excluded
+        1 << 16, (1 << 16) | (1 << 32),  # cross-band bit flips
+        0x0123456789ABCDEF, 0x0123456789ABCDE0,
+        -1, -2,                          # sign-bit territory
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "media_id long, phash long"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in mm.phash_hamming_pairs(df, radius=3).collect()
+    }
+    expect = {
+        (a, b)
+        for a in range(len(vals))
+        for b in range(a + 1, len(vals))
+        if bin((vals[a] ^ vals[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    assert got == expect and expect
