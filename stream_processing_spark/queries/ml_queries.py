@@ -11,6 +11,9 @@ rest of the registry).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves postponed
+# (string) type hints via func.__globals__, so 'pd.Series' must be
+# importable from here, not from inside the enclosing function
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -227,3 +230,58 @@ def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.synthesize_media(spark, docs, "doc_id", "text")
     hashes = mm.image_phash(media)
     return mm.phash_hamming_pairs(hashes, radius=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "grouped_wavg_pandas_udaf",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS wavg_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="User-defined AGGREGATE via Arrow (SURVEY.md §2.8): a pandas "
+    "GROUPED_AGG UDF computing quantity-weighted mean price with exact "
+    "integer-cent arithmetic inside the UDF (int sums commute, so the "
+    "result is independent of Arrow batch order — the same determinism "
+    "rule the engine's decimal aggregates follow; the one rounding "
+    "boundary is the final int->double conversion, correctly rounded "
+    "identically in Python and the oracle's DECIMAL->DOUBLE cast). "
+    "Plan shows AggregateInPandas: Arrow-vectorized partial "
+    "aggregation, NOT row-at-a-time Python — the sanctioned custom-"
+    "aggregate path, completing the UDF/UDAF/UDTF surface beside "
+    "flat_map (mapInPandas) and stateful_flat_map "
+    "(applyInPandasWithState); the UDTF corner is exercised in "
+    "tests/test_udf_surface.py (kept out of the registry because "
+    "row-Python UDTFs are the slow path plan-lint exists to forbid).",
+)
+def grouped_wavg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        # exact integer cents; python ints are unbounded so the sums
+        # never overflow. Fraction->float is correctly rounded, exactly
+        # like the oracle's DECIMAL->DOUBLE casts (num is scale-4, den
+        # scale-2), and the final division is the same single IEEE op —
+        # so the double is bit-identical with NO rounding step at all.
+        from fractions import Fraction
+
+        pc = (price * 100).round().astype("int64").astype(object)
+        qc = (qty * 100).round().astype("int64").astype(object)
+        num = int((pc * qc).sum())
+        den = int(qc.sum())
+        if not den:
+            return None
+        return float(Fraction(num, 10**4)) / float(Fraction(den, 10**2))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(wavg("l_extendedprice", "l_quantity").alias("wavg_price"))
+        .orderBy("l_linestatus")
+    )
