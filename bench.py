@@ -79,6 +79,29 @@ BENCH_QUERIES = [
     # seconds ≈ >10k rec/s vs the reference's ~84-330 rec/s
     # (BASELINE.md, Streaming.pdf p.1-3)
     "streaming_counts_by_type",
+    # --- round-3 additions (new capabilities, not replacements —
+    # compare totals per-query against BENCH_r02, not in aggregate).
+    # Round-over-round note: dedup_minhash_signatures gained the
+    # stop-shingle df cap (0.8s -> 1.4s, the adversarial-corpus guard);
+    # ann_lsh_bucketed_pairs / ann_ivf_topk got ~2x FASTER from the
+    # SQL-string dot construction (2.8/2.7s -> ~1.5s each).
+    # bloom runtime-filter join: map-side prefilter + shuffle join
+    "bloom_prefilter_join_revenue",
+    # 5 BPE merge rounds over the word-frequency table (1 agg + 1-row
+    # driver argmax per round)
+    "bpe_train_merges",
+    # closed-form OLS: one 6-moment decimal agg per group
+    "linreg_price_on_quantity",
+    # Morton-interleave clustering profile (pure integer codegen)
+    "zorder_shard_profile",
+    # DataSketches HLL daily sketches unioned to per-type distincts
+    "hll_sketch_rollup_users",
+    # CDC diff: key full-outer join on (key, row-hash) only
+    "snapshot_diff_events",
+    # Arrow GROUPED_AGG pandas UDAF (the sanctioned custom-agg path)
+    "grouped_wavg_pandas_udaf",
+    # order-independent whole-table checksum (scan + commutative sum)
+    "dataset_content_digest",
 ]
 
 
