@@ -543,3 +543,74 @@ def streaming_stream_stream_left_join(
         q.stop()
         raise TimeoutError("stream did not drain")
     return spark.table(name)
+
+
+@register(
+    "streaming_stateful_sessions",
+    """
+    WITH e AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(ts) AS ms
+        FROM events
+    ),
+    x AS (
+        SELECT key, ms,
+               CASE WHEN LAG(ms) OVER (PARTITION BY key ORDER BY ms)
+                         IS NULL
+                      OR ms - LAG(ms) OVER (PARTITION BY key ORDER BY ms)
+                         > 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    g AS (
+        SELECT key, ms,
+               SUM(brk) OVER (PARTITION BY key ORDER BY ms
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x
+    ),
+    s AS (
+        SELECT key, MIN(ms) AS start_ms, MAX(ms) + 1800000 AS end_ms,
+               COUNT(*) AS n_events
+        FROM g GROUP BY key, sid
+    )
+    SELECT key, start_ms, end_ms, n_events FROM s
+    WHERE end_ms < (SELECT MAX(epoch_ms(ts)) FROM events)
+    ORDER BY key, start_ms
+    """,
+    doc="CUSTOM stateful sessions with EVENT-TIME TIMEOUTS "
+    "(streaming/stateful.py stateful_event_sessions): unlike "
+    "session_window, the state emits when the WATERMARK says a key "
+    "went quiet — the state-store timer fires with no new data for "
+    "the key, a capability the reference's operator processes "
+    "fundamentally lacked (a silent key stayed silent forever). "
+    "In-batch gap breaks close sessions immediately; each key's open "
+    "tail closes via timeout when the watermark strictly passes "
+    "last + gap (strictness pinned by test_streaming's equality-edge "
+    "case). With a 0-second watermark the drained result is EXACTLY "
+    "the batch gaps-and-islands sessions whose end precedes max(ts) — "
+    "which is what this oracle computes.",
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.stateful import (
+        stateful_event_sessions,
+    )
+
+    src = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .select(F.col("user_id").cast("string").alias("key"), "ts")
+    )
+    sess = stateful_event_sessions(src, gap_sec=1800)
+
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError("stream did not drain")
+    return spark.table(name)

@@ -116,3 +116,101 @@ def stateful_flat_map(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("s", LongType()),
+        StructField("l", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def stateful_event_sessions(
+    df: DataFrame,
+    gap_sec: int,
+    ts_col: str = "ts",
+    key_col: str = "key",
+) -> DataFrame:
+    """Inactivity-gap sessions as a CUSTOM stateful operator with
+    EVENT-TIME TIMEOUTS — the capability ``session_window`` hides:
+    state that emits when the watermark says the key has gone quiet,
+    not only when new data for the key arrives (the reference's
+    operator processes could never do this — a silent key stayed
+    silent; the state-store timer is strictly more expressive than
+    framework.py's dict contract).
+
+    Per key the state is (session_start, last_event, count). A new
+    event within ``gap_sec`` of the last extends the session; beyond
+    it, the finished session is emitted IN-BATCH and a new one starts.
+    After each batch the timeout timer is armed at last + gap: when the
+    global watermark passes that instant (strictly — pinned by test)
+    the session is emitted from the TIMEOUT branch and state cleared.
+    session_end = last + gap, matching ``session_window``.
+
+    Drain determinism (oracle contract): with a 0-second watermark the
+    final watermark is max(ts), so the drained output is exactly the
+    batch gaps-and-islands sessions with session_end < max(ts) — every
+    closed-by-successor session qualifies automatically (its end
+    precedes the successor event), and each key's LAST session emits
+    iff its end has genuinely passed.
+    """
+    gap_ms = gap_sec * 1000
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            s, l, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "start_ms": [s],
+                    "end_ms": [l + gap_ms],
+                    "n_events": [n],
+                }
+            )
+            return
+        s, l, n = state.get if state.exists else (None, None, 0)
+        out: dict[str, list] = {
+            "key": [], "start_ms": [], "end_ms": [], "n_events": []
+        }
+        ts: list[int] = []
+        for b in batches:
+            ts += [int(t.value // 10**6) for t in pd.to_datetime(b[ts_col])]
+        for t in sorted(ts):
+            if s is None:
+                s, l, n = t, t, 1
+            elif t - l <= gap_ms:
+                l, n = max(l, t), n + 1
+            else:
+                out["key"].append(key[0])
+                out["start_ms"].append(s)
+                out["end_ms"].append(l + gap_ms)
+                out["n_events"].append(n)
+                s, l, n = t, t, 1
+        state.update((s, l, n))
+        state.setTimeoutTimestamp(l + gap_ms)
+        yield pd.DataFrame(out)
+
+    return (
+        df.select(F.col(key_col).alias("key"), F.col(ts_col).alias(ts_col))
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

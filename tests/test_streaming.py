@@ -203,3 +203,56 @@ def test_custom_stateful_op_state_survives_restart(spark, tmp_path):
     allout = {r.value for r in job.read_output().collect()}
     assert "a:10" in allout  # 8 + 2, not 2
     assert "b:8" in allout   # 7 + 1, not 1
+
+
+def test_stateful_sessions_timeout_strictness(spark, tmp_path):
+    # pins the semantics streaming_stateful_sessions' oracle depends on:
+    # (a) in-batch gap breaks emit immediately, (b) a key's open tail
+    # emits via EVENT-TIME TIMEOUT only when the watermark STRICTLY
+    # passes last+gap — end == watermark stays withheld
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_spark.streaming.stateful import (
+        stateful_event_sessions,
+    )
+
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),  # s1
+        (1, "2024-01-01 12:00:00"),              # s2: end 12:30 < wm
+        (4, "2024-01-01 22:30:00"),              # end 23:00 == wm: held
+        (3, "2024-01-01 23:00:00"),              # anchor; end > wm: held
+    ]
+    d = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    ).coalesce(1).write.mode("overwrite").parquet(d)
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(d)
+        .withWatermark("ts", "0 seconds")
+        .select(F.col("user_id").cast("string").alias("key"), "ts")
+    )
+    sess = stateful_event_sessions(src, gap_sec=1800)
+    name = f"t{_uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {
+        (r.key, r.start_ms, r.end_ms, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    base = 1704103200000  # 2024-01-01 10:00:00 UTC in epoch ms
+    m = 60_000
+    assert got == {
+        ("1", base, base + 10 * m + 30 * m, 2),       # closed in-batch
+        ("1", base + 120 * m, base + 150 * m, 1),     # closed by timeout
+    }, got
