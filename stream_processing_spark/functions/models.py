@@ -1,0 +1,56 @@
+"""Trained-artifact persistence: quantizer codebooks and BPE merges.
+
+The in-process codebook cache (similarity.py) dies with the driver; a
+production index trains ONCE and serves from storage. These helpers
+round-trip the two model shapes the engine trains — k-means/IVF
+centroid codebooks and BPE merge tables — through plain parquet, so a
+serving job loads kilobytes instead of re-running training jobs, and
+the artifacts version alongside the data (same directory conventions
+as the Store). Loaded centroids inject into ``ivf_topk(cents=...)``;
+loaded merges feed ``bpe.merge_pair_expr`` to tokenize new text with a
+frozen vocabulary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def save_centroids(
+    spark: SparkSession, cents: dict[int, list[float]], path: str
+) -> None:
+    """Codebook → parquet rows (cid, pos, val): engine-neutral layout,
+    exact float64 round-trip."""
+    rows = [
+        (cid, pos, float(v))
+        for cid, vec in cents.items()
+        for pos, v in enumerate(vec)
+    ]
+    spark.createDataFrame(rows, "cid int, pos int, val double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark: SparkSession, path: str) -> dict[int, list[float]]:
+    rows = spark.read.parquet(path).collect()
+    by: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by.setdefault(int(r.cid), {})[int(r.pos)] = float(r.val)
+    return {cid: [vals[p] for p in range(len(vals))] for cid, vals in by.items()}
+
+
+def save_bpe_merges(
+    spark: SparkSession, merges: list[tuple[int, str, str, int]], path: str
+) -> None:
+    spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_merges(
+    spark: SparkSession, path: str
+) -> list[tuple[int, str, str, int]]:
+    rows = spark.read.parquet(path).orderBy("step").collect()
+    return [
+        (int(r.step), r.left_sym, r.right_sym, int(r.pair_count)) for r in rows
+    ]

@@ -316,6 +316,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     every vector to its nearest centroid cell map-side (centroids are tiny
@@ -325,7 +326,10 @@ def ivf_topk(
     k-means in ``kmeans_centroids`` (md5-sampled seeds + one Lloyd
     round), so an oracle engine can reproduce the identical quantizer.
     """
-    cents = kmeans_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+    if cents is None:  # else: a persisted codebook (functions/models.py)
+        cents = kmeans_centroids(
+            embeddings, n_cells, id_col=id_col, vec_col=vec_col
+        )
     rank_arr = _cell_rank_array(vec_col, cents)
 
     # query's nprobe best cells — engine arithmetic (no Python float math)
