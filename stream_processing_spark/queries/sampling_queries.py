@@ -102,3 +102,69 @@ def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
         lookback_sec=3600,
         count_alias="n_clicks_1h",
     )
+
+
+_WRS_K = 50
+
+
+@register(
+    "weighted_reservoir_sample",
+    f"""
+    WITH w AS (
+        SELECT doc_id, lang, n_chars,
+               LEAST(CAST(CEIL(n_chars / 64.0) AS BIGINT), 16) AS wt
+        FROM documents
+    ),
+    copies AS (
+        SELECT doc_id, lang, n_chars, wt,
+               md5(CAST(i AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+                   AS ukey
+        FROM w, UNNEST(range(0, wt)) AS u(i)
+    ),
+    pri AS (
+        SELECT doc_id, lang, n_chars, wt, MIN(ukey) AS priority
+        FROM copies GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, lang, n_chars, wt, priority
+    FROM pri
+    ORDER BY priority, doc_id
+    LIMIT {_WRS_K}
+    """,
+    doc=f"EXACT-k weighted reservoir sample (top-{_WRS_K} docs by "
+    "length-derived weight): each row spawns wt hash copies and its "
+    "priority is the MIN copy hash — by symmetry the global minimum "
+    "is uniform over all Σwt copies, so the first selection lands on "
+    "row i with probability EXACTLY wt_i/Σwt (and pairwise order is "
+    "exactly wt_i/(wt_i+wt_j)) — the A-ES reservoir property with "
+    "zero transcendental math: everything is md5 string comparison, "
+    "so the sample is deterministic, engine-portable (hash-matched "
+    "oracle), and stable under rerun/repartition — unlike ln/pow "
+    "scores, whose libm last-ulp differences can flip ranks across "
+    "engines. Complements sample_weighted_by_length (Bernoulli, "
+    "random size) with fixed-size semantics. Scale shape: the copy "
+    "explode is bounded by the weight cap (16), the shuffle carries "
+    "(id, 32-char key), and the top-k is one TakeOrderedAndProject.",
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wt = F.least(F.ceil(F.col("n_chars") / 64.0).cast("bigint"), F.lit(16))
+    copies = docs.select(
+        "doc_id", "lang", "n_chars", wt.alias("wt")
+    ).select(
+        "doc_id", "lang", "n_chars", "wt",
+        F.explode(F.sequence(F.lit(0), F.col("wt") - 1)).alias("i"),
+    )
+    pri = (
+        copies.select(
+            "doc_id", "lang", "n_chars", "wt",
+            F.md5(
+                F.concat(
+                    F.col("i").cast("string"), F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("ukey"),
+        )
+        .groupBy("doc_id", "lang", "n_chars", "wt")
+        .agg(F.min("ukey").alias("priority"))
+    )
+    return pri.orderBy("priority", "doc_id").limit(_WRS_K)
