@@ -19,6 +19,57 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # query name -> one-line audit note (what the plan must show and why)
 AUDITED = {
+    "ann_ivfpq_topk": (
+        "IVFADC: the coarse-cell assignment and the PQ codes both "
+        "evaluate MAP-SIDE from inlined literals (no shuffle until the "
+        "ADC top-k), the cell filter prunes the scan to nprobe/n_cells "
+        "before any ADC math runs, the ADC top-(refine*k) compiles to "
+        "TakeOrderedAndProject, and the exact re-rank reads full "
+        "vectors only through a left-semi join on the candidate ids. "
+        "Training cost is two jobs total for all 16 subspace codebooks "
+        "(pq_codebooks), amortized across queries by the fingerprint-"
+        "keyed cache."
+    ),
+    "bloom_prefilter_join_revenue": (
+        "The bloom membership test evaluates INSIDE the fact scan stage "
+        "(Filter over Scan, zero exchanges before it — asserted by "
+        "test_bloomjoin's exchange-free-plan test); non-candidate rows "
+        "never reach the join shuffle. The build side collects DISTINCT "
+        "bit positions only (hard-capped at m_bits), and the packed "
+        "bitset rides the plan as an 8 KB literal."
+    ),
+    "bpe_train_merges": (
+        "Each merge round is one distributed adjacent-pair aggregation "
+        "over the WORD-FREQUENCY table (vocabulary-sized, not corpus-"
+        "sized) plus a single-row argmax driver trip; the symbol "
+        "rewrite is a map-side string expression, and each round's "
+        "frame is checkpointed so the plan never accumulates a tower "
+        "of rewrites. The only corpus-wide pass is the initial word "
+        "count."
+    ),
+    "zorder_shard_profile": (
+        "The Morton interleave is pure integer bit arithmetic inside "
+        "whole-stage codegen (16 shift/and/or terms per dimension); "
+        "one hash aggregate on the shard key is the only exchange."
+    ),
+    "snapshot_diff_events": (
+        "One key-equi full-outer SortMergeJoin carrying (event_id, "
+        "md5) — 40-byte rows, never payloads; classification and the "
+        "count aggregate run on the join output. At 100 TB this is "
+        "the canonical CDC diff: shuffle volume is keys+hashes."
+    ),
+    "dataset_content_digest": (
+        "Single scan, map-side md5 + conv, one partial/final aggregate "
+        "pair on a commutative decimal sum — no exchange wider than "
+        "one row per partition. Row order, partitioning, and engine "
+        "cannot change the digest."
+    ),
+    "weighted_reservoir_sample": (
+        "The weight-bounded copy explode and md5 priorities are "
+        "map-side; the per-doc MIN aggregates (id, 32-char key) rows "
+        "and the global top-k compiles to TakeOrderedAndProject — "
+        "never a global sort."
+    ),
     "q6_forecast_revenue": (
         "All five predicates pushed to the parquet scan; 4-column "
         "ReadSchema; no join."
