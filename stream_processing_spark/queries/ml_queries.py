@@ -285,3 +285,105 @@ def grouped_wavg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(wavg("l_extendedprice", "l_quantity").alias("wavg_price"))
         .orderBy("l_linestatus")
     )
+
+
+@register(
+    "group_kfold_assignment",
+    """
+    WITH folds AS (
+        SELECT user_id,
+               CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 5 AS INT) AS fold
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT f.fold,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events e JOIN folds f USING (user_id)
+    GROUP BY f.fold
+    ORDER BY f.fold
+    """,
+    doc="GROUP-aware k-fold assignment (sklearn GroupKFold semantics): "
+    "every event of a user lands in the SAME fold — the split that "
+    "prevents user-level leakage between train and validation, which "
+    "a row-level random split silently causes. Fold = md5(user_id) "
+    "% 5: content-addressed, so assignment is reproducible across "
+    "reruns/engines and STABLE UNDER APPEND (new events of a known "
+    "user join their old fold — a property shuffle-based splitters "
+    "lack). The leakage-freedom invariant (each user in exactly one "
+    "fold) is structural: fold is a function of user_id.",
+)
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fold = (
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        )
+        % 5
+    ).cast("int")
+    folds = ev.select("user_id").distinct().select(
+        "user_id", fold.alias("fold")
+    )
+    return (
+        ev.join(folds, "user_id")
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("fold")
+    )
+
+
+_EMBARGO_SPLIT = "2024-01-22"
+_EMBARGO_DAYS = 2
+
+
+@register(
+    "temporal_split_embargo",
+    f"""
+    SELECT CASE
+             WHEN ts < TIMESTAMP '{_EMBARGO_SPLIT}' THEN 'train'
+             WHEN ts < TIMESTAMP '{_EMBARGO_SPLIT}'
+                       + INTERVAL '{_EMBARGO_DAYS} days' THEN 'embargo'
+             ELSE 'test'
+           END AS split,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           epoch_us(MIN(ts)) AS first_us,
+           epoch_us(MAX(ts)) AS last_us
+    FROM events
+    GROUP BY 1
+    ORDER BY split
+    """,
+    doc="Temporal train/test split WITH EMBARGO (de Prado's purged "
+    "time-series CV): rows in the gap right after the split boundary "
+    "belong to NEITHER side, so features computed with trailing "
+    "windows (sessions, rolling counts) cannot leak label-period "
+    "information into training — the failure mode a plain "
+    "before/after split has whenever any feature looks back in time. "
+    "One scan, conditional aggregation; boundaries are data-"
+    "independent constants so the split is append-stable.",
+)
+def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    lo = F.lit(_EMBARGO_SPLIT).cast("timestamp")
+    hi = F.to_timestamp(
+        F.lit(f"2024-01-{22 + _EMBARGO_DAYS:02d}")
+    )
+    split = (
+        F.when(F.col("ts") < lo, "train")
+        .when(F.col("ts") < hi, "embargo")
+        .otherwise("test")
+    )
+    return (
+        ev.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.unix_micros(F.min("ts")).alias("first_us"),
+            F.unix_micros(F.max("ts")).alias("last_us"),
+        )
+        .orderBy("split")
+    )
