@@ -387,3 +387,109 @@ def temporal_split_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+def _kmeans_assign_oracle() -> str:
+    from stream_processing_spark.queries.llmops import _IVF_CELL_SQL
+
+    return f"""
+    WITH {_IVF_CELL_SQL},
+    cells AS (SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1)
+    SELECT CAST(cluster AS INT) AS cluster, COUNT(*) AS n_vectors
+    FROM cells GROUP BY 1 ORDER BY cluster
+    """
+
+
+@register(
+    "kmeans_cluster_assignments",
+    _kmeans_assign_oracle(),
+    doc="K-means clustering as a first-class output (not just the "
+    "IVF internals): every vector's nearest-centroid assignment "
+    "under the deterministic quantizer, summarized as cluster "
+    "sizes. Assignment is MAP-SIDE from inlined centroid literals "
+    "— zero shuffle before the size aggregate — and the oracle "
+    "reuses the exact IVF cell CTEs, so the clustering is "
+    "reproduced bit-identically by another engine (the property "
+    "that makes the quantizer servable from storage, see "
+    "functions/models.py).",
+)
+def kmeans_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, n_cells=16)
+    rank = sim._cell_rank_array("embedding", cents)
+    return (
+        emb.select(
+            "vec_id",
+            (-F.array_max(rank).getField("nc")).cast("int").alias("cluster"),
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
+    )
+
+
+_RP_OUT = 16
+_RP_DIM = 64
+_RP_SEED = 1337
+
+
+def _rp_matrix() -> list[list[float]]:
+    from stream_processing_spark.functions.similarity import _hyperplanes
+
+    scale = 1.0 / (_RP_OUT ** 0.5)
+    return [
+        [w * scale for w in row]
+        for row in _hyperplanes(_RP_DIM, _RP_OUT, seed=_RP_SEED)
+    ]
+
+
+def _rp_oracle() -> str:
+    rows = _rp_matrix()
+    exprs = ", ".join(
+        "ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(repr(w) for w in row)
+        + "]), 6)"
+        for row in rows
+    )
+    return f"""
+    WITH pr AS (SELECT vec_id, [{exprs}] AS p FROM embeddings)
+    SELECT vec_id, CAST(d AS INT) AS dim, p[d + 1] AS value
+    FROM pr, UNNEST(range(0, {_RP_OUT})) AS u(d)
+    ORDER BY vec_id, dim
+    """
+
+
+@register(
+    "embedding_random_projection",
+    _rp_oracle(),
+    doc=f"Johnson-Lindenstrauss random projection {_RP_DIM}->{_RP_OUT} "
+    "dims: a fixed seeded Gaussian matrix (scaled 1/sqrt(k)) applied "
+    "MAP-SIDE as inlined literal dot products — zero shuffle, and the "
+    "oracle evaluates the identical sequential folds, so the "
+    "projection is bit-reproducible across engines. This is the "
+    "standard pre-step that makes downstream ANN/clustering cheaper "
+    "at 100 TB (4x fewer bytes per vector here) while approximately "
+    "preserving geometry — the preservation is measured, not "
+    "assumed, in test_ml.py (norm-ratio concentration band + mean, "
+    "the property JL actually guarantees at this k). Long output "
+    "format keeps the hash-compare scalar-typed.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.functions.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = _rp_matrix()
+    proj = F.array(
+        *[
+            F.round(
+                dot(F.col("embedding"), F.array(*[F.lit(w) for w in row])), 6
+            )
+            for row in rows
+        ]
+    )
+    return (
+        emb.select("vec_id", F.posexplode(proj).alias("dim", "value"))
+        .orderBy("vec_id", "dim")
+    )

@@ -116,3 +116,36 @@ def test_linreg_matches_numpy_lstsq(spark):
         assert abs(gs - slope) < 1e-4, (flag, gs, slope)
         assert abs(gi - intercept) < 1e-2, (flag, gi, intercept)
         assert abs(gr - r2) < 1e-6, (flag, gr, r2)
+
+
+def test_random_projection_preserves_norms(spark):
+    # JL's actual guarantee at k=16 is NORM preservation in
+    # expectation with ~1/sqrt(k) per-vector spread (pairwise dots of
+    # near-orthogonal random vectors are noise-dominated at this k, so
+    # they are the wrong property to assert): every projected norm
+    # ratio must sit inside a generous concentration band and the MEAN
+    # ratio must be close to 1. Deterministic given the seeded matrix.
+    import numpy as np
+
+    from stream_processing_spark.queries import REGISTRY
+    from stream_processing_spark.queries.ml_queries import _rp_matrix
+
+    rows = REGISTRY["embedding_random_projection"].spark(spark, SF).collect()
+    proj: dict[int, list[float]] = {}
+    for r in rows:
+        proj.setdefault(r.vec_id, [0.0] * 16)[r.dim] = r.value
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    ratios = [
+        float(np.dot(proj[i], proj[i]) / (emb[i] @ emb[i])) for i in emb
+    ]
+    assert 0.9 < float(np.mean(ratios)) < 1.1, np.mean(ratios)
+    assert all(0.25 < r < 2.5 for r in ratios), (min(ratios), max(ratios))
+
+    # and the projection really is the seeded matrix applied exactly
+    m = np.array(_rp_matrix())
+    v0 = sorted(emb)[0]
+    want = np.round(m @ emb[v0], 6)
+    assert np.allclose(proj[v0], want, atol=1e-9)
