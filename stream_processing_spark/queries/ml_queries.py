@@ -493,3 +493,71 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", F.posexplode(proj).alias("dim", "value"))
         .orderBy("vec_id", "dim")
     )
+
+
+_DECAY_ANCHOR = "2024-01-31"
+_DECAY_MAX_D = 30
+
+
+@register(
+    "decayed_user_activity",
+    f"""
+    WITH s AS (
+        SELECT user_id,
+               SUM(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                        * (1::HUGEINT << ({_DECAY_MAX_D}
+                           - date_diff('day', CAST(ts AS DATE),
+                                       DATE '{_DECAY_ANCHOR}')))
+                   AS DECIMAL(38,0))) AS scaled,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(scaled AS DOUBLE)
+               / (100.0 * (1::HUGEINT << {_DECAY_MAX_D})) AS score
+    FROM s
+    ORDER BY score DESC, user_id
+    LIMIT 20
+    """,
+    doc="Recency-weighted activity scoring (the feature-store shape for "
+    "churn/engagement features): each event contributes value * "
+    "2^-(age_days) — a half-life of one day — and the top users by "
+    "decayed score surface. The trick that keeps it EXACT: base-2 "
+    "decay means every weight is a binary shift, so events are summed "
+    "as integer cents shifted by (max_age - age) — a DECIMAL(38,0) "
+    "sum that commutes — and ONE final division by the exact power "
+    "2^max_age converts to the decayed double. No pow(), no "
+    "order-dependent float accumulation, bit-identical across "
+    "engines; the generic-base variant would inherit libm pow "
+    "differences. One groupBy shuffle carrying two numbers per user.",
+)
+def decayed_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    age = F.datediff(
+        F.lit(_DECAY_ANCHOR).cast("date"), F.to_date("ts")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    # shiftleft's python wrapper wants an int literal shift; the SQL
+    # function form takes a column
+    shift = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({_DECAY_MAX_D} - "
+        f"datediff(DATE'{_DECAY_ANCHOR}', to_date(ts)) AS INT))"
+    )
+    scaled = cents * shift
+    s = ev.groupBy("user_id").agg(
+        F.sum(scaled.cast("decimal(38,0)")).alias("scaled"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        s.select(
+            "user_id",
+            "n_events",
+            (
+                F.col("scaled").cast("double")
+                / F.lit(100.0 * float(1 << _DECAY_MAX_D))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("user_id"))
+        .limit(20)
+    )
