@@ -172,6 +172,17 @@ def run_stress(
     # 7. blob-skewed media through the Arrow/numpy thumbnail stage
     timed("media_thumbnails", multimodal.thumbnail_features(media))
 
+    # 8. pHash near-dup over the SAME skewed blobs: the hostile case is
+    # the 256 B majority payloads, which rasterize near-identically and
+    # collapse into shared phash band buckets — max_bucket keeps the
+    # Hamming join from going quadratic, same guard as the LSH tiers
+    timed(
+        "phash_pairs_capped",
+        multimodal.phash_hamming_pairs(
+            multimodal.image_phash(media), radius=3, max_bucket=200
+        ),
+    )
+
     bounds_ok = (
         recall["jaccard"] >= 0.9
         and recall["minhash_lsh"] >= 0.9
@@ -181,6 +192,7 @@ def run_stress(
         and counts["minhash_lsh_capped"] <= 20 * sizes["documents"]
         and counts["ann_banded_capped"] <= 20 * sizes["embeddings"]
         and counts["simhash_capped"] <= 20 * sizes["documents"]
+        and counts["phash_pairs_capped"] <= 20 * sizes["media"]
     )
     return {
         "gen_sec": gen_sec,
