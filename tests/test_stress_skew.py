@@ -46,6 +46,7 @@ def test_guards_hold_and_recall_survives(stress):
         "sessionize_hot_user",
         "salted_counts",
         "media_thumbnails",
+        "phash_pairs_capped",
     }
     # media stage processed every blob despite the 256KB hot ones
     assert stress["counts"]["media_thumbnails"] == stress["sizes"]["media"]
