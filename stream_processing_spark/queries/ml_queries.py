@@ -561,3 +561,81 @@ def decayed_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("user_id"))
         .limit(20)
     )
+
+
+_AR_MIN_SUPPORT = 2
+_AR_TOP = 25
+
+
+@register(
+    "association_rules_parts",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    item AS (SELECT l_partkey, COUNT(*) AS cnt FROM op GROUP BY 1),
+    pair AS (
+        SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS both
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_AR_MIN_SUPPORT}
+    )
+    SELECT p.ante, p.cons, p.both,
+           CAST(p.both AS DOUBLE) / ia.cnt AS confidence,
+           ROUND(CAST(p.both AS DOUBLE) * n.n_orders
+                 / (CAST(ia.cnt AS DOUBLE) * ic.cnt), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.ante
+    JOIN item ic ON ic.l_partkey = p.cons
+    CROSS JOIN n
+    ORDER BY lift DESC, confidence DESC, ante, cons
+    LIMIT {_AR_TOP}
+    """,
+    doc=f"Market-basket association rules over part co-purchases: "
+    f"support-filtered (>= {_AR_MIN_SUPPORT} shared orders — baskets "
+    "stay constant-size as the catalog grows, so absolute "
+    "co-occurrence THINS with scale and the support knob is "
+    "deliberately low) pairs "
+    "scored by confidence = P(cons|ante) and lift = "
+    "P(both)/(P(ante)P(cons)), top rules by lift with a total "
+    "tie-break. Scale shape: pairs generate PER ORDER (bounded by "
+    "basket size, never a global item self-join), the support filter "
+    "kills the long tail before the scoring joins, and the item "
+    "marginals broadcast. Arithmetic is exact-integer counts with a "
+    "single rounded float expression per rule, so the oracle "
+    "hash-matches. Completes the co-occurrence family beside "
+    "token_cooccurrence_lift (tokens) with the per-basket variant "
+    "ranking engines actually ship for recommendations.",
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("ante"))
+    b = op.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("cons"))
+    pair = (
+        a.join(b, "o")
+        .filter(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("both"))
+        .filter(F.col("both") >= _AR_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("ante"), F.col("cnt").alias("ca"))
+    ic = item.select(F.col("l_partkey").alias("cons"), F.col("cnt").alias("cc"))
+    return (
+        pair.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante", "cons", "both",
+            (F.col("both").cast("double") / F.col("ca")).alias("confidence"),
+            F.round(
+                F.col("both").cast("double") * F.col("n_orders")
+                / (F.col("ca").cast("double") * F.col("cc")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.desc("confidence"), "ante", "cons")
+        .limit(_AR_TOP)
+    )
