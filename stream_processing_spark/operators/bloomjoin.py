@@ -122,7 +122,16 @@ def bloom_join(
     """Equi-join with a bloom prefilter on the big side. Identical
     output to ``big.join(build, on=keys, how=how)`` for inner/semi
     joins (false positives die in the join); the prefilter just keeps
-    non-matching fact rows out of the shuffle."""
+    non-matching fact rows out of the shuffle.
+
+    Outer/anti joins are refused: dropping non-candidate BIG rows
+    before a left-outer or anti join would delete exactly the rows
+    those joins exist to keep."""
+    if how.replace("_", "").lower() not in ("inner", "semi", "leftsemi", "cross"):
+        raise ValueError(
+            f"bloom_join is result-invariant only for inner/semi joins; "
+            f"got how={how!r} — use a plain join for outer/anti"
+        )
     bk = build_key or big_key
     pre = bloom_prefilter(big, build, big_key, bk, m_bits, k_hashes)
     if bk == big_key:

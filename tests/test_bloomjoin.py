@@ -94,3 +94,14 @@ def test_prefilter_is_map_side_only(spark):
     plan = pre._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "getbit" in plan.lower(), plan
+
+
+def test_bloom_join_refuses_outer_joins(spark):
+    import pytest
+
+    lineitem, sel = _build(spark)
+    with pytest.raises(ValueError, match="result-invariant"):
+        bloomjoin.bloom_join(
+            lineitem, sel, big_key="l_orderkey", build_key="o_orderkey",
+            how="left_outer",
+        )
