@@ -39,6 +39,7 @@ CROSS_OK = {
     "ann_pq_topk",                # 1-row query vector broadcast (ADC + re-rank)
     "ann_ivfpq_topk",             # 1-row query vector broadcast (IVFADC)
     "nb_lang_model_train",        # 1-row vocab-size + doc-count broadcasts
+    "association_rules_parts",    # 1-row order-count scalar broadcast
     "contrastive_triplets",       # 1-row corpus-count scalar broadcast
     "user_profile_similarity",    # 1-row query-profile broadcast
     "q11_important_part_values",  # 1-row global-threshold scalar broadcast
