@@ -66,8 +66,13 @@ def bloom_bitset(
     side's keys. The only driver transfer is the distinct position set,
     hard-capped at m_bits rows — constant in data volume."""
     pos_cols = _bit_positions(F.col(key_col), m_bits, k_hashes)
+    # NULL build keys can never match an inner/semi join; md5(NULL)
+    # yields NULL positions that would crash int() below — drop them
     positions = (
-        keys.select(F.explode(F.array(*pos_cols)).alias("p")).distinct().collect()
+        keys.filter(F.col(key_col).isNotNull())
+        .select(F.explode(F.array(*pos_cols)).alias("p"))
+        .distinct()
+        .collect()
     )
     words = [0] * ((m_bits + _WORD - 1) // _WORD)
     for r in positions:

@@ -511,6 +511,8 @@ _DECAY_MAX_D = 30
                    AS DECIMAL(38,0))) AS scaled,
                COUNT(*) AS n_events
         FROM events
+        WHERE date_diff('day', CAST(ts AS DATE), DATE '{_DECAY_ANCHOR}')
+              BETWEEN 0 AND {_DECAY_MAX_D}
         GROUP BY user_id
     )
     SELECT user_id, n_events,
@@ -537,6 +539,11 @@ def decayed_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     age = F.datediff(
         F.lit(_DECAY_ANCHOR).cast("date"), F.to_date("ts")
     )
+    # events outside [anchor - MAX_D, anchor] would make the shift
+    # count negative, where Spark masks mod 64 and DuckDB's HUGEINT
+    # shift differs — filter to the defined decay window in BOTH
+    # engines (the oracle carries the same BETWEEN predicate)
+    ev = ev.filter(age.between(0, _DECAY_MAX_D))
     cents = F.round(F.col("value") * 100).cast("bigint")
     # shiftleft's python wrapper wants an int literal shift; the SQL
     # function form takes a column

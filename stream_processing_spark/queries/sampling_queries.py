@@ -148,9 +148,13 @@ _WRS_K = 50
 def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     wt = F.least(F.ceil(F.col("n_chars") / 64.0).cast("bigint"), F.lit(16))
+    # wt=0 guard: sequence(0, -1) in Spark yields [0, -1] (step
+    # defaults to -1), i.e. TWO copies for a zero-weight row, while
+    # the oracle's range(0, 0) is empty — filter to match the
+    # oracle's "no copies → excluded" semantics exactly
     copies = docs.select(
         "doc_id", "lang", "n_chars", wt.alias("wt")
-    ).select(
+    ).filter(F.col("wt") > 0).select(
         "doc_id", "lang", "n_chars", "wt",
         F.explode(F.sequence(F.lit(0), F.col("wt") - 1)).alias("i"),
     )

@@ -41,12 +41,22 @@ def build_manifest(
     rows = []
     for f in sorted(_glob.glob(os.path.join(path, "part-*.parquet"))):
         md = pq.ParquetFile(f).metadata
+        # empty files (0 row groups) and schema-evolved files missing a
+        # requested column are recorded STATS-LESS, never skipped: the
+        # prune contract is "missing stats must keep the file"
+        if md.num_row_groups == 0:
+            for c in cols:
+                rows.append((f, c, None, None, 0))
+            continue
         name_to_idx = {
             md.row_group(0).column(i).path_in_schema: i
             for i in range(md.row_group(0).num_columns)
         }
         n_rows = sum(md.row_group(g).num_rows for g in range(md.num_row_groups))
         for c in cols:
+            if c not in name_to_idx:
+                rows.append((f, c, None, None, n_rows))
+                continue
             lo = hi = None
             for g in range(md.num_row_groups):
                 st = md.row_group(g).column(name_to_idx[c]).statistics

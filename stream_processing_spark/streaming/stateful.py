@@ -192,7 +192,12 @@ def stateful_event_sessions(
             if s is None:
                 s, l, n = t, t, 1
             elif t - l <= gap_ms:
-                l, n = max(l, t), n + 1
+                # out-of-order event from a later micro-batch can
+                # precede the open session's start; the session start
+                # must track min(ts) to match the batch gaps-and-islands
+                # oracle (already-emitted sessions can't be reopened,
+                # but the OPEN one absorbs the early event)
+                s, l, n = min(s, t), max(l, t), n + 1
             else:
                 out["key"].append(key[0])
                 out["start_ms"].append(s)

@@ -1,0 +1,146 @@
+"""Regression tests for edge cases outside the synthetic fixture's value
+range (round-4 advice): zero-weight docs in the weighted reservoir,
+out-of-window events in decayed scoring, NULL build keys in the bloom
+join, and degenerate parquet files in the manifest harvest. Each builds
+a hostile mini-fixture and re-runs the Spark query against its own
+DuckDB oracle — same comparison the driver does."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from stream_processing_spark.queries import REGISTRY
+from tests.oracle_util import compare
+
+
+def _duck_on(tmpdir: str, tables: list[str]):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmpdir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_weighted_reservoir_handles_zero_weight_docs(spark, tmp_path):
+    # n_chars=0 → wt=0; Spark's sequence(0, -1) yields [0, -1] (step
+    # defaults to -1) while DuckDB's range(0, 0) is empty — the query
+    # must exclude zero-weight rows in BOTH engines
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT CAST(i AS BIGINT) AS doc_id,
+                   repeat('x', CAST(i * 40 AS INT)) AS text,
+                   'en' AS lang, 'web' AS source,
+                   CAST(i * 40 AS BIGINT) AS n_chars
+            FROM range(0, 30) t(i)
+        ) TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    spec = REGISTRY["weighted_reservoir_sample"]
+    got = spec.spark(spark, str(tmp_path))
+    oracle = _duck_on(str(tmp_path), ["documents"])
+    compare(got, oracle.sql(spec.oracle), "weighted_reservoir_zero_wt")
+    # the zero-weight doc (i=0) must not appear at all
+    assert got.filter(F.col("doc_id") == 0).count() == 0
+    oracle.close()
+
+
+def test_decayed_activity_clamps_out_of_window_events(spark, tmp_path):
+    # events before anchor-30d or after the anchor would drive the
+    # shift count negative (Spark masks mod 64; DuckDB HUGEINT
+    # differs) — both engines must agree by filtering to the window
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT CAST(i AS BIGINT) AS event_id,
+                   CASE
+                     WHEN i % 4 = 0 THEN TIMESTAMP '2023-11-15 12:00:00'
+                     WHEN i % 4 = 1 THEN TIMESTAMP '2024-02-20 12:00:00'
+                     ELSE TIMESTAMP '2024-01-10 08:00:00'
+                          + (i || ' hours')::INTERVAL
+                   END AS ts,
+                   CAST(i % 5 AS BIGINT) AS user_id,
+                   'click' AS event_type,
+                   ROUND(0.5 + i * 0.25, 2) AS value,
+                   '{{}}' AS props
+            FROM range(0, 40) t(i)
+        ) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    spec = REGISTRY["decayed_user_activity"]
+    got = spec.spark(spark, str(tmp_path))
+    oracle = _duck_on(str(tmp_path), ["events"])
+    compare(got, oracle.sql(spec.oracle), "decayed_out_of_window")
+    oracle.close()
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    from stream_processing_spark.operators import bloomjoin
+
+    build = spark.createDataFrame(
+        [(1,), (2,), (None,), (3,), (None,)], "k long"
+    )
+    big = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (4, "d"), (None, "n")], "k long, v string"
+    )
+    # must not raise on the NULL build keys
+    words = bloomjoin.bloom_bitset(build, "k", m_bits=256)
+    assert any(words)
+    got = sorted(
+        map(
+            tuple,
+            bloomjoin.bloom_join(big, build.distinct(), big_key="k")
+            .select("k", "v")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, big.join(build.distinct(), on="k").select("k", "v").collect())
+    )
+    assert got == want == [(1, "a"), (2, "b")]
+
+
+def test_manifest_tolerates_empty_and_schema_evolved_files(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stream_processing_spark.sources import manifest as mf
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int64())}),
+        str(d / "part-000.parquet"),
+    )
+    # empty file: zero row groups
+    pq.write_table(
+        pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.int64())}),
+        str(d / "part-001.parquet"),
+    )
+    # schema-evolved old file missing column v
+    pq.write_table(
+        pa.table({"k": pa.array([100, 200], pa.int64())}),
+        str(d / "part-002.parquet"),
+    )
+    man = mf.build_manifest(spark, str(d), ["k", "v"])
+    assert man.count() == 6  # 3 files x 2 columns, none crashed
+    # pruning on v must keep BOTH degenerate files (stats-less → kept)
+    kept = mf.prune_files(man, {"v": (25, None)})
+    names = {k.rsplit("/", 1)[-1] for k in kept}
+    assert {"part-000.parquet", "part-001.parquet", "part-002.parquet"} <= names
+    # pruning on k may drop part-000 (max 3 < 50) but keeps the others
+    kept_k = {
+        k.rsplit("/", 1)[-1] for k in mf.prune_files(man, {"k": (50, None)})
+    }
+    assert "part-000.parquet" not in kept_k
+    assert {"part-002.parquet"} <= kept_k

@@ -256,3 +256,67 @@ def test_stateful_sessions_timeout_strictness(spark, tmp_path):
         ("1", base, base + 10 * m + 30 * m, 2),       # closed in-batch
         ("1", base + 120 * m, base + 150 * m, 1),     # closed by timeout
     }, got
+
+
+def test_stateful_sessions_out_of_order_across_batches(spark, tmp_path):
+    # regression (round-4 advice): an event arriving in a LATER
+    # micro-batch with ts earlier than the open session's start (but
+    # within gap of its last event, and above the watermark) must pull
+    # start_ms down to min(ts) — matching the batch gaps-and-islands
+    # oracle — not silently keep the first-seen start
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_spark.streaming.stateful import (
+        stateful_event_sessions,
+    )
+
+    d = tmp_path / "sess_ooo"
+    d.mkdir()
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.to_timestamp("ts").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(src, str(d / f"{name}.parquet"))
+
+    # batch 1: the session opens at 12:00
+    _write("b1", [(1, "2024-01-01 12:00:00")])
+    time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    # batch 2: out-of-order 11:50 (within 30-min gap of 12:00, above
+    # the 2h watermark) + an anchor that pushes the watermark past the
+    # session's end so the timeout fires
+    _write("b2", [(1, "2024-01-01 11:50:00"), (9, "2024-01-01 15:00:00")])
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").cast("string").alias("key"), "ts")
+    )
+    sess = stateful_event_sessions(src, gap_sec=1800)
+    name = f"t{_uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {
+        (r.key, r.start_ms, r.end_ms, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    m = 60_000
+    noon = 1704110400000  # 2024-01-01 12:00:00 UTC epoch ms
+    # start is 11:50 (the late event), NOT the first-seen 12:00
+    assert got == {("1", noon - 10 * m, noon + 30 * m, 2)}, got
