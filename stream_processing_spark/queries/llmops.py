@@ -224,10 +224,13 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM reach GROUP BY node
     """,
     doc="Near-dup CLUSTERS from pairwise 3-gram Jaccard edges (J>=0.8, "
-    f"df-capped shingles <= {_JACCARD_MAX_DF}) via iterative min-label "
-    "propagation (operators/graph.py — the Pregel-on-DataFrames "
-    "pattern: per-round join+min, localCheckpoint lineage truncation, "
-    "O(diameter) rounds). The oracle computes the same closure with a "
+    f"df-capped shingles <= {_JACCARD_MAX_DF}) via the hybrid closure in "
+    "operators/graph.py: a few cheap min-label propagation rounds "
+    "(join+min, localCheckpoint lineage truncation — near-dup graphs "
+    "of diameter 2-4 finish here), escalating to contracted "
+    "large-star/small-star (Kiveris et al.) for O(log n) worst-case "
+    "rounds on pathological duplicate chains. The oracle computes the "
+    "same closure with a "
     "recursive CTE. cluster_id = min doc_id in the component; singleton "
     "docs are their own cluster.",
 )
