@@ -19,17 +19,24 @@ Design constraints honored here:
   the output is bit-identical to the unfiltered join. (That is also why
   the DuckDB oracle for a bloom-joined query is just the plain join.)
 - **Constant-size driver traffic.** The bitset is `m_bits` wide
-  (default 2^16 = 8 KB packed) regardless of data volume: the build
-  aggregates DISTINCT bit positions (≤ m_bits rows, a hard cap) to the
-  driver, packs them into longs, and inlines the packed array as a
-  literal — the probe side then tests bits MAP-SIDE with zero extra
-  shuffle and zero Python. Size m_bits ~ 10× expected distinct keys
-  for a ~1% false-positive rate (k=3 hashes); an undersized filter
-  only costs selectivity, never correctness.
-- **Engine-portable hashing.** Bit positions come from md5 hex slices
-  (`conv(substr(md5(i || ':' || key), 1, 8), 16, 10) % m_bits`) — no
-  JVM-private hash, so tests can recompute positions in Python and the
-  whole build is deterministic across runs and engines.
+  (default 2^16 = 8 KB packed) regardless of data volume: executors
+  pack positions into (word_idx, bit-mask) pairs and `bit_or` them per
+  word — map-side partial aggregation caps every partition's shuffle
+  contribution AND the driver transfer at m_bits/64 longs — then the
+  packed array is inlined as one literal, so the probe side tests bits
+  MAP-SIDE with zero extra shuffle and zero Python. Size m_bits ~ 10×
+  expected distinct keys for a ~1% false-positive rate (k=3 hashes);
+  an undersized filter only costs selectivity, never correctness.
+- **Native hashing, literal bitset.** Bit positions are
+  `pmod(xxhash64(seed_i, key), m_bits)` — xxHash64 is Spark's native
+  vectorized long hash (also what its built-in BloomFilter uses), ~10×
+  cheaper per row than the md5-hex-slice spelling this module started
+  with, and deterministic across runs/sessions/clusters (asserted by
+  test). Cross-ENGINE portability is deliberately not required here:
+  the filter is result-invariant, so no oracle ever recomputes it. The
+  packed bitset is inlined as ONE array literal (`F.lit(list)`), not a
+  per-row CreateArray of 1024 children — the folded literal is what
+  keeps the probe inside whole-stage codegen at scan speed.
 
 At 1000 executors the win is shuffle volume: with a 2% selective build
 side, ~98% of fact rows die at the scan instead of crossing the network.
@@ -40,18 +47,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from stream_processing_spark.runtime import materialize
+
 _WORD = 64
 
 
 def _bit_positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
-    """k deterministic bit positions for a key (md5-sliced, 32-bit)."""
+    """k deterministic bit positions for a key: native xxhash64 with a
+    literal seed column per hash (hashing the pair (i, key) gives k
+    independent streams), reduced mod m_bits."""
     return [
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
+        F.pmod(F.xxhash64(F.lit(i), key), F.lit(m_bits)).cast("long")
         for i in range(k_hashes)
     ]
 
@@ -62,22 +68,37 @@ def bloom_bitset(
     m_bits: int = 1 << 16,
     k_hashes: int = 3,
 ) -> list[int]:
-    """Build the packed bitset (list of m_bits/64 ints) from the build
-    side's keys. The only driver transfer is the distinct position set,
-    hard-capped at m_bits rows — constant in data volume."""
+    """Build the packed bitset (list of m_bits/64 unsigned ints) from
+    the build side's keys. The only driver transfer is the bit_or'd
+    word table, hard-capped at m_bits/64 rows — constant in data
+    volume."""
     pos_cols = _bit_positions(F.col(key_col), m_bits, k_hashes)
-    # NULL build keys can never match an inner/semi join; md5(NULL)
-    # yields NULL positions that would crash int() below — drop them
-    positions = (
+    n_words = (m_bits + _WORD - 1) // _WORD
+    # pack executor-side: position → (word_idx, single-bit mask), then
+    # bit_or per word. Map-side partial aggregation compresses each
+    # partition to ≤ n_words rows before the (tiny, ≤ n_words-key)
+    # shuffle, and the driver receives at most n_words packed longs —
+    # strictly less traffic than collecting distinct positions.
+    # NULL build keys can never match an inner/semi join; xxhash64 of
+    # NULL yields NULL positions — drop them instead of crashing.
+    packed = (
         keys.filter(F.col(key_col).isNotNull())
         .select(F.explode(F.array(*pos_cols)).alias("p"))
-        .distinct()
+        .select(
+            (F.col("p") / _WORD).cast("int").alias("w"),
+            # SQL form: the python shiftleft wrapper only takes an int
+            # literal shift, not a column
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_WORD} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
         .collect()
     )
-    words = [0] * ((m_bits + _WORD - 1) // _WORD)
-    for r in positions:
-        p = int(r["p"])
-        words[p // _WORD] |= 1 << (p % _WORD)
+    words = [0] * n_words
+    for r in packed:
+        words[r["w"]] = int(r["word"]) & ((1 << 64) - 1)  # unsigned view
     return words
 
 
@@ -87,9 +108,15 @@ def bloom_might_contain(
     """Map-side membership test against an inlined packed bitset.
 
     Long literals must be built from the SIGNED 64-bit value (Python
-    ints > 2^63-1 don't fit a LongType literal)."""
+    ints > 2^63-1 don't fit a LongType literal), and the whole bitset
+    must be ONE literal (``F.lit(list)``) — spelling it as
+    ``array(lit, lit, ...)`` builds a 1024-child CreateArray that
+    Catalyst may evaluate per row (measured ~2× slower probes)."""
     signed = [w - (1 << 64) if w >= 1 << 63 else w for w in words]
-    arr = F.array(*[F.lit(w).cast("long") for w in signed])
+    # the cast is load-bearing: F.lit infers array<int> when every word
+    # happens to fit 32 bits, and getbit's position range follows the
+    # element type
+    arr = F.lit(signed).cast("array<bigint>")
     cond = None
     for pos in _bit_positions(key, m_bits, k_hashes):
         word = F.element_at(arr, (pos / _WORD).cast("int") + 1)
@@ -123,6 +150,7 @@ def bloom_join(
     how: str = "inner",
     m_bits: int = 1 << 16,
     k_hashes: int = 3,
+    cache_build: bool = True,
 ) -> DataFrame:
     """Equi-join with a bloom prefilter on the big side. Identical
     output to ``big.join(build, on=keys, how=how)`` for inner/semi
@@ -131,12 +159,23 @@ def bloom_join(
 
     Outer/anti joins are refused: dropping non-candidate BIG rows
     before a left-outer or anti join would delete exactly the rows
-    those joins exist to keep."""
+    those joins exist to keep.
+
+    The build side is consumed TWICE (bitset build, then the join
+    itself), so it is materialized once up front — the selective dim
+    slice is scanned a single time and both consumers read the
+    checkpointed rows. ``cache_build=False`` opts out (e.g. when the
+    caller already materialized it)."""
     if how.replace("_", "").lower() not in ("inner", "semi", "leftsemi", "cross"):
         raise ValueError(
             f"bloom_join is result-invariant only for inner/semi joins; "
             f"got how={how!r} — use a plain join for outer/anti"
         )
+    if cache_build:
+        # lazy: the bitset build (the first action) materializes it and
+        # the join then reuses the checkpointed rows — the build side is
+        # scanned once, in two jobs total instead of three
+        build = materialize(build, eager=False)
     bk = build_key or big_key
     pre = bloom_prefilter(big, build, big_key, bk, m_bits, k_hashes)
     if bk == big_key:

