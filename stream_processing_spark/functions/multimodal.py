@@ -397,7 +397,15 @@ def image_phash(media: DataFrame, out: int = 8) -> DataFrame:
                 block = coeffs[:out, :out].copy()
                 flat = block.flatten()
                 med = np.median(flat[1:])  # DC excluded from the median
-                bits = (flat > med).astype(np.uint64)
+                # tolerance keyed to the raster's energy scale: rasters
+                # with structurally-zero coefficients (flat images,
+                # tiled small images — every odd frequency vanishes)
+                # would otherwise emit float-noise SIGN bits, making
+                # the hash unstable under perceptual no-ops like a
+                # uniform brightness shift. Deviations within eps of
+                # the median deterministically map to 0.
+                eps = 1e-8 * max(1.0, abs(flat[0]))
+                bits = (flat > med + eps).astype(np.uint64)
                 val = np.uint64(0)
                 for i, bit in enumerate(bits):
                     val |= np.uint64(bit) << np.uint64(i)

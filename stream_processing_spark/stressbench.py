@@ -175,18 +175,25 @@ def run_stress(
     # 8. pHash near-dup over the SAME skewed blobs: the hostile case is
     # the 256 B majority payloads, which rasterize near-identically and
     # collapse into shared phash band buckets — max_bucket keeps the
-    # Hamming join from going quadratic, same guard as the LSH tiers
-    timed(
+    # Hamming join from going quadratic, same guard as the LSH tiers.
+    # Recall ground truth: media_skew plants brightness-shifted pairs
+    # (+1 on every byte), which pHash must map to Hamming ≤ radius
+    # (brightness only moves the DC coefficient).
+    ph = timed(
         "phash_pairs_capped",
         multimodal.phash_hamming_pairs(
             multimodal.image_phash(media), radius=3, max_bucket=200
         ),
+    )
+    recall["phash"] = _recall(
+        ph, stressgen.planted_img_pairs(sizes["media"]), "id_a", "id_b"
     )
 
     bounds_ok = (
         recall["jaccard"] >= 0.9
         and recall["minhash_lsh"] >= 0.9
         and recall["ann_banded"] >= 0.9
+        and recall["phash"] >= 0.9
         # capped candidate sets must stay linear-ish in corpus size, not
         # quadratic: a generous 20x factor vs corpus size
         and counts["minhash_lsh_capped"] <= 20 * sizes["documents"]

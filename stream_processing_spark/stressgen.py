@@ -38,7 +38,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_VERSION = "stress-v2"
+_VERSION = "stress-v3"
 
 DEFAULT_ROOT = os.environ.get(
     "SPARK_GRAFT_STRESS_DIR",
@@ -179,23 +179,48 @@ def planted_vec_pairs(n: int) -> set[tuple[int, int]]:
 
 
 # ------------------------------------------------------------------- media
+_HEX = "0123456789abcdef"
+_HEX_BRIGHT = "123456789:bcdefg"  # every char +1 ascii = +1 brightness
+
+
 def media_skew(spark: SparkSession, n: int) -> DataFrame:
-    """Blob-skewed media table: 1 in 200 payloads is 256 KB, rest 256 B."""
+    """Blob-skewed media table: 1 in 200 payloads is 256 KB, rest 256 B.
+
+    meta_json carries REAL raster dims (payload length = width*height
+    bytes: 16x16 for the cold blobs, 512x512 for the hot ones) so the
+    pHash tier exercises the metadata path, not the content-hash
+    ``_fake_dims`` fallback. Planted near-dup pairs (media_id % 100 ==
+    6, +1): the second member is the first's payload with every byte
+    shifted +1 — a uniform brightness shift, which pHash must survive
+    (it only moves the DC coefficient; the AC sign pattern is
+    invariant). planted_img_pairs() lists them for recall checks."""
     m = spark.range(n).select(F.col("id").alias("media_id"))
     hot = F.col("media_id") % 200 == 0
     reps = F.when(hot, 8192).otherwise(8)
-    payload = F.encode(
-        F.repeat(F.md5(F.concat(F.lit("m:"), F.col("media_id").cast("string"))), reps),
-        "UTF-8",
+    pos = F.col("media_id") % 100
+    is_pair = pos.isin(6, 7)
+    base_id = F.when(is_pair, F.col("media_id") - pos + 6).otherwise(
+        F.col("media_id")
     )
+    raw = F.repeat(F.md5(F.concat(F.lit("m:"), base_id.cast("string"))), reps)
+    text = F.when(pos == 7, F.translate(raw, _HEX, _HEX_BRIGHT)).otherwise(raw)
     return m.select(
         "media_id",
         F.lit("image").alias("media_type"),
-        payload.alias("payload"),
+        F.encode(text, "UTF-8").alias("payload"),
         F.to_json(
-            F.struct(F.when(hot, 262_144).otherwise(256).alias("n_bytes"))
+            F.struct(
+                F.when(hot, 262_144).otherwise(256).alias("n_bytes"),
+                F.when(hot, 512).otherwise(16).alias("width"),
+                F.when(hot, 512).otherwise(16).alias("height"),
+            )
         ).alias("meta_json"),
     )
+
+
+def planted_img_pairs(n: int) -> set[tuple[int, int]]:
+    """(a, a+1) brightness-shift pairs planted by media_skew."""
+    return {(k + 6, k + 7) for k in range(0, n - 7, 100)}
 
 
 # -------------------------------------------------------------- generation

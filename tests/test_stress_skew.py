@@ -161,3 +161,44 @@ def test_connected_components_algorithms_agree(spark):
         assert got == want, algo
     assert (100, 100) in want and (140, 100) in want
     assert (4, 0) in want and (7, 7) in want
+
+
+def test_phash_perturbation_robustness_with_metadata_dims(spark):
+    # VERDICT r3 #5: with real width/height metadata the raster is
+    # mean-pooled, so pHash must be STABLE under perceptual no-ops —
+    # uniform brightness shift (moves only the DC coefficient) and
+    # sparse byte-level recompression noise — while a different image
+    # lands far away in Hamming space.
+    import json
+    import random
+
+    from stream_processing_spark.functions.multimodal import image_phash
+
+    rng = random.Random(42)
+    w = h = 128  # 4x4 pixels pooled per raster cell
+    base = bytes(rng.randrange(256) for _ in range(w * h))
+    bright = bytes(min(255, px + 9) for px in base)
+    noisy = bytearray(base)
+    for _ in range(w * h // 20):  # ±2 noise on 5% of bytes
+        i = rng.randrange(w * h)
+        noisy[i] = max(0, min(255, noisy[i] + rng.choice((-2, -1, 1, 2))))
+    other = bytes(rng.randrange(256) for _ in range(w * h))
+
+    meta = json.dumps({"width": w, "height": h})
+    rows = [
+        (0, "image", bytearray(base), meta),
+        (1, "image", bytearray(bright), meta),
+        (2, "image", bytes(noisy), meta),
+        (3, "image", bytearray(other), meta),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, meta_json string"
+    )
+    got = {r.media_id: r.phash for r in image_phash(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[0], got[1]) <= 3, ham(got[0], got[1])  # brightness
+    assert ham(got[0], got[2]) <= 3, ham(got[0], got[2])  # sparse noise
+    assert ham(got[0], got[3]) > 10, ham(got[0], got[3])  # different image
