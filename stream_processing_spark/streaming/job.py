@@ -56,6 +56,7 @@ class StreamJob:
         value_col: str = "value",
         checkpoint_dir: str | None = None,
         max_files_per_trigger: int | None = None,
+        state_store: str | None = None,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -66,6 +67,12 @@ class StreamJob:
         self.value_col = value_col
         self.checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
         self.max_files_per_trigger = max_files_per_trigger
+        if state_store not in (None, "hdfs", "rocksdb"):
+            raise ValueError(
+                f"state_store must be None, 'hdfs' or 'rocksdb'; got "
+                f"{state_store!r}"
+            )
+        self.state_store = state_store
 
     # ------------------------------------------------------------------
     def _source(self) -> DataFrame:
@@ -131,7 +138,17 @@ class StreamJob:
         "1 second") runs CONTINUOUSLY — the reference's actual operating
         mode (src/Streaming/worker.py:503-511 tails the source forever):
         the file source picks up files that arrive while the query runs,
-        firing a micro-batch per interval."""
+        firing a micro-batch per interval.
+
+        ``state_store="rocksdb"`` swaps the keyed-state backend for
+        RocksDBStateStoreProvider: per-key state lives on executor
+        local disk (SST files, changelog-checkpointed to the query
+        checkpoint) instead of the default HDFS-backed in-memory map —
+        the required backend once keyed state outgrows executor heap
+        (100 TB-scale running aggregations / dedup sets). The provider
+        class is a session conf captured at query START and pinned into
+        the checkpoint metadata by Spark, so it is set for the start
+        call and restored right after."""
         df = self._transformed()
         writer = (
             df.writeStream.foreachBatch(self._write_batch)
@@ -142,7 +159,24 @@ class StreamJob:
             writer = writer.trigger(processingTime=processing_time)
         elif available_now:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        if self.state_store is None:
+            return writer.start()
+        key = "spark.sql.streaming.stateStore.providerClass"
+        provider = {
+            "hdfs": "org.apache.spark.sql.execution.streaming."
+            "state.HDFSBackedStateStoreProvider",
+            "rocksdb": "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider",
+        }[self.state_store]
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, provider)
+        try:
+            return writer.start()
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
 
     def run_to_completion(self, timeout_sec: int = 300) -> None:
         q = self.start(available_now=True)

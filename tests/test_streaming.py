@@ -320,3 +320,46 @@ def test_stateful_sessions_out_of_order_across_batches(spark, tmp_path):
     noon = 1704110400000  # 2024-01-01 12:00:00 UTC epoch ms
     # start is 11:50 (the late event), NOT the first-seen 12:00
     assert got == {("1", noon - 10 * m, noon + 30 * m, 2)}, got
+
+
+def test_rocksdb_state_store_exactly_once_across_restart(spark, tmp_path):
+    # VERDICT r3 #6: at 100 TB keyed state must spill — run the
+    # stateful tier on RocksDBStateStoreProvider and prove (a) the
+    # provider actually engaged (RocksDB SST/changelog artifacts in the
+    # checkpoint, not HDFS .delta maps), (b) restart-recovery stays
+    # exactly-once: totals CONTINUE from recovered state.
+    ind, outd = str(tmp_path / "in"), str(tmp_path / "out")
+    ops = [
+        lambda df: select_columns(df, 0, names=["cat"]),
+        lambda df: stateful_running_count(df, "cat").withColumnRenamed(
+            "cnt", "value"
+        ),
+    ]
+
+    _write_input(ind, "b1.csv", ["x,a", "y,b", "x,c"])
+    job = StreamJob(spark, ind, outd, ops=ops, stateful=True, state_store="rocksdb")
+    job.run_to_completion()
+    assert {r.value for r in job.read_output().collect()} == {"x:2", "y:1"}
+
+    # RocksDB leaves zip/changelog artifacts under state/; the HDFS
+    # provider would leave .delta files instead
+    state_files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(job.checkpoint_dir, "state"))
+        for f in fs
+    ]
+    assert any(
+        f.endswith((".zip", ".changelog")) for f in state_files
+    ), state_files
+    assert not any(f.endswith(".delta") for f in state_files), state_files
+
+    # restart from the same checkpoint: state recovered, not recomputed
+    _write_input(ind, "b2.csv", ["x,d", "z,e"])
+    StreamJob(
+        spark, ind, outd, ops=ops, stateful=True, state_store="rocksdb"
+    ).run_to_completion()
+    allout = {r.value for r in job.read_output().collect()}
+    assert "x:3" in allout and "z:1" in allout
+    # exactly-once: batch-1 emissions not duplicated by the restart
+    lines = sorted(r.value for r in job.read_output().collect())
+    assert lines.count("x:2") == 1 and lines.count("y:1") == 1

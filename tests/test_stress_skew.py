@@ -202,3 +202,54 @@ def test_phash_perturbation_robustness_with_metadata_dims(spark):
     assert ham(got[0], got[1]) <= 3, ham(got[0], got[1])  # brightness
     assert ham(got[0], got[2]) <= 3, ham(got[0], got[2])  # sparse noise
     assert ham(got[0], got[3]) > 10, ham(got[0], got[3])  # different image
+
+
+def test_aqe_skew_join_splits_hot_user_partition(spark, tmp_path):
+    # VERDICT r3 #7: complement the manual-salting path (skew_salted_*)
+    # by demonstrating when AQE handles join skew FOR you: joining the
+    # hostile fixture's 30%-hot user key against a plain dimension,
+    # adaptive skewJoin must mark and split the oversized partition
+    # (OptimizeSkewedJoin -> "SortMergeJoin(skew=true)" in the final
+    # plan) with results identical to the unoptimized join.
+    #
+    # Two rules this pins down for 100 TB plans:
+    # - AQE skew-join only pattern-matches a join whose children are
+    #   direct shuffle stages. An aggregation between the shuffle and
+    #   the join (e.g. joining against `events.select(user_id)
+    #   .distinct()`) breaks the match and NO skew handling happens —
+    #   that shape, and any skewed AGGREGATION, still needs manual
+    #   salting (operators/skew.py).
+    # - a broadcast join has no shuffle to skew, so the demo forces
+    #   sort-merge; in production the same thresholds apply only once
+    #   the dim outgrows the broadcast threshold.
+    ev = stressgen.events_skew(spark, 200_000).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    users = spark.range(20_005).select(
+        F.col("id").alias("user_id"),
+        (F.col("id") % 7).cast("int").alias("segment"),
+    )
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # shrink thresholds so the hot partition counts as skewed at
+        # test scale (prod defaults are 256MB / 5x median)
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        joined = ev.join(users, "user_id")
+        got = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert got == ev.join(users, "user_id").count() == 200_000
