@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from stream_processing_spark import stressgen
 from stream_processing_spark.functions import dedup, multimodal, similarity
+from stream_processing_spark.metrics import execute_with_shuffle_metrics
 from stream_processing_spark.operators.sessionize import with_sessions
 from stream_processing_spark.operators.skew import salted_count_by
 
@@ -43,6 +44,29 @@ MAX_DF = 20
 MAX_BUCKET_DOCS = 2_000
 MAX_BUCKET_SIMHASH = 2_500
 MAX_BUCKET_ANN = 1_000
+
+# shuffle-byte ceilings per INPUT row (measured ~2.5-3x headroom over
+# the observed mini-fixture numbers). These assert the linear-shuffle
+# design directly in bytes: every tier's exchanges must ship a small
+# CONSTANT per input row — an uncapped quadratic blowup (e.g. one
+# stop-shingle joining |docs|² pairs ≈ tens of GB at mini scale) blows
+# the ceiling by orders of magnitude. The largest constant is the
+# MinHash tier's: its df-cap pass legitimately shuffles every distinct
+# (shingle, doc) pair once — linear in token volume, which for ~35-token
+# docs is ~1.7 KB/doc measured.
+SHUFFLE_BYTES_PER_ROW = {
+    "jaccard_capped": ("documents", 150),
+    "minhash_lsh_capped": ("documents", 5_000),
+    "simhash_capped": ("documents", 600),
+    "ann_banded_capped": ("embeddings", 50),
+    "sessionize_hot_user": ("events", 64),
+    "salted_counts": ("events", 32),
+    # media payloads average ~1.5 KB/blob (256 KB hot tail): a ceiling
+    # of 400 B/row proves the BLOBS never cross a shuffle — only the
+    # extracted features do
+    "media_thumbnails": ("media", 400),
+    "phash_pairs_capped": ("media", 1_200),
+}
 
 
 def _recall(pairs: DataFrame, planted: set[tuple[int, int]], a: str, b: str) -> float:
@@ -109,11 +133,20 @@ def run_stress(
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     recall: dict[str, float] = {}
+    shuffle: dict[str, dict] = {}
 
     def timed(name: str, df: DataFrame) -> DataFrame:
+        # one JVM-side execution yields the row count AND the shuffle
+        # bytes the tier's exchanges actually wrote (metrics.py) — the
+        # byte ceilings in bounds_ok are asserted on these numbers
         t = time.perf_counter()
-        counts[name] = df.count()
+        m = execute_with_shuffle_metrics(df)
         timings[name] = round(time.perf_counter() - t, 3)
+        counts[name] = m["rows"]
+        shuffle[name] = {
+            "bytes_written": m["shuffle_bytes_written"],
+            "records_written": m["shuffle_records_written"],
+        }
         return df
 
     # 1. df-capped exact Jaccard over stop-shingle-saturated docs
@@ -200,6 +233,12 @@ def run_stress(
         and counts["ann_banded_capped"] <= 20 * sizes["embeddings"]
         and counts["simhash_capped"] <= 20 * sizes["documents"]
         and counts["phash_pairs_capped"] <= 20 * sizes["media"]
+        # shuffle volume stays linear with the documented per-row
+        # constants — the byte-level form of "ids-only shuffle"
+        and all(
+            shuffle[q]["bytes_written"] <= per_row * sizes[tbl]
+            for q, (tbl, per_row) in SHUFFLE_BYTES_PER_ROW.items()
+        )
     )
     return {
         "gen_sec": gen_sec,
@@ -207,6 +246,7 @@ def run_stress(
         "fixture": fixture_stats(spark, paths),
         "queries": timings,
         "counts": counts,
+        "shuffle": shuffle,
         "recall": {k: round(v, 4) for k, v in recall.items()},
         "bounds_ok": bounds_ok,
     }
