@@ -430,6 +430,91 @@ def kmeans_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMD_TAU = 0.4
+
+
+def _semantic_dedup_oracle() -> str:
+    from stream_processing_spark.queries.llmops import _COS_SQL, _IVF_CELL_SQL
+
+    return f"""
+    WITH {_IVF_CELL_SQL},
+    cells AS (SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1),
+    pairs AS (
+        SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
+        FROM cells a
+        JOIN cells b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ROUND({_COS_SQL.format(a="ea.embedding", b="eb.embedding")}, 6)
+              >= {_SEMD_TAU}
+    ),
+    drops AS (SELECT DISTINCT id_b AS vec_id FROM pairs)
+    SELECT CAST(c.cluster AS INT) AS cluster,
+           COUNT(*) AS n_vectors,
+           COUNT(d.vec_id) AS n_dropped,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept
+    FROM cells c LEFT JOIN drops d ON d.vec_id = c.vec_id
+    GROUP BY 1 ORDER BY cluster
+    """
+
+
+@register(
+    "semantic_dedup_stats",
+    _semantic_dedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023) — semantic dedup via cluster-"
+    "bounded pairwise cosine: assign every embedding to its k-means "
+    "cell (map-side from inlined centroid literals, the same "
+    "deterministic quantizer as kmeans_cluster_assignments), compare "
+    f"pairs ONLY within a cell, and drop any vector with a cosine >= "
+    f"{_SEMD_TAU} neighbor of smaller id — the keep-one-per-epsilon-"
+    "ball rule, made order-deterministic by id dominance instead of "
+    "greedy scan order. Output: per-cluster keep/drop accounting. "
+    "Complements dedup_embedding_canonical (LSH buckets): clustering "
+    "bounds the quadratic by CELL SIZE, which the quantizer controls "
+    "(n_cells ~ sqrt(N) at scale), where LSH bounds it by bucket "
+    "collision structure. Scale shape: one shuffle on (cluster) for "
+    "the pair join — cells are the unit of work, so AQE splits any "
+    "oversized cell's partition; the drop set and stats shuffles "
+    "carry ids only.",
+)
+def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, n_cells=16)
+    rank = sim._cell_rank_array("embedding", cents)
+    cells = emb.select(
+        "vec_id",
+        "embedding",
+        (-F.array_max(rank).getField("nc")).cast("int").alias("cluster"),
+    )
+    a = cells.select(
+        "cluster", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = cells.select(
+        "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(sim.cosine(F.col("ea"), F.col("eb")), 6) >= _SEMD_TAU)
+    )
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn(
+        "__d", F.lit(1)
+    )
+    return (
+        cells.select("vec_id", "cluster")
+        .join(drops, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("__d").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("__d")).alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+
+
 _RP_OUT = 16
 _RP_DIM = 64
 _RP_SEED = 1337

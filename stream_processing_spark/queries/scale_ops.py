@@ -186,6 +186,103 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_oracle(n: int) -> str:
+    """Training ladder (same CTEs as _bpe_oracle) + an apply chain that
+    carries the WORD through the merges, then per-source token stats."""
+    # reuse the r/m CTE ladder; strip the final merge-list SELECT
+    body = _bpe_oracle(n)
+    cut = body.rindex(" SELECT 1 AS step")
+    ladder = body[len("WITH "):cut].rstrip().rstrip(",")
+    wm = [
+        """
+    wm0 AS (
+        SELECT DISTINCT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr
+        FROM tok WHERE w <> ''
+    )"""
+    ]
+    for k in range(1, n + 1):
+        wm.append(f"""
+    wm{k} AS (
+        SELECT w, trim(replace(replace(
+                   ' ' || replace(repr, ' ', '  ') || ' ',
+                   (SELECT ' ' || a || '  ' || b || ' ' FROM m{k}),
+                   (SELECT ' ' || a || b || ' ' FROM m{k})),
+               '  ', ' ')) AS repr
+        FROM wm{k - 1}
+    )""")
+    return (
+        "WITH "
+        + ladder
+        + ","
+        + ",".join(wm)
+        + f""",
+    wmap AS (
+        SELECT w, CAST(len(string_split(repr, ' ')) AS BIGINT) AS n_tok
+        FROM wm{n}
+    ),
+    corpus AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT c.source,
+           COUNT(*) AS n_words,
+           CAST(SUM(m.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(c.w)) AS BIGINT) AS n_chars
+    FROM corpus c JOIN wmap m ON m.w = c.w
+    WHERE c.w <> ''
+    GROUP BY c.source ORDER BY c.source
+    """
+    )
+
+
+@register(
+    "bpe_encode_source_stats",
+    _bpe_encode_oracle(_BPE_MERGES),
+    doc="BPE tokenizer APPLICATION — the other half of bpe_train_merges: "
+    "encode the whole corpus with the learned merges and report "
+    "per-source token accounting (words, post-merge tokens, chars — "
+    "the compression a tokenizer buys, the number every training-data "
+    "budget is priced in). Spark-first shape: the merge list is tiny "
+    "driver state, so the word→token-count map is built by applying "
+    "the merges as chained codegen string replaces over the DISTINCT "
+    "word table (vocabulary-sized, ~log of corpus) and then BROADCAST "
+    "— the corpus-sized pass is one explode + map-side hash join + "
+    "partial agg, no corpus shuffle. At production merge counts (30k+) "
+    "the replace chain would be replaced by persisting word→tokens "
+    "directly from training (functions/models.py artifact path); the "
+    "re-derivation here deliberately exercises the apply path so the "
+    "oracle can replay it.",
+)
+def bpe_encode_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, n_merges=_BPE_MERGES)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    repr_col = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    for _step, a, b, _c in merges:
+        repr_col = bpe.merge_pair_expr(repr_col, a, b)
+    wmap = words.select(
+        "w", F.size(F.split(repr_col, " ")).cast("bigint").alias("n_tok")
+    )
+    corpus = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        corpus.join(F.broadcast(wmap), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.length("w").cast("bigint")).alias("n_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 _CUTOFF = "2024-01-25"
 
 

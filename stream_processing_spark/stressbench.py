@@ -45,27 +45,31 @@ MAX_BUCKET_DOCS = 2_000
 MAX_BUCKET_SIMHASH = 2_500
 MAX_BUCKET_ANN = 1_000
 
-# shuffle-byte ceilings per INPUT row (measured ~2.5-3x headroom over
-# the observed mini-fixture numbers). These assert the linear-shuffle
-# design directly in bytes: every tier's exchanges must ship a small
-# CONSTANT per input row — an uncapped quadratic blowup (e.g. one
-# stop-shingle joining |docs|² pairs ≈ tens of GB at mini scale) blows
-# the ceiling by orders of magnitude. The largest constant is the
-# MinHash tier's: its df-cap pass legitimately shuffles every distinct
-# (shingle, doc) pair once — linear in token volume, which for ~35-token
-# docs is ~1.7 KB/doc measured.
+# shuffle-byte ceilings per INPUT row (~1.5-3x headroom over the
+# numbers measured at BOTH fixture scales: mini 2k docs and full 50k
+# docs). These assert the linear-shuffle design directly in bytes:
+# every tier's exchanges must ship a bounded CONSTANT per input row —
+# an uncapped quadratic blowup (e.g. one stop-shingle joining |docs|²
+# pairs ≈ tens of GB even at mini scale) blows the ceiling by orders
+# of magnitude. The per-row constants decompose as:
+# - minhash_lsh: one df-cap pass over distinct (shingle, doc) pairs
+#   (~1.7 KB/doc at ~35 tokens) + the banded candidate join's output,
+#   itself capped at 20 pairs/doc × ~0.2 KB — ~5.3 KB/doc measured at
+#   full scale; ceiling 8 KB.
+# - phash: 4 bands × (id, 16-bit band value) + capped candidate pairs
+#   (~0.8 KB/blob full scale).
+# - media_thumbnails: payloads average ~1.5 KB/blob (256 KB hot tail);
+#   the ~56 B/blob measured proves the BLOBS never cross a shuffle —
+#   only extracted features do.
 SHUFFLE_BYTES_PER_ROW = {
-    "jaccard_capped": ("documents", 150),
-    "minhash_lsh_capped": ("documents", 5_000),
+    "jaccard_capped": ("documents", 300),
+    "minhash_lsh_capped": ("documents", 8_000),
     "simhash_capped": ("documents", 600),
-    "ann_banded_capped": ("embeddings", 50),
+    "ann_banded_capped": ("embeddings", 100),
     "sessionize_hot_user": ("events", 64),
     "salted_counts": ("events", 32),
-    # media payloads average ~1.5 KB/blob (256 KB hot tail): a ceiling
-    # of 400 B/row proves the BLOBS never cross a shuffle — only the
-    # extracted features do
     "media_thumbnails": ("media", 400),
-    "phash_pairs_capped": ("media", 1_200),
+    "phash_pairs_capped": ("media", 2_000),
 }
 
 
