@@ -34,9 +34,29 @@ AUDITED = {
         "The bloom membership test evaluates INSIDE the fact scan stage "
         "(Filter over Scan, zero exchanges before it — asserted by "
         "test_bloomjoin's exchange-free-plan test); non-candidate rows "
-        "never reach the join shuffle. The build side collects DISTINCT "
-        "bit positions only (hard-capped at m_bits), and the packed "
-        "bitset rides the plan as an 8 KB literal."
+        "never reach the join shuffle. Round 4: positions are native "
+        "xxhash64(seed, key) (was md5 hex slices — ~10x cheaper "
+        "probes), the bitset is packed executor-side via per-word "
+        "bit_or (driver receives <= m_bits/64 longs), the packed array "
+        "rides the plan as ONE array<bigint> literal (a 1024-child "
+        "CreateArray escaped constant folding), and the build side is "
+        "lazily checkpointed so the dim is scanned once. 3.93s -> "
+        "~1.9s at sf0.1."
+    ),
+    "semantic_dedup_stats": (
+        "SemDeDup: cluster assignment is MAP-SIDE from inlined "
+        "centroid literals; the only data-sized shuffle keys on "
+        "(cluster) for the within-cell pair join — cells are the unit "
+        "of work, sized by the quantizer (n_cells ~ sqrt(N) at scale), "
+        "and AQE splits an oversized cell's partition. The drop set "
+        "and the per-cluster accounting shuffle ids only."
+    ),
+    "bpe_encode_source_stats": (
+        "Tokenizer application: the merge list is driver state applied "
+        "as chained codegen string replaces over the DISTINCT word "
+        "table (vocabulary-sized), which is then BROADCAST — the "
+        "corpus-sized pass is explode + map-side hash join + partial "
+        "agg; no corpus-volume shuffle anywhere."
     ),
     "bpe_train_merges": (
         "Each merge round is one distributed adjacent-pair aggregation "
