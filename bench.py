@@ -102,6 +102,12 @@ BENCH_QUERIES = [
     "grouped_wavg_pandas_udaf",
     # order-independent whole-table checksum (scan + commutative sum)
     "dataset_content_digest",
+    # --- round-4 additions (new capabilities — compare totals
+    # per-query against BENCH_r03, not in aggregate).
+    # SemDeDup: cluster-bounded pairwise cosine, map-side assignment
+    "semantic_dedup_stats",
+    # tokenizer application: broadcast vocab map, no corpus shuffle
+    "bpe_encode_source_stats",
 ]
 
 

@@ -1,0 +1,208 @@
+"""Grammar-based SQL fuzzing: seeded random queries over the TPC-H-ish
+views, run through BOTH spark.sql and DuckDB, results compared exactly.
+
+Extends the fixed test_sqllogic corpus the way test_grep_differential
+extends the grep goldens: the fixed corpus pins known constructs, the
+fuzzer sweeps the combination space (filter × join × group-by ×
+aggregate × order/limit) no hand-written corpus covers.
+
+The grammar is restricted to the engine-portable subset this repo's
+oracles already rely on:
+- no raw double aggregation — sums are CAST(ROUND(col*100) AS BIGINT)
+  (the data is 2-decimal, so the scaled sum is exact) or integer sums
+  wrapped in CAST(... AS BIGINT) (DuckDB's HUGEINT would otherwise
+  surface as float through pandas);
+- every LIMIT is preceded by ORDER BY over ALL projected columns with
+  explicit NULLS FIRST (Spark and DuckDB default null order differs);
+- rounding only ever lands on values far from .5 (integer-valued
+  floats), where HALF_UP and half-away agree.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from stream_processing_spark.catalog import register_views
+from tests.oracle_util import compare
+
+SF = "/root/testdata/sf0.01"
+N_CASES = 120
+
+T = {
+    "orders": {
+        "int": ["o_orderkey", "o_custkey"],
+        "num": ["o_totalprice"],
+        "str": ["o_orderstatus", "o_orderpriority"],
+    },
+    "customer": {
+        "int": ["c_custkey", "c_nationkey"],
+        "num": ["c_acctbal"],
+        "str": ["c_name", "c_mktsegment"],
+    },
+    "lineitem": {
+        "int": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+        "num": ["l_quantity", "l_extendedprice", "l_discount"],
+        "str": ["l_returnflag", "l_linestatus"],
+    },
+    "part": {
+        "int": ["p_partkey", "p_size"],
+        "num": ["p_retailprice"],
+        "str": ["p_name", "p_brand", "p_type"],
+    },
+    "supplier": {
+        "int": ["s_suppkey", "s_nationkey"],
+        "num": ["s_acctbal"],
+        "str": ["s_name"],
+    },
+    "nation": {"int": ["n_nationkey", "n_regionkey"], "num": [], "str": ["n_name"]},
+    "region": {"int": ["r_regionkey"], "num": [], "str": ["r_name"]},
+}
+
+JOINS = [
+    ("orders", "customer", "o_custkey = c_custkey"),
+    ("lineitem", "orders", "l_orderkey = o_orderkey"),
+    ("lineitem", "part", "l_partkey = p_partkey"),
+    ("customer", "nation", "c_nationkey = n_nationkey"),
+    ("nation", "region", "n_regionkey = r_regionkey"),
+    ("supplier", "nation", "s_nationkey = n_nationkey"),
+]
+
+
+def _cols(tabs: list[str], kind: str) -> list[str]:
+    return [c for t in tabs for c in T[t][kind]]
+
+
+def _pred(rng: random.Random, tabs: list[str]) -> str:
+    kind = rng.choice(["mod", "between", "numcmp", "like", "in", "strcmp"])
+    if kind == "mod":
+        c = rng.choice(_cols(tabs, "int"))
+        return f"{c} % {rng.randint(2, 9)} = {rng.randint(0, 1)}"
+    if kind == "between":
+        c = rng.choice(_cols(tabs, "int"))
+        lo = rng.randint(0, 500)
+        return f"{c} BETWEEN {lo} AND {lo + rng.choice([10, 100, 1000])}"
+    if kind == "numcmp":
+        nums = _cols(tabs, "num")
+        if not nums:
+            return "1 = 1"
+        return f"{rng.choice(nums)} {rng.choice(['<', '>', '<=', '>='])} {rng.choice([0.05, 25.0, 900.0, 4500.0, 150000.0])}"
+    if kind == "like":
+        c = rng.choice(_cols(tabs, "str"))
+        return f"{c} LIKE '%{rng.choice('aerost13')}%'"
+    if kind == "in":
+        c = rng.choice(_cols(tabs, "int"))
+        vals = ", ".join(str(rng.randint(0, 200)) for _ in range(rng.randint(2, 5)))
+        return f"{c} IN ({vals})"
+    c = rng.choice(_cols(tabs, "str"))
+    return f"length({c}) {rng.choice(['=', '>', '<'])} {rng.randint(1, 12)}"
+
+
+def _group_key(rng: random.Random, tabs: list[str]) -> str:
+    kind = rng.choice(["mod", "str", "substr", "band"])
+    if kind == "mod":
+        return f"{rng.choice(_cols(tabs, 'int'))} % {rng.randint(2, 12)}"
+    if kind == "str":
+        return rng.choice(_cols(tabs, "str"))
+    if kind == "substr":
+        return f"substring({rng.choice(_cols(tabs, 'str'))}, 1, {rng.randint(1, 3)})"
+    nums = _cols(tabs, "num")
+    if not nums:
+        return rng.choice(_cols(tabs, "str"))
+    c = rng.choice(nums)
+    cut = rng.choice([10, 100, 1000, 100000])
+    return f"CASE WHEN {c} < {cut} THEN 'lo' ELSE 'hi' END"
+
+
+def _agg(rng: random.Random, tabs: list[str], alias: str) -> str:
+    kind = rng.choice(["count", "cdist", "min", "max", "isum", "csum"])
+    if kind == "count":
+        return f"COUNT(*) AS {alias}"
+    if kind == "cdist":
+        return f"COUNT(DISTINCT {rng.choice(_cols(tabs, 'int'))}) AS {alias}"
+    if kind == "min":
+        return f"MIN({rng.choice(_cols(tabs, 'int'))}) AS {alias}"
+    if kind == "max":
+        return f"MAX({rng.choice(_cols(tabs, 'str'))}) AS {alias}"
+    if kind == "isum":
+        return f"CAST(SUM({rng.choice(_cols(tabs, 'int'))}) AS BIGINT) AS {alias}"
+    nums = _cols(tabs, "num")
+    if not nums:
+        return f"COUNT(*) AS {alias}"
+    return (
+        f"CAST(SUM(CAST(ROUND({rng.choice(nums)} * 100) AS BIGINT)) "
+        f"AS BIGINT) AS {alias}"
+    )
+
+
+def _gen_query(rng: random.Random) -> str:
+    if rng.random() < 0.4:
+        t1, t2, cond = rng.choice(JOINS)
+        tabs, frm = [t1, t2], f"{t1} JOIN {t2} ON {cond}"
+    else:
+        t1 = rng.choice(list(T))
+        tabs, frm = [t1], t1
+    preds = [_pred(rng, tabs) for _ in range(rng.randint(0, 2))]
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+
+    if rng.random() < 0.55:  # aggregate query
+        n_keys = rng.randint(1, 2)
+        keys = [f"{_group_key(rng, tabs)} AS k{i}" for i in range(n_keys)]
+        aggs = [_agg(rng, tabs, f"a{i}") for i in range(rng.randint(1, 3))]
+        having = (
+            f" HAVING COUNT(*) >= {rng.randint(2, 5)}"
+            if rng.random() < 0.3
+            else ""
+        )
+        key_ords = ", ".join(
+            f"{i + 1} NULLS FIRST" for i in range(n_keys)
+        )
+        return (
+            f"SELECT {', '.join(keys + aggs)} FROM {frm}{where} "
+            f"GROUP BY {', '.join(str(i + 1) for i in range(n_keys))}"
+            f"{having} ORDER BY {key_ords}"
+        )
+    # plain projection with total-order limit
+    proj = []
+    proj += rng.sample(_cols(tabs, "int"), k=min(2, len(_cols(tabs, "int"))))
+    proj += rng.sample(_cols(tabs, "str"), k=min(1, len(_cols(tabs, "str"))))
+    if rng.random() < 0.4 and _cols(tabs, "num"):
+        proj.append(
+            f"CAST(ROUND({rng.choice(_cols(tabs, 'num'))} * 100) AS BIGINT) AS cents"
+        )
+    ords = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(proj)))
+    return (
+        f"SELECT {', '.join(proj)} FROM {frm}{where} "
+        f"ORDER BY {ords} LIMIT {rng.choice([20, 50, 100])}"
+    )
+
+
+@pytest.fixture(scope="module")
+def duck_sf():
+    con = duckdb.connect()
+    for t in T:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_sql_fuzz_spark_matches_duckdb(spark, duck_sf):
+    register_views(spark, SF)
+    rng = random.Random(20260814)
+    n_nonempty = 0
+    for case in range(N_CASES):
+        sql = _gen_query(rng)
+        got = spark.sql(sql)
+        try:
+            compare(got, duck_sf.sql(sql), f"case {case}: {sql}")
+        except AssertionError:
+            print(f"FUZZ DIVERGENCE in case {case}:\n{sql}")
+            raise
+        n_nonempty += 1 if got.count() > 0 else 0
+    # the grammar must actually exercise data, not generate empty sets
+    assert n_nonempty > N_CASES * 0.5, n_nonempty
