@@ -96,7 +96,10 @@ def connected_components(
     sym = _cut(
         fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    labels = _cut(
+    # no checkpoint for the seed labels: they derive from the already-
+    # materialized sym by one distinct, and round 1 checkpoints its
+    # delta anyway — cutting here would cost a whole extra job
+    labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
