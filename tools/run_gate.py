@@ -3,9 +3,12 @@ VANILLA SparkSession and compare against its DuckDB oracle at sf0.01 —
 exactly what the round driver does for CORRECTNESS_r{N}.json.
 
 Usage:
-    python tools/run_gate.py            # full gate (~7 min)
-    python tools/run_gate.py name1 ...  # only the named queries,
-                                        # plus sf0.001/sf0.1 row probes
+    python tools/run_gate.py                 # full gate (~7 min)
+    python tools/run_gate.py --out GATE.json # full gate + JSON artifact
+                                             # (per-query ok/oracle/sec)
+    python tools/run_gate.py name1 ...       # only the named queries,
+                                             # plus sf0.001/sf0.1 row
+                                             # probes
 """
 
 from __future__ import annotations
@@ -30,7 +33,13 @@ def main() -> int:
     import __spark_entry__ as e
     from oracle_util import compare
 
-    only = sys.argv[1:]
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = args
 
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -45,23 +54,55 @@ def main() -> int:
             f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
         )
 
+    import json
+    import time
+
     qs, osql = e.queries(), e.oracle_sql()
     names = only or sorted(qs)
     failed = []
+    results: dict[str, dict] = {}
+    t_total = time.perf_counter()
     for name in names:
+        t0 = time.perf_counter()
         try:
             sdf = qs[name](spark, "/root/testdata/sf0.01")
             if name in osql:
                 compare(sdf, con.sql(osql[name]), name=name)
             else:
                 assert sdf.count() >= 0 and sdf.columns
+            results[name] = {
+                "ok": True,
+                "oracle": name in osql,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
             if only:
                 for sf in ("sf0.001", "sf0.1"):
                     n = qs[name](spark, f"/root/testdata/{sf}").count()
                     print(f"  {name} @{sf}: {n} rows")
         except Exception as ex:  # noqa: BLE001 - report and continue
             failed.append(name)
+            results[name] = {
+                "ok": False,
+                "oracle": name in osql,
+                "sec": round(time.perf_counter() - t0, 3),
+                "err": str(ex)[:300],
+            }
             print(f"FAIL {name}: {str(ex)[:300]}")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "n_queries": len(names),
+                    "n_ok": len(names) - len(failed),
+                    "n_oracled": sum(1 for n in names if n in osql),
+                    "wall_sec": round(time.perf_counter() - t_total, 1),
+                    "sf": 0.01,
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
     if failed:
         print(f"{len(failed)}/{len(names)} FAILED: {failed}")
         return 1
