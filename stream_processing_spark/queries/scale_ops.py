@@ -283,6 +283,64 @@ def bpe_encode_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "observed_ingest_metrics",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_users,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS first_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+    FROM events
+    """,
+    doc="One-pass pipeline observability via Spark's Observation API "
+    "(CollectMetrics): the ingest metrics — row count, null-key count, "
+    "exact value checksum in cents, event-time bounds — are collected "
+    "AS A SIDE EFFECT of the write action itself (df.observe(...) then "
+    "a sink write; here the noop sink), not by a second scan. At "
+    "100 TB this halves the monitoring cost vs the dq_expectations "
+    "second-pass shape and guarantees the metrics describe EXACTLY the "
+    "rows the sink committed — no read-skew between pipeline and "
+    "monitor. Observation restrictions honored: aggregates only, no "
+    "DISTINCT (CollectMetrics evaluates map-side + one tree-reduce). "
+    "The oracle recomputes the same aggregates declaratively.",
+)
+def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ingest")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("null_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+        F.unix_micros(F.min("ts")).alias("first_us"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["null_users"],
+                m["value_cents"],
+                m["first_us"],
+                m["last_us"],
+            )
+        ],
+        "n_rows bigint, null_users bigint, value_cents bigint, "
+        "first_us bigint, last_us bigint",
+    )
+
+
 _CUTOFF = "2024-01-25"
 
 

@@ -363,3 +363,44 @@ def test_rocksdb_state_store_exactly_once_across_restart(spark, tmp_path):
     # exactly-once: batch-1 emissions not duplicated by the restart
     lines = sorted(r.value for r in job.read_output().collect())
     assert lines.count("x:2") == 1 and lines.count("y:1") == 1
+
+
+def test_streaming_observe_metrics_in_progress(spark, tmp_path):
+    # streaming observability: df.observe() metrics ride the query's
+    # progress events (observedMetrics), so per-batch row counts and
+    # checksums come from the SAME micro-batch execution — the
+    # streaming twin of the observed_ingest_metrics one-pass shape.
+    import uuid as _uuid
+
+    ind = str(tmp_path / "in")
+    _write_input(ind, "b1.csv", ["a,1", "b,2", "a,3"])
+
+    from pyspark.sql import Observation  # noqa: F401  (batch-only API)
+
+    src = (
+        spark.readStream.format("text")
+        .load(ind)
+        .select(F.split("value", ",").getItem(1).cast("long").alias("v"))
+        .observe(
+            "ingest",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").cast("bigint").alias("v_sum"),
+        )
+    )
+    name = f"t{_uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    progress = q.recentProgress
+    om = [p["observedMetrics"]["ingest"] for p in progress
+          if p.get("observedMetrics", {}).get("ingest")]
+    assert om, progress
+    total = sum(m["n_rows"] for m in om)
+    vsum = sum(m["v_sum"] for m in om)
+    assert total == 3 and vsum == 6, om
