@@ -146,3 +146,68 @@ def test_dedup_within_watermark(spark, tmp_path):
     _drain(dedup, "dedup", tmp_path)
     ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup").collect())
     assert ids == ["e1", "e2"]
+
+
+def test_watermark_drop_accounting_live_trigger(spark, tmp_path):
+    # late-data policy made MEASURABLE: under a LIVE trigger, a row
+    # below the watermark is dropped by the stateful operator and the
+    # progress accounts for it (numRowsDroppedByWatermark) — the ops
+    # counter a 100 TB pipeline alerts on. Deliberately a live
+    # processingTime query: with trigger(availableNow=True) Spark plans
+    # every micro-batch against the watermark at plan time, so
+    # cross-batch lateness is NOT filtered in drain mode (verified
+    # empirically on 4.1) — which is exactly why the repo's
+    # drain-and-compare oracle tests can treat drained streaming
+    # queries as batch-equivalent, and why late-drop monitoring only
+    # means something on a continuously-running query.
+    import glob
+    import shutil
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "wmdrop"
+    d.mkdir()
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.to_timestamp("ts").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(src, str(d / f"{name}.parquet"))
+
+    dd = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(str(d))
+        .withWatermark("ts", "0 seconds")
+        .dropDuplicates(["user_id", "ts"])
+    )
+    name = f"t{_uuid.uuid4().hex[:8]}"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        _write("b1", [(1, "2024-01-01 10:10:00"), (2, "2024-01-01 12:10:00")])
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.table(name).count() < 2:
+            time.sleep(0.3)
+        # watermark is now 12:10; user 3's row is months below it
+        _write("b2", [(3, "2023-06-01 00:00:00"), (4, "2024-01-01 13:10:00")])
+        while time.time() < deadline and spark.table(name).count() < 3:
+            time.sleep(0.3)
+        time.sleep(1.0)  # let the progress event land
+    finally:
+        q.stop()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1, [p.get("stateOperators") for p in q.recentProgress]
+    got = {r.user_id for r in spark.table(name).collect()}
+    assert got == {1, 2, 4}, got  # the late row produced NO output
