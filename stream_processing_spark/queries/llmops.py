@@ -1259,3 +1259,116 @@ def curation_final_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lang_ok, "doc_id")
         .select("doc_id", "lang")
     )
+
+
+_PIPE_SHINGLE_ON_S4 = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM s4),
+    shingles AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    )
+"""
+
+
+@register(
+    "curation_pipeline_yield",
+    f"""
+    WITH base AS (
+        SELECT doc_id, text, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               length(replace(text, ' ', '')) AS nsp
+        FROM documents
+    ),
+    s2 AS (SELECT * FROM base
+           WHERE n_tok >= 10 AND nsp * 1.0 / n_tok BETWEEN 2 AND 12),
+    s3 AS (SELECT * FROM s2 WHERE lang = 'en'),
+    s4 AS (SELECT * FROM s3
+           QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))),
+    {_PIPE_SHINGLE_ON_S4},
+    {_JACCARD_CTES},
+    drops AS (SELECT DISTINCT doc_b AS doc_id FROM jpairs),
+    s5 AS (SELECT s4.* FROM s4 LEFT JOIN drops d ON d.doc_id = s4.doc_id
+           WHERE d.doc_id IS NULL)
+    SELECT * FROM (
+        SELECT 1 AS stage, 'ingest' AS label, COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM base
+        UNION ALL SELECT 2, 'quality', COUNT(*),
+               CAST(SUM(n_tok) AS BIGINT) FROM s2
+        UNION ALL SELECT 3, 'lang_en', COUNT(*),
+               CAST(SUM(n_tok) AS BIGINT) FROM s3
+        UNION ALL SELECT 4, 'exact_dedup', COUNT(*),
+               CAST(SUM(n_tok) AS BIGINT) FROM s4
+        UNION ALL SELECT 5, 'near_dedup', COUNT(*),
+               CAST(SUM(n_tok) AS BIGINT) FROM s5
+    ) ORDER BY stage
+    """,
+    doc="The END-TO-END curation pipeline as ONE composed, oracle-gated "
+    "query — the funnel a training-data team actually ships: ingest → "
+    "quality gate (token count + avg token length) → language filter → "
+    "exact dedup (md5 groups, min-id survivor) → near-dup drop "
+    f"(df-capped 3-gram Jaccard >= 0.8 on the SURVIVORS, id-dominance "
+    "drops) — with per-stage document and token yield accounting. "
+    "Each stage is the registry's standalone operator (text_quality_"
+    "stats, text_lang_id, dedup_exact_groups, dedup_jaccard_pairs) "
+    "composed as plain DataFrame algebra, which is the whole point: "
+    "operators compose without materialization boundaries, and "
+    "Catalyst shares the scan. The survivor set (not the raw corpus) "
+    "feeds the near-dup join, so drop decisions can never reference "
+    "already-dropped documents. The stage-4 frame is lazily "
+    "checkpointed once — it feeds its own stage count, the shingle "
+    "pass, and the stage-5 anti-join.",
+)
+def curation_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.runtime import materialize
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.length(F.regexp_replace("text", " ", "")).alias("nsp"),
+    )
+    s2 = base.filter(
+        (F.col("n_tok") >= 10)
+        & ((F.col("nsp") / F.col("n_tok")).between(2, 12))
+    )
+    s3 = s2.filter(F.col("lang") == "en")
+    s4 = materialize(
+        s3.withColumn(
+            "__keep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep"),
+        eager=False,
+    )
+    pairs = dd.jaccard_pairs(
+        dd.shingles(s4, n=3), threshold=0.8, max_df=_JACCARD_MAX_DF
+    )
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    s5 = s4.join(drops, "doc_id", "left_anti")
+
+    out = None
+    for stage, (label, df) in enumerate(
+        [
+            ("ingest", base),
+            ("quality", s2),
+            ("lang_en", s3),
+            ("exact_dedup", s4),
+            ("near_dedup", s5),
+        ],
+        start=1,
+    ):
+        branch = df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            F.lit(label).alias("label"),
+            "n_docs",
+            "n_tokens",
+        )
+        out = branch if out is None else out.union(branch)
+    return out.orderBy("stage")
