@@ -99,8 +99,11 @@ _PRIORITY = [
     "asof_last_click_before_purchase", "resample_hourly_ffill",
     "range_join_clicks_before_purchase",
     # headline TPC-H-style relational
-    "q1_pricing_summary", "q3_top_revenue_orders", "q5_nation_revenue",
-    "q18_large_volume_customers",
+    "q1_pricing_summary", "q3_top_revenue_orders",
+    # round-4 flagships: the composed curation funnel and SemDeDup
+    # (q5/q18 moved out of the window; still certified by GATE_r4.json
+    # and tests/test_oracle_queries.py)
+    "curation_pipeline_yield", "semantic_dedup_stats",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

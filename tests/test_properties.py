@@ -362,3 +362,36 @@ def test_weighted_reservoir_favors_heavy_rows(spark):
             for i in range(r.wt)
         )
         assert r.priority == expect, (r.doc_id, r.priority, expect)
+
+
+_bloom_keys = st.lists(
+    st.one_of(st.none(), st.integers(-5, 15)), min_size=0, max_size=20
+)
+
+
+@given(big=_bloom_keys, build=_bloom_keys, m_bits=st.sampled_from([64, 256]))
+@SET
+def test_bloom_join_invariant_on_random_keys(spark, big, build, m_bits):
+    # result invariance is THE bloom-join contract: for any key sets
+    # (nulls, negatives, duplicates, empty sides) and any bitset size
+    # (including saturated tiny filters), bloom_join == plain join
+    from stream_processing_spark.operators import bloomjoin
+
+    bigdf = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(big)], "k long, row_id long"
+    ) if big else spark.createDataFrame([], "k long, row_id long")
+    builddf = spark.createDataFrame(
+        [(k,) for k in build], "k long"
+    ) if build else spark.createDataFrame([], "k long")
+    want = sorted(
+        map(tuple, bigdf.join(builddf, on="k").collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            bloomjoin.bloom_join(
+                bigdf, builddf, big_key="k", m_bits=m_bits
+            ).collect(),
+        )
+    )
+    assert got == want
