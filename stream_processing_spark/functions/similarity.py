@@ -182,6 +182,12 @@ def _cell_rank_array(
                 f"sqrt({_dot_sql(f'array({lits})', cvec)}))"
             )
         entries.append(F.struct(s.alias("s"), F.lit(-cid).alias("nc")))
+    if not entries:
+        # zero centroids (an EMPTY training frame — e.g. a day-slice
+        # with no data): return a typed empty array so array_max
+        # compiles to a NULL struct instead of a VOID type error; the
+        # caller's input is empty too, so no row ever evaluates it
+        return F.array().cast("array<struct<s:double,nc:int>>")
     return F.array(*entries)
 
 
@@ -338,6 +344,10 @@ def ivf_topk(
         .select(F.reverse(F.array_sort(rank_arr)).alias("arr"))
         .head()
     )
+    if qrow is None:  # query id absent (e.g. empty corpus) -> no matches
+        return embeddings.select(
+            F.col(id_col), F.lit(0.0).alias("cos_sim")
+        ).limit(0)
     probe = [-r["nc"] for r in qrow["arr"][:nprobe]]
 
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
@@ -727,6 +737,10 @@ def ivfpq_topk(
         .select(F.reverse(F.array_sort(rank_arr)).alias("arr"))
         .head()
     )
+    if qrow is None:  # query id absent (e.g. empty corpus) -> no matches
+        return embeddings.select(
+            F.col(id_col), F.lit(0.0).alias("cos_sim")
+        ).limit(0)
     probe = [-r["nc"] for r in qrow["arr"][:nprobe]]
 
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(

@@ -32,6 +32,8 @@ def compare(spark_df, duck_rel, name: str = "") -> None:
         f"{name}: column mismatch\n spark={list(s.columns)}\n duck ={list(d.columns)}"
     )
     assert len(s) == len(d), f"{name}: row count {len(s)} vs {len(d)}"
+    if len(s) == 0:  # both empty: equal regardless of residual dtypes
+        return
     if not s.equals(d):
         diff_mask = (s != d).any(axis=1)
         raise AssertionError(

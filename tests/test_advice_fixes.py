@@ -144,3 +144,37 @@ def test_manifest_tolerates_empty_and_schema_evolved_files(spark, tmp_path):
     }
     assert "part-000.parquet" not in kept_k
     assert {"part-002.parquet"} <= kept_k
+
+
+def test_empty_corpus_degenerates_gracefully(spark, tmp_path):
+    # round-4 self-audit: an EMPTY table (a day-slice with no data) must
+    # yield empty results, not compile/driver errors. Previously the
+    # k-means family crashed on array_max(array()) (VOID type) and
+    # ivf_topk on a missing query row (NoneType subscript).
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT CAST(1 AS BIGINT) AS vec_id,
+                       [0.1, 0.2]::DOUBLE[] AS embedding, 1 AS label
+                WHERE false)
+           TO '{tmp_path}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT CAST(1 AS BIGINT) AS doc_id, '' AS text,
+                       'en' AS lang, 'web' AS source, CAST(0 AS BIGINT) AS n_chars
+                WHERE false)
+           TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    oracle = _duck_on(str(tmp_path), ["embeddings", "documents"])
+    for name in [
+        "ann_ivf_topk", "ann_ivfpq_topk", "kmeans_cluster_assignments",
+        "semantic_dedup_stats", "embedding_label_centroids",
+        "dedup_connected_components", "curation_pipeline_yield",
+    ]:
+        spec = REGISTRY[name]
+        got = spec.spark(spark, str(tmp_path))
+        if spec.oracle:
+            compare(got, oracle.sql(spec.oracle), f"empty:{name}")
+        else:
+            assert got.count() == 0, name
+    oracle.close()
