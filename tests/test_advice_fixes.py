@@ -178,3 +178,58 @@ def test_empty_corpus_degenerates_gracefully(spark, tmp_path):
         else:
             assert got.count() == 0, name
     oracle.close()
+
+
+def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
+    # the synthetic testdata has no NULLs, so engine/oracle null
+    # semantics were untested: sweep the core query classes over a
+    # fixture with NULL text/lang/user_id/event_type/value (plus empty
+    # strings) and require exact agreement with DuckDB.
+    con = duckdb.connect()
+    con.execute(
+        f"""
+    COPY (
+      SELECT CAST(i AS BIGINT) AS doc_id,
+             CASE WHEN i % 7 = 0 THEN NULL
+                  WHEN i % 5 = 0 THEN ''
+                  ELSE 'alpha beta gamma delta epsilon zeta eta theta '
+                       || 'iota kappa tok' || CAST(i % 9 AS VARCHAR)
+             END AS text,
+             CASE WHEN i % 6 = 0 THEN NULL
+                  ELSE (['en','de','fr'])[(i % 3) + 1] END AS lang,
+             'src' || CAST(i % 3 AS VARCHAR) AS source,
+             CAST(i * 11 AS BIGINT) AS n_chars
+      FROM range(0, 60) t(i)
+    ) TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""
+    COPY (
+      SELECT CAST(i AS BIGINT) AS event_id,
+             TIMESTAMP '2024-01-10 00:00:00' + (i || ' hours')::INTERVAL AS ts,
+             CASE WHEN i % 8 = 0 THEN NULL ELSE CAST(i % 5 AS BIGINT) END AS user_id,
+             CASE WHEN i % 9 = 0 THEN NULL
+                  ELSE (['view','click','purchase'])[(i % 3) + 1] END AS event_type,
+             CASE WHEN i % 10 = 0 THEN NULL
+                  ELSE ROUND(0.5 + i * 0.25, 2) END AS value,
+             '{{"k": 1}}' AS props
+      FROM range(0, 80) t(i)
+    ) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    oracle = _duck_on(str(tmp_path), ["documents", "events"])
+    for name in [
+        "dedup_exact_groups", "dedup_jaccard_pairs", "dedup_minhash_signatures",
+        "dedup_simhash", "dedup_connected_components", "text_quality_stats",
+        "text_lang_id", "text_token_counts", "sample_hash_pct",
+        "sample_stratified_per_lang", "curation_pipeline_yield",
+        "bpe_encode_source_stats", "t5_count_by_category", "t6_word_count",
+        "funnel_view_click_purchase", "sessionize_user_sessions",
+        "event_transition_matrix", "cohort_retention_daily",
+        "decayed_user_activity", "weighted_reservoir_sample",
+        "observed_ingest_metrics",
+    ]:
+        spec = REGISTRY[name]
+        compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
+                f"nulls:{name}")
+    oracle.close()
