@@ -233,3 +233,43 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
                 f"nulls:{name}")
     oracle.close()
+
+
+def test_unicode_text_matches_oracle(spark, tmp_path):
+    # CJK / emoji / Arabic / Cyrillic / combining-char text through the
+    # text-centric queries: length(), split, regexp, and md5 must agree
+    # codepoint-for-codepoint between Spark and DuckDB.
+    texts = [
+        "héllo wörld naïve café résumé über schön",
+        "日本語 テキスト 処理 エンジン です ね 漢字 かな まじり",
+        "数据 处理 引擎 测试 文本 一 二 三 四 五",
+        "🚀 emoji 🎉 test 🌍 tokens 🤖 here 🔥 ok",
+        "مرحبا بالعالم هذا نص عربي للاختبار هنا الآن",
+        "mixed 日本 ascii テスト emoji 🚀 combine é́ zalgo",
+        "русский текст для проверки обработки языка здесь",
+        "plain ascii text for the control group here now",
+    ]
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({i}, '{t}', 'xx', 'src{i % 3}', {len(t)})"
+        for i, t in enumerate(texts * 5)
+    )
+    con.execute(
+        f"""COPY (SELECT CAST(c0 AS BIGINT) doc_id, c1 AS text, c2 AS lang,
+                        c3 AS source, CAST(c4 AS BIGINT) n_chars
+                 FROM (VALUES {rows}) t(c0, c1, c2, c3, c4))
+           TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    oracle = _duck_on(str(tmp_path), ["documents"])
+    for name in [
+        "text_quality_stats", "text_lang_id", "text_token_counts",
+        "dedup_exact_groups", "dedup_jaccard_pairs",
+        "dedup_minhash_signatures", "dedup_simhash",
+        "bpe_encode_source_stats", "curation_pipeline_yield",
+        "weighted_reservoir_sample", "sample_hash_pct",
+    ]:
+        spec = REGISTRY[name]
+        compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
+                f"unicode:{name}")
+    oracle.close()
