@@ -101,6 +101,11 @@ def _pred(rng: random.Random, tabs: list[str]) -> str:
 
 
 def _group_key(rng: random.Random, tabs: list[str]) -> str:
+    ts_tabs = [t for t in tabs if t in _TS_COLS]
+    if ts_tabs and rng.random() < 0.2:
+        t = rng.choice(ts_tabs)
+        unit = rng.choice(["day", "week", "month"])
+        return f"date_trunc('{unit}', {_TS_COLS[t]})"
     kind = rng.choice(["mod", "str", "substr", "band"])
     if kind == "mod":
         return f"{rng.choice(_cols(tabs, 'int'))} % {rng.randint(2, 12)}"
@@ -137,6 +142,34 @@ def _agg(rng: random.Random, tabs: list[str], alias: str) -> str:
     )
 
 
+_TS_COLS = {"orders": "o_orderdate", "lineitem": "l_shipdate"}
+
+
+def _window_query(rng: random.Random, tabs: list[str], frm: str, where: str) -> str:
+    # window functions with a TOTAL tie-break (unique key last in the
+    # ORDER BY) so ranks are deterministic in both engines
+    t1 = tabs[0]
+    key = T[t1]["int"][0]
+    part = rng.choice(_cols(tabs, "str") + [f"{key} % 5"])
+    ordc = rng.choice(_cols(tabs, "int"))
+    fn = rng.choice(
+        [
+            f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {ordc}, {key})",
+            f"RANK() OVER (PARTITION BY {part} ORDER BY {ordc})",
+            f"CAST(SUM({ordc}) OVER (PARTITION BY {part}) AS BIGINT)",
+            f"CAST(COUNT(*) OVER (PARTITION BY {part}) AS BIGINT)",
+            f"MIN({ordc}) OVER (PARTITION BY {part})",
+            f"LAG({ordc}, 1) OVER (PARTITION BY {part} ORDER BY {ordc}, {key})",
+        ]
+    )
+    proj = [f"{key} AS pk", f"{ordc} AS oc", f"{fn} AS wv"]
+    ords = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(proj)))
+    return (
+        f"SELECT {', '.join(proj)} FROM {frm}{where} "
+        f"ORDER BY {ords} LIMIT {rng.choice([30, 80])}"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     if rng.random() < 0.4:
         t1, t2, cond = rng.choice(JOINS)
@@ -147,6 +180,8 @@ def _gen_query(rng: random.Random) -> str:
     preds = [_pred(rng, tabs) for _ in range(rng.randint(0, 2))]
     where = (" WHERE " + " AND ".join(preds)) if preds else ""
 
+    if rng.random() < 0.18:  # window-function query
+        return _window_query(rng, tabs, frm, where)
     if rng.random() < 0.55:  # aggregate query
         n_keys = rng.randint(1, 2)
         keys = [f"{_group_key(rng, tabs)} AS k{i}" for i in range(n_keys)]
