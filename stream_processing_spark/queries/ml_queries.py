@@ -488,19 +488,49 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         (-F.array_max(rank).getField("nc")).cast("int").alias("cluster"),
     )
+    # Two scale moves, both result-invariant vs the naive per-cluster
+    # self-join (the oracle's spelling):
+    # - norms once per ROW before the join (O(n·dim)), not per pair —
+    #   sqrt(dot(v,v)) is the same double either way (same trick as
+    #   similarity.cosine_pairs);
+    # - BLOCK-DECOMPOSED pair join: the naive join key is the cluster
+    #   id (16 keys → at most 16 tasks, the biggest cell a straggler).
+    #   Hashing each vector into one of B blocks and joining on
+    #   (cluster, block-pair) splits every cell's pairwise work into
+    #   B(B+1)/2 independent tasks. The a-side explodes to blocks
+    #   >= its own; a pair in unequal blocks matches in exactly one
+    #   orientation (smaller block on the a-side), equal blocks are
+    #   de-duplicated by the id tie-break — every unordered pair is
+    #   produced exactly once, so the dropped vector is simply the
+    #   larger id of each pair, as in the oracle.
+    B = 8
     a = cells.select(
-        "cluster", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    )
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        sim.norm(F.col("embedding")).alias("na"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("ba"),
+    ).withColumn("tb", F.explode(F.sequence(F.col("ba"), F.lit(B - 1))))
     b = cells.select(
-        "cluster", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        sim.norm(F.col("embedding")).alias("nb"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("tb"),
     )
+    cos = sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(sim.cosine(F.col("ea"), F.col("eb")), 6) >= _SEMD_TAU)
+        a.join(b, ["cluster", "tb"])
+        .filter(
+            (F.col("ba") < F.col("tb"))
+            | ((F.col("ba") == F.col("tb")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .filter(F.round(cos, 6) >= _SEMD_TAU)
     )
-    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn(
-        "__d", F.lit(1)
+    drops = (
+        pairs.select(F.greatest("id_a", "id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__d", F.lit(1))
     )
     return (
         cells.select("vec_id", "cluster")
