@@ -12,6 +12,14 @@ Determinism rules (both sides MUST follow them to hash-match):
 - Alias every computed column identically in Spark and SQL.
 - Every LIMIT carries a total tie-breaking ORDER BY.
 - Round genuinely-float outputs (cosine similarity) to 6 decimals.
+
+Input contract: numeric columns are FINITE. NaN/Infinity cannot be
+oracle-matched at all — Spark's decimal/bigint casts null them while
+DuckDB raises a conversion error — so queries neither special-case nor
+claim them; ingest validation (dq_expectations_report has an isfinite
+shape) is the right place to reject them. Degenerate-but-valid inputs
+(empty tables, NULLs, empty strings, Unicode) ARE in-contract and
+hash-verified by tests/test_advice_fixes.py's sweeps.
 """
 
 from __future__ import annotations

@@ -426,6 +426,8 @@ _DQ_PRIORITIES = "'1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'"
                         o_orderpriority IN ({_DQ_PRIORITIES}), FALSE)
                         THEN 1 ELSE 0 END) AS f_dom,
                SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS f_null,
+               SUM(CASE WHEN NOT COALESCE(isfinite(o_totalprice), FALSE)
+                        THEN 1 ELSE 0 END) AS f_fin,
                COUNT(*) - COUNT(DISTINCT o_orderkey) AS f_uniq
         FROM orders
     ),
@@ -449,6 +451,8 @@ _DQ_PRIORITIES = "'1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'"
         SELECT 'priority_in_domain', n, f_dom FROM row_checks
         UNION ALL
         SELECT 'totalprice_below_cap_400k', n, f_cap FROM row_checks
+        UNION ALL
+        SELECT 'totalprice_finite', n, f_fin FROM row_checks
         UNION ALL
         SELECT 'totalprice_positive', n, f_pos FROM row_checks
     )
@@ -485,6 +489,16 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("2002-01-01").cast("date"))
         ).alias("f_date"),
         failed(F.col("o_orderpriority").isin(prios)).alias("f_dom"),
+        # NaN/Infinity are OUT of the engine's input contract (see
+        # queries/__init__ — cast semantics diverge across engines);
+        # this is the ingest gate that enforces it
+        failed(
+            ~(
+                F.isnan("o_totalprice")
+                | (F.col("o_totalprice") == F.lit(float("inf")))
+                | (F.col("o_totalprice") == F.lit(float("-inf")))
+            )
+        ).alias("f_fin"),
         F.sum(
             F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
         ).alias("f_null"),
@@ -501,12 +515,13 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     report = row.select(
         F.expr(
-            "stack(6, "
+            "stack(7, "
             "'custkey_not_null', n, f_null, "
             "'orderdate_in_range', n, f_date, "
             "'orderkey_unique', n, f_uniq, "
             "'priority_in_domain', n, f_dom, "
             "'totalprice_below_cap_400k', n, f_cap, "
+            "'totalprice_finite', n, f_fin, "
             "'totalprice_positive', n, f_pos) "
             "AS (check_name, n_checked, n_failed)"
         )
