@@ -104,7 +104,15 @@ BENCH_QUERIES = [
     "dataset_content_digest",
     # --- round-4 additions (new capabilities — compare totals
     # per-query against BENCH_r03, not in aggregate).
-    # SemDeDup: cluster-bounded pairwise cosine, map-side assignment
+    # Round-over-round note: bloom_prefilter_join_revenue got ~2.3x
+    # FASTER (3.9s -> ~1.7s: xxhash64 positions, single array<bigint>
+    # literal, executor-side bit_or packing, one build-side scan);
+    # dedup_connected_components switched to the hybrid
+    # propagation+star closure (parity locally, O(log n) worst case).
+    # Other per-query deltas vs r3 track machine load — the r4
+    # measurement day ran ~15-25% slower across untouched queries.
+    # SemDeDup: cluster-bounded pairwise cosine, map-side assignment,
+    # block-decomposed pair join
     "semantic_dedup_stats",
     # tokenizer application: broadcast vocab map, no corpus shuffle
     "bpe_encode_source_stats",
