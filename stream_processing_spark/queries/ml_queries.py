@@ -545,6 +545,122 @@ def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_SERVE_CAP = 100
+
+
+def _embedding_pipeline_oracle() -> str:
+    from stream_processing_spark.queries.llmops import _COS_SQL, _IVF_CELL_SQL
+
+    return f"""
+    WITH {_IVF_CELL_SQL},
+    cells AS (SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1),
+    v1 AS (SELECT e.vec_id, c.cluster,
+                  sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[]))) AS nrm
+           FROM embeddings e JOIN cells c ON c.vec_id = e.vec_id),
+    v2 AS (SELECT * FROM v1 WHERE nrm > 0),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v2 a
+        JOIN v2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ROUND({_COS_SQL.format(a="ea.embedding", b="eb.embedding")}, 6)
+              >= {_SEMD_TAU}
+    ),
+    drops AS (SELECT DISTINCT id_b AS vec_id FROM pairs),
+    v3 AS (SELECT v2.* FROM v2 LEFT JOIN drops d ON d.vec_id = v2.vec_id
+           WHERE d.vec_id IS NULL),
+    v4 AS (SELECT * FROM v3
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+                                      ORDER BY vec_id) <= {_EMB_SERVE_CAP})
+    SELECT * FROM (
+        SELECT 1 AS stage, 'ingest' AS label, COUNT(*) AS n_vectors,
+               COUNT(DISTINCT cluster) AS n_clusters FROM v1
+        UNION ALL SELECT 2, 'valid_norm', COUNT(*),
+               COUNT(DISTINCT cluster) FROM v2
+        UNION ALL SELECT 3, 'semantic_dedup', COUNT(*),
+               COUNT(DISTINCT cluster) FROM v3
+        UNION ALL SELECT 4, 'serving_cap', COUNT(*),
+               COUNT(DISTINCT cluster) FROM v4
+    ) ORDER BY stage
+    """
+
+
+@register(
+    "embedding_pipeline_yield",
+    _embedding_pipeline_oracle(),
+    doc="The vector-side twin of curation_pipeline_yield: the embedding "
+    "serving-index build funnel — ingest → norm-validity gate (a "
+    "zero vector has no direction; cosine against it is undefined) → "
+    "SemDeDup survivors (cluster-bounded cosine, id dominance, same "
+    f"tau={_SEMD_TAU} and quantizer as semantic_dedup_stats) → "
+    f"deterministic per-cell serving cap ({_EMB_SERVE_CAP} vectors/"
+    "cell by id — the index-size budget an online ANN service "
+    "enforces), with per-stage vector and live-cell accounting. "
+    "Scale shape: one quantizer training (shared via the fingerprint "
+    "cache), map-side cell assignment, the cluster-keyed pair join "
+    "bounded by cell size, and a per-cell window for the cap — no "
+    "stage shuffles more than (id, cluster, norm) rows.",
+)
+def embedding_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from stream_processing_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, n_cells=16)
+    rank = sim._cell_rank_array("embedding", cents)
+    v1 = emb.select(
+        "vec_id",
+        "embedding",
+        (-F.array_max(rank).getField("nc")).cast("int").alias("cluster"),
+        sim.norm(F.col("embedding")).alias("nrm"),
+    )
+    v2 = v1.filter(F.col("nrm") > 0)
+    a = v2.select(
+        "cluster", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = v2.select(
+        "cluster", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    cos = sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cos, 6) >= _SEMD_TAU)
+    )
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    v3 = v2.join(drops, "vec_id", "left_anti")
+    v4 = (
+        v3.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("cluster").orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("__rn") <= _EMB_SERVE_CAP)
+        .drop("__rn")
+    )
+    out = None
+    for stage, (label, df) in enumerate(
+        [("ingest", v1), ("valid_norm", v2),
+         ("semantic_dedup", v3), ("serving_cap", v4)],
+        start=1,
+    ):
+        branch = df.agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        ).select(
+            F.lit(stage).alias("stage"), F.lit(label).alias("label"),
+            "n_vectors", "n_clusters",
+        )
+        out = branch if out is None else out.union(branch)
+    return out.orderBy("stage")
+
+
 _RP_OUT = 16
 _RP_DIM = 64
 _RP_SEED = 1337
