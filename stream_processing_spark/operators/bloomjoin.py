@@ -79,8 +79,11 @@ def bloom_bitset(
     # partition to ≤ n_words rows before the (tiny, ≤ n_words-key)
     # shuffle, and the driver receives at most n_words packed longs —
     # strictly less traffic than collecting distinct positions.
-    # NULL build keys can never match an inner/semi join; xxhash64 of
-    # NULL yields NULL positions — drop them instead of crashing.
+    # NULL build keys are excluded EXPLICITLY: they can never match an
+    # inner/semi join, and Spark's xxhash64 hashes a NULL to a REAL
+    # value (the seed's hash — all NULLs collide on the same 3
+    # positions), so without this filter a null-bearing build side
+    # would set bits that admit every NULL probe row.
     packed = (
         keys.filter(F.col(key_col).isNotNull())
         .select(F.explode(F.array(*pos_cols)).alias("p"))
@@ -135,10 +138,17 @@ def bloom_prefilter(
 ) -> DataFrame:
     """``big`` reduced to rows whose key MIGHT appear in ``build`` —
     a superset of the true semi-join (no false negatives). The filter
-    evaluates in the scan stage, before any exchange."""
+    evaluates in the scan stage, before any exchange.
+
+    NULL probe keys are dropped here too: they can never match an
+    equi-join, and since xxhash64 hashes NULL to a real value every
+    NULL row shares the same 3 bit positions — one unlucky build key
+    could otherwise admit 100% of a null-heavy fact column through the
+    prefilter, silently forfeiting the scan-side pruning."""
     words = bloom_bitset(build, build_key or big_key, m_bits, k_hashes)
     return big.filter(
-        bloom_might_contain(F.col(big_key), words, m_bits, k_hashes)
+        F.col(big_key).isNotNull()
+        & bloom_might_contain(F.col(big_key), words, m_bits, k_hashes)
     )
 
 

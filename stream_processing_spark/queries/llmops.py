@@ -1261,14 +1261,12 @@ def curation_final_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PIPE_SHINGLE_ON_S4 = """
-    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM s4),
-    shingles AS (
-        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-        WHERE len(t) >= 3
-    )
-"""
+# the canonical shingle CTEs re-scoped to the stage-4 survivors:
+# DERIVED from _SHINGLE_SQL (strip its WITH, repoint the source) so a
+# future change to shingle construction cannot silently diverge here
+_PIPE_SHINGLE_ON_S4 = _SHINGLE_SQL.replace("WITH toks", "toks").replace(
+    "FROM documents", "FROM s4"
+)
 
 
 @register(

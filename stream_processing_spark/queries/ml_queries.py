@@ -433,6 +433,72 @@ def kmeans_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMD_TAU = 0.4
 
 
+def _semantic_drop_ids(cells: DataFrame, blocks: int = 8) -> DataFrame:
+    """SemDeDup drop set: (vec_id) for every vector with a cosine >=
+    _SEMD_TAU neighbor of smaller id in the SAME cluster. ``cells``
+    needs (cluster, vec_id, embedding). Shared by semantic_dedup_stats
+    and embedding_pipeline_yield so tau/tie-break/scale shape stay in
+    one place.
+
+    Two scale moves, both result-invariant vs the naive per-cluster
+    self-join (the oracles' spelling):
+    - norms once per ROW before the join (O(n·dim)), not per pair —
+      sqrt(dot(v,v)) is the same double either way (same trick as
+      similarity.cosine_pairs);
+    - BLOCK-DECOMPOSED pair join: the naive join key is the cluster
+      id (16 keys → at most 16 tasks, the biggest cell a straggler).
+      Hashing each vector into one of B blocks and joining on
+      (cluster, block-pair) splits every cell's pairwise work into
+      B(B+1)/2 independent tasks. The a-side explodes to blocks
+      >= its own; a pair in unequal blocks matches in exactly one
+      orientation (smaller block on the a-side), equal blocks are
+      de-duplicated by the id tie-break — every unordered pair is
+      produced exactly once, so the dropped vector is simply the
+      larger id of each pair, as in the oracles.
+    """
+    from stream_processing_spark.functions import similarity as sim
+
+    B = blocks
+    a = cells.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        sim.norm(F.col("embedding")).alias("na"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("ba"),
+    ).withColumn("tb", F.explode(F.sequence(F.col("ba"), F.lit(B - 1))))
+    b = cells.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        sim.norm(F.col("embedding")).alias("nb"),
+        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("tb"),
+    )
+    cos = sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, ["cluster", "tb"])
+        .filter(
+            (F.col("ba") < F.col("tb"))
+            | ((F.col("ba") == F.col("tb")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .filter(F.round(cos, 6) >= _SEMD_TAU)
+    )
+    return pairs.select(F.greatest("id_a", "id_b").alias("vec_id")).distinct()
+
+
+def _cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cluster) under the deterministic quantizer."""
+    from stream_processing_spark.functions import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_centroids(emb, n_cells=16)
+    rank = sim._cell_rank_array("embedding", cents)
+    return emb.select(
+        "vec_id",
+        "embedding",
+        (-F.array_max(rank).getField("nc")).cast("int").alias("cluster"),
+    )
+
+
 def _semantic_dedup_oracle() -> str:
     from stream_processing_spark.queries.llmops import _COS_SQL, _IVF_CELL_SQL
 
@@ -478,60 +544,8 @@ def _semantic_dedup_oracle() -> str:
     "carry ids only.",
 )
 def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stream_processing_spark.functions import similarity as sim
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = sim.kmeans_centroids(emb, n_cells=16)
-    rank = sim._cell_rank_array("embedding", cents)
-    cells = emb.select(
-        "vec_id",
-        "embedding",
-        (-F.array_max(rank).getField("nc")).cast("int").alias("cluster"),
-    )
-    # Two scale moves, both result-invariant vs the naive per-cluster
-    # self-join (the oracle's spelling):
-    # - norms once per ROW before the join (O(n·dim)), not per pair —
-    #   sqrt(dot(v,v)) is the same double either way (same trick as
-    #   similarity.cosine_pairs);
-    # - BLOCK-DECOMPOSED pair join: the naive join key is the cluster
-    #   id (16 keys → at most 16 tasks, the biggest cell a straggler).
-    #   Hashing each vector into one of B blocks and joining on
-    #   (cluster, block-pair) splits every cell's pairwise work into
-    #   B(B+1)/2 independent tasks. The a-side explodes to blocks
-    #   >= its own; a pair in unequal blocks matches in exactly one
-    #   orientation (smaller block on the a-side), equal blocks are
-    #   de-duplicated by the id tie-break — every unordered pair is
-    #   produced exactly once, so the dropped vector is simply the
-    #   larger id of each pair, as in the oracle.
-    B = 8
-    a = cells.select(
-        "cluster",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-        sim.norm(F.col("embedding")).alias("na"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("ba"),
-    ).withColumn("tb", F.explode(F.sequence(F.col("ba"), F.lit(B - 1))))
-    b = cells.select(
-        "cluster",
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-        sim.norm(F.col("embedding")).alias("nb"),
-        F.pmod(F.xxhash64("vec_id"), F.lit(B)).cast("int").alias("tb"),
-    )
-    cos = sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(b, ["cluster", "tb"])
-        .filter(
-            (F.col("ba") < F.col("tb"))
-            | ((F.col("ba") == F.col("tb")) & (F.col("id_a") < F.col("id_b")))
-        )
-        .filter(F.round(cos, 6) >= _SEMD_TAU)
-    )
-    drops = (
-        pairs.select(F.greatest("id_a", "id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("__d", F.lit(1))
-    )
+    cells = _cluster_cells(spark, sf_dir)
+    drops = _semantic_drop_ids(cells).withColumn("__d", F.lit(1))
     return (
         cells.select("vec_id", "cluster")
         .join(drops, "vec_id", "left")
@@ -608,31 +622,13 @@ def embedding_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from stream_processing_spark.functions import similarity as sim
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = sim.kmeans_centroids(emb, n_cells=16)
-    rank = sim._cell_rank_array("embedding", cents)
-    v1 = emb.select(
-        "vec_id",
-        "embedding",
-        (-F.array_max(rank).getField("nc")).cast("int").alias("cluster"),
-        sim.norm(F.col("embedding")).alias("nrm"),
+    v1 = _cluster_cells(spark, sf_dir).withColumn(
+        "nrm", sim.norm(F.col("embedding"))
     )
     v2 = v1.filter(F.col("nrm") > 0)
-    a = v2.select(
-        "cluster", F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
-    )
-    b = v2.select(
-        "cluster", F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
-    )
-    cos = sim.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    pairs = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(cos, 6) >= _SEMD_TAU)
-    )
-    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    # shared SemDeDup drop set (same tau, quantizer, and block-
+    # decomposed pair join as semantic_dedup_stats) over the VALID set
+    drops = _semantic_drop_ids(v2)
     v3 = v2.join(drops, "vec_id", "left_anti")
     v4 = (
         v3.withColumn(

@@ -181,29 +181,44 @@ def stateful_event_sessions(
                 }
             )
             return
-        s, l, n = state.get if state.exists else (None, None, 0)
         out: dict[str, list] = {
             "key": [], "start_ms": [], "end_ms": [], "n_events": []
         }
         ts: list[int] = []
         for b in batches:
             ts += [int(t.value // 10**6) for t in pd.to_datetime(b[ts_col])]
-        for t in sorted(ts):
-            if s is None:
-                s, l, n = t, t, 1
-            elif t - l <= gap_ms:
-                # out-of-order event from a later micro-batch can
-                # precede the open session's start; the session start
-                # must track min(ts) to match the batch gaps-and-islands
-                # oracle (already-emitted sessions can't be reopened,
-                # but the OPEN one absorbs the early event)
-                s, l, n = min(s, t), max(l, t), n + 1
+        # gaps-and-islands over INTERVAL BLOCKS: the open session from
+        # state participates as a (start, last, count) block positioned
+        # by its start among the sorted new events. This is what makes
+        # out-of-order events from later micro-batches (above the
+        # watermark) reproduce the batch oracle exactly: an early event
+        # within gap of the open session's START merges and pulls the
+        # start down; an early event further out forms its OWN session,
+        # which its successor then closes — it must NOT be absorbed
+        # into the open session (the bug a plain `t - l <= gap` gate
+        # has, since that inequality holds for ANY t < l).
+        blocks = [(t, t, 1) for t in sorted(ts)]
+        if state.exists:
+            s0, l0, n0 = state.get
+            import bisect
+
+            bisect.insort(blocks, (s0, l0, n0))
+        if not blocks:  # defensive: no events, no prior state
+            yield pd.DataFrame(out)
+            return
+        merged: list[tuple[int, int, int]] = []
+        for st_, en_, cnt in blocks:
+            if merged and st_ - merged[-1][1] <= gap_ms:
+                ps, pe, pc = merged[-1]
+                merged[-1] = (min(ps, st_), max(pe, en_), pc + cnt)
             else:
-                out["key"].append(key[0])
-                out["start_ms"].append(s)
-                out["end_ms"].append(l + gap_ms)
-                out["n_events"].append(n)
-                s, l, n = t, t, 1
+                merged.append((st_, en_, cnt))
+        for s_, l_, n_ in merged[:-1]:
+            out["key"].append(key[0])
+            out["start_ms"].append(s_)
+            out["end_ms"].append(l_ + gap_ms)
+            out["n_events"].append(n_)
+        s, l, n = merged[-1]
         state.update((s, l, n))
         state.setTimeoutTimestamp(l + gap_ms)
         yield pd.DataFrame(out)

@@ -80,6 +80,16 @@ def test_bit_positions_deterministic_and_seed_independent(spark):
         *[f"pmod(xxhash64({i}, key), {m_bits}) AS p{i}" for i in range(k)]
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    # INDEPENDENT golden values (captured on Spark 4.1): build and
+    # probe evaluate the hash in separate jobs, possibly separate
+    # sessions/restarts — a Spark upgrade silently changing xxhash64
+    # (or a pmod/cast edge) must fail HERE, not as bloom false
+    # negatives in production
+    assert [tuple(r) for r in got] == [
+        (52791, 61691, 14055),   # key 424242
+        (24332, 35765, 36727),   # key 7
+        (49446, 59868, 19280),   # key -1
+    ]
     for r in got:
         assert all(0 <= r[f"p{i}"] < m_bits for i in range(k))
     # seeds decorrelate: not all three positions identical for any key

@@ -404,3 +404,68 @@ def test_streaming_observe_metrics_in_progress(spark, tmp_path):
     total = sum(m["n_rows"] for m in om)
     vsum = sum(m["v_sum"] for m in om)
     assert total == 3 and vsum == 6, om
+
+
+def test_stateful_sessions_far_early_event_forms_own_session(spark, tmp_path):
+    # review finding (round 4): an out-of-order event ABOVE the
+    # watermark but more than gap before the open session's start must
+    # become its OWN session (closed by its successor), exactly as the
+    # batch gaps-and-islands oracle says — not be absorbed into the
+    # open session (the plain `t - l <= gap` gate absorbs ANY t < l).
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_spark.streaming.stateful import (
+        stateful_event_sessions,
+    )
+
+    d = tmp_path / "sess_far"
+    d.mkdir()
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.to_timestamp("ts").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(src, str(d / f"{name}.parquet"))
+
+    # batch 1: session opens at 12:00 (watermark 2h behind → 10:00)
+    _write("b1", [(1, "2024-01-01 12:00:00")])
+    time.sleep(1.1)
+    # batch 2: 10:30 is above the watermark but 90min < 12:00 - gap
+    # (30min) → own session [10:30, 11:00); anchor closes everything
+    _write("b2", [(1, "2024-01-01 10:30:00"), (9, "2024-01-01 16:00:00")])
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").cast("string").alias("key"), "ts")
+    )
+    sess = stateful_event_sessions(src, gap_sec=1800)
+    name = f"t{_uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {
+        (r.key, r.start_ms, r.end_ms, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    m = 60_000
+    t1030 = 1704105000000  # 2024-01-01 10:30:00 UTC epoch ms
+    noon = 1704110400000
+    assert ("1", t1030, t1030 + 30 * m, 1) in got, got   # own session
+    assert ("1", noon, noon + 30 * m, 1) in got, got     # untouched
+    assert len([g for g in got if g[0] == "1"]) == 2, got

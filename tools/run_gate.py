@@ -37,6 +37,9 @@ def main() -> int:
     out_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args) or args[i + 1].startswith("-"):
+            print("usage: run_gate.py [--out PATH] [query ...]")
+            return 2
         out_path = args[i + 1]
         args = args[:i] + args[i + 2 :]
     only = args
