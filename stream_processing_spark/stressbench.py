@@ -226,8 +226,43 @@ def run_stress(
         ph, stressgen.planted_img_pairs(sizes["media"]), "id_a", "id_b"
     )
 
+    # 9. connected components on a PLANTED CHAIN — the adversarial
+    # graph for min-label propagation (diameter = n). The hybrid
+    # closure (operators/graph.py: propagation → contracted large-star/
+    # small-star) must converge in O(log n) driver rounds, asserted
+    # against switch_after + log2(n) + 4.
+    import math
+
+    from stream_processing_spark.operators.graph import (
+        _AUTO_SWITCH_AFTER,
+        connected_components,
+    )
+
+    chain_n = max(4096, sizes["events"] // 8)
+    chain = spark.range(chain_n - 1).selectExpr("id AS src", "id + 1 AS dst")
+    cc_stats: dict = {}
+    t = time.perf_counter()
+    cc = connected_components(chain, stats=cc_stats)
+    agg = cc.selectExpr(
+        "count(*) AS n", "count(distinct component) AS c"
+    ).head()
+    timings["cc_chain"] = round(time.perf_counter() - t, 3)
+    counts["cc_chain"] = int(agg["n"])
+    cc_rounds_bound = _AUTO_SWITCH_AFTER + int(math.log2(chain_n)) + 4
+    cc_ok = (
+        int(agg["c"]) == 1
+        and int(agg["n"]) == chain_n
+        and cc_stats["rounds"] <= cc_rounds_bound
+    )
+    cc_section = {
+        "rounds": cc_stats["rounds"],
+        "rounds_bound": cc_rounds_bound,
+        "chain_n": chain_n,
+    }
+
     bounds_ok = (
-        recall["jaccard"] >= 0.9
+        cc_ok
+        and recall["jaccard"] >= 0.9
         and recall["minhash_lsh"] >= 0.9
         and recall["ann_banded"] >= 0.9
         and recall["phash"] >= 0.9
@@ -251,6 +286,7 @@ def run_stress(
         "queries": timings,
         "counts": counts,
         "shuffle": shuffle,
+        "cc": cc_section,
         "recall": {k: round(v, 4) for k, v in recall.items()},
         "bounds_ok": bounds_ok,
     }

@@ -47,6 +47,7 @@ def test_guards_hold_and_recall_survives(stress):
         "salted_counts",
         "media_thumbnails",
         "phash_pairs_capped",
+        "cc_chain",
     }
     # media stage processed every blob despite the 256KB hot ones
     assert stress["counts"]["media_thumbnails"] == stress["sizes"]["media"]
@@ -270,3 +271,10 @@ def test_shuffle_byte_ceilings_enforced(stress):
         assert b > 0, q  # the tier really shuffled something
     payload_bytes = sz["media"] * 256 + (sz["media"] // 200) * 262_144
     assert stress["shuffle"]["media_thumbnails"]["bytes_written"] < payload_bytes / 10
+
+
+def test_cc_chain_tier_in_stress_bench(stress):
+    # the bench-recorded form of the O(log n) closure claim
+    cc = stress["cc"]
+    assert cc["rounds"] <= cc["rounds_bound"], cc
+    assert stress["counts"]["cc_chain"] == cc["chain_n"]
