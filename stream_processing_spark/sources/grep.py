@@ -58,14 +58,23 @@ def compile_pattern(
     word: bool = False,
     line: bool = False,
 ) -> str:
-    """grep flag semantics as a single regex (portable Java/RE2 subset:
-    \\b word boundaries and inline (?i), no lookarounds).
+    """grep flag semantics as a single Java regex (Spark's rlike).
 
     fixed → -F (literal), word → -w, line → -x, ignore_case → -i.
+
+    -w uses negative lookarounds, not \\b: GNU grep's -w requires the
+    ADJACENT characters (or line edges) to be non-word — a match whose
+    own edge chars are non-word, e.g. the literal "(y)" under -F -w,
+    still counts. Java's \\b needs a word char on exactly one side of
+    the boundary, so it silently never matches such patterns (caught by
+    the differential fuzz vs real GNU grep). (?<!\\w)/(?!\\w) encode
+    the GNU rule exactly and degenerate to \\b behavior for ordinary
+    word-edged patterns. Dialect note: lookarounds are Java-regex-only
+    (RE2 engines lack them) — fine here, the only consumer is rlike.
     """
     pat = re.escape(pattern) if fixed else pattern
     if word:
-        pat = rf"\b(?:{pat})\b"
+        pat = rf"(?<!\w)(?:{pat})(?!\w)"
     if line:
         pat = rf"^(?:{pat})$"
     if ignore_case:

@@ -31,6 +31,10 @@ N_CASES = int(os.environ.get("GREP_FUZZ_CASES", "200"))
 _WORDS = [
     "error", "Error", "ERROR", "warn", "warning", "info", "disk", "disc",
     "net", "GET", "PUT", "503", "200", "foo.bar", "a+b", "x=y", "retry",
+    # regex metacharacters as DATA: these must behave as literals under
+    # -F (re.escape on the engine side vs grep's fixed-string matcher)
+    # and as syntax when a regex pattern happens to match them
+    "[x]", "(y)", "a*b", "q?", "end$", "^start", "pipe|pipe", "back\\slash",
 ]
 _PATTERNS = [
     "error", "ERROR", "dis[kc]", "GET|PUT", "50[0-9]", r"foo\.bar",
