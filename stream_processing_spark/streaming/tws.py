@@ -1,0 +1,255 @@
+"""Arbitrary stateful operators on the transformWithState API (Spark 4).
+
+The reference's stateful contract is a per-key dict inside a long-lived
+operator process, rebuilt from a replayed log on recovery
+(src/Streaming/framework.py:52-54, src/Streaming/worker.py:327-368).
+``streaming/stateful.py`` expresses that contract on
+``applyInPandasWithState``; this module expresses the SAME contract on
+``transformWithStateInPandas`` — the successor API introduced in Spark
+4.0 — because its state model is strictly richer and maps better to
+100 TB keyed state:
+
+- **typed state variables** (value/list/map) instead of one tuple row,
+  each stored as its own RocksDB column family — no
+  serialize-the-whole-dict-per-key write amplification;
+- **native TTL** per state variable — expiring keyed state (the thing
+  every at-scale dedup/session store needs) is a storage-engine
+  property, not hand-rolled timer bookkeeping;
+- **first-class timers** (``registerTimer`` / ``handleExpiredTimer``)
+  decoupled from state rows, in processing or event time;
+- **RocksDB required**: the API only runs on RocksDBStateStoreProvider,
+  i.e. keyed state lives on executor-local disk with changelog
+  checkpointing — the backend keyed state needs once it outgrows heap.
+
+Each operator here is a drop-in ``DataFrame → DataFrame`` transform,
+usable as a ``StreamJob`` op (pass ``state_store="rocksdb"``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    ExpiredTimerInfo,
+    StatefulProcessor,
+    StatefulProcessorHandle,
+    TimerValues,
+)
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+COUNT_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("cnt", LongType())]
+)
+
+
+class _RunningCount(StatefulProcessor):
+    """Per-key running count in a typed ValueState — the reference's A1
+    aggregate (tests/sample2_op2.py:8-17) with state the engine owns."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._cnt = handle.getValueState("cnt", "cnt bigint")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        cnt = self._cnt.get()[0] if self._cnt.exists() else 0
+        for b in rows:
+            cnt += len(b)
+        self._cnt.update((cnt,))
+        yield pd.DataFrame({"key": [key[0]], "cnt": [cnt]})
+
+    def close(self) -> None:
+        pass
+
+
+def tws_running_count(df: DataFrame, key_col: str = "key") -> DataFrame:
+    """A1 running count via transformWithStateInPandas (update mode).
+
+    Semantics are identical to ``stateful.stateful_running_count``; the
+    difference is the state backend contract (typed column-family state
+    on RocksDB instead of a row-encoded tuple on the default provider).
+    """
+    return (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningCount(),
+            outputStructType=COUNT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
+FIRST_SEEN_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("value", StringType())]
+)
+
+
+class _FirstSeen(StatefulProcessor):
+    """Emit only the first record per key; the 'seen' marker carries an
+    optional TTL, so a key silent for longer than the TTL re-emits —
+    exactly the bounded-memory dedup contract a 100 TB stream needs
+    (unbounded distinct-key state is the classic streaming OOM; TTL
+    makes the state size track the ACTIVE key set instead)."""
+
+    def __init__(self, ttl_ms: int | None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        # TTL is declared ON THE STATE VARIABLE — expiry is the store's
+        # job (RocksDB compaction-time filtering), not operator logic.
+        self._seen = handle.getValueState("seen", "seen tinyint", self._ttl_ms)
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        if self._seen.exists():
+            return
+        first = None
+        for b in rows:
+            if len(b) and first is None:
+                first = str(b["value"].iloc[0])
+        if first is None:  # pragma: no cover - empty group
+            return
+        self._seen.update((1,))
+        yield pd.DataFrame({"key": [key[0]], "value": [first]})
+
+    def close(self) -> None:
+        pass
+
+
+def tws_first_seen(
+    df: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Exactly-once-per-key emission (streaming dedup, ST2 analogue)
+    with optional state TTL. ``ttl_ms=None`` ⇒ permanent dedup
+    (dropDuplicates semantics); a finite TTL bounds state to the active
+    key set (dropDuplicatesWithinWatermark analogue in processing time).
+    """
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("string").alias("value"),
+        )
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=_FirstSeen(ttl_ms),
+            outputStructType=FIRST_SEEN_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+class _EventSessions(StatefulProcessor):
+    """Inactivity-gap sessions with EVENT-TIME TIMERS: the open session
+    lives in a ValueState (s, l, n); a timer armed at l + gap fires via
+    ``handleExpiredTimer`` when the watermark passes it — the quiet-key
+    emission the reference's operator processes could never do. Same
+    interval-block merge as stateful.stateful_event_sessions, so the
+    drained output reproduces the batch gaps-and-islands oracle exactly
+    (out-of-order cross-batch events merge as blocks positioned by
+    start, never absorbed by a `t - last <= gap` gate)."""
+
+    def __init__(self, gap_ms: int):
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._open = handle.getValueState("open", "s bigint, l bigint, n bigint")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        gap = self._gap_ms
+        ts: list[int] = []
+        for b in rows:
+            ts += [int(t.value // 10**6) for t in pd.to_datetime(b["ts"])]
+        blocks = [(t, t, 1) for t in sorted(ts)]
+        if self._open.exists():
+            s0, l0, n0 = self._open.get()
+            # the previously-armed timer is superseded by this batch
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            import bisect
+
+            bisect.insort(blocks, (s0, l0, n0))
+        if not blocks:  # pragma: no cover - empty group
+            return
+        merged: list[tuple[int, int, int]] = []
+        for s_, e_, c_ in blocks:
+            if merged and s_ - merged[-1][1] <= gap:
+                ps, pe, pc = merged[-1]
+                merged[-1] = (min(ps, s_), max(pe, e_), pc + c_)
+            else:
+                merged.append((s_, e_, c_))
+        out: dict[str, list] = {
+            "key": [], "start_ms": [], "end_ms": [], "n_events": []
+        }
+        for s_, l_, n_ in merged[:-1]:
+            out["key"].append(key[0])
+            out["start_ms"].append(s_)
+            out["end_ms"].append(l_ + gap)
+            out["n_events"].append(n_)
+        s, l, n = merged[-1]
+        self._open.update((s, l, n))
+        self._handle.registerTimer(l + gap)
+        if out["key"]:
+            yield pd.DataFrame(out)
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if not self._open.exists():  # pragma: no cover - stale timer
+            return
+        s, l, n = self._open.get()
+        self._open.clear()
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "start_ms": [s],
+                "end_ms": [l + self._gap_ms],
+                "n_events": [n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_event_sessions(
+    df: DataFrame,
+    gap_sec: int,
+    ts_col: str = "ts",
+    key_col: str = "key",
+) -> DataFrame:
+    """Event-time sessionization via transformWithStateInPandas with
+    native timers. Input must carry a watermark on ``ts_col``."""
+    gap_ms = gap_sec * 1000
+    return (
+        df.select(F.col(key_col).alias("key"), F.col(ts_col).alias("ts"))
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=_EventSessions(gap_ms),
+            outputStructType=SESSION_SCHEMA,
+            outputMode="append",
+            timeMode="eventtime",
+        )
+    )
