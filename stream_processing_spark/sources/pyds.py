@@ -1,0 +1,297 @@
+"""Pure-Python Spark DataSource for line files: batch splits, tail
+stream, key:value stream sink (Spark 4 Python Data Source API).
+
+The reference's source/sink surface is (a) a partitioned line scan
+(src/Streaming/worker.py:473-520 — each reader keeps 1/n of lines), (b)
+a tail-read unbounded source over ONE growing file
+(worker.py:503-511), and (c) a ``key:value``-lines sink flushed in
+batches (src/Streaming/leader.py:248-284). ``streaming/job.py`` and
+``streaming/tailer.py`` express those on the built-in file source; this
+module expresses the same three contracts as a first-class custom
+connector on the public Python Data Source API — the extension point
+Spark 4 added precisely so sources with semantics the built-ins lack
+(here: byte-offset record identity and single-file tailing) plug into
+Catalyst/Structured Streaming instead of living outside the engine.
+
+Design notes (100 TB stance):
+
+- **Batch reads split by BYTE RANGE** with first-byte line ownership
+  and partial-line discard — the TextInputFormat split rule — so a
+  500 GB line file fans out to parallel partitions without any driver
+  read. The driver only ever stats and globs.
+- **Record identity is (file, byte offset)** — stronger than the
+  reference's ``filename:linenumber`` (worker.py:512-517): offsets are
+  stable under split-parallel reads, line numbers are not.
+- **The stream reader's offsets are byte offsets** snapped to the last
+  complete line (partial-line holdback, same as streaming/tailer.py);
+  a backlog drains as MANY split partitions in one micro-batch, so
+  catch-up after downtime is cluster-parallel, not a serial tail.
+- **Filter pushdown**: substring filters (``value.contains(...)``) are
+  applied inside the Python scan before rows cross Arrow — the grep
+  fast path (G2) under the engine's own pushdown contract.
+- **The sink commits per (batchId, partition)** with atomic renames in
+  ``commit()``; a replayed batch rewrites the same names, so output is
+  idempotent without the reference's dedup dicts (leader.py:241-246).
+
+The append-only contract matches the reference (HyDFS files only ever
+grow between merges); truncation/rotation of the tailed file raises —
+rotation-tolerant tailing stays with streaming/tailer.py's epoch
+scheme.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import uuid as _uuid
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    DataSourceStreamWriter,
+    Filter,
+    InputPartition,
+    StringContains,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import Row
+
+_SCHEMA = "file string, offset bigint, value string"
+
+
+@dataclass
+class _Split(InputPartition):
+    """One byte range of one file; owns lines whose first byte is in
+    [start, end)."""
+
+    file: str
+    start: int
+    end: int
+
+
+def _iter_lines(path: str, start: int, end: int, needles: list[str]):
+    """Yield (offset, line) for lines owned by [start, end), reading
+    past ``end`` to finish the last owned line (TextInputFormat rule:
+    a line belongs to the split containing its first byte)."""
+    with open(path, "rb") as f:
+        if start > 0:
+            # the line containing byte start-1 belongs upstream; skip
+            # its remainder. If start-1 is the previous line's '\n',
+            # this consumes exactly that newline and lands on start.
+            f.seek(start - 1)
+            f.readline()
+        while True:
+            pos = f.tell()
+            if pos >= end:
+                break
+            raw = f.readline()
+            if not raw:
+                break
+            text = raw[:-1] if raw.endswith(b"\n") else raw
+            line = text.decode("utf-8", errors="replace")
+            if needles and not all(n in line for n in needles):
+                continue
+            yield pos, line
+
+
+def _split_ranges(size: int, split_bytes: int) -> list[tuple[int, int]]:
+    if size <= 0:
+        return []
+    step = max(1, split_bytes)
+    return [(s, min(s + step, size)) for s in range(0, size, step)]
+
+
+class _LineBatchReader(DataSourceReader):
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("linetail requires a path")
+        self._split_bytes = int(options.get("split_bytes", 32 * 1024 * 1024))
+        self._needles: list[str] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Handle substring filters on ``value`` inside the scan (rows
+        never cross Arrow); everything else stays with Catalyst."""
+        for f in filters:
+            if isinstance(f, StringContains) and f.attribute == ("value",):
+                self._needles.append(f.value)
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = sorted(_glob.glob(self._path))
+        if not files and os.path.exists(self._path):
+            files = [self._path]
+        out: list[InputPartition] = []
+        for fp in files:
+            for s, e in _split_ranges(os.path.getsize(fp), self._split_bytes):
+                out.append(_Split(fp, s, e))
+        return out or [_Split(self._path, 0, 0)]
+
+    def read(self, partition: _Split) -> Iterator[tuple]:
+        if partition.end <= partition.start:
+            return
+        for pos, line in _iter_lines(
+            partition.file, partition.start, partition.end, self._needles
+        ):
+            yield (partition.file, pos, line)
+
+
+def _snap_to_line_end(path: str, size: int) -> int:
+    """Largest offset <= size that ends a complete line (scans
+    backwards in chunks; 0 if no newline yet)."""
+    chunk = 64 * 1024
+    hi = size
+    with open(path, "rb") as f:
+        while hi > 0:
+            lo = max(0, hi - chunk)
+            f.seek(lo)
+            buf = f.read(hi - lo)
+            cut = buf.rfind(b"\n")
+            if cut >= 0:
+                return lo + cut + 1
+            hi = lo
+    return 0
+
+
+class _LineTailStreamReader(DataSourceStreamReader):
+    """Tail ONE append-only file; offsets are consumed-prefix byte
+    counts (complete lines only), checkpointed by Spark like any other
+    source offset — the replayable analogue of the reference's
+    seek-to-saved-offset loop (worker.py:503-511)."""
+
+    def __init__(self, options):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("linetail requires a path")
+        self._split_bytes = int(options.get("split_bytes", 32 * 1024 * 1024))
+        self._last = 0  # monotonicity guard within this reader's life
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        try:
+            size = os.path.getsize(self._path)
+        except FileNotFoundError:
+            size = 0
+        snapped = _snap_to_line_end(self._path, size) if size else 0
+        if snapped < self._last:
+            raise RuntimeError(
+                f"{self._path} shrank ({snapped} < {self._last}): the "
+                "linetail source requires an append-only file; rotated "
+                "logs need the epoch-aware FileTailer bridge "
+                "(streaming/tailer.py)"
+            )
+        self._last = max(self._last, snapped)
+        return {"offset": snapped}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        s, e = int(start["offset"]), int(end["offset"])
+        if e < s:
+            # a restarted reader has no in-memory _last; the
+            # checkpointed start exposes the shrink here instead
+            raise RuntimeError(
+                f"{self._path} shrank below the checkpointed offset "
+                f"({e} < {s}): the linetail source requires an "
+                "append-only file; rotated logs need the epoch-aware "
+                "FileTailer bridge (streaming/tailer.py)"
+            )
+        self._last = max(self._last, e)
+        if e == s:
+            return [_Split(self._path, 0, 0)]
+        # a large catch-up range fans out into parallel splits; the
+        # first-byte ownership rule keeps them disjoint and complete
+        return [
+            _Split(self._path, s + rs, s + re_)
+            for rs, re_ in _split_ranges(e - s, self._split_bytes)
+        ]
+
+    def read(self, partition: _Split) -> Iterator[tuple]:
+        if partition.end <= partition.start:
+            return
+        for pos, line in _iter_lines(
+            partition.file, partition.start, partition.end, []
+        ):
+            yield (partition.file, pos, line)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+@dataclass
+class _KVCommit(WriterCommitMessage):
+    tmp: str
+    part: int
+    rows: int
+
+
+class _KVStreamWriter(DataSourceStreamWriter):
+    """``key:value`` lines sink (leader.py:272 format). Tasks write to
+    temp names; ``commit`` renames to batchId-deterministic names, so a
+    replayed micro-batch overwrites itself instead of duplicating."""
+
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("kvlines sink requires a path")
+
+    def write(self, iterator: Iterator[Row]) -> _KVCommit:
+        from pyspark import TaskContext
+
+        part = TaskContext.get().partitionId()
+        os.makedirs(self._dir, exist_ok=True)
+        tmp = os.path.join(self._dir, f".tmp-{_uuid.uuid4().hex}")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                vals = [str(v) for v in row]
+                f.write(":".join(vals) + "\n")
+                n += 1
+        return _KVCommit(tmp=tmp, part=part, rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:  # pragma: no cover - skipped empty task
+                continue
+            final = os.path.join(
+                self._dir, f"batch-{batchId:010d}-{m.part:05d}.txt"
+            )
+            os.replace(m.tmp, final)  # atomic; replay overwrites
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+class LineTailDataSource(DataSource):
+    """``spark.read.format("linetail")`` / ``readStream`` /
+    ``writeStream.format("linetail")`` after
+    ``spark.dataSource.register(LineTailDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "linetail"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _LineBatchReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _LineTailStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _KVStreamWriter(self.options)
+
+
+def register(spark) -> None:
+    # implementing pushFilters requires the pushdown feature flag; it
+    # is a runtime SQL conf (default false in Spark 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LineTailDataSource)

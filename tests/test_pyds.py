@@ -1,0 +1,276 @@
+"""Python Data Source connector (sources/pyds.py): byte-range-split
+batch reads with pushed-down substring filters, single-file tail
+streaming with checkpointed byte offsets, and the idempotent key:value
+stream sink — the reference's source/sink contracts (S1/ST7/S2) as a
+first-class Spark 4 connector."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stream_processing_spark.sources.pyds import (
+    LineTailDataSource,
+    _iter_lines,
+    _LineBatchReader,
+    _snap_to_line_end,
+    _split_ranges,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from stream_processing_spark.sources.pyds import register
+
+    register(spark)
+    return spark
+
+
+def _manual_parse(path: str) -> list[tuple[int, str]]:
+    """Ground truth: (byte offset, line) pairs of a whole file."""
+    out, pos = [], 0
+    with open(path, "rb") as f:
+        data = f.read()
+    for raw in data.split(b"\n"):
+        if pos < len(data):  # drop the phantom element after a final \n
+            out.append((pos, raw.decode()))
+        pos += len(raw) + 1
+    # a file NOT ending in \n keeps its final partial line in batch mode
+    if data.endswith(b"\n") and out and out[-1][0] >= len(data):
+        out.pop()
+    return out
+
+
+def test_batch_read_matches_manual_parse_any_split(registered, tmp_path):
+    spark = registered
+    p = str(tmp_path / "f.txt")
+    lines = ["alpha", "", "β-unicode", "d" * 40, "tail-no-newline"]
+    with open(p, "w") as f:
+        f.write("\n".join(lines))  # no trailing newline
+    truth = _manual_parse(p)
+    assert [v for _, v in truth] == lines
+
+    for split in (7, 16, 1 << 20):  # splits cutting lines mid-byte
+        df = (
+            spark.read.format("linetail")
+            .option("path", p)
+            .option("split_bytes", split)
+            .load()
+        )
+        got = sorted((r.offset, r.value) for r in df.collect())
+        assert got == truth, (split, got)
+
+    # many partitions when the split is tiny
+    df = (
+        spark.read.format("linetail")
+        .option("path", p).option("split_bytes", 7).load()
+    )
+    assert df.rdd.getNumPartitions() > 1
+
+
+def test_batch_read_glob_multiple_files(registered, tmp_path):
+    spark = registered
+    for name, body in [("a.log", "x1\nx2\n"), ("b.log", "y1\n")]:
+        with open(tmp_path / name, "w") as f:
+            f.write(body)
+    df = (
+        spark.read.format("linetail")
+        .option("path", str(tmp_path / "*.log")).load()
+    )
+    got = sorted((os.path.basename(r.file), r.offset, r.value)
+                 for r in df.collect())
+    assert got == [("a.log", 0, "x1"), ("a.log", 3, "x2"), ("b.log", 0, "y1")]
+
+
+def test_pushdown_substring_filter_applied_in_scan(registered, tmp_path):
+    spark = registered
+    p = str(tmp_path / "g.txt")
+    with open(p, "w") as f:
+        f.write("keep needle here\ndrop this\nneedle again\n")
+    df = (
+        spark.read.format("linetail").option("path", p).load()
+        .filter(F.col("value").contains("needle"))
+    )
+    assert sorted(r.value for r in df.collect()) == [
+        "keep needle here", "needle again",
+    ]
+    # unit-level: the reader consumes the StringContains filter (returns
+    # nothing unhandled) and applies it inside the raw scan
+    from pyspark.sql.datasource import EqualTo, StringContains
+
+    r = _LineBatchReader({"path": p, "split_bytes": "1048576"})
+    unhandled = list(
+        r.pushFilters([
+            StringContains(("value",), "needle"),
+            EqualTo(("offset",), 0),
+        ])
+    )
+    assert [type(f).__name__ for f in unhandled] == ["EqualTo"]
+    vals = [v for _, v in _iter_lines(p, 0, os.path.getsize(p), r._needles)]
+    assert vals == ["keep needle here", "needle again"]
+
+
+def test_split_helpers_cover_and_partition_exactly():
+    assert _split_ranges(0, 10) == []
+    assert _split_ranges(10, 4) == [(0, 4), (4, 8), (8, 10)]
+    # first-byte ownership: every line lands in exactly one split
+    import itertools
+
+    body = b"aa\nbbbb\n\nc\nfinal"
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        f.write(body)
+        path = f.name
+    truth = _manual_parse(path)
+    for split in range(1, len(body) + 2):
+        got = sorted(
+            itertools.chain.from_iterable(
+                _iter_lines(path, s, e, [])
+                for s, e in _split_ranges(len(body), split)
+            )
+        )
+        assert got == truth, split
+    os.unlink(path)
+
+
+def test_snap_to_line_end(tmp_path):
+    p = str(tmp_path / "s.txt")
+    with open(p, "w") as f:
+        f.write("ab\ncd\npartial")
+    size = os.path.getsize(p)
+    assert _snap_to_line_end(p, size) == 6
+    with open(p, "a") as f:
+        f.write("\n")
+    assert _snap_to_line_end(p, size + 1) == size + 1
+    with open(p, "w") as f:
+        f.write("nonewline")
+    assert _snap_to_line_end(p, 9) == 0
+
+
+def _drain(spark, src_path, outd, ck):
+    """Drain the tail source through the kv stream sink (the memory
+    sink cannot recover from a checkpoint, ours can) and return the
+    CUMULATIVE (offset, value) pairs across all committed batches."""
+    q = (
+        spark.readStream.format("linetail")
+        .option("path", src_path)
+        .load()
+        .select(
+            F.col("offset").cast("string").alias("key"),
+            F.col("value"),
+        )
+        .writeStream.format("linetail")
+        .option("path", outd)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    out = []
+    for fn in sorted(os.listdir(outd)):
+        if not fn.startswith("batch-"):
+            continue
+        with open(os.path.join(outd, fn)) as f:
+            for ln in f.read().splitlines():
+                k, v = ln.split(":", 1)
+                out.append((int(k), v))
+    return sorted(out)
+
+
+def test_stream_tail_append_partial_holdback_exactly_once(
+    registered, tmp_path
+):
+    spark = registered
+    src = str(tmp_path / "live.log")
+    outd = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    with open(src, "w") as f:
+        f.write("l1\nl2\npart")  # 'part' has no newline yet: held back
+
+    got = _drain(spark, src, outd, ck)
+    assert got == [(0, "l1"), (3, "l2")]
+
+    with open(src, "a") as f:
+        f.write("ial\nl4\n")  # completes 'partial', adds l4
+    got = _drain(spark, src, outd, ck)  # same checkpoint: delta only
+    assert got == [(0, "l1"), (3, "l2"), (6, "partial"), (14, "l4")]
+
+    # nothing new: a further drain adds nothing (exactly-once)
+    got = _drain(spark, src, outd, ck)
+    assert got == [(0, "l1"), (3, "l2"), (6, "partial"), (14, "l4")]
+
+
+def test_stream_backlog_fans_out_to_parallel_splits(registered, tmp_path):
+    spark = registered
+    src = str(tmp_path / "bulk.log")
+    ck = str(tmp_path / "ck")
+    lines = [f"row-{i:04d}" for i in range(200)]
+    with open(src, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    q = (
+        spark.readStream.format("linetail")
+        .option("path", src)
+        .option("split_bytes", 256)  # force many catch-up partitions
+        .load()
+        .writeStream.format("memory")
+        .queryName("bulk")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r.value for r in spark.table("bulk").orderBy("offset").collect()]
+    assert got == lines
+
+
+def test_stream_writer_kv_lines_idempotent_names(registered, tmp_path):
+    spark = registered
+    src = str(tmp_path / "in.log")
+    outd = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    with open(src, "w") as f:
+        f.write("a\nbb\nccc\n")
+    q = (
+        spark.readStream.format("linetail")
+        .option("path", src)
+        .load()
+        .select(
+            F.col("offset").cast("string").alias("key"),
+            F.length("value").cast("string").alias("value"),
+        )
+        .writeStream.format("linetail")
+        .option("path", outd)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    files = sorted(os.listdir(outd))
+    assert files and all(f.startswith("batch-") for f in files), files
+    body = []
+    for fn in files:
+        with open(os.path.join(outd, fn)) as f:
+            body += [ln.strip() for ln in f if ln.strip()]
+    assert sorted(body) == ["0:1", "2:2", "5:3"]
+    # batch-deterministic names: a replayed batch would os.replace the
+    # same file instead of appending a duplicate
+    assert all(f.split("-")[1].isdigit() for f in files)
+
+
+def test_stream_shrunken_file_raises_clear_error(registered, tmp_path):
+    spark = registered
+    src = str(tmp_path / "shrink.log")
+    ck = str(tmp_path / "ck")
+    outd = str(tmp_path / "out")
+    with open(src, "w") as f:
+        f.write("a1\na2\n")
+    _drain(spark, src, outd, ck)
+    with open(src, "w") as f:
+        f.write("z\n")  # truncation: violates the append-only contract
+    with pytest.raises(Exception, match="append-only|shrank"):
+        _drain(spark, src, outd, ck)
