@@ -156,6 +156,36 @@ def signature_col(vec: Column | str, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _cell_rank_sql(
+    vec_sql: str, cents: dict[int, list[float]], metric: str = "cosine"
+) -> str | None:
+    """SQL text for the rank array (see _cell_rank_array); None when the
+    codebook is empty. Kept as a STRING so composite expressions
+    (per-subspace assignment arrays, ADC sums) can concatenate many of
+    these into ONE spark-SQL parse instead of thousands of py4j-built
+    Column objects — expression construction is driver-side and
+    constant-in-data, but at 256 codewords it was multiple seconds per
+    query."""
+    entries = []
+    for cid, cvec in sorted(cents.items()):
+        lits = ", ".join(repr(float(w)) + "D" for w in cvec)
+        if metric == "l2":
+            s = (
+                f"{_dot_sql(vec_sql, cvec)} - 0.5D * "
+                f"{_dot_sql(f'array({lits})', cvec)}"
+            )
+        else:
+            s = (
+                f"{_dot_sql(vec_sql, cvec)} / "
+                f"(sqrt({_self_dot_sql(vec_sql)}) * "
+                f"sqrt({_dot_sql(f'array({lits})', cvec)}))"
+            )
+        entries.append(f"named_struct('s', {s}, 'nc', {-cid})")
+    if not entries:
+        return None
+    return f"array({', '.join(entries)})"
+
+
 def _cell_rank_array(
     vec_sql: str, cents: dict[int, list[float]], metric: str = "cosine"
 ) -> Column:
@@ -167,28 +197,14 @@ def _cell_rank_array(
     where subvector magnitude carries signal. Both keep every float op
     engine-side (sequential folds), so an oracle engine reproduces the
     assignment bit-exactly."""
-    entries = []
-    for cid, cvec in sorted(cents.items()):
-        lits = ", ".join(repr(float(w)) + "D" for w in cvec)
-        if metric == "l2":
-            s = F.expr(
-                f"{_dot_sql(vec_sql, cvec)} - 0.5D * "
-                f"{_dot_sql(f'array({lits})', cvec)}"
-            )
-        else:
-            s = F.expr(
-                f"{_dot_sql(vec_sql, cvec)} / "
-                f"(sqrt({_self_dot_sql(vec_sql)}) * "
-                f"sqrt({_dot_sql(f'array({lits})', cvec)}))"
-            )
-        entries.append(F.struct(s.alias("s"), F.lit(-cid).alias("nc")))
-    if not entries:
+    sql = _cell_rank_sql(vec_sql, cents, metric)
+    if sql is None:
         # zero centroids (an EMPTY training frame — e.g. a day-slice
         # with no data): return a typed empty array so array_max
         # compiles to a NULL struct instead of a VOID type error; the
         # caller's input is empty too, so no row ever evaluates it
         return F.array().cast("array<struct<s:double,nc:int>>")
-    return F.array(*entries)
+    return F.expr(sql)
 
 
 # trained codebooks are tiny and deterministic — cache per logical plan
@@ -557,15 +573,27 @@ def pq_codebooks(
         j: {c: list(r[1])[j * sub : (j + 1) * sub] for c, r in enumerate(seed_rows)}
         for j in range(m)
     }
+    if not seed_rows:  # empty training frame: every codebook is empty
+        books0: dict[int, dict[int, list[float]]] = {j: {} for j in range(m)}
+        if cache_key is not None:
+            _CENTROID_CACHE[cache_key] = books0  # type: ignore[assignment]
+        return books0
+    # per-subspace assignment argmaxes as SEPARATE projected columns,
+    # arrayed in a second select: keeping m columns (not one m-wide
+    # array expression) lets whole-stage codegen split the generated
+    # code per column — fusing all 256 codeword folds into a single
+    # array literal benchmarked 3x slower end-to-end (one janino
+    # method past its JIT-able size). Each column is ONE parsed SQL
+    # string, so construction stays py4j-free.
     cells = [
-        (
-            -F.array_max(
-                _cell_rank_array(
-                    f"slice({vec_col}, {j * sub + 1}, {sub})",
-                    seeds[j],
-                    metric="l2",
-                )
-            ).getField("nc")
+        F.expr(
+            "-array_max("
+            + _cell_rank_sql(
+                f"slice({vec_col}, {j * sub + 1}, {sub})",
+                seeds[j],
+                metric="l2",
+            )
+            + ").nc"
         ).alias(f"__c{j}")
         for j in range(m)
     ]
@@ -608,6 +636,16 @@ def pq_codebooks(
     return books
 
 
+def _fold_dot(xs, ys) -> float:
+    """Driver-side dot with the EXACT fold order of ``dot``/
+    ``_dot_sql`` (acc starts 0.0, left-to-right acc + x*y in IEEE
+    double) — produces the bit-identical double the engine would."""
+    acc = 0.0
+    for x, y in zip(xs, ys):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
 def _pq_adc_score(
     train: DataFrame,
     m: int,
@@ -615,33 +653,40 @@ def _pq_adc_score(
     dim: int,
     id_col: str,
     vec_col: str,
+    qvec: list[float],
 ) -> Column:
     """ADC score column: sum over subspaces of (query subvector · the
-    row's reconstructed codeword). References ``vec_col`` on the scored
-    row and ``__q`` (the broadcast query vector). Codebooks are trained
-    on ``train`` (the FULL corpus — never a pruned subset, so IVF cell
-    filtering can't shift the quantizer) via the deterministic k-means,
-    then inlined as literals: code assignment and reconstruction are
-    both map-side, zero shuffle."""
+    row's assigned codeword). Codebooks are trained on ``train`` (the
+    FULL corpus — never a pruned subset, so IVF cell filtering can't
+    shift the quantizer) via the deterministic k-means, then inlined as
+    literals: code assignment is map-side, zero shuffle.
+
+    The query-side factor is a classic ADC LOOKUP TABLE: dot(q_sub_j,
+    codeword_c) depends only on (j, c), so the m×n_codes values are
+    folded ONCE driver-side (``_fold_dot`` replicates the engine's fold
+    bit-exactly) and inlined — each scored row does m element_at
+    lookups instead of m reconstruction dot products, and the whole
+    score is ONE parsed SQL expression instead of thousands of
+    py4j-built Column nodes (construction was seconds per query)."""
     sub = dim // m
     books = pq_codebooks(train, m, n_codes, dim, id_col, vec_col)
-    score = None
+    terms = []
     for j in range(m):
         cb = books[j]
-        code = -F.array_max(
-            _cell_rank_array(
-                f"slice({vec_col}, {j * sub + 1}, {sub})", cb, metric="l2"
-            )
-        ).getField("nc")
-        cw_arr = F.array(
-            *[F.array(*[F.lit(float(w)) for w in cb[c]]) for c in sorted(cb)]
+        if not cb:  # empty codebook (empty corpus): no rows to score
+            return F.lit(None).cast("double")
+        rank_sql = _cell_rank_sql(
+            f"slice({vec_col}, {j * sub + 1}, {sub})", cb, metric="l2"
         )
-        term = dot(
-            F.slice(F.col("__q"), j * sub + 1, sub),
-            F.element_at(cw_arr, code.cast("int") + 1),
+        lut = [
+            _fold_dot(qvec[j * sub : (j + 1) * sub], cb[c]) for c in sorted(cb)
+        ]
+        lut_lits = ", ".join(repr(v) + "D" for v in lut)
+        terms.append(
+            f"element_at(array({lut_lits}), "
+            f"CAST(-array_max({rank_sql}).nc AS INT) + 1)"
         )
-        score = term if score is None else score + term
-    return score
+    return F.expr(" + ".join(terms))
 
 
 def pq_topk(
@@ -675,15 +720,22 @@ def pq_topk(
     The fixture embeddings are ~unit-norm, so inner-product ADC ranks
     like cosine; for general corpora L2-normalize first.
     """
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).head()
+    )
+    if qrow is None:  # query id absent (e.g. empty corpus) -> no matches
+        return embeddings.select(
+            F.col(id_col), F.lit(0.0).alias("cos_sim")
+        ).limit(0)
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__q")
     )
-    base = embeddings.filter(F.col(id_col) != query_vec_id).crossJoin(
-        F.broadcast(q)
+    score = _pq_adc_score(
+        embeddings, m, n_codes, dim, id_col, vec_col, list(qrow[0])
     )
-    score = _pq_adc_score(embeddings, m, n_codes, dim, id_col, vec_col)
     adc = (
-        base.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), F.round(score, 6).alias("adc_score"))
         .orderBy(F.desc("adc_score"), F.asc(id_col))
         .limit(refine * k)
     )
@@ -734,7 +786,10 @@ def ivfpq_topk(
     rank_arr = _cell_rank_array(vec_col, cents)
     qrow = (
         embeddings.filter(F.col(id_col) == query_vec_id)
-        .select(F.reverse(F.array_sort(rank_arr)).alias("arr"))
+        .select(
+            F.col(vec_col).alias("__v"),
+            F.reverse(F.array_sort(rank_arr)).alias("arr"),
+        )
         .head()
     )
     if qrow is None:  # query id absent (e.g. empty corpus) -> no matches
@@ -746,12 +801,12 @@ def ivfpq_topk(
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__q")
     )
-    scanned = (
-        embeddings.withColumn("__cell", -F.array_max(rank_arr).getField("nc"))
-        .filter(F.col("__cell").isin(probe) & (F.col(id_col) != query_vec_id))
-        .crossJoin(F.broadcast(q))
+    scanned = embeddings.withColumn(
+        "__cell", -F.array_max(rank_arr).getField("nc")
+    ).filter(F.col("__cell").isin(probe) & (F.col(id_col) != query_vec_id))
+    score = _pq_adc_score(
+        embeddings, m, n_codes, dim, id_col, vec_col, list(qrow["__v"])
     )
-    score = _pq_adc_score(embeddings, m, n_codes, dim, id_col, vec_col)
     adc = (
         scanned.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
         .orderBy(F.desc("adc_score"), F.asc(id_col))
