@@ -73,6 +73,7 @@ from stream_processing_spark.queries import pq  # noqa: E402,F401
 from stream_processing_spark.queries import scale_ops  # noqa: E402,F401
 from stream_processing_spark.queries import ml_queries  # noqa: E402,F401
 from stream_processing_spark.queries import variantq  # noqa: E402,F401
+from stream_processing_spark.queries import rcte  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the round driver records correctness for the
