@@ -74,6 +74,7 @@ from stream_processing_spark.queries import scale_ops  # noqa: E402,F401
 from stream_processing_spark.queries import ml_queries  # noqa: E402,F401
 from stream_processing_spark.queries import variantq  # noqa: E402,F401
 from stream_processing_spark.queries import rcte  # noqa: E402,F401
+from stream_processing_spark.queries import pipesql  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the round driver records correctness for the
@@ -85,8 +86,10 @@ _PRIORITY = [
     "t1_filter_pattern", "t2_select_columns", "t3_filter_project",
     "t4_filter_eq", "t5_count_by_category", "t6_word_count",
     "t7_custom_flatmap",
-    "grep_count_by_source", "grep_total_count", "grep_case_insensitive",
-    "grep_invert_count", "grep_word_anchor_count", "grep_fixed_literal_count",
+    # (grep_case_insensitive / grep_invert_count / grep_fixed_literal_count
+    # moved out of the window in round 5 for the new flagships; G1-G3
+    # stay covered by the three below, the rest by GATE + pytest)
+    "grep_count_by_source", "grep_total_count", "grep_word_anchor_count",
     "json_extract_props",
     # §2 streaming operators (S1/T8/A1/ST1-ST7 query surfaces)
     "streaming_counts_by_type", "streaming_hourly_windows",
@@ -114,6 +117,10 @@ _PRIORITY = [
     # (q5/q18 moved out of the window; still certified by GATE_r4.json
     # and tests/test_oracle_queries.py)
     "curation_pipeline_yield", "semantic_dedup_stats",
+    # round-5 flagships: VARIANT semi-structured extraction, recursive
+    # CTE, SQL pipe syntax (everything else stays gate/pytest-certified)
+    "variant_typed_extract_stats", "rcte_capped_running_balance",
+    "pipe_syntax_lineitem_rollup",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
