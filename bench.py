@@ -116,6 +116,21 @@ BENCH_QUERIES = [
     "semantic_dedup_stats",
     # tokenizer application: broadcast vocab map, no corpus shuffle
     "bpe_encode_source_stats",
+    # --- round-5 additions (new capabilities — compare totals
+    # per-query against BENCH_r04, not in aggregate).
+    # Round-over-round note: ann_ivf_topk / ann_lsh numbers carry over;
+    # the PQ tier (not benched here, gate-visible) got ~2x faster from
+    # ADC lookup-table scoring + SQL-string expression construction.
+    # parse-once VARIANT ingestion + typed path extraction (JSON
+    # parse throughput over the 1M-row props envelope)
+    "variant_typed_extract_stats",
+    # WITH RECURSIVE: 20-level capped running balance, one join+clamp
+    # per level, all users advance in parallel per level. ~3s wall is
+    # 20 sequential per-level jobs (CONSTANT in data volume — the
+    # serial dimension of plan-level recursion); the ranked prefix is
+    # materialized once so levels touch 20 rows/user, never the events
+    # scan
+    "rcte_capped_running_balance",
 ]
 
 
