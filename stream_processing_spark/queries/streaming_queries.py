@@ -74,21 +74,46 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", norm)
 
 
-def _drain_complete(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Run the streaming aggregation to completion; return the final
-    memory-sink table (complete mode ⇒ final state == batch answer)."""
-    name = f"stream_q_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+
+# Streaming state-partition sizing: a stateful streaming query's shuffle
+# partition count is captured into the checkpoint at FIRST start and
+# becomes the state-store partition count forever. Inheriting whatever
+# session default happens to be set (the vanilla driver session ships
+# 200) is wrong twice over: tiny drains pay 200 state stores per
+# micro-batch (the stream-stream join oracle took 31s at sf0.01 under
+# 200 vs 5.8s under 32), and real deployments must SIZE state
+# deliberately. Every registry streaming query therefore pins an
+# explicit count at start and restores the session conf after.
+_STATE_PARTITIONS = 32
+
+
+def _run_drained(writer, spark: SparkSession):
+    """Start `writer` under the pinned state-partition count, drain it
+    (availableNow), and raise if it hangs."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(_STATE_PARTITIONS))
+    try:
+        q = writer.start()
+    finally:
+        spark.conf.set(key, prev)
     q.awaitTermination(300)
     if q.isActive:  # pragma: no cover
         q.stop()
         raise TimeoutError("stream did not drain")
+
+
+def _drain_complete(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Run the streaming aggregation to completion; return the final
+    memory-sink table (complete mode ⇒ final state == batch answer)."""
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+    )
+    _run_drained(writer, spark)
     return spark.table(name)
 
 
@@ -193,17 +218,13 @@ def streaming_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFr
     src = _events_stream(spark, sf_dir).select(F.col("event_type").alias("key"))
     counts = stateful_running_count(src, key_col="key")
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
-    q = (
+    writer = (
         counts.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
-    if q.isActive:  # pragma: no cover
-        q.stop()
-        raise TimeoutError("stream did not drain")
+    _run_drained(writer, spark)
     # update mode emits one row per key per batch; the last (= max) is final
     return spark.table(name).groupBy("key").agg(F.max("cnt").alias("cnt"))
 
@@ -242,18 +263,14 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = dedup_within_watermark(raw, ["event_id"], ts_col="ts", watermark="1 hour")
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
-    q = (
+    writer = (
         deduped.select("event_id")
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
-    if q.isActive:  # pragma: no cover
-        q.stop()
-        raise TimeoutError("stream did not drain")
+    _run_drained(writer, spark)
     return spark.table(name).groupBy("event_id").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -321,17 +338,13 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("purchase_id", "click_id")
 
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
-    q = (
+    writer = (
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
-    if q.isActive:  # pragma: no cover
-        q.stop()
-        raise TimeoutError("stream did not drain")
+    _run_drained(writer, spark)
     return spark.table(name)
 
 
@@ -394,17 +407,13 @@ def streaming_custom_stateful_max(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = stateful_flat_map(src, _running_max_op)
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
-    q = (
+    writer = (
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
-    if q.isActive:  # pragma: no cover
-        q.stop()
-        raise TimeoutError("stream did not drain")
+    _run_drained(writer, spark)
     return (
         spark.table(name)
         .groupBy(F.col("key").cast("bigint").alias("key"))
@@ -531,17 +540,13 @@ def streaming_stream_stream_left_join(
     ).select("purchase_id", "click_id")
 
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
-    q = (
+    writer = (
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
-    if q.isActive:  # pragma: no cover
-        q.stop()
-        raise TimeoutError("stream did not drain")
+    _run_drained(writer, spark)
     return spark.table(name)
 
 
@@ -602,15 +607,11 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = stateful_event_sessions(src, gap_sec=1800)
 
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
-    q = (
+    writer = (
         sess.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
-    q.awaitTermination(300)
-    if q.isActive:  # pragma: no cover
-        q.stop()
-        raise TimeoutError("stream did not drain")
+    _run_drained(writer, spark)
     return spark.table(name)
