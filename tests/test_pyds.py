@@ -274,3 +274,53 @@ def test_stream_shrunken_file_raises_clear_error(registered, tmp_path):
         f.write("z\n")  # truncation: violates the append-only contract
     with pytest.raises(Exception, match="append-only|shrank"):
         _drain(spark, src, outd, ck)
+
+
+def test_split_property_random_bodies():
+    """Property: for ANY byte content and ANY split size, the union of
+    per-split reads equals the whole-file parse — lines are neither
+    lost nor duplicated at split boundaries (first-byte ownership)."""
+    import tempfile
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        body=st.binary(max_size=200).map(
+            # keep it text-ish but adversarial: newlines common, plus
+            # \r, NUL, UTF-8 fragments surviving errors='replace'
+            lambda b: b.replace(b"\x0b", b"\n")
+        ),
+        split=st.integers(min_value=1, max_value=64),
+    )
+    def check(body: bytes, split: int):
+        with tempfile.NamedTemporaryFile(delete=False) as f:
+            f.write(body)
+            path = f.name
+        try:
+            import itertools
+
+            got = sorted(
+                itertools.chain.from_iterable(
+                    _iter_lines(path, s, e, [])
+                    for s, e in _split_ranges(len(body), split)
+                )
+            )
+            want = sorted(
+                (pos, raw)
+                for pos, raw in _manual_parse_bytes(body)
+            )
+            assert got == want, (body, split)
+        finally:
+            os.unlink(path)
+
+    check()
+
+
+def _manual_parse_bytes(data: bytes) -> list[tuple[int, str]]:
+    out, pos = [], 0
+    for raw in data.split(b"\n"):
+        if pos < len(data):
+            out.append((pos, raw.decode("utf-8", errors="replace")))
+        pos += len(raw) + 1
+    return out
