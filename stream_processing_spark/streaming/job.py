@@ -57,6 +57,7 @@ class StreamJob:
         checkpoint_dir: str | None = None,
         max_files_per_trigger: int | None = None,
         state_store: str | None = None,
+        source: str = "files",
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -73,9 +74,32 @@ class StreamJob:
                 f"{state_store!r}"
             )
         self.state_store = state_store
+        if source not in ("files", "tail"):
+            raise ValueError(f"source must be 'files' or 'tail'; got {source!r}")
+        self.source = source
 
     # ------------------------------------------------------------------
     def _source(self) -> DataFrame:
+        if self.source == "tail":
+            # the literal tail-one-growing-file shape (reference
+            # worker.py:503-511) on the first-class connector: record
+            # id "<file>:<byte offset>" is stable under parallel
+            # catch-up splits AND replay — strictly stronger than the
+            # reference's filename:linenumber (worker.py:512-517)
+            from stream_processing_spark.sources.pyds import register
+
+            register(self.spark)
+            return (
+                self.spark.readStream.format("linetail")
+                .option("path", self.input_dir)
+                .load()
+                .select(
+                    F.concat_ws(":", F.col("file"), F.col("offset")).alias(
+                        "key"
+                    ),
+                    F.col("value"),
+                )
+            )
         reader = self.spark.readStream.format("text").option("wholetext", "true")
         if self.max_files_per_trigger:
             # backpressure: the analogue of the reference's bounded send

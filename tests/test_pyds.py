@@ -324,3 +324,33 @@ def _manual_parse_bytes(data: bytes) -> list[tuple[int, str]]:
             out.append((pos, raw.decode("utf-8", errors="replace")))
         pos += len(raw) + 1
     return out
+
+
+def test_streamjob_on_linetail_source(registered, tmp_path):
+    """The RainStorm pipeline contract (ops over the {key,value}
+    envelope, exactly-once key:value output) runs directly on the
+    linetail connector: one growing file in, byte-offset record ids,
+    restart picks up only the appended delta."""
+    from stream_processing_spark.streaming import StreamJob
+
+    spark = registered
+    src = str(tmp_path / "app.log")
+    outd = str(tmp_path / "out")
+    with open(src, "w") as f:
+        f.write("stop,red\ngo,green\nstop,blue\n")
+    ops = [
+        lambda df: df.filter(F.col("value").rlike("stop")),
+        lambda df: df.select(
+            "key", F.upper(F.split("value", ",").getItem(1)).alias("value")
+        ),
+    ]
+    job = StreamJob(spark, src, outd, ops=ops, source="tail")
+    job.run_to_completion()
+    vals = sorted(r.value.split(":", 2)[2] for r in job.read_output().collect())
+    assert vals == ["BLUE", "RED"]
+
+    with open(src, "a") as f:
+        f.write("go,white\nstop,black\n")  # only 'stop' rows survive
+    StreamJob(spark, src, outd, ops=ops, source="tail").run_to_completion()
+    vals = sorted(r.value.split(":", 2)[2] for r in job.read_output().collect())
+    assert vals == ["BLACK", "BLUE", "RED"]  # delta only, no re-emission
