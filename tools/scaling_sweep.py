@@ -38,6 +38,11 @@ QUERIES = [
     "semantic_dedup_stats",
     "curation_pipeline_yield",
     "streaming_counts_by_type",
+    # round 5: parse-once VARIANT extraction (JSON decode throughput)
+    "variant_typed_extract_stats",
+    # round 5: plan-level recursion — wall ≈ levels x job overhead,
+    # expected FLAT across decades (the serial dimension is constant)
+    "rcte_capped_running_balance",
 ]
 
 
