@@ -576,6 +576,8 @@ def pq_codebooks(
     if not seed_rows:  # empty training frame: every codebook is empty
         books0: dict[int, dict[int, list[float]]] = {j: {} for j in range(m)}
         if cache_key is not None:
+            if len(_CENTROID_CACHE) >= _CENTROID_CACHE_CAP:
+                _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
             _CENTROID_CACHE[cache_key] = books0  # type: ignore[assignment]
         return books0
     # per-subspace assignment argmaxes as SEPARATE projected columns,

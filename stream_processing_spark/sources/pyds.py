@@ -167,6 +167,23 @@ class _LineTailStreamReader(DataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("linetail requires a path")
+        if any(c in self._path for c in "*?["):
+            raise ValueError(
+                f"linetail streaming tails ONE file; {self._path!r} is a "
+                "glob (globs are batch-read only — stream each file with "
+                "its own query, or spool into a directory for the file "
+                "source)"
+            )
+        if not os.path.exists(self._path) and options.get(
+            "allow_missing", "false"
+        ).lower() != "true":
+            # a typo'd path would otherwise tail an empty stream forever,
+            # looking healthy while reading nothing; tail -F-style
+            # wait-for-creation is available explicitly
+            raise FileNotFoundError(
+                f"linetail source {self._path!r} does not exist; pass "
+                "option('allow_missing', 'true') to wait for it to appear"
+            )
         self._split_bytes = int(options.get("split_bytes", 32 * 1024 * 1024))
         self._last = 0  # monotonicity guard within this reader's life
 
@@ -231,20 +248,29 @@ class _KVCommit(WriterCommitMessage):
 
 class _KVStreamWriter(DataSourceStreamWriter):
     """``key:value`` lines sink (leader.py:272 format). Tasks write to
-    temp names; ``commit`` renames to batchId-deterministic names, so a
-    replayed micro-batch overwrites itself instead of duplicating."""
+    temp names under the sink's spool dir; ``commit`` renames to
+    batchId-deterministic names, so a replayed micro-batch overwrites
+    itself instead of duplicating. Micro-batches never overlap (and a
+    sink dir belongs to one query — batch file names would collide
+    otherwise), so after commit/abort every file still in the spool
+    belongs to a FAILED or speculatively-retried task of that batch —
+    both sweeps clear it, so crashed tasks can't leak temp files."""
 
     def __init__(self, options):
         self._dir = options.get("path")
         if not self._dir:
             raise ValueError("kvlines sink requires a path")
+        # deterministic name: Spark constructs separate writer instances
+        # for task-side write() and driver-side commit()/abort(), so the
+        # spool location must be a pure function of the sink path
+        self._spool = os.path.join(self._dir, ".spool")
 
     def write(self, iterator: Iterator[Row]) -> _KVCommit:
         from pyspark import TaskContext
 
         part = TaskContext.get().partitionId()
-        os.makedirs(self._dir, exist_ok=True)
-        tmp = os.path.join(self._dir, f".tmp-{_uuid.uuid4().hex}")
+        os.makedirs(self._spool, exist_ok=True)
+        tmp = os.path.join(self._spool, f"tmp-{_uuid.uuid4().hex}")
         n = 0
         with open(tmp, "w") as f:
             for row in iterator:
@@ -252,6 +278,17 @@ class _KVStreamWriter(DataSourceStreamWriter):
                 f.write(":".join(vals) + "\n")
                 n += 1
         return _KVCommit(tmp=tmp, part=part, rows=n)
+
+    def _sweep_spool(self) -> None:
+        try:
+            for fn in os.listdir(self._spool):
+                try:
+                    os.remove(os.path.join(self._spool, fn))
+                except OSError:  # pragma: no cover - concurrent removal
+                    pass
+            os.rmdir(self._spool)
+        except OSError:  # spool never created (no task ran) or racing
+            pass
 
     def commit(self, messages, batchId: int) -> None:
         for m in messages:
@@ -261,11 +298,10 @@ class _KVStreamWriter(DataSourceStreamWriter):
                 self._dir, f"batch-{batchId:010d}-{m.part:05d}.txt"
             )
             os.replace(m.tmp, final)  # atomic; replay overwrites
+        self._sweep_spool()
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.tmp):
-                os.remove(m.tmp)
+        self._sweep_spool()
 
 
 class LineTailDataSource(DataSource):
@@ -290,8 +326,14 @@ class LineTailDataSource(DataSource):
         return _KVStreamWriter(self.options)
 
 
-def register(spark) -> None:
-    # implementing pushFilters requires the pushdown feature flag; it
-    # is a runtime SQL conf (default false in Spark 4.1)
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+def register(spark, enable_filter_pushdown: bool = True) -> None:
+    """Register the connector. ``enable_filter_pushdown`` flips the
+    session conf ``spark.sql.python.filterPushdown.enabled`` (default
+    false in Spark 4.1) — a DELIBERATE session-wide side effect, same
+    contract as catalog.load_table's nanosAsLong pinning: batch reads
+    of this source fail at plan time without it because the reader
+    implements pushFilters. Pass False to leave the session conf
+    untouched (streaming-only use needs no pushdown)."""
+    if enable_filter_pushdown:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LineTailDataSource)

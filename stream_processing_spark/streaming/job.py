@@ -85,10 +85,18 @@ class StreamJob:
             # worker.py:503-511) on the first-class connector: record
             # id "<file>:<byte offset>" is stable under parallel
             # catch-up splits AND replay — strictly stronger than the
-            # reference's filename:linenumber (worker.py:512-517)
+            # reference's filename:linenumber (worker.py:512-517).
+            # Registration only — the stream reader needs no filter
+            # pushdown, so no session conf is touched here.
             from stream_processing_spark.sources.pyds import register
 
-            register(self.spark)
+            register(self.spark, enable_filter_pushdown=False)
+            if self.max_files_per_trigger is not None:
+                raise ValueError(
+                    "max_files_per_trigger applies to the directory "
+                    "file source; the tail source has no per-trigger "
+                    "bound yet — drop the option or use source='files'"
+                )
             return (
                 self.spark.readStream.format("linetail")
                 .option("path", self.input_dir)

@@ -126,11 +126,13 @@ SESSION_SCHEMA = StructType(
         StructField("n_events", LongType()),
     ]
 )
+from pyspark.sql.types import ArrayType
+
 _SESSION_STATE_SCHEMA = StructType(
     [
-        StructField("s", LongType()),
-        StructField("l", LongType()),
-        StructField("n", LongType()),
+        StructField("ss", ArrayType(LongType())),
+        StructField("ls", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
     ]
 )
 
@@ -157,54 +159,88 @@ def stateful_event_sessions(
     the session is emitted from the TIMEOUT branch and state cleared.
     session_end = last + gap, matching ``session_window``.
 
+    APPEND-MODE FINALITY (round-5 review fix): an emitted row can never
+    be retracted, so a session may only emit once NO admissible late
+    event could still change it. Any merge-capable event t satisfies
+    t <= session_end (= last + gap), and stateful operators drop input
+    below the watermark — so a session is final exactly when
+    watermark > session_end (strictly; end == watermark is still
+    mergeable by an event AT the watermark). ALL blocks therefore stay
+    in state until the watermark passes their end; the previous
+    emit-closed-blocks-immediately shape could produce overlapping
+    sessions when a late-but-admissible event landed inside an
+    already-emitted session's span.
+
     Drain determinism (oracle contract): with a 0-second watermark the
     final watermark is max(ts), so the drained output is exactly the
-    batch gaps-and-islands sessions with session_end < max(ts) — every
-    closed-by-successor session qualifies automatically (its end
-    precedes the successor event), and each key's LAST session emits
-    iff its end has genuinely passed.
+    batch gaps-and-islands sessions with session_end < max(ts) — the
+    same set as before this fix, now emitted from the timeout branch
+    once the watermark proves them final.
     """
     gap_ms = gap_sec * 1000
+
+    def _split_ripe(blocks, wm):
+        ripe = [b for b in blocks if wm > b[1] + gap_ms]
+        rest = [b for b in blocks if wm <= b[1] + gap_ms]
+        return ripe, rest
+
+    def _emit(key, blocks) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [key[0]] * len(blocks),
+                "start_ms": [b[0] for b in blocks],
+                "end_ms": [b[1] + gap_ms for b in blocks],
+                "n_events": [b[2] for b in blocks],
+            }
+        )
+
+    def _store(state, blocks) -> None:
+        state.update(
+            (
+                [b[0] for b in blocks],
+                [b[1] for b in blocks],
+                [b[2] for b in blocks],
+            )
+        )
+        # one timer per key: arm at the earliest still-pending end
+        state.setTimeoutTimestamp(min(b[1] + gap_ms for b in blocks))
 
     def update(
         key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
         if state.hasTimedOut:
-            s, l, n = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "key": [key[0]],
-                    "start_ms": [s],
-                    "end_ms": [l + gap_ms],
-                    "n_events": [n],
-                }
-            )
+            ss, ls, ns = state.get
+            ripe, rest = _split_ripe(list(zip(ss, ls, ns)), wm)
+            if rest:
+                _store(state, rest)
+            else:
+                state.remove()
+            yield _emit(key, ripe)
             return
-        out: dict[str, list] = {
-            "key": [], "start_ms": [], "end_ms": [], "n_events": []
-        }
         ts: list[int] = []
         for b in batches:
             ts += [int(t.value // 10**6) for t in pd.to_datetime(b[ts_col])]
-        # gaps-and-islands over INTERVAL BLOCKS: the open session from
-        # state participates as a (start, last, count) block positioned
-        # by its start among the sorted new events. This is what makes
-        # out-of-order events from later micro-batches (above the
-        # watermark) reproduce the batch oracle exactly: an early event
-        # within gap of the open session's START merges and pulls the
-        # start down; an early event further out forms its OWN session,
-        # which its successor then closes — it must NOT be absorbed
-        # into the open session (the bug a plain `t - l <= gap` gate
-        # has, since that inequality holds for ANY t < l).
+        # gaps-and-islands over INTERVAL BLOCKS: every pending session
+        # from state participates as a (start, last, count) block
+        # positioned by its start among the sorted new events. This is
+        # what makes out-of-order events from later micro-batches
+        # (above the watermark) reproduce the batch oracle exactly: an
+        # early event within gap of a pending block merges into it
+        # (possibly pulling its start down); an early event further out
+        # forms its OWN block, which its successor then closes — it
+        # must NOT be absorbed into a nearer block (the bug a plain
+        # `t - l <= gap` gate has, since that inequality holds for ANY
+        # t < l).
         blocks = [(t, t, 1) for t in sorted(ts)]
         if state.exists:
-            s0, l0, n0 = state.get
+            ss, ls, ns = state.get
             import bisect
 
-            bisect.insort(blocks, (s0, l0, n0))
+            for blk in zip(ss, ls, ns):
+                bisect.insort(blocks, tuple(blk))
         if not blocks:  # defensive: no events, no prior state
-            yield pd.DataFrame(out)
+            yield _emit(key, [])
             return
         merged: list[tuple[int, int, int]] = []
         for st_, en_, cnt in blocks:
@@ -213,15 +249,14 @@ def stateful_event_sessions(
                 merged[-1] = (min(ps, st_), max(pe, en_), pc + cnt)
             else:
                 merged.append((st_, en_, cnt))
-        for s_, l_, n_ in merged[:-1]:
-            out["key"].append(key[0])
-            out["start_ms"].append(s_)
-            out["end_ms"].append(l_ + gap_ms)
-            out["n_events"].append(n_)
-        s, l, n = merged[-1]
-        state.update((s, l, n))
-        state.setTimeoutTimestamp(l + gap_ms)
-        yield pd.DataFrame(out)
+        # new input is never below the watermark (Spark drops it), but
+        # blocks carried from state may have ripened since last batch
+        ripe, rest = _split_ripe(merged, wm)
+        if rest:
+            _store(state, rest)
+        else:
+            state.remove()
+        yield _emit(key, ripe)
 
     return (
         df.select(F.col(key_col).alias("key"), F.col(ts_col).alias(ts_col))

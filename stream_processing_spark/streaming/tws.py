@@ -143,7 +143,10 @@ def tws_first_seen(
             statefulProcessor=_FirstSeen(ttl_ms),
             outputStructType=FIRST_SEEN_SCHEMA,
             outputMode="update",
-            timeMode="none",
+            # state-variable TTL is only legal under processing-time
+            # mode (StatefulProcessorHandleImpl.validateTTLConfig
+            # throws for TimeMode.None) — pick the mode the TTL needs
+            timeMode="processingtime" if ttl_ms is not None else "none",
         )
     )
 
@@ -159,21 +162,50 @@ SESSION_SCHEMA = StructType(
 
 
 class _EventSessions(StatefulProcessor):
-    """Inactivity-gap sessions with EVENT-TIME TIMERS: the open session
-    lives in a ValueState (s, l, n); a timer armed at l + gap fires via
-    ``handleExpiredTimer`` when the watermark passes it — the quiet-key
-    emission the reference's operator processes could never do. Same
-    interval-block merge as stateful.stateful_event_sessions, so the
-    drained output reproduces the batch gaps-and-islands oracle exactly
-    (out-of-order cross-batch events merge as blocks positioned by
-    start, never absorbed by a `t - last <= gap` gate)."""
+    """Inactivity-gap sessions with EVENT-TIME TIMERS: all pending
+    session blocks live in a ListState; a timer armed at the earliest
+    pending end fires via ``handleExpiredTimer`` when the watermark
+    passes it — the quiet-key emission the reference's operator
+    processes could never do. Same interval-block merge AND the same
+    append-mode finality rule as stateful.stateful_event_sessions: a
+    block emits only once watermark > its end (strictly), because an
+    admissible late event with t <= end could still merge into it —
+    emitting closed-in-batch blocks eagerly can produce overlapping
+    sessions under late data."""
 
     def __init__(self, gap_ms: int):
         self._gap_ms = gap_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._handle = handle
-        self._open = handle.getValueState("open", "s bigint, l bigint, n bigint")
+        self._blocks = handle.getListState(
+            "blocks", "s bigint, l bigint, n bigint"
+        )
+
+    def _emit(self, key: Any, blocks) -> pd.DataFrame:
+        gap = self._gap_ms
+        return pd.DataFrame(
+            {
+                "key": [key[0]] * len(blocks),
+                "start_ms": [b[0] for b in blocks],
+                "end_ms": [b[1] + gap for b in blocks],
+                "n_events": [b[2] for b in blocks],
+            }
+        )
+
+    def _settle(self, blocks, wm):
+        """Partition by finality, store the rest, re-arm the timer."""
+        gap = self._gap_ms
+        ripe = [b for b in blocks if wm > b[1] + gap]
+        rest = [b for b in blocks if wm <= b[1] + gap]
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        if rest:
+            self._blocks.put([tuple(b) for b in rest])
+            self._handle.registerTimer(min(b[1] + gap for b in rest))
+        else:
+            self._blocks.clear()
+        return ripe
 
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
@@ -183,14 +215,11 @@ class _EventSessions(StatefulProcessor):
         for b in rows:
             ts += [int(t.value // 10**6) for t in pd.to_datetime(b["ts"])]
         blocks = [(t, t, 1) for t in sorted(ts)]
-        if self._open.exists():
-            s0, l0, n0 = self._open.get()
-            # the previously-armed timer is superseded by this batch
-            for t in self._handle.listTimers():
-                self._handle.deleteTimer(t)
+        if self._blocks.exists():
             import bisect
 
-            bisect.insort(blocks, (s0, l0, n0))
+            for blk in self._blocks.get():
+                bisect.insort(blocks, (blk[0], blk[1], blk[2]))
         if not blocks:  # pragma: no cover - empty group
             return
         merged: list[tuple[int, int, int]] = []
@@ -200,35 +229,19 @@ class _EventSessions(StatefulProcessor):
                 merged[-1] = (min(ps, s_), max(pe, e_), pc + c_)
             else:
                 merged.append((s_, e_, c_))
-        out: dict[str, list] = {
-            "key": [], "start_ms": [], "end_ms": [], "n_events": []
-        }
-        for s_, l_, n_ in merged[:-1]:
-            out["key"].append(key[0])
-            out["start_ms"].append(s_)
-            out["end_ms"].append(l_ + gap)
-            out["n_events"].append(n_)
-        s, l, n = merged[-1]
-        self._open.update((s, l, n))
-        self._handle.registerTimer(l + gap)
-        if out["key"]:
-            yield pd.DataFrame(out)
+        ripe = self._settle(merged, timerValues.getCurrentWatermarkInMs())
+        if ripe:
+            yield self._emit(key, ripe)
 
     def handleExpiredTimer(
         self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
     ) -> Iterator[pd.DataFrame]:
-        if not self._open.exists():  # pragma: no cover - stale timer
+        if not self._blocks.exists():  # pragma: no cover - stale timer
             return
-        s, l, n = self._open.get()
-        self._open.clear()
-        yield pd.DataFrame(
-            {
-                "key": [key[0]],
-                "start_ms": [s],
-                "end_ms": [l + self._gap_ms],
-                "n_events": [n],
-            }
-        )
+        blocks = [(b[0], b[1], b[2]) for b in self._blocks.get()]
+        ripe = self._settle(blocks, timerValues.getCurrentWatermarkInMs())
+        if ripe:
+            yield self._emit(key, ripe)
 
     def close(self) -> None:
         pass

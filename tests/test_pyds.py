@@ -354,3 +354,46 @@ def test_streamjob_on_linetail_source(registered, tmp_path):
     StreamJob(spark, src, outd, ops=ops, source="tail").run_to_completion()
     vals = sorted(r.value.split(":", 2)[2] for r in job.read_output().collect())
     assert vals == ["BLACK", "BLUE", "RED"]  # delta only, no re-emission
+
+
+def test_stream_reader_rejects_globs_and_typos(registered, tmp_path):
+    from stream_processing_spark.sources.pyds import _LineTailStreamReader
+
+    with pytest.raises(ValueError, match="ONE file"):
+        _LineTailStreamReader({"path": str(tmp_path / "*.log")})
+    # a typo'd path must fail loudly, not tail an empty stream forever
+    with pytest.raises(FileNotFoundError, match="allow_missing"):
+        _LineTailStreamReader({"path": str(tmp_path / "nope.log")})
+    # explicit tail -F-style wait-for-creation remains available
+    r = _LineTailStreamReader(
+        {"path": str(tmp_path / "later.log"), "allow_missing": "true"}
+    )
+    assert r.latestOffset() == {"offset": 0}
+
+
+def test_streamjob_tail_rejects_file_trigger_option(registered, tmp_path):
+    from stream_processing_spark.streaming import StreamJob
+
+    src = str(tmp_path / "a.log")
+    with open(src, "w") as f:
+        f.write("x\n")
+    job = StreamJob(
+        registered, src, str(tmp_path / "out"), ops=[],
+        source="tail", max_files_per_trigger=4,
+    )
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        job.run_to_completion()
+
+
+def test_stream_writer_sweeps_spool(registered, tmp_path):
+    # after a committed batch the sink dir holds only batch-* output —
+    # the per-query spool (where crashed tasks would leak temp files)
+    # is swept on commit
+    spark = registered
+    src = str(tmp_path / "in.log")
+    outd = str(tmp_path / "out")
+    with open(src, "w") as f:
+        f.write("a\nb\n")
+    _drain(spark, src, outd, str(tmp_path / "ck"))
+    leftovers = [f for f in os.listdir(outd) if not f.startswith("batch-")]
+    assert leftovers == [], leftovers

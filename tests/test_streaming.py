@@ -469,3 +469,74 @@ def test_stateful_sessions_far_early_event_forms_own_session(spark, tmp_path):
     assert ("1", t1030, t1030 + 30 * m, 1) in got, got   # own session
     assert ("1", noon, noon + 30 * m, 1) in got, got     # untouched
     assert len([g for g in got if g[0] == "1"]) == 2, got
+
+
+def test_stateful_sessions_late_event_merges_into_held_session(
+    spark, tmp_path
+):
+    """Round-5 review fix: a session closed by an in-batch gap must NOT
+    emit until the watermark passes its end — an admissible late event
+    (above watermark, inside the closed session's merge range) arriving
+    in a later micro-batch merges into the HELD block instead of
+    producing overlapping sessions."""
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_spark.streaming.stateful import (
+        stateful_event_sessions,
+    )
+
+    d = tmp_path / "sess_hold"
+    d.mkdir()
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.to_timestamp("ts").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(src, str(d / f"{name}.parquet"))
+
+    # batch 1: 10:00 and 12:00 — the 10:00 session is closed by the
+    # in-batch gap but its end (10:30) is NOT yet below the watermark
+    _write("b1", [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")])
+    time.sleep(1.1)
+    # batch 2: late 10:20 (above the 2h watermark) lands INSIDE the
+    # closed 10:00 session's merge range; anchor ripens everything
+    _write("b2", [(1, "2024-01-01 10:20:00"), (9, "2024-01-01 16:00:00")])
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").cast("string").alias("key"), "ts")
+    )
+    sess = stateful_event_sessions(src, gap_sec=1800)
+    name = f"t{_uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = {
+        (r.key, r.start_ms, r.end_ms, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    m = 60_000
+    t10 = 1704103200000  # 2024-01-01 10:00:00 UTC epoch ms
+    noon = t10 + 120 * m
+    # ONE merged (10:00, 10:20) session and the 12:00 session — the
+    # eager-emission bug produced (10:00-10:30,1) AND (10:20-10:50,1)
+    assert got == {
+        ("1", t10, t10 + 20 * m + 30 * m, 2),
+        ("1", noon, noon + 30 * m, 1),
+    }, got

@@ -273,3 +273,57 @@ def test_tws_sessions_out_of_order_across_batches(spark, tmp_path):
     m = 60_000
     noon = 1704110400000  # 2024-01-01 12:00:00 UTC epoch ms
     assert got == {("1", noon - 10 * m, noon + 30 * m, 2)}, got
+
+
+@needs_tws_runtime
+def test_tws_sessions_late_event_merges_into_held_session(spark, tmp_path):
+    # mirror of test_stateful_sessions_late_event_merges_into_held_session
+    # on the transformWithState tier: closed-in-batch blocks are HELD
+    # until the watermark passes their end, so an admissible late event
+    # merges instead of producing overlapping sessions
+    d = tmp_path / "sess_hold"
+    d.mkdir()
+
+    def _write(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts string").select(
+            "user_id", F.to_timestamp("ts").alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(src, str(d / f"{name}.parquet"))
+
+    _write("b1", [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")])
+    time.sleep(1.1)
+    _write("b2", [(1, "2024-01-01 10:20:00"), (9, "2024-01-01 16:00:00")])
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("ts", "2 hours")
+        .select(F.col("user_id").cast("string").alias("key"), "ts")
+    )
+    sess = tws_event_sessions(src, gap_sec=1800)
+    name = f"t{_uuid.uuid4().hex[:8]}"
+    with _rocksdb(spark):
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    got = {
+        (r.key, r.start_ms, r.end_ms, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    m = 60_000
+    t10 = 1704103200000
+    noon = t10 + 120 * m
+    assert got == {
+        ("1", t10, t10 + 50 * m, 2),
+        ("1", noon, noon + 30 * m, 1),
+    }, got
