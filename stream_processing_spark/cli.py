@@ -19,10 +19,16 @@ from stream_processing_spark.session import get_spark
 def _rainstorm(args: list[str]) -> int:
     from stream_processing_spark.plans import rainstorm
 
+    source = "files"
+    if args and args[0] == "--tail":  # tail ONE growing file (linetail)
+        source = "tail"
+        args = args[1:]
     op1, op2, ind, outd = args[:4]
     n = int(args[4]) if len(args) > 4 else None
     stateful = len(args) > 5 and args[5].lower() in ("1", "true", "stateful")
-    job = rainstorm(get_spark(), op1, op2, ind, outd, n, stateful or None)
+    job = rainstorm(
+        get_spark(), op1, op2, ind, outd, n, stateful or None, source=source
+    )
     job.run_to_completion()
     print(f"output at {outd}")
     return 0

@@ -200,8 +200,13 @@ def rainstorm(
     output_dir: str,
     num_tasks: int | None = None,
     stateful: bool | None = None,
+    source: str = "files",
 ) -> StreamJob:
-    """Build (don't start) the streaming job for the 2-operator contract."""
+    """Build (don't start) the streaming job for the 2-operator contract.
+
+    ``source="tail"`` tails ONE growing file via the linetail connector
+    (the reference's literal operating shape, worker.py:503-511)
+    instead of a directory of micro-files."""
     op1, s1 = parse_op(op1_spec)
     op2, s2 = parse_op(op2_spec)
     if num_tasks:
@@ -212,4 +217,5 @@ def rainstorm(
         output_dir,
         ops=[op1, op2],
         stateful=s1 or s2 if stateful is None else stateful,
+        source=source,
     )

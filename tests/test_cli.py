@@ -202,3 +202,24 @@ def test_dgrep_cli_bad_args_exit_cleanly(capsys):
         cli.main(["dgrep", "-A", "pattern", "glob/*"])
     with pytest.raises(SystemExit, match="usage"):
         cli.main(["dgrep", "onlypattern"])
+
+
+def test_cli_rainstorm_tail_mode(spark, tmp_path):
+    """`rainstorm --tail op1 op2 <file> <out>` runs the 2-operator
+    contract over ONE growing file via the linetail connector."""
+    from stream_processing_spark.cli import main
+
+    src = str(tmp_path / "live.csv")
+    outd = str(tmp_path / "out")
+    with open(src, "w") as f:
+        f.write("1,stop,red\n2,go,green\n3,stop,blue\n")
+    rc = main(
+        ["rainstorm", "--tail",
+         "filter_pattern stop", "select_columns 0 2", src, outd]
+    )
+    assert rc == 0
+    got = sorted(
+        r.value.rsplit(":", 1)[1]
+        for r in spark.read.text(outd + "/batch-*").collect()
+    )
+    assert got == ["blue", "red"]
