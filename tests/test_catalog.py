@@ -64,3 +64,39 @@ def test_bigint_nanos_footer_layout(spark, tmp_path):
 def test_unknown_table_raises(spark):
     with pytest.raises(KeyError):
         load_table(spark, SF, "nope")
+
+
+def test_variant_column_parquet_roundtrip(spark, tmp_path):
+    """Storage contract for the VARIANT tier (queries/variantq.py): a
+    parsed variant column survives a parquet write/read roundtrip with
+    its binary encoding intact (Spark 4 writes unshredded variant;
+    reading shredded files is allowed by default —
+    spark.sql.variant.allowReadingShredded)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "vt")
+    (
+        spark.range(5)
+        .select(
+            "id",
+            F.parse_json(
+                F.concat(
+                    F.lit('{"k": '), F.col("id").cast("string"),
+                    F.lit(', "nest": {"s": "x"}}'),
+                )
+            ).alias("v"),
+        )
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    back = spark.read.parquet(d)
+    assert dict(back.dtypes)["v"] == "variant"
+    got = sorted(
+        (r.id, r.k, r.s)
+        for r in back.select(
+            "id",
+            F.variant_get("v", "$.k", "bigint").alias("k"),
+            F.variant_get("v", "$.nest.s", "string").alias("s"),
+        ).collect()
+    )
+    assert got == [(i, i, "x") for i in range(5)]
