@@ -139,3 +139,54 @@ def variant_nested_roundtrip_filter(
             F.sum("cents").alias("cents_total"),
         )
     )
+
+
+@register(
+    "variant_array_path_access",
+    """
+    SELECT l_returnflag AS rf, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT))
+               AS BIGINT) AS qty_cents,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+               AS BIGINT)) AS BIGINT) AS price_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Array-path extraction through VARIANT: each lineitem row is "
+    "serialized to {rf, vals: [qty_cents, price_cents]}, parsed to "
+    "variant, and read back ONLY via paths ($.rf, $.vals[0], "
+    "$.vals[1]) feeding a grouped aggregate. Proves index-addressed "
+    "array access inside variant documents is lossless; the oracle "
+    "computes the same answer from the base columns. Completes the "
+    "variant access surface: scalar fields, nested objects "
+    "(variant_nested_roundtrip_filter), and arrays.",
+)
+def variant_array_path_access(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    doc = F.to_json(
+        F.struct(
+            F.col("l_returnflag").alias("rf"),
+            F.array(
+                (F.col("l_quantity").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                ),
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "bigint"
+                ),
+            ).alias("vals"),
+        )
+    )
+    v = F.parse_json(doc)
+    return (
+        li.select(
+            F.variant_get(v, "$.rf", "string").alias("rf"),
+            F.variant_get(v, "$.vals[0]", "bigint").alias("q"),
+            F.variant_get(v, "$.vals[1]", "bigint").alias("p"),
+        )
+        .groupBy("rf")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("q").alias("qty_cents"),
+            F.sum("p").alias("price_cents"),
+        )
+    )
