@@ -1097,3 +1097,54 @@ def user_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("user_id"))
         .limit(10)
     )
+
+
+_VOCAB_K = 1000
+
+
+@register(
+    "vocab_oov_rate_per_source",
+    f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    freq AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    vocab AS (SELECT t FROM freq ORDER BY c DESC, t LIMIT {_VOCAB_K}),
+    j AS (SELECT tok.source, vocab.t AS vt FROM tok
+          LEFT JOIN vocab ON tok.t = vocab.t)
+    SELECT source, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+    FROM j GROUP BY source
+    """,
+    doc=f"Tokenizer-fit audit: whitespace tokens outside the corpus's "
+    f"top-{_VOCAB_K} vocabulary (count-desc, token tie-break), counted "
+    "per source — the out-of-vocabulary rate a tokenizer/vocab decision "
+    "should be reviewed against per data source. Plan: one token "
+    "explode feeding both the frequency agg and (via a broadcast of "
+    "the tiny vocab) the per-source OOV flags; at 100 TB the vocab "
+    "side is O(K) rows and broadcasts, so the corpus shuffles once "
+    "for the frequency pass and not at all for the membership test.",
+)
+def vocab_oov_rate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("t"))
+        .limit(_VOCAB_K)
+        .select("t")
+    )
+    return (
+        tok.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
