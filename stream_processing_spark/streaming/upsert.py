@@ -1,0 +1,161 @@
+"""Exactly-once streaming UPSERT into a versioned keyed table.
+
+``sinks.idempotent_batch_writer`` solves append-shaped output; CDC
+output is MERGE-shaped — each micro-batch carries upserts/deletes that
+must be applied to the CURRENT table state. The batch core (collapse to
+latest-change-per-key, one full-outer join) is
+``queries/curation3.cdc_apply_latest_changes``; this module is the
+streaming shell around the same merge.
+
+Exactly-once under replay needs more than idempotent content here,
+because a replayed batch N must merge against version N-1, not against
+its own output. The table is therefore VERSIONED:
+
+- every applied batch writes a complete new snapshot at
+  ``<path>/v-<batch_id>`` (parquet, atomic via Spark's commit
+  protocol);
+- ``<path>/_VERSION`` is a tiny pointer file (``<batch_id>``) moved
+  into place with an atomic rename AFTER the snapshot commit;
+- ``apply`` SKIPS any batch_id <= the pointer (the replay fast-path:
+  Spark re-delivers at most the last batch after a crash), and a crash
+  between snapshot write and pointer rename simply rewrites the same
+  snapshot on replay.
+
+Full-snapshot-per-batch is the local-parquet spelling; on a lakehouse
+table format the same ``apply`` body becomes a transactional MERGE and
+the version pointer is the table's own log. The merge itself stays one
+shuffle of the change batch + one join against the current snapshot —
+no driver-side state (reference analogue: the leader's dedup dict +
+HyDFS flush, leader.py:241-284, collapsed into the checkpoint +
+pointer)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+class UpsertTable:
+    """A keyed table materialized as versioned parquet snapshots.
+
+    Change-row contract (the CDC shape of curation3): ``key_col``,
+    ``op`` ('upsert' | 'delete'), ``ts`` + ``seq`` ordering columns
+    (latest change per key wins; ``seq`` breaks ts ties), and the
+    payload columns."""
+
+    def __init__(self, spark: SparkSession, path: str, key_col: str):
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        os.makedirs(path, exist_ok=True)
+        self._pointer = os.path.join(path, "_VERSION")
+
+    # -- version bookkeeping ------------------------------------------
+    def version(self) -> int:
+        """batch_id of the current snapshot, -1 if none applied yet."""
+        try:
+            with open(self._pointer) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _snapshot_dir(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"v-{batch_id:010d}")
+
+    def current(self) -> DataFrame | None:
+        v = self.version()
+        if v < 0:
+            return None
+        return self.spark.read.parquet(self._snapshot_dir(v))
+
+    # -- the merge ----------------------------------------------------
+    def apply(self, changes: DataFrame, batch_id: int) -> None:
+        """Merge one micro-batch of changes; exactly-once under replay.
+
+        Order-aware: each stored row carries the (ts, seq) of the
+        change that produced it, and an incoming change only applies if
+        STRICTLY newer — a stale cross-batch straggler (or a replayed
+        older change) can never overwrite fresher state, the invariant
+        a CDC applier must keep once batches can interleave with
+        out-of-order capture."""
+        applied = self.version()
+        if batch_id <= applied:
+            return  # replayed batch: already merged, skip (exactly-once)
+        w = Window.partitionBy(self.key_col).orderBy(
+            F.desc("ts"), F.desc("seq")
+        )
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        cur = self.current()
+        if cur is None:
+            merged = (
+                latest.where(F.col("op") != "delete")
+                .drop("op")
+                .withColumnRenamed("ts", "__ts")
+                .withColumnRenamed("seq", "__seq")
+            )
+        else:
+            payload = [
+                c
+                for c in cur.columns
+                if c not in (self.key_col, "__ts", "__seq")
+            ]
+            ch = latest.select(
+                F.col(self.key_col).alias("__k"),
+                "op",
+                F.col("ts").alias("__cts"),
+                F.col("seq").alias("__cseq"),
+                *[F.col(c).alias(f"__new_{c}") for c in payload],
+            )
+            j = cur.join(ch, cur[self.key_col] == ch["__k"], "full_outer")
+            # newer ⇔ no stored row yet, or change (ts, seq) > stored
+            newer = (
+                F.col("__ts").isNull()
+                | (F.col("__cts") > F.col("__ts"))
+                | (
+                    (F.col("__cts") == F.col("__ts"))
+                    & (F.col("__cseq") > F.col("__seq"))
+                )
+            )
+            take = (F.col("op") == "upsert") & newer
+            merged = (
+                j.where(~((F.col("op") == "delete") & newer))
+                .select(
+                    F.coalesce(self.key_col, "__k").alias(self.key_col),
+                    *[
+                        F.when(take, F.col(f"__new_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        for c in payload
+                    ],
+                    F.when(take, F.col("__cts"))
+                    .otherwise(F.col("__ts"))
+                    .alias("__ts"),
+                    F.when(take, F.col("__cseq"))
+                    .otherwise(F.col("__seq"))
+                    .alias("__seq"),
+                )
+                # a delete-of-nonexistent-key row has only change cols
+                # and was filtered by the delete branch above; an
+                # upsert-insert keeps its __k-coalesced key
+                .where(F.col(self.key_col).isNotNull())
+            )
+        merged.write.mode("overwrite").parquet(self._snapshot_dir(batch_id))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, self._pointer)  # atomic version flip
+
+    def writer(self):
+        """foreachBatch callback: ``writeStream.foreachBatch(t.writer())``."""
+
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply(batch_df, batch_id)
+
+        return write

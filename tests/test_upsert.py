@@ -1,0 +1,144 @@
+"""Streaming CDC upsert sink (streaming/upsert.py): versioned keyed
+table driven by foreachBatch — latest-change-per-key merge semantics,
+exactly-once under batch replay, and batch/stream parity with the
+curation3 CDC core."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stream_processing_spark.streaming.upsert import UpsertTable
+
+
+def _write_changes(d: str, name: str, rows: list[tuple]) -> None:
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(",".join(str(x) for x in r) + "\n")
+    os.replace(tmp, os.path.join(d, name))
+
+
+def _changes_stream(spark, d):
+    p = F.split(F.col("value"), ",")
+    return (
+        spark.readStream.format("text")
+        .load(d)
+        .select(
+            p.getItem(0).cast("bigint").alias("uid"),
+            p.getItem(1).alias("op"),
+            p.getItem(2).cast("bigint").alias("ts"),
+            p.getItem(3).cast("bigint").alias("seq"),
+            p.getItem(4).cast("double").alias("balance"),
+        )
+    )
+
+
+def _drain(spark, ind, table, ck):
+    q = (
+        _changes_stream(spark, ind)
+        .writeStream.foreachBatch(table.writer())
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_upsert_stream_merges_and_survives_replay(spark, tmp_path):
+    ind = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    t = UpsertTable(spark, str(tmp_path / "table"), key_col="uid")
+    assert t.current() is None and t.version() == -1
+
+    # batch 0: inserts + an in-batch overwrite (latest seq wins)
+    _write_changes(ind, "c0.csv", [
+        (1, "upsert", 100, 1, 10.0),
+        (2, "upsert", 100, 2, 20.0),
+        (1, "upsert", 100, 3, 11.0),   # same ts, later seq wins
+    ])
+    _drain(spark, ind, t, ck)
+    got = {(r.uid, r.balance) for r in t.current().collect()}
+    assert got == {(1, 11.0), (2, 20.0)}
+    v0 = t.version()
+
+    # batch 1: update, delete, insert
+    _write_changes(ind, "c1.csv", [
+        (1, "upsert", 200, 4, 12.0),
+        (2, "delete", 200, 5, 0.0),
+        (3, "upsert", 200, 6, 30.0),
+    ])
+    _drain(spark, ind, t, ck)
+    got = {(r.uid, r.balance) for r in t.current().collect()}
+    assert got == {(1, 12.0), (3, 30.0)}
+    assert t.version() > v0
+
+    # forced replay of the last batch (commit marker removed, offsets
+    # intact — the crash window Structured Streaming re-delivers):
+    # apply() must skip it, leaving the table byte-identically at the
+    # same version
+    import shutil
+
+    shutil.rmtree(os.path.join(ck, "commits"))  # replay ALL batches
+    v1 = t.version()
+    _drain(spark, ind, t, ck)
+    assert t.version() == v1
+    got = {(r.uid, r.balance) for r in t.current().collect()}
+    assert got == {(1, 12.0), (3, 30.0)}
+
+
+def test_upsert_matches_batch_cdc_core(spark, tmp_path):
+    # stream/batch parity: draining all changes through the sink yields
+    # the same keyed state as one batch latest-change merge
+    ind = str(tmp_path / "in")
+    rows = [
+        (1, "upsert", 100, 1, 5.0),
+        (2, "upsert", 110, 2, 6.0),
+        (1, "delete", 120, 3, 0.0),
+        (3, "upsert", 130, 4, 7.0),
+        (2, "upsert", 140, 5, 8.0),
+        (1, "upsert", 150, 6, 9.0),
+    ]
+    # two files → (usually) two micro-batches in arrival order
+    _write_changes(ind, "a.csv", rows[:3])
+    _write_changes(ind, "b.csv", rows[3:])
+    t = UpsertTable(spark, str(tmp_path / "table"), key_col="uid")
+    _drain(spark, ind, t, str(tmp_path / "ck"))
+
+    batch = spark.createDataFrame(
+        rows, "uid long, op string, ts long, seq long, balance double"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("uid").orderBy(F.desc("ts"), F.desc("seq"))
+    expect = {
+        (r.uid, r.balance)
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .collect()
+    }
+    got = {(r.uid, r.balance) for r in t.current().collect()}
+    assert got == expect == {(1, 9.0), (2, 8.0), (3, 7.0)}
+
+
+def test_upsert_stale_cross_batch_changes_ignored(spark, tmp_path):
+    """Order-awareness: a later micro-batch carrying an OLDER change
+    (out-of-order capture) must not overwrite fresher stored state —
+    stale upserts and stale deletes are both no-ops."""
+    ind = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    t = UpsertTable(spark, str(tmp_path / "table"), key_col="uid")
+
+    _write_changes(ind, "c0.csv", [(1, "upsert", 200, 1, 10.0)])
+    _drain(spark, ind, t, ck)
+    _write_changes(ind, "c1.csv", [
+        (1, "upsert", 100, 2, 99.0),   # stale upsert: ignored
+        (1, "delete", 150, 3, 0.0),    # stale delete: ignored
+        (2, "upsert", 100, 4, 5.0),    # fresh insert for a new key
+    ])
+    _drain(spark, ind, t, ck)
+    got = {(r.uid, r.balance) for r in t.current().collect()}
+    assert got == {(1, 10.0), (2, 5.0)}
