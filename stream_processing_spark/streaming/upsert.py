@@ -124,8 +124,14 @@ class UpsertTable:
                 )
             )
             take = (F.col("op") == "upsert") & newer
+            # NULL-safe: cur-only rows have op IS NULL, and
+            # ~(NULL AND x) is NULL, which WHERE would silently drop —
+            # the delete predicate must collapse three-valued logic
+            drop = F.coalesce(
+                (F.col("op") == "delete") & newer, F.lit(False)
+            )
             merged = (
-                j.where(~((F.col("op") == "delete") & newer))
+                j.where(~drop)
                 .select(
                     F.coalesce(self.key_col, "__k").alias(self.key_col),
                     *[
@@ -159,3 +165,41 @@ class UpsertTable:
             self.apply(batch_df, batch_id)
 
         return write
+
+    # -- retention / time travel --------------------------------------
+    def versions(self) -> list[int]:
+        """All retained snapshot batch ids, ascending."""
+        out = []
+        for d in os.listdir(self.path):
+            if d.startswith("v-"):
+                try:
+                    out.append(int(d[2:]))
+                except ValueError:  # pragma: no cover - foreign dir
+                    pass
+        return sorted(out)
+
+    def read_version(self, batch_id: int) -> DataFrame:
+        """Time-travel read of a retained snapshot."""
+        d = self._snapshot_dir(batch_id)
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"snapshot v-{batch_id} not retained (have "
+                f"{self.versions()}); raise vacuum keep_last"
+            )
+        return self.spark.read.parquet(d)
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots (never the
+        current one); returns the batch ids removed. Old snapshots are
+        pure storage once the pointer moved — retention is a time-travel
+        window, not a correctness need."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        cur = self.version()
+        drop = [v for v in vs[:-keep_last] if v != cur]
+        for v in drop:
+            shutil.rmtree(self._snapshot_dir(v))
+        return drop

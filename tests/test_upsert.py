@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from stream_processing_spark.streaming.upsert import UpsertTable
@@ -142,3 +143,77 @@ def test_upsert_stale_cross_batch_changes_ignored(spark, tmp_path):
     _drain(spark, ind, t, ck)
     got = {(r.uid, r.balance) for r in t.current().collect()}
     assert got == {(1, 10.0), (2, 5.0)}
+
+
+def test_upsert_versions_time_travel_and_vacuum(spark, tmp_path):
+    ind, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    t = UpsertTable(spark, str(tmp_path / "table"), key_col="uid")
+    for i, rows in enumerate([
+        [(1, "upsert", 100, 1, 1.0)],
+        [(1, "upsert", 200, 2, 2.0)],
+        [(2, "upsert", 300, 3, 3.0)],
+    ]):
+        _write_changes(ind, f"c{i}.csv", rows)
+        _drain(spark, ind, t, ck)
+    vs = t.versions()
+    assert len(vs) == 3 and t.version() == vs[-1]
+    # time travel: the middle snapshot predates key 2
+    mid = {(r.uid, r.balance) for r in t.read_version(vs[1]).collect()}
+    assert mid == {(1, 2.0)}
+    dropped = t.vacuum(keep_last=1)
+    assert dropped == vs[:-1]
+    assert t.versions() == [vs[-1]]
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.read_version(vs[0])
+    # current() still serves after vacuum
+    assert {(r.uid, r.balance) for r in t.current().collect()} == {
+        (1, 2.0), (2, 3.0),
+    }
+
+
+def test_upsert_apply_property_random_batch_splits(spark):
+    """Property: applying ANY change sequence in ANY batch partitioning
+    yields the same keyed state as one global latest-change-per-key
+    merge — the applier is associative over batch boundaries."""
+    import random
+    import tempfile
+
+    rng = random.Random(42)
+    for case in range(12):
+        n_keys = rng.randint(1, 4)
+        changes = []
+        for seq in range(rng.randint(1, 12)):
+            changes.append((
+                rng.randint(1, n_keys),
+                rng.choice(["upsert", "upsert", "delete"]),
+                rng.randint(1, 5) * 100,   # coarse ts → real ties
+                seq,                        # unique tie-break
+                float(rng.randint(1, 99)),
+            ))
+        # random batch split
+        cuts = sorted(rng.sample(range(len(changes)), rng.randint(0, min(3, len(changes) - 1))) if len(changes) > 1 else [])
+        batches, prev = [], 0
+        for c in cuts:
+            if c > prev:
+                batches.append(changes[prev:c]); prev = c
+        batches.append(changes[prev:])
+
+        t = UpsertTable(
+            spark, tempfile.mkdtemp(prefix="upsert_prop_"), key_col="uid"
+        )
+        schema = "uid long, op string, ts long, seq long, balance double"
+        for i, b in enumerate(batches):
+            t.apply(spark.createDataFrame(b, schema), i)
+
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("uid").orderBy(F.desc("ts"), F.desc("seq"))
+        expect = {
+            (r.uid, r.balance)
+            for r in spark.createDataFrame(changes, schema)
+            .withColumn("rn", F.row_number().over(w))
+            .where((F.col("rn") == 1) & (F.col("op") != "delete"))
+            .collect()
+        }
+        got = {(r.uid, r.balance) for r in (t.current() or spark.createDataFrame([], schema)).collect()}
+        assert got == expect, (case, changes, cuts, got, expect)
