@@ -52,3 +52,59 @@ def pipe_syntax_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(p AS DOUBLE) AS sum_price
         """
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey,
+       CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM {customer} c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register(
+    "lateral_top2_orders_per_customer",
+    _LATERAL_SQL.format(customer="customer", orders="orders"),
+    doc="Correlated LATERAL subquery: each BUILDING customer's top-2 "
+    "orders by price (deterministic tie-break). Catalyst decorrelates "
+    "this into the same ranked-window/join shape as "
+    "window_top3_orders_per_customer — the point of the entry is that "
+    "the CORRELATED spelling, which users write naturally, reaches an "
+    "identical distributed plan rather than a per-customer nested "
+    "loop. Identical SQL runs on both engines.",
+)
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        _LATERAL_SQL.format(customer="lat_customer", orders="lat_orders")
+    )
+
+
+_GBA_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+FROM {orders}
+GROUP BY ALL
+"""
+
+
+@register(
+    "group_by_all_status_priority",
+    _GBA_SQL.format(orders="orders"),
+    doc="GROUP BY ALL (Spark 4 / DuckDB shared dialect): every "
+    "non-aggregate select item becomes a grouping key — the "
+    "resilient-to-refactor spelling analysts actually use. Same "
+    "aggregate discipline as everywhere (decimal-cast sums).",
+)
+def group_by_all_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gba_orders")
+    return spark.sql(_GBA_SQL.format(orders="gba_orders"))
