@@ -540,3 +540,96 @@ def test_stateful_sessions_late_event_merges_into_held_session(
         ("1", t10, t10 + 20 * m + 30 * m, 2),
         ("1", noon, noon + 30 * m, 1),
     }, got
+
+
+def test_stateful_sessions_randomized_batch_split_parity(spark, tmp_path):
+    """Property-style hardening of the finality rewrite: 40 keys x
+    random event sets, randomly split across three micro-batches in
+    random arrival order (all admissible under a 10-day watermark) —
+    the drained session set must equal the batch gaps-and-islands
+    computation for EVERY key, regardless of how events interleaved
+    across batches."""
+    import random
+    import time
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_spark.streaming.stateful import (
+        stateful_event_sessions,
+    )
+
+    rng = random.Random(7)
+    base = 1704103200000  # 2024-01-01 10:00 UTC ms
+    gap_ms = 1800 * 1000
+    events = []  # (key, ts_ms)
+    for k in range(40):
+        for _ in range(rng.randint(1, 8)):
+            events.append((k, base + rng.randint(0, 36) * 10 * 60_000))
+    anchor_key, anchor_ts = 999, base + 40 * 86_400_000  # ripens all
+    rng.shuffle(events)
+    cut1, cut2 = len(events) // 3, 2 * len(events) // 3
+    batches = [events[:cut1], events[cut1:cut2],
+               events[cut2:] + [(anchor_key, anchor_ts)]]
+
+    d = tmp_path / "src"
+    d.mkdir()
+
+    def _write(name, rows):
+        spark.createDataFrame(
+            [(k, ts) for k, ts in rows], "user_id long, ms long"
+        ).select(
+            "user_id", F.timestamp_millis(F.col("ms")).alias("ts")
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import glob
+        import shutil
+
+        src = glob.glob(str(tmp_path / name / "part-*.parquet"))[0]
+        shutil.copy(src, str(d / f"{name}.parquet"))
+
+    for i, b in enumerate(batches):
+        _write(f"b{i}", b)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    src = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("ts", "10 days")
+        .select(F.col("user_id").cast("string").alias("key"), "ts")
+    )
+    sess = stateful_event_sessions(src, gap_sec=1800)
+    name = f"t{_uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+    got = {
+        (r.key, r.start_ms, r.end_ms, r.n_events)
+        for r in spark.table(name).collect()
+    }
+
+    # batch gaps-and-islands oracle in plain python
+    expect = set()
+    per_key: dict[int, list[int]] = {}
+    for k, ts in events:
+        per_key.setdefault(k, []).append(ts)
+    for k, tss in per_key.items():
+        blocks = []
+        for t in sorted(tss):
+            if blocks and t - blocks[-1][1] <= gap_ms:
+                s, l, n = blocks[-1]
+                blocks[-1] = (s, max(l, t), n + 1)
+            else:
+                blocks.append((t, t, 1))
+        for s, l, n in blocks:
+            expect.add((str(k), s, l + gap_ms, n))
+    # the anchor key's own open session is (correctly) withheld
+    assert got == expect, (
+        len(got), len(expect), got.symmetric_difference(expect),
+    )
