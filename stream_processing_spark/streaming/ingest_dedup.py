@@ -1,0 +1,163 @@
+"""Streaming incremental near-dup ingest: a running MinHash-LSH corpus.
+
+The batch flagships cover near-dup detection over a static corpus
+(functions/dedup.py) and one day-slice against a static corpus
+(llmops.dedup_incremental_new_vs_corpus). This module is the RUNNING
+form — the shape a production ingest pipeline actually operates:
+
+  new documents stream in → each micro-batch computes shingle MinHash
+  signatures and banded LSH buckets for ITS docs only → candidate
+  pairs = (within-batch self-join) ∪ (batch × the accumulated corpus
+  bands) → both the pairs and the batch's bands are written
+  idempotently → the corpus grows by exactly the batch's bands.
+
+Cost model per batch (the reason this scales): signatures/buckets are
+computed ONLY for new docs; the corpus side is an append-only parquet
+table joined by (band, sig) — O(new × collisions) work per batch, the
+corpus never re-self-joins (same asymmetry as the batch incremental
+query, now with the corpus maintained by the stream itself).
+
+Exactly-once under replay: both outputs are partitioned by
+``__batch_id`` and written with dynamic partition overwrite (the
+sinks.py idempotent pattern), and the corpus side of the cross join
+reads only partitions ``__batch_id < current`` — so a replayed batch
+neither duplicates pairs nor joins against its own half-written bands.
+
+Discovery invariant (tested): every unordered candidate pair is
+emitted in EXACTLY one batch — the batch in which its later member
+arrived (same-batch pairs in the self-join branch, cross-batch pairs
+in the corpus branch) — and the union over batches equals the batch
+``lsh_candidate_pairs`` over the full corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stream_processing_spark.functions import dedup as dd
+
+
+def band_buckets(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, sig) LSH buckets — the exact band spelling of
+    functions/dedup.lsh_candidate_pairs, exposed so the streaming
+    corpus stores the same buckets the batch path joins on."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
+class StreamingIngestDedup:
+    """foreachBatch driver for the running corpus. Outputs under
+    ``state_dir``: ``bands/`` (the corpus, partitioned by __batch_id)
+    and ``pairs/`` (candidate pairs, partitioned by __batch_id)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        shingle_n: int = 3,
+        k: int = 8,
+        bands: int = 4,
+        rows_per_band: int = 2,
+    ):
+        self.spark = spark
+        self.bands_path = os.path.join(state_dir, "bands")
+        self.pairs_path = os.path.join(state_dir, "pairs")
+        self.shingle_n = shingle_n
+        self.k = k
+        self.bands = bands
+        self.rows_per_band = rows_per_band
+
+    def _corpus_before(self, batch_id: int) -> DataFrame | None:
+        """Bands of all FULLY COMMITTED earlier batches (partition
+        pruning keeps a replayed batch from seeing its own leftovers)."""
+        try:
+            c = self.spark.read.parquet(self.bands_path)
+        except Exception:  # first batch: no corpus yet
+            return None
+        return c.where(F.col("__batch_id") < batch_id)
+
+    def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        sh = dd.shingles(
+            batch_df.select("doc_id", "text"), n=self.shingle_n
+        )
+        sigs = dd.minhash_signatures(sh, k=self.k)
+        new_b = band_buckets(
+            sigs, bands=self.bands, rows_per_band=self.rows_per_band
+        ).localCheckpoint(eager=True)  # feeds 3 branches below
+
+        # within-batch pairs (doc_a < doc_b, like the batch path)
+        a = new_b.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+        b = new_b.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+        within = (
+            a.join(b, ["band", "sig"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        corpus = self._corpus_before(batch_id)
+        if corpus is not None:
+            cross = (
+                corpus.select(
+                    F.col("doc_id").alias("doc_a"), "band", "sig"
+                )
+                .join(
+                    new_b.select(
+                        F.col("doc_id").alias("doc_b"), "band", "sig"
+                    ),
+                    ["band", "sig"],
+                )
+                .select("doc_a", "doc_b")
+            )
+            pairs = within.unionByName(cross)
+        else:
+            pairs = within
+        # canonical unordered orientation + distinct across bands
+        pairs = (
+            pairs.select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+            .distinct()
+        )
+        for df, path in ((pairs, self.pairs_path), (new_b, self.bands_path)):
+            (
+                df.withColumn("__batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(path)
+            )
+
+    def writer(self):
+        def write(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply(batch_df, batch_id)
+
+        return write
+
+    # -- readbacks ----------------------------------------------------
+    def corpus_bands(self) -> DataFrame:
+        return self.spark.read.parquet(self.bands_path).drop("__batch_id")
+
+    def candidate_pairs(self) -> DataFrame:
+        return self.spark.read.parquet(self.pairs_path).drop("__batch_id")
