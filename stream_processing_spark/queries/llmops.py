@@ -1370,3 +1370,58 @@ def curation_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.union(branch)
     return out.orderBy("stage")
+
+
+_SIM_QUERY_DOC = 0
+_SIM_TOPK = 10
+
+_sim_hashes = ", ".join(f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(8))
+_sim_agree = " + ".join(
+    f"(CASE WHEN q.h{s} = c.h{s} THEN 1 ELSE 0 END)" for s in range(8)
+)
+
+
+@register(
+    "similar_docs_minhash_topk",
+    _SHINGLE_SQL
+    + f""", sigs AS (SELECT doc_id, {_sim_hashes} FROM shingles GROUP BY doc_id),
+    q AS (SELECT * FROM sigs WHERE doc_id = {_SIM_QUERY_DOC})
+    SELECT c.doc_id,
+           CAST(({_sim_agree}) AS BIGINT) AS n_agree,
+           ROUND(({_sim_agree}) / 8.0, 6) AS est_jaccard
+    FROM sigs c, q
+    WHERE c.doc_id <> {_SIM_QUERY_DOC}
+    ORDER BY n_agree DESC, c.doc_id
+    LIMIT {_SIM_TOPK}
+    """,
+    doc=f"Lexical similar-document retrieval: top-{_SIM_TOPK} docs by "
+    "MinHash signature agreement with the query doc (agreeing "
+    "positions / k estimates Jaccard — the Broder estimator). The "
+    "query signature is one broadcast row; candidates are scored "
+    "map-side and TakeOrderedAndProject keeps k, so the corpus is "
+    "scanned once with no self-join — the point query that complements "
+    "the corpus-wide pair queries (dedup_lsh_candidates) and the "
+    "embedding-space ANN tier (ann_*_topk) with a lexical metric.",
+)
+def similar_docs_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(dd.shingles(docs, n=3, distinct=False), k=8)
+    sigs = sigs.localCheckpoint(eager=False)  # query row + candidates
+    q = sigs.where(F.col("doc_id") == _SIM_QUERY_DOC).select(
+        *[F.col(f"h{s}").alias(f"q{s}") for s in range(8)]
+    )
+    agree = None
+    for s in range(8):
+        term = F.when(F.col(f"h{s}") == F.col(f"q{s}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        sigs.where(F.col("doc_id") != _SIM_QUERY_DOC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            agree.cast("bigint").alias("n_agree"),
+            F.round(agree / F.lit(8.0), 6).alias("est_jaccard"),
+        )
+        .orderBy(F.desc("n_agree"), F.asc("doc_id"))
+        .limit(_SIM_TOPK)
+    )
