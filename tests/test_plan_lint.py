@@ -42,6 +42,7 @@ CROSS_OK = {
     "association_rules_parts",    # 1-row order-count scalar broadcast
     "contrastive_triplets",       # 1-row corpus-count scalar broadcast
     "user_profile_similarity",    # 1-row query-profile broadcast
+    "similar_docs_minhash_topk",  # 1-row query-signature broadcast
     "q11_important_part_values",  # 1-row global-threshold scalar broadcast
 }
 
