@@ -89,7 +89,13 @@ _STATE_PARTITIONS = 32
 
 def _run_drained(writer, spark: SparkSession):
     """Start `writer` under the pinned state-partition count, drain it
-    (availableNow), and raise if it hangs."""
+    (availableNow), and raise if it hangs.
+
+    The pin-set/start/restore window mutates a session conf, so
+    CONCURRENT query starts on one session could observe each other's
+    pin. Registry queries run sequentially (driver contract); a caller
+    who wants concurrent starts should start each query from its own
+    spark.newSession()."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     spark.conf.set(key, str(_STATE_PARTITIONS))
