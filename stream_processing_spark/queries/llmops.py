@@ -1425,3 +1425,62 @@ def similar_docs_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_agree"), F.asc("doc_id"))
         .limit(_SIM_TOPK)
     )
+
+
+# single-hash bands (b=8, r=1): the high-recall OR-construction — right
+# for point-query retrieval, where the 2-hash bands used by the pair
+# pipeline are so precise that a typical query doc probes empty buckets
+_sim_band_match = " OR ".join(f"c.h{s} = q.h{s}" for s in range(8))
+
+
+@register(
+    "similar_docs_lsh_pruned_topk",
+    _SHINGLE_SQL
+    + f""", sigs AS (SELECT doc_id, {_sim_hashes} FROM shingles GROUP BY doc_id),
+    q AS (SELECT * FROM sigs WHERE doc_id = {_SIM_QUERY_DOC})
+    SELECT c.doc_id,
+           CAST(({_sim_agree}) AS BIGINT) AS n_agree,
+           ROUND(({_sim_agree}) / 8.0, 6) AS est_jaccard
+    FROM sigs c, q
+    WHERE c.doc_id <> {_SIM_QUERY_DOC} AND ({_sim_band_match})
+    ORDER BY n_agree DESC, c.doc_id
+    LIMIT {_SIM_TOPK}
+    """,
+    doc=f"The SCALE-PATH twin of similar_docs_minhash_topk: candidates "
+    "are pruned to docs sharing at least one of the query's 8 "
+    "single-hash LSH buckets BEFORE scoring (b=8, r=1 — the "
+    "high-recall OR-construction a point query needs; the pair "
+    "pipeline's 2-hash bands are so precise a typical query probes "
+    "empty buckets). At 100 TB the probe reads 8 bucket postings, not "
+    "the corpus; here the prune is the filter so both engines stay "
+    "identical. Candidates-only semantics: a doc with zero agreeing "
+    "hashes is, by design, not retrieved — the recall/cost dial every "
+    "production LSH retrieval exposes.",
+)
+def similar_docs_lsh_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(dd.shingles(docs, n=3, distinct=False), k=8)
+    banded = sigs.localCheckpoint(eager=False)
+    q = banded.where(F.col("doc_id") == _SIM_QUERY_DOC).select(
+        *[F.col(f"h{s}").alias(f"q{s}") for s in range(8)],
+    )
+    band_match = None
+    for s in range(8):
+        m = F.col(f"h{s}") == F.col(f"q{s}")
+        band_match = m if band_match is None else band_match | m
+    agree = None
+    for s in range(8):
+        term = F.when(F.col(f"h{s}") == F.col(f"q{s}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        banded.where(F.col("doc_id") != _SIM_QUERY_DOC)
+        .crossJoin(F.broadcast(q))
+        .where(band_match)
+        .select(
+            "doc_id",
+            agree.cast("bigint").alias("n_agree"),
+            F.round(agree / F.lit(8.0), 6).alias("est_jaccard"),
+        )
+        .orderBy(F.desc("n_agree"), F.asc("doc_id"))
+        .limit(_SIM_TOPK)
+    )

@@ -43,6 +43,7 @@ CROSS_OK = {
     "contrastive_triplets",       # 1-row corpus-count scalar broadcast
     "user_profile_similarity",    # 1-row query-profile broadcast
     "similar_docs_minhash_topk",  # 1-row query-signature broadcast
+    "similar_docs_lsh_pruned_topk",  # 1-row query-signature broadcast
     "q11_important_part_values",  # 1-row global-threshold scalar broadcast
 }
 
