@@ -172,6 +172,37 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, sig) LSH band buckets — THE band spelling (md5 over
+    '|'-joined row hashes). Single source of truth: the pair join
+    (lsh_candidate_pairs) and the streaming ingest corpus
+    (streaming/ingest_dedup.py) both derive buckets from here, so a
+    future change cannot silently break stream/batch parity."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame,
     bands: int = 4,
@@ -193,15 +224,9 @@ def lsh_candidate_pairs(
     the bucket-size count runs as a window over the same (band, sig)
     partitioning the join shuffles on — no extra exchange.
     """
-    band_cols = []
-    for b in range(bands):
-        hs = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *hs)).alias("sig"))
-        )
-    buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    buckets = band_buckets(
+        sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col
+    )
     if max_bucket is not None:
         from pyspark.sql.window import Window
 

@@ -1128,9 +1128,12 @@ _VOCAB_K = 1000
 )
 def vocab_oov_rate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the explode once: it feeds BOTH the vocab aggregation
+    # and the probe side of the join (an unshared subtree would scan +
+    # explode the corpus twice)
     tok = docs.select(
         "source", F.explode(F.split("text", " ")).alias("t")
-    )
+    ).localCheckpoint(eager=False)
     vocab = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))

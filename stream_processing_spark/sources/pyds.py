@@ -203,23 +203,26 @@ class _LineTailStreamReader(DataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("linetail requires a path")
-        if any(c in self._path for c in "*?["):
-            raise ValueError(
-                f"linetail streaming tails ONE file; {self._path!r} is a "
-                "glob (globs are batch-read only — stream each file with "
-                "its own query, or spool into a directory for the file "
-                "source)"
-            )
-        if not os.path.exists(self._path) and options.get(
-            "allow_missing", "false"
-        ).lower() != "true":
-            # a typo'd path would otherwise tail an empty stream forever,
-            # looking healthy while reading nothing; tail -F-style
-            # wait-for-creation is available explicitly
-            raise FileNotFoundError(
-                f"linetail source {self._path!r} does not exist; pass "
-                "option('allow_missing', 'true') to wait for it to appear"
-            )
+        if not os.path.exists(self._path):
+            # an existing path is a concrete file regardless of what
+            # characters its name contains ('[', '?', '*' are legal on
+            # POSIX) — only probe for glob intent when nothing exists
+            if any(c in self._path for c in "*?["):
+                raise ValueError(
+                    f"linetail streaming tails ONE file; {self._path!r} "
+                    "looks like a glob (globs are batch-read only — "
+                    "stream each file with its own query, or spool into "
+                    "a directory for the file source)"
+                )
+            if options.get("allow_missing", "false").lower() != "true":
+                # a typo'd path would otherwise tail an empty stream
+                # forever, looking healthy while reading nothing;
+                # tail -F-style wait-for-creation is available explicitly
+                raise FileNotFoundError(
+                    f"linetail source {self._path!r} does not exist; "
+                    "pass option('allow_missing', 'true') to wait for "
+                    "it to appear"
+                )
         self._split_bytes = int(options.get("split_bytes", 32 * 1024 * 1024))
         self._last = 0  # monotonicity guard within this reader's life
 

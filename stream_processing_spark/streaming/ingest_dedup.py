@@ -38,33 +38,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stream_processing_spark.functions import dedup as dd
-
-
-def band_buckets(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 2,
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """(id, band, sig) LSH buckets — the exact band spelling of
-    functions/dedup.lsh_candidate_pairs, exposed so the streaming
-    corpus stores the same buckets the batch path joins on."""
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
-    return sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+from stream_processing_spark.functions.dedup import band_buckets  # noqa: F401
+# band_buckets lives in functions/dedup.py (single source of truth for
+# the band/sig spelling — lsh_candidate_pairs builds its buckets from
+# the same helper, so stream/batch pair parity is by construction)
 
 
 class StreamingIngestDedup:
@@ -91,11 +68,14 @@ class StreamingIngestDedup:
 
     def _corpus_before(self, batch_id: int) -> DataFrame | None:
         """Bands of all FULLY COMMITTED earlier batches (partition
-        pruning keeps a replayed batch from seeing its own leftovers)."""
-        try:
-            c = self.spark.read.parquet(self.bands_path)
-        except Exception:  # first batch: no corpus yet
-            return None
+        pruning keeps a replayed batch from seeing its own leftovers).
+        Only a genuinely ABSENT corpus means "first batch" — any real
+        read error must propagate and fail the batch (Spark retries),
+        or every cross-batch pair of this batch would be silently and
+        permanently lost."""
+        if not os.path.isdir(self.bands_path):
+            return None  # first batch: no corpus yet
+        c = self.spark.read.parquet(self.bands_path)
         return c.where(F.col("__batch_id") < batch_id)
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:

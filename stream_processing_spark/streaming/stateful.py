@@ -17,7 +17,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 COUNT_SCHEMA = StructType(
     [StructField("key", StringType()), StructField("cnt", LongType())]
@@ -126,8 +132,6 @@ SESSION_SCHEMA = StructType(
         StructField("n_events", LongType()),
     ]
 )
-from pyspark.sql.types import ArrayType
-
 _SESSION_STATE_SCHEMA = StructType(
     [
         StructField("ss", ArrayType(LongType())),
@@ -151,12 +155,11 @@ def stateful_event_sessions(
     silent; the state-store timer is strictly more expressive than
     framework.py's dict contract).
 
-    Per key the state is (session_start, last_event, count). A new
-    event within ``gap_sec`` of the last extends the session; beyond
-    it, the finished session is emitted IN-BATCH and a new one starts.
-    After each batch the timeout timer is armed at last + gap: when the
-    global watermark passes that instant (strictly — pinned by test)
-    the session is emitted from the TIMEOUT branch and state cleared.
+    Per key the state is a LIST of (start, last, count) blocks — every
+    session not yet provably final. New events merge into blocks by the
+    gap rule; after each invocation the timeout timer is armed at the
+    earliest pending end, and a block is emitted (input branch or
+    TIMEOUT branch) only when the watermark strictly passes its end.
     session_end = last + gap, matching ``session_window``.
 
     APPEND-MODE FINALITY (round-5 review fix): an emitted row can never

@@ -16,10 +16,16 @@ its own output. The table is therefore VERSIONED:
   protocol);
 - ``<path>/_VERSION`` is a tiny pointer file (``<batch_id>``) moved
   into place with an atomic rename AFTER the snapshot commit;
-- ``apply`` SKIPS any batch_id <= the pointer (the replay fast-path:
-  Spark re-delivers at most the last batch after a crash), and a crash
-  between snapshot write and pointer rename simply rewrites the same
-  snapshot on replay.
+- ``apply`` SKIPS a re-delivered batch_id == the pointer (Spark's
+  crash window re-delivers at most the LAST batch; a crash between
+  snapshot write and pointer rename simply rewrites the same
+  snapshot), and REFUSES batch ids below the pointer — that shape
+  means a fresh checkpoint was pointed at an existing table, where
+  silently skipping would discard new data (``allow_full_replay=True``
+  opts into deliberate full re-drains);
+- deletes persist as TOMBSTONES (``__deleted`` rows keeping their
+  (ts, seq)) so stale out-of-order upserts cannot resurrect deleted
+  keys.
 
 Full-snapshot-per-batch is the local-parquet spelling; on a lakehouse
 table format the same ``apply`` body becomes a transactional MERGE and
@@ -46,10 +52,17 @@ class UpsertTable:
     (latest change per key wins; ``seq`` breaks ts ties), and the
     payload columns."""
 
-    def __init__(self, spark: SparkSession, path: str, key_col: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        allow_full_replay: bool = False,
+    ):
         self.spark = spark
         self.path = path
         self.key_col = key_col
+        self.allow_full_replay = allow_full_replay
         os.makedirs(path, exist_ok=True)
         self._pointer = os.path.join(path, "_VERSION")
 
@@ -65,11 +78,19 @@ class UpsertTable:
     def _snapshot_dir(self, batch_id: int) -> str:
         return os.path.join(self.path, f"v-{batch_id:010d}")
 
-    def current(self) -> DataFrame | None:
+    def _raw(self) -> DataFrame | None:
+        """Full snapshot INCLUDING tombstones (merge input)."""
         v = self.version()
         if v < 0:
             return None
         return self.spark.read.parquet(self._snapshot_dir(v))
+
+    def current(self) -> DataFrame | None:
+        """Live rows of the current snapshot (tombstones filtered)."""
+        raw = self._raw()
+        if raw is None:
+            return None
+        return raw.where(~F.col("__deleted"))
 
     # -- the merge ----------------------------------------------------
     def apply(self, changes: DataFrame, batch_id: int) -> None:
@@ -80,10 +101,31 @@ class UpsertTable:
         STRICTLY newer — a stale cross-batch straggler (or a replayed
         older change) can never overwrite fresher state, the invariant
         a CDC applier must keep once batches can interleave with
-        out-of-order capture."""
+        out-of-order capture. Deletes leave TOMBSTONES (the row stays
+        with __deleted=true and its (ts, seq)): without them, a stale
+        upsert arriving after the delete would see no stored row and
+        resurrect the key — caught by the multi-seed property test.
+        Tombstones persist; compacting them after a retention window is
+        a vacuum-level policy deliberately out of scope here."""
         applied = self.version()
-        if batch_id <= applied:
-            return  # replayed batch: already merged, skip (exactly-once)
+        if batch_id == applied:
+            return  # Spark's crash window re-delivers the LAST batch
+        if batch_id < applied:
+            # a batch id far below the pointer is NOT normal re-delivery
+            # — it means a fresh checkpoint (new query numbering from 0)
+            # was pointed at an existing table; silently skipping would
+            # discard genuinely new change data (the Delta txn pattern
+            # keys idempotence on (appId, batchId) for this reason)
+            if not self.allow_full_replay:
+                raise RuntimeError(
+                    f"batch {batch_id} is below the applied version "
+                    f"{applied}: this table was built by another query/"
+                    "checkpoint. Re-point the new query at a fresh "
+                    "table path, or pass allow_full_replay=True if you "
+                    "are deliberately re-draining the SAME source into "
+                    "the same table (e.g. after wiping the commit log)."
+                )
+            return
         w = Window.partitionBy(self.key_col).orderBy(
             F.desc("ts"), F.desc("seq")
         )
@@ -92,10 +134,10 @@ class UpsertTable:
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        cur = self.current()
+        cur = self._raw()
         if cur is None:
             merged = (
-                latest.where(F.col("op") != "delete")
+                latest.withColumn("__deleted", F.col("op") == "delete")
                 .drop("op")
                 .withColumnRenamed("ts", "__ts")
                 .withColumnRenamed("seq", "__seq")
@@ -104,7 +146,7 @@ class UpsertTable:
             payload = [
                 c
                 for c in cur.columns
-                if c not in (self.key_col, "__ts", "__seq")
+                if c not in (self.key_col, "__ts", "__seq", "__deleted")
             ]
             ch = latest.select(
                 F.col(self.key_col).alias("__k"),
@@ -114,7 +156,9 @@ class UpsertTable:
                 *[F.col(c).alias(f"__new_{c}") for c in payload],
             )
             j = cur.join(ch, cur[self.key_col] == ch["__k"], "full_outer")
-            # newer ⇔ no stored row yet, or change (ts, seq) > stored
+            # newer ⇔ no stored row/tombstone yet, or change (ts, seq) >
+            # stored — tombstones participate, so a stale upsert loses
+            # to a fresher delete
             newer = (
                 F.col("__ts").isNull()
                 | (F.col("__cts") > F.col("__ts"))
@@ -123,34 +167,25 @@ class UpsertTable:
                     & (F.col("__cseq") > F.col("__seq"))
                 )
             )
-            take = (F.col("op") == "upsert") & newer
-            # NULL-safe: cur-only rows have op IS NULL, and
-            # ~(NULL AND x) is NULL, which WHERE would silently drop —
-            # the delete predicate must collapse three-valued logic
-            drop = F.coalesce(
-                (F.col("op") == "delete") & newer, F.lit(False)
-            )
-            merged = (
-                j.where(~drop)
-                .select(
-                    F.coalesce(self.key_col, "__k").alias(self.key_col),
-                    *[
-                        F.when(take, F.col(f"__new_{c}"))
-                        .otherwise(F.col(c))
-                        .alias(c)
-                        for c in payload
-                    ],
-                    F.when(take, F.col("__cts"))
-                    .otherwise(F.col("__ts"))
-                    .alias("__ts"),
-                    F.when(take, F.col("__cseq"))
-                    .otherwise(F.col("__seq"))
-                    .alias("__seq"),
-                )
-                # a delete-of-nonexistent-key row has only change cols
-                # and was filtered by the delete branch above; an
-                # upsert-insert keeps its __k-coalesced key
-                .where(F.col(self.key_col).isNotNull())
+            take = F.coalesce(newer, F.lit(False))  # op rows only below
+            merged = j.select(
+                F.coalesce(self.key_col, "__k").alias(self.key_col),
+                *[
+                    F.when(take & (F.col("op") == "upsert"),
+                           F.col(f"__new_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in payload
+                ],
+                F.when(take, F.col("__cts"))
+                .otherwise(F.col("__ts"))
+                .alias("__ts"),
+                F.when(take, F.col("__cseq"))
+                .otherwise(F.col("__seq"))
+                .alias("__seq"),
+                F.when(take, F.col("op") == "delete")
+                .otherwise(F.coalesce("__deleted", F.lit(False)))
+                .alias("__deleted"),
             )
         merged.write.mode("overwrite").parquet(self._snapshot_dir(batch_id))
         tmp = self._pointer + ".tmp"
@@ -179,14 +214,14 @@ class UpsertTable:
         return sorted(out)
 
     def read_version(self, batch_id: int) -> DataFrame:
-        """Time-travel read of a retained snapshot."""
+        """Time-travel read of a retained snapshot (live rows only)."""
         d = self._snapshot_dir(batch_id)
         if not os.path.isdir(d):
             raise FileNotFoundError(
                 f"snapshot v-{batch_id} not retained (have "
                 f"{self.versions()}); raise vacuum keep_last"
             )
-        return self.spark.read.parquet(d)
+        return self.spark.read.parquet(d).where(~F.col("__deleted"))
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all but the newest ``keep_last`` snapshots (never the
