@@ -194,77 +194,103 @@ def _snap_to_line_end(path: str, size: int) -> int:
 
 
 class _LineTailStreamReader(DataSourceStreamReader):
-    """Tail ONE append-only file; offsets are consumed-prefix byte
-    counts (complete lines only), checkpointed by Spark like any other
-    source offset — the replayable analogue of the reference's
-    seek-to-saved-offset loop (worker.py:503-511)."""
+    """Tail append-only files; offsets are consumed-prefix byte counts
+    (complete lines only), checkpointed by Spark like any other source
+    offset — the replayable analogue of the reference's
+    seek-to-saved-offset loop (worker.py:503-511).
+
+    Two modes by ``path``:
+    - a concrete file → single-file tail (offset dict ``{"offset": n}``);
+    - a GLOB → FLEET tail: every matching file is tailed concurrently
+      under one query, with per-file offsets (``{"files": {path: n}}``)
+      — the reference's actual cluster shape, one growing
+      ``machine.{id}.log`` per node (src/LogQuerier/server.py:30),
+      as ONE streaming source. Files that appear later match the glob
+      and join the fleet from offset 0 (tail -F across a fleet)."""
 
     def __init__(self, options):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("linetail requires a path")
-        if not os.path.exists(self._path):
-            # an existing path is a concrete file regardless of what
-            # characters its name contains ('[', '?', '*' are legal on
-            # POSIX) — only probe for glob intent when nothing exists
-            if any(c in self._path for c in "*?["):
-                raise ValueError(
-                    f"linetail streaming tails ONE file; {self._path!r} "
-                    "looks like a glob (globs are batch-read only — "
-                    "stream each file with its own query, or spool into "
-                    "a directory for the file source)"
-                )
-            if options.get("allow_missing", "false").lower() != "true":
-                # a typo'd path would otherwise tail an empty stream
-                # forever, looking healthy while reading nothing;
-                # tail -F-style wait-for-creation is available explicitly
-                raise FileNotFoundError(
-                    f"linetail source {self._path!r} does not exist; "
-                    "pass option('allow_missing', 'true') to wait for "
-                    "it to appear"
-                )
+        # an existing path is a concrete file regardless of what
+        # characters its name contains ('[', '?', '*' are legal on
+        # POSIX); otherwise glob metachars select fleet mode
+        self._multi = not os.path.exists(self._path) and any(
+            c in self._path for c in "*?["
+        )
+        if (
+            not self._multi
+            and not os.path.exists(self._path)
+            and options.get("allow_missing", "false").lower() != "true"
+        ):
+            # a typo'd path would otherwise tail an empty stream
+            # forever, looking healthy while reading nothing;
+            # tail -F-style wait-for-creation is available explicitly
+            raise FileNotFoundError(
+                f"linetail source {self._path!r} does not exist; "
+                "pass option('allow_missing', 'true') to wait for "
+                "it to appear"
+            )
         self._split_bytes = int(options.get("split_bytes", 32 * 1024 * 1024))
-        self._last = 0  # monotonicity guard within this reader's life
+        self._last: dict[str, int] = {}  # per-file monotonicity guard
 
-    def initialOffset(self) -> dict:
-        return {"offset": 0}
-
-    def latestOffset(self) -> dict:
+    def _snap(self, path: str) -> int:
         try:
-            size = os.path.getsize(self._path)
+            size = os.path.getsize(path)
         except FileNotFoundError:
             size = 0
-        snapped = _snap_to_line_end(self._path, size) if size else 0
-        if snapped < self._last:
+        snapped = _snap_to_line_end(path, size) if size else 0
+        if snapped < self._last.get(path, 0):
             raise RuntimeError(
-                f"{self._path} shrank ({snapped} < {self._last}): the "
-                "linetail source requires an append-only file; rotated "
+                f"{path} shrank ({snapped} < {self._last[path]}): the "
+                "linetail source requires append-only files; rotated "
                 "logs need the epoch-aware FileTailer bridge "
                 "(streaming/tailer.py)"
             )
-        self._last = max(self._last, snapped)
-        return {"offset": snapped}
+        self._last[path] = max(self._last.get(path, 0), snapped)
+        return snapped
 
-    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        s, e = int(start["offset"]), int(end["offset"])
+    def initialOffset(self) -> dict:
+        return {"files": {}} if self._multi else {"offset": 0}
+
+    def latestOffset(self) -> dict:
+        if not self._multi:
+            return {"offset": self._snap(self._path)}
+        return {
+            "files": {f: self._snap(f) for f in sorted(_glob.glob(self._path))}
+        }
+
+    def _file_splits(self, path: str, s: int, e: int) -> list[_Split]:
         if e < s:
-            # a restarted reader has no in-memory _last; the
+            # a restarted reader has no in-memory guard; the
             # checkpointed start exposes the shrink here instead
             raise RuntimeError(
-                f"{self._path} shrank below the checkpointed offset "
-                f"({e} < {s}): the linetail source requires an "
-                "append-only file; rotated logs need the epoch-aware "
-                "FileTailer bridge (streaming/tailer.py)"
+                f"{path} shrank below the checkpointed offset "
+                f"({e} < {s}): the linetail source requires append-only "
+                "files; rotated logs need the epoch-aware FileTailer "
+                "bridge (streaming/tailer.py)"
             )
-        self._last = max(self._last, e)
+        self._last[path] = max(self._last.get(path, 0), e)
         if e == s:
-            return [_Split(self._path, 0, 0)]
+            return []
         # a large catch-up range fans out into parallel splits; the
         # first-byte ownership rule keeps them disjoint and complete
         return [
-            _Split(self._path, s + rs, s + re_)
+            _Split(path, s + rs, s + re_)
             for rs, re_ in _split_ranges(e - s, self._split_bytes)
         ]
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        if "files" in end:
+            prev = start.get("files", {})
+            out: list[_Split] = []
+            for f, e in end["files"].items():
+                out += self._file_splits(f, int(prev.get(f, 0)), int(e))
+            return out or [_Split(self._path, 0, 0)]
+        out = self._file_splits(
+            self._path, int(start["offset"]), int(end["offset"])
+        )
+        return out or [_Split(self._path, 0, 0)]
 
     def read(self, partition: _Split) -> Iterator["object"]:
         if partition.end <= partition.start:

@@ -356,12 +356,14 @@ def test_streamjob_on_linetail_source(registered, tmp_path):
     assert vals == ["BLACK", "BLUE", "RED"]  # delta only, no re-emission
 
 
-def test_stream_reader_rejects_globs_and_typos(registered, tmp_path):
+def test_stream_reader_rejects_typos_allows_globs(registered, tmp_path):
     from stream_processing_spark.sources.pyds import _LineTailStreamReader
 
-    with pytest.raises(ValueError, match="ONE file"):
-        _LineTailStreamReader({"path": str(tmp_path / "*.log")})
-    # a typo'd path must fail loudly, not tail an empty stream forever
+    # a glob selects FLEET mode (per-file offsets), even over no files yet
+    r = _LineTailStreamReader({"path": str(tmp_path / "*.log")})
+    assert r.initialOffset() == {"files": {}}
+    assert r.latestOffset() == {"files": {}}
+    # a typo'd concrete path must fail loudly, not tail empty forever
     with pytest.raises(FileNotFoundError, match="allow_missing"):
         _LineTailStreamReader({"path": str(tmp_path / "nope.log")})
     # explicit tail -F-style wait-for-creation remains available
@@ -369,6 +371,100 @@ def test_stream_reader_rejects_globs_and_typos(registered, tmp_path):
         {"path": str(tmp_path / "later.log"), "allow_missing": "true"}
     )
     assert r.latestOffset() == {"offset": 0}
+
+
+def _drain_fleet(spark, pattern, outd, ck):
+    q = (
+        spark.readStream.format("linetail")
+        .option("path", pattern)
+        .load()
+        .select(
+            F.concat_ws(
+                ":",
+                F.regexp_extract("file", r"([^/]+)$", 1),
+                F.col("offset").cast("string"),
+            ).alias("key"),
+            F.col("value"),
+        )
+        .writeStream.format("linetail")
+        .option("path", outd)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    out = []
+    for fn in sorted(os.listdir(outd)):
+        if fn.startswith("batch-"):
+            with open(os.path.join(outd, fn)) as f:
+                out += [ln for ln in f.read().splitlines() if ln]
+    return sorted(out)
+
+
+def test_stream_fleet_tail_multiple_growing_logs(registered, tmp_path):
+    """The reference's cluster shape — one growing log per machine
+    (src/LogQuerier/server.py:30) — tailed as ONE streaming source:
+    per-file byte offsets, deltas only, late-appearing files join."""
+    spark = registered
+    outd, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    with open(tmp_path / "machine.1.log", "w") as f:
+        f.write("a1" + chr(10) + "a2" + chr(10))
+    with open(tmp_path / "machine.2.log", "w") as f:
+        f.write("b1" + chr(10))
+    pattern = str(tmp_path / "machine.*.log")
+
+    got = _drain_fleet(spark, pattern, outd, ck)
+    assert got == [
+        "machine.1.log:0:a1", "machine.1.log:3:a2", "machine.2.log:0:b1",
+    ]
+
+    # appends to BOTH files + a brand-new machine joining the fleet
+    with open(tmp_path / "machine.1.log", "a") as f:
+        f.write("a3" + chr(10))
+    with open(tmp_path / "machine.2.log", "a") as f:
+        f.write("b2" + chr(10))
+    with open(tmp_path / "machine.3.log", "w") as f:
+        f.write("c1" + chr(10))
+    got = _drain_fleet(spark, pattern, outd, ck)
+    assert got == [
+        "machine.1.log:0:a1", "machine.1.log:3:a2", "machine.1.log:6:a3",
+        "machine.2.log:0:b1", "machine.2.log:3:b2",
+        "machine.3.log:0:c1",
+    ]
+
+
+def test_streaming_grep_over_fleet(registered, tmp_path):
+    """Live distributed grep: the LogQuerier query surface (G1/G2) over
+    GROWING logs — fleet tail + the engine's grep pattern compiler as a
+    streaming filter, counts by source file."""
+    import uuid as _uuid
+
+    from stream_processing_spark.sources.grep import compile_pattern
+
+    spark = registered
+    for i, lines in [(1, ["GET /a 200", "GET /b 500"]),
+                     (2, ["GET /c 500", "GET /d 200", "POST /e 500"])]:
+        with open(tmp_path / f"m{i}.log", "w") as f:
+            f.write(chr(10).join(lines) + chr(10))
+    src = (
+        spark.readStream.format("linetail")
+        .option("path", str(tmp_path / "m*.log"))
+        .load()
+        .where(F.col("value").rlike(compile_pattern(" 500$")))
+        .groupBy(F.regexp_extract("file", r"([^/]+)$", 1).alias("machine"))
+        .count()
+    )
+    name = f"g{_uuid.uuid4().hex[:8]}"
+    q = (
+        src.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.machine, r['count']) for r in spark.table(name).collect()}
+    assert got == {("m1.log", 1), ("m2.log", 2)}
 
 
 def test_streamjob_tail_rejects_file_trigger_option(registered, tmp_path):
