@@ -57,32 +57,40 @@ class StreamingIngestDedup:
         k: int = 8,
         bands: int = 4,
         rows_per_band: int = 2,
+        min_agree: int = 0,
     ):
         self.spark = spark
         self.bands_path = os.path.join(state_dir, "bands")
+        self.sigs_path = os.path.join(state_dir, "sigs")
         self.pairs_path = os.path.join(state_dir, "pairs")
         self.shingle_n = shingle_n
         self.k = k
         self.bands = bands
         self.rows_per_band = rows_per_band
+        # >= min_agree of k signature positions must match for a pair
+        # to be emitted (the batch flagship verifies at 6/8); 0 keeps
+        # every candidate, scored
+        self.min_agree = min_agree
 
-    def _corpus_before(self, batch_id: int) -> DataFrame | None:
-        """Bands of all FULLY COMMITTED earlier batches (partition
+    def _read_before(self, path: str, batch_id: int) -> DataFrame | None:
+        """Rows of all FULLY COMMITTED earlier batches (partition
         pruning keeps a replayed batch from seeing its own leftovers).
-        Only a genuinely ABSENT corpus means "first batch" — any real
+        Only a genuinely ABSENT table means "first batch" — any real
         read error must propagate and fail the batch (Spark retries),
         or every cross-batch pair of this batch would be silently and
         permanently lost."""
-        if not os.path.isdir(self.bands_path):
+        if not os.path.isdir(path):
             return None  # first batch: no corpus yet
-        c = self.spark.read.parquet(self.bands_path)
+        c = self.spark.read.parquet(path)
         return c.where(F.col("__batch_id") < batch_id)
 
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
         sh = dd.shingles(
             batch_df.select("doc_id", "text"), n=self.shingle_n
         )
-        sigs = dd.minhash_signatures(sh, k=self.k)
+        sigs = dd.minhash_signatures(sh, k=self.k).localCheckpoint(
+            eager=True
+        )  # bands + verification + persistence
         new_b = band_buckets(
             sigs, bands=self.bands, rows_per_band=self.rows_per_band
         ).localCheckpoint(eager=True)  # feeds 3 branches below
@@ -95,7 +103,7 @@ class StreamingIngestDedup:
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
         )
-        corpus = self._corpus_before(batch_id)
+        corpus = self._read_before(self.bands_path, batch_id)
         if corpus is not None:
             cross = (
                 corpus.select(
@@ -120,7 +128,43 @@ class StreamingIngestDedup:
             )
             .distinct()
         )
-        for df, path in ((pairs, self.pairs_path), (new_b, self.bands_path)):
+        # VERIFY: score each candidate by signature agreement (the
+        # batch flagship's estimator). Signatures come from this batch
+        # plus the persisted corpus sigs — both sides of every pair are
+        # guaranteed present (a pair's members arrived in this batch or
+        # an earlier committed one)
+        corpus_sigs = self._read_before(self.sigs_path, batch_id)
+        all_sigs = (
+            sigs if corpus_sigs is None
+            else sigs.unionByName(corpus_sigs.drop("__batch_id"))
+        )
+        sa = all_sigs.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"h{s}").alias(f"a{s}") for s in range(self.k)],
+        )
+        sb = all_sigs.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"h{s}").alias(f"b{s}") for s in range(self.k)],
+        )
+        agree = None
+        for s_ in range(self.k):
+            t = F.when(F.col(f"a{s_}") == F.col(f"b{s_}"), 1).otherwise(0)
+            agree = t if agree is None else agree + t
+        pairs = (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("n_agree", agree.cast("bigint"))
+            .where(F.col("n_agree") >= self.min_agree)
+            .withColumn(
+                "est_jaccard", F.round(F.col("n_agree") / self.k, 6)
+            )
+            .select("doc_a", "doc_b", "n_agree", "est_jaccard")
+        )
+        for df, path in (
+            (pairs, self.pairs_path),
+            (new_b, self.bands_path),
+            (sigs, self.sigs_path),
+        ):
             (
                 df.withColumn("__batch_id", F.lit(batch_id))
                 .write.mode("overwrite")

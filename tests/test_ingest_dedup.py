@@ -83,6 +83,21 @@ def test_streaming_ingest_matches_batch_lsh(spark, tmp_path):
     assert len(stream_pairs_rows) == len(stream_pairs), "pair emitted twice"
     assert batch_pairs, "fixture produced no candidate pairs"
 
+    # verification scores match the batch estimator (signature
+    # agreement / k) for every pair
+    sigs_all = dd.minhash_signatures(dd.shingles(docs, n=3), k=8)
+    sig_map = {
+        r.doc_id: tuple(r[f"h{s}"] for s in range(8))
+        for r in sigs_all.collect()
+    }
+    for r in stream_pairs_rows:
+        want = sum(
+            1 for x, y in zip(sig_map[r.doc_a], sig_map[r.doc_b]) if x == y
+        )
+        assert r.n_agree == want and abs(
+            r.est_jaccard - round(want / 8, 6)
+        ) < 1e-9, (r, want)
+
     # full replay (commit log wiped, offsets intact): every batch
     # re-applies via dynamic partition overwrite — byte-stable outputs
     shutil.rmtree(os.path.join(ck, "commits"))
