@@ -493,3 +493,29 @@ def test_stream_writer_sweeps_spool(registered, tmp_path):
     _drain(spark, src, outd, str(tmp_path / "ck"))
     leftovers = [f for f in os.listdir(outd) if not f.startswith("batch-")]
     assert leftovers == [], leftovers
+
+
+def test_streamjob_on_fleet_tail(registered, tmp_path):
+    """RainStorm ops over the whole fleet of growing logs: StreamJob
+    tail mode accepts the glob, record ids are file:offset."""
+    from stream_processing_spark.streaming import StreamJob
+
+    spark = registered
+    for i, body in [(1, "stop,red"), (2, "go,green"), (3, "stop,blue")]:
+        with open(tmp_path / f"m{i}.log", "w") as f:
+            f.write(body + chr(10))
+    outd = str(tmp_path / "out")
+    ops = [
+        lambda df: df.filter(F.col("value").rlike("stop")),
+        lambda df: df.select(
+            "key", F.upper(F.split("value", ",").getItem(1)).alias("value")
+        ),
+    ]
+    job = StreamJob(
+        spark, str(tmp_path / "m*.log"), outd, ops=ops, source="tail"
+    )
+    job.run_to_completion()
+    vals = sorted(
+        r.value.rsplit(":", 1)[1] for r in job.read_output().collect()
+    )
+    assert vals == ["BLUE", "RED"]
