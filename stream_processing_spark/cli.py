@@ -20,7 +20,7 @@ def _rainstorm(args: list[str]) -> int:
     from stream_processing_spark.plans import rainstorm
 
     source = "files"
-    if args and args[0] == "--tail":  # tail ONE growing file (linetail)
+    if args and args[0] == "--tail":  # tail growing file(s)/glob (linetail)
         source = "tail"
         args = args[1:]
     op1, op2, ind, outd = args[:4]

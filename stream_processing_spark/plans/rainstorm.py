@@ -204,9 +204,11 @@ def rainstorm(
 ) -> StreamJob:
     """Build (don't start) the streaming job for the 2-operator contract.
 
-    ``source="tail"`` tails ONE growing file via the linetail connector
-    (the reference's literal operating shape, worker.py:503-511)
-    instead of a directory of micro-files."""
+    ``source="tail"`` tails growing file(s) via the linetail connector
+    instead of a directory of micro-files: a concrete path tails ONE
+    file (the reference's literal operating shape, worker.py:503-511);
+    a glob tails the whole FLEET of matching logs with per-file
+    offsets (one machine.{id}.log per node)."""
     op1, s1 = parse_op(op1_spec)
     op2, s2 = parse_op(op2_spec)
     if num_tasks:

@@ -218,19 +218,25 @@ class _LineTailStreamReader(DataSourceStreamReader):
         self._multi = not os.path.exists(self._path) and any(
             c in self._path for c in "*?["
         )
-        if (
-            not self._multi
-            and not os.path.exists(self._path)
-            and options.get("allow_missing", "false").lower() != "true"
-        ):
-            # a typo'd path would otherwise tail an empty stream
+        allow_missing = (
+            options.get("allow_missing", "false").lower() == "true"
+        )
+        if not allow_missing:
+            # a typo'd path/glob would otherwise tail an empty stream
             # forever, looking healthy while reading nothing;
             # tail -F-style wait-for-creation is available explicitly
-            raise FileNotFoundError(
-                f"linetail source {self._path!r} does not exist; "
-                "pass option('allow_missing', 'true') to wait for "
-                "it to appear"
-            )
+            if self._multi and not _glob.glob(self._path):
+                raise FileNotFoundError(
+                    f"linetail glob {self._path!r} matches no files; "
+                    "pass option('allow_missing', 'true') to wait for "
+                    "the fleet to appear"
+                )
+            if not self._multi and not os.path.exists(self._path):
+                raise FileNotFoundError(
+                    f"linetail source {self._path!r} does not exist; "
+                    "pass option('allow_missing', 'true') to wait for "
+                    "it to appear"
+                )
         self._split_bytes = int(options.get("split_bytes", 32 * 1024 * 1024))
         self._last: dict[str, int] = {}  # per-file monotonicity guard
 
@@ -257,7 +263,11 @@ class _LineTailStreamReader(DataSourceStreamReader):
         if not self._multi:
             return {"offset": self._snap(self._path)}
         return {
-            "files": {f: self._snap(f) for f in sorted(_glob.glob(self._path))}
+            "files": {
+                f: self._snap(f)
+                for f in sorted(_glob.glob(self._path))
+                if os.path.isfile(f)  # a dir can match the glob
+            }
         }
 
     def _file_splits(self, path: str, s: int, e: int) -> list[_Split]:
@@ -283,6 +293,20 @@ class _LineTailStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         if "files" in end:
             prev = start.get("files", {})
+            vanished = sorted(set(prev) - set(end["files"]))
+            if vanished:
+                # a tailed file no longer matches the glob: rotation or
+                # deletion. Silently dropping its offset would re-emit a
+                # recreated file's bytes under already-used (file,
+                # offset) identities — the fleet must fail as loudly as
+                # single-file mode does on shrink (start comes from the
+                # CHECKPOINT, so this guard survives restarts)
+                raise RuntimeError(
+                    f"tailed files vanished from the fleet: {vanished}; "
+                    "the linetail source requires append-only files — "
+                    "rotated logs need the epoch-aware FileTailer "
+                    "bridge (streaming/tailer.py)"
+                )
             out: list[_Split] = []
             for f, e in end["files"].items():
                 out += self._file_splits(f, int(prev.get(f, 0)), int(e))

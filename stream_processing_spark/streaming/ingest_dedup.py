@@ -134,6 +134,32 @@ class StreamingIngestDedup:
         # guaranteed present (a pair's members arrived in this batch or
         # an earlier committed one)
         corpus_sigs = self._read_before(self.sigs_path, batch_id)
+        if corpus is not None and corpus_sigs is None:
+            # bands without sigs = a state dir from an older layout;
+            # joining candidates to an incomplete signature table would
+            # SILENTLY drop every cross-batch pair (the loss mode
+            # _read_before's contract forbids) — refuse instead
+            raise RuntimeError(
+                f"{self.sigs_path} is missing but {self.bands_path} "
+                "exists: this state dir predates signature persistence;"
+                " re-ingest into a fresh state_dir"
+            )
+        if corpus_sigs is not None:
+            # doc ids are immutable corpus members: re-ingesting an id
+            # would leave stale bands that cannot be retracted from the
+            # append-only corpus AND fan out the verification join —
+            # refuse loudly (one ids-only semi-join per batch)
+            n_dup = (
+                sigs.select("doc_id")
+                .join(corpus_sigs.select("doc_id"), "doc_id", "left_semi")
+                .count()
+            )
+            if n_dup:
+                raise RuntimeError(
+                    f"{n_dup} doc_id(s) in this batch were already "
+                    "ingested; the running corpus is append-only — "
+                    "dedupe ids upstream or use a fresh state_dir"
+                )
         all_sigs = (
             sigs if corpus_sigs is None
             else sigs.unionByName(corpus_sigs.drop("__batch_id"))

@@ -359,8 +359,13 @@ def test_streamjob_on_linetail_source(registered, tmp_path):
 def test_stream_reader_rejects_typos_allows_globs(registered, tmp_path):
     from stream_processing_spark.sources.pyds import _LineTailStreamReader
 
-    # a glob selects FLEET mode (per-file offsets), even over no files yet
-    r = _LineTailStreamReader({"path": str(tmp_path / "*.log")})
+    # a glob matching no files must also fail loudly (typo'd glob)...
+    with pytest.raises(FileNotFoundError, match="allow_missing"):
+        _LineTailStreamReader({"path": str(tmp_path / "*.log")})
+    # ...unless the fleet is explicitly allowed to appear later
+    r = _LineTailStreamReader(
+        {"path": str(tmp_path / "*.log"), "allow_missing": "true"}
+    )
     assert r.initialOffset() == {"files": {}}
     assert r.latestOffset() == {"files": {}}
     # a typo'd concrete path must fail loudly, not tail empty forever
@@ -519,3 +524,33 @@ def test_streamjob_on_fleet_tail(registered, tmp_path):
         r.value.rsplit(":", 1)[1] for r in job.read_output().collect()
     )
     assert vals == ["BLUE", "RED"]
+
+
+def test_stream_fleet_vanished_file_raises(registered, tmp_path):
+    # a tailed file disappearing from the glob is a rotation - the
+    # checkpointed offsets expose it even across reader restarts
+    spark = registered
+    outd, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    with open(tmp_path / "m1.log", "w") as f:
+        f.write("a" + chr(10))
+    with open(tmp_path / "m2.log", "w") as f:
+        f.write("b" + chr(10))
+    pattern = str(tmp_path / "m*.log")
+    _drain_fleet(spark, pattern, outd, ck)
+    os.remove(tmp_path / "m2.log")
+    with open(tmp_path / "m1.log", "a") as f:
+        f.write("a2" + chr(10))
+    with pytest.raises(Exception, match="vanished|append-only"):
+        _drain_fleet(spark, pattern, outd, ck)
+
+
+def test_stream_fleet_ignores_directories(registered, tmp_path):
+    spark = registered
+    (tmp_path / "sub.log").mkdir()  # a DIRECTORY matching the glob
+    with open(tmp_path / "m1.log", "w") as f:
+        f.write("x" + chr(10))
+    got = _drain_fleet(
+        spark, str(tmp_path / "*.log"),
+        str(tmp_path / "out"), str(tmp_path / "ck"),
+    )
+    assert got == ["m1.log:0:x"]
