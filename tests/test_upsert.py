@@ -225,3 +225,33 @@ def test_upsert_apply_property_random_batch_splits(spark, tmp_path):
             (r.uid, r.balance) for r in cur.collect()
         }
         assert got == expect, (seed, case, changes, cuts, got, expect)
+
+
+def test_upsert_crash_between_snapshot_and_pointer(spark, tmp_path):
+    """The documented crash window: the snapshot for batch N is fully
+    written but the process dies before the pointer flip. On replay the
+    applier (pointer still at N-1) recomputes and overwrites the same
+    snapshot, then flips — no skew between pointer and data."""
+    t = UpsertTable(spark, str(tmp_path / "table"), key_col="uid")
+    schema = "uid long, op string, ts long, seq long, balance double"
+    b0 = spark.createDataFrame([(1, "upsert", 100, 1, 5.0)], schema)
+    t.apply(b0, 0)
+    assert t.version() == 0
+
+    # simulate the crash: write batch 1's snapshot WITHOUT the pointer
+    b1 = spark.createDataFrame([(2, "upsert", 200, 2, 7.0)], schema)
+    pointer = t._pointer
+    saved = open(pointer).read()
+    t.apply(b1, 1)
+    with open(pointer, "w") as f:
+        f.write(saved)  # roll the pointer back: crash before the flip
+    assert t.version() == 0  # table still serves version 0
+    assert {(r.uid, r.balance) for r in t.current().collect()} == {(1, 5.0)}
+
+    # replay of batch 1 (foreachBatch re-delivery): recomputes against
+    # version 0 and completes the flip
+    t.apply(b1, 1)
+    assert t.version() == 1
+    assert {(r.uid, r.balance) for r in t.current().collect()} == {
+        (1, 5.0), (2, 7.0),
+    }
