@@ -162,6 +162,13 @@ class _LineBatchReader(DataSourceReader):
         files = sorted(_glob.glob(self._path))
         if not files and os.path.exists(self._path):
             files = [self._path]
+        if not files:
+            # mirror the stream reader's guard: a typo'd path/glob
+            # would otherwise scan an empty split and look healthy
+            # while reading nothing
+            raise FileNotFoundError(
+                f"linetail batch path {self._path!r} matches no files"
+            )
         out: list[InputPartition] = []
         for fp in files:
             for s, e in _split_ranges(os.path.getsize(fp), self._split_bytes):

@@ -12,16 +12,27 @@ form — the shape a production ingest pipeline actually operates:
   idempotently → the corpus grows by exactly the batch's bands.
 
 Cost model per batch (the reason this scales): signatures/buckets are
-computed ONLY for new docs; the corpus side is an append-only parquet
-table joined by (band, sig) — O(new × collisions) work per batch, the
-corpus never re-self-joins (same asymmetry as the batch incremental
-query, now with the corpus maintained by the stream itself).
+computed ONLY for new docs, and the corpus side of the join is
+PARTITION-PRUNED — the corpus band table is laid out as
+``__batch_id / band / pfx`` (``pfx`` = a hash-prefix bucket of the
+band signature), the batch's distinct ``(band, pfx)`` cells (a
+bounded set, ≤ bands × sig_prefix_buckets) are collected, and the
+corpus scan reads ONLY those partition directories. Per-batch corpus
+I/O is therefore O(colliding buckets), not O(corpus): at 100 TB the
+scan touches the handful of cells the new docs can possibly collide
+in. Verification needs no corpus-wide signature scan either — each
+band row carries its doc's full MinHash signature inline (k small
+ints, duplicated per band: a deliberate ×bands storage trade to keep
+the per-batch join count at one).
 
-Exactly-once under replay: both outputs are partitioned by
+Exactly-once under replay: all outputs are partitioned by
 ``__batch_id`` and written with dynamic partition overwrite (the
 sinks.py idempotent pattern), and the corpus side of the cross join
 reads only partitions ``__batch_id < current`` — so a replayed batch
 neither duplicates pairs nor joins against its own half-written bands.
+Writes go sigs → pairs → bands, so no crash window can ever produce
+bands-without-sigs (a state dir where bands exist but ``_LAYOUT`` is
+absent is a genuinely foreign/legacy layout and is refused).
 
 Discovery invariant (tested): every unordered candidate pair is
 emitted in EXACTLY one batch — the batch in which its later member
@@ -33,6 +44,7 @@ in the corpus branch) — and the union over batches equals the batch
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,11 +55,15 @@ from stream_processing_spark.functions.dedup import band_buckets  # noqa: F401
 # the band/sig spelling — lsh_candidate_pairs builds its buckets from
 # the same helper, so stream/batch pair parity is by construction)
 
+_LAYOUT_VERSION = "2"  # 2 = (band, pfx)-partitioned bands w/ inline sigs
+
 
 class StreamingIngestDedup:
     """foreachBatch driver for the running corpus. Outputs under
-    ``state_dir``: ``bands/`` (the corpus, partitioned by __batch_id)
-    and ``pairs/`` (candidate pairs, partitioned by __batch_id)."""
+    ``state_dir``: ``bands/`` (the corpus, partitioned by
+    ``__batch_id/band/pfx``), ``sigs/`` (per-doc signatures = the
+    append-only id registry), ``pairs/`` (candidate pairs, partitioned
+    by ``__batch_id``)."""
 
     def __init__(
         self,
@@ -58,11 +74,14 @@ class StreamingIngestDedup:
         bands: int = 4,
         rows_per_band: int = 2,
         min_agree: int = 0,
+        sig_prefix_buckets: int = 16,
     ):
         self.spark = spark
+        self.state_dir = state_dir
         self.bands_path = os.path.join(state_dir, "bands")
         self.sigs_path = os.path.join(state_dir, "sigs")
         self.pairs_path = os.path.join(state_dir, "pairs")
+        self.layout_path = os.path.join(state_dir, "_LAYOUT")
         self.shingle_n = shingle_n
         self.k = k
         self.bands = bands
@@ -71,84 +90,162 @@ class StreamingIngestDedup:
         # to be emitted (the batch flagship verifies at 6/8); 0 keeps
         # every candidate, scored
         self.min_agree = min_agree
+        # pfx partition fan-out per band; the per-batch corpus read is
+        # pruned to ≤ bands × this many cells
+        self.sig_prefix_buckets = sig_prefix_buckets
 
-    def _read_before(self, path: str, batch_id: int) -> DataFrame | None:
-        """Rows of all FULLY COMMITTED earlier batches (partition
-        pruning keeps a replayed batch from seeing its own leftovers).
-        Only a genuinely ABSENT table means "first batch" — any real
-        read error must propagate and fail the batch (Spark retries),
-        or every cross-batch pair of this batch would be silently and
-        permanently lost."""
-        if not os.path.isdir(path):
-            return None  # first batch: no corpus yet
-        c = self.spark.read.parquet(path)
-        return c.where(F.col("__batch_id") < batch_id)
+    # -- layout & recovery --------------------------------------------
+    def _check_layout(self) -> None:
+        """Refuse foreign/legacy state dirs; roll interrupted
+        compactions forward/back before any read."""
+        if os.path.isdir(self.bands_path):
+            try:
+                with open(self.layout_path) as f:
+                    v = f.read().strip()
+            except FileNotFoundError:
+                raise RuntimeError(
+                    f"{self.bands_path} exists but {self.layout_path} "
+                    "does not: this state dir predates the pruned "
+                    "(band, pfx) corpus layout; re-ingest into a fresh "
+                    "state_dir"
+                ) from None
+            if v != _LAYOUT_VERSION:
+                raise RuntimeError(
+                    f"state dir layout {v!r} != {_LAYOUT_VERSION!r}; "
+                    "re-ingest into a fresh state_dir"
+                )
+            self._recover_compaction()
 
+    def _write_layout(self) -> None:
+        if not os.path.exists(self.layout_path):
+            os.makedirs(self.state_dir, exist_ok=True)
+            tmp = self.layout_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(_LAYOUT_VERSION)
+            os.replace(tmp, self.layout_path)
+
+    # -- pfx bucketing -------------------------------------------------
+    def _with_pfx(self, banded: DataFrame) -> DataFrame:
+        """Deterministic hash-prefix bucket of the band signature —
+        the inner partition key the corpus scan prunes on."""
+        return banded.withColumn(
+            "pfx", F.pmod(F.xxhash64("sig"), F.lit(self.sig_prefix_buckets))
+        )
+
+    def _cell_filter_sql(self, cells: list[tuple[int, int]]) -> str:
+        """Static partition filter for the collected (band, pfx) cells
+        — one SQL string (literal comparisons on partition columns, so
+        the parquet scan prunes directories before any task runs)."""
+        return " OR ".join(
+            f"(band = {int(b)} AND pfx = {int(p)})" for b, p in cells
+        )
+
+    def _pruned_corpus(
+        self, batch_id: int, cells: list[tuple[int, int]]
+    ) -> DataFrame | None:
+        """Committed earlier batches' band rows, pruned to the cells
+        this batch can collide in. Only a genuinely ABSENT table means
+        "first batch" — any real read error must propagate and fail the
+        batch (Spark retries), or every cross-batch pair of this batch
+        would be silently and permanently lost."""
+        if not os.path.isdir(self.bands_path) or not cells:
+            return None
+        return (
+            self.spark.read.parquet(self.bands_path)
+            .where(F.col("__batch_id") < batch_id)
+            .where(F.expr(self._cell_filter_sql(cells)))
+        )
+
+    def _read_sigs_before(self, batch_id: int) -> DataFrame | None:
+        if not os.path.isdir(self.sigs_path):
+            return None
+        return self.spark.read.parquet(self.sigs_path).where(
+            F.col("__batch_id") < batch_id
+        )
+
+    # -- the per-batch merge ------------------------------------------
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._check_layout()
         sh = dd.shingles(
             batch_df.select("doc_id", "text"), n=self.shingle_n
         )
         sigs = dd.minhash_signatures(sh, k=self.k).localCheckpoint(
             eager=True
-        )  # bands + verification + persistence
-        new_b = band_buckets(
-            sigs, bands=self.bands, rows_per_band=self.rows_per_band
-        ).localCheckpoint(eager=True)  # feeds 3 branches below
+        )  # bands + persistence + the id registry
+        hcols = [f"h{s}" for s in range(self.k)]
+        # band rows carry the full signature inline so pair scoring
+        # never needs a corpus-wide signature join
+        new_b = self._with_pfx(
+            band_buckets(
+                sigs, bands=self.bands, rows_per_band=self.rows_per_band
+            ).join(sigs.select("doc_id", *hcols), "doc_id")
+        ).localCheckpoint(eager=True)  # feeds 4 branches below
 
-        # within-batch pairs (doc_a < doc_b, like the batch path)
-        a = new_b.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-        b = new_b.select(F.col("doc_id").alias("doc_b"), "band", "sig")
-        within = (
-            a.join(b, ["band", "sig"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
+        # bounded collect: ≤ bands × sig_prefix_buckets cells
+        cells = sorted(
+            {
+                (r["band"], r["pfx"])
+                for r in new_b.select("band", "pfx").distinct().collect()
+            }
         )
-        corpus = self._read_before(self.bands_path, batch_id)
+
+        a_side = new_b.select(
+            F.col("doc_id").alias("doc_a"),
+            "band",
+            "sig",
+            *[F.col(h).alias(f"a{s}") for s, h in enumerate(hcols)],
+        )
+        b_side = new_b.select(
+            F.col("doc_id").alias("doc_b"),
+            "band",
+            "sig",
+            *[F.col(h).alias(f"b{s}") for s, h in enumerate(hcols)],
+        )
+        # within-batch pairs (doc_a < doc_b, like the batch path)
+        within = a_side.join(b_side, ["band", "sig"]).where(
+            F.col("doc_a") < F.col("doc_b")
+        )
+        corpus = self._pruned_corpus(batch_id, cells)
         if corpus is not None:
-            cross = (
-                corpus.select(
-                    F.col("doc_id").alias("doc_a"), "band", "sig"
-                )
-                .join(
-                    new_b.select(
-                        F.col("doc_id").alias("doc_b"), "band", "sig"
-                    ),
-                    ["band", "sig"],
-                )
-                .select("doc_a", "doc_b")
-            )
+            cross = corpus.select(
+                F.col("doc_id").alias("doc_a"),
+                "band",
+                "sig",
+                *[F.col(h).alias(f"a{s}") for s, h in enumerate(hcols)],
+            ).join(b_side, ["band", "sig"])
             pairs = within.unionByName(cross)
         else:
             pairs = within
-        # canonical unordered orientation + distinct across bands
+
+        # VERIFY inline: signature agreement (the batch flagship's
+        # estimator) from the columns already on the joined rows —
+        # symmetric in (a, b), so score BEFORE canonicalizing the
+        # orientation, then distinct across bands
+        agree = None
+        for s_ in range(self.k):
+            t = F.when(F.col(f"a{s_}") == F.col(f"b{s_}"), 1).otherwise(0)
+            agree = t if agree is None else agree + t
         pairs = (
-            pairs.select(
+            pairs.withColumn("n_agree", agree.cast("bigint"))
+            .select(
                 F.least("doc_a", "doc_b").alias("doc_a"),
                 F.greatest("doc_a", "doc_b").alias("doc_b"),
+                "n_agree",
             )
             .distinct()
-        )
-        # VERIFY: score each candidate by signature agreement (the
-        # batch flagship's estimator). Signatures come from this batch
-        # plus the persisted corpus sigs — both sides of every pair are
-        # guaranteed present (a pair's members arrived in this batch or
-        # an earlier committed one)
-        corpus_sigs = self._read_before(self.sigs_path, batch_id)
-        if corpus is not None and corpus_sigs is None:
-            # bands without sigs = a state dir from an older layout;
-            # joining candidates to an incomplete signature table would
-            # SILENTLY drop every cross-batch pair (the loss mode
-            # _read_before's contract forbids) — refuse instead
-            raise RuntimeError(
-                f"{self.sigs_path} is missing but {self.bands_path} "
-                "exists: this state dir predates signature persistence;"
-                " re-ingest into a fresh state_dir"
+            .where(F.col("n_agree") >= self.min_agree)
+            .withColumn(
+                "est_jaccard", F.round(F.col("n_agree") / self.k, 6)
             )
+            .select("doc_a", "doc_b", "n_agree", "est_jaccard")
+        )
+
+        # doc ids are immutable corpus members: re-ingesting an id
+        # would leave stale bands that cannot be retracted from the
+        # append-only corpus — refuse loudly. One ids-only (column-
+        # pruned) semi-join per batch against the sigs registry.
+        corpus_sigs = self._read_sigs_before(batch_id)
         if corpus_sigs is not None:
-            # doc ids are immutable corpus members: re-ingesting an id
-            # would leave stale bands that cannot be retracted from the
-            # append-only corpus AND fan out the verification join —
-            # refuse loudly (one ids-only semi-join per batch)
             n_dup = (
                 sigs.select("doc_id")
                 .join(corpus_sigs.select("doc_id"), "doc_id", "left_semi")
@@ -160,42 +257,22 @@ class StreamingIngestDedup:
                     "ingested; the running corpus is append-only — "
                     "dedupe ids upstream or use a fresh state_dir"
                 )
-        all_sigs = (
-            sigs if corpus_sigs is None
-            else sigs.unionByName(corpus_sigs.drop("__batch_id"))
-        )
-        sa = all_sigs.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"h{s}").alias(f"a{s}") for s in range(self.k)],
-        )
-        sb = all_sigs.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"h{s}").alias(f"b{s}") for s in range(self.k)],
-        )
-        agree = None
-        for s_ in range(self.k):
-            t = F.when(F.col(f"a{s_}") == F.col(f"b{s_}"), 1).otherwise(0)
-            agree = t if agree is None else agree + t
-        pairs = (
-            pairs.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .withColumn("n_agree", agree.cast("bigint"))
-            .where(F.col("n_agree") >= self.min_agree)
-            .withColumn(
-                "est_jaccard", F.round(F.col("n_agree") / self.k, 6)
-            )
-            .select("doc_a", "doc_b", "n_agree", "est_jaccard")
-        )
-        for df, path in (
-            (pairs, self.pairs_path),
-            (new_b, self.bands_path),
-            (sigs, self.sigs_path),
+
+        # write order matters for the crash window: layout marker,
+        # then sigs, then pairs, then bands — a partial batch can
+        # never produce bands-without-sigs, so replay always finds a
+        # consistent (possibly empty) committed prefix
+        self._write_layout()
+        for df, path, parts in (
+            (sigs, self.sigs_path, ["__batch_id"]),
+            (pairs, self.pairs_path, ["__batch_id"]),
+            (new_b, self.bands_path, ["__batch_id", "band", "pfx"]),
         ):
             (
                 df.withColumn("__batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("__batch_id")
+                .partitionBy(*parts)
                 .parquet(path)
             )
 
@@ -205,9 +282,112 @@ class StreamingIngestDedup:
 
         return write
 
+    # -- compaction ----------------------------------------------------
+    def _tmp_dir(self) -> str:
+        return os.path.join(self.state_dir, "_compact_tmp")
+
+    def _trash_dir(self) -> str:
+        return os.path.join(self.state_dir, "_compact_trash")
+
+    def compact(self, upto: int) -> int:
+        """Consolidate band partitions ``__batch_id <= upto`` into ONE
+        ``__batch_id = upto`` partition (many small per-batch files →
+        one compacted set per (band, pfx) cell). ``upto`` MUST be
+        strictly below the newest ingested batch id: Spark replays at
+        most the LAST batch, so compacted batches can never be
+        re-delivered and dynamic-overwritten. Crash-safe: data is
+        staged to ``_compact_tmp`` (completeness = Spark's _SUCCESS),
+        old partitions move to ``_compact_trash``, then the staged dir
+        renames into place; an interrupted run is rolled forward (tmp
+        complete) or back (tmp partial) by ``_recover_compaction`` on
+        the next read/apply. Returns the number of batch partitions
+        consolidated."""
+        self._check_layout()
+        if not os.path.isdir(self.bands_path):
+            raise FileNotFoundError(f"no corpus at {self.bands_path}")
+        olds = [
+            d
+            for d in os.listdir(self.bands_path)
+            if d.startswith("__batch_id=")
+            and int(d.split("=", 1)[1]) <= upto
+        ]
+        newest = max(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.bands_path)
+            if d.startswith("__batch_id=")
+        )
+        if upto >= newest:
+            raise ValueError(
+                f"compact(upto={upto}) must be < the newest batch id "
+                f"{newest}: the newest batch is inside Spark's replay "
+                "window and must stay dynamically overwritable"
+            )
+        if len(olds) <= 1:
+            return len(olds)
+        tmp, trash = self._tmp_dir(), self._trash_dir()
+        (
+            self.spark.read.parquet(self.bands_path)
+            .where(F.col("__batch_id") <= upto)
+            .drop("__batch_id")
+            .write.mode("overwrite")
+            .partitionBy("band", "pfx")
+            .parquet(tmp)
+        )
+        os.makedirs(trash, exist_ok=True)
+        for d in olds:
+            os.replace(
+                os.path.join(self.bands_path, d), os.path.join(trash, d)
+            )
+        os.replace(tmp, os.path.join(self.bands_path, f"__batch_id={upto}"))
+        shutil.rmtree(trash)
+        return len(olds)
+
+    def _recover_compaction(self) -> None:
+        """Roll an interrupted ``compact`` forward or back."""
+        tmp, trash = self._tmp_dir(), self._trash_dir()
+        if os.path.isdir(tmp):
+            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+                # staged data complete: finish the move (upto = max
+                # batch id found in trash ∪ still-present olds is not
+                # recoverable from tmp alone, so compact target id is
+                # the max batch id in the trash — the olds were moved
+                # only after the stage finished, so any trash content
+                # identifies the run)
+                if os.path.isdir(trash) and os.listdir(trash):
+                    upto = max(
+                        int(d.split("=", 1)[1]) for d in os.listdir(trash)
+                    )
+                    dest = os.path.join(
+                        self.bands_path, f"__batch_id={upto}"
+                    )
+                    if os.path.isdir(dest):
+                        shutil.rmtree(dest)
+                    os.replace(tmp, dest)
+                    shutil.rmtree(trash)
+                else:
+                    # stage finished but no olds were moved yet: the
+                    # original partitions are all intact — discard
+                    shutil.rmtree(tmp)
+            else:
+                # stage incomplete: restore anything trashed, drop tmp
+                if os.path.isdir(trash):
+                    for d in os.listdir(trash):
+                        os.replace(
+                            os.path.join(trash, d),
+                            os.path.join(self.bands_path, d),
+                        )
+                    shutil.rmtree(trash)
+                shutil.rmtree(tmp)
+        elif os.path.isdir(trash):
+            # tmp already renamed into place; only the trash remains
+            shutil.rmtree(trash)
+
     # -- readbacks ----------------------------------------------------
     def corpus_bands(self) -> DataFrame:
-        return self.spark.read.parquet(self.bands_path).drop("__batch_id")
+        self._check_layout()
+        return self.spark.read.parquet(self.bands_path).select(
+            "doc_id", "band", "sig"
+        )
 
     def candidate_pairs(self) -> DataFrame:
         return self.spark.read.parquet(self.pairs_path).drop("__batch_id")

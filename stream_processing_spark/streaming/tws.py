@@ -198,7 +198,9 @@ class _EventSessions(StatefulProcessor):
         gap = self._gap_ms
         ripe = [b for b in blocks if wm > b[1] + gap]
         rest = [b for b in blocks if wm <= b[1] + gap]
-        for t in self._handle.listTimers():
+        # materialize before deleting: the state-server iterator's
+        # behavior under concurrent deletion is unspecified
+        for t in list(self._handle.listTimers()):
             self._handle.deleteTimer(t)
         if rest:
             self._blocks.put([tuple(b) for b in rest])

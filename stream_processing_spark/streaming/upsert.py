@@ -71,9 +71,21 @@ class UpsertTable:
         """batch_id of the current snapshot, -1 if none applied yet."""
         try:
             with open(self._pointer) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
-            return -1
+                raw = f.read()
+        except FileNotFoundError:
+            return -1  # fresh table
+        try:
+            return int(raw.strip())
+        except ValueError:
+            # a corrupted/truncated pointer must NOT read as "no
+            # table": the next apply would rebuild from one batch and
+            # flip the pointer forward, silently discarding all prior
+            # state — surface it so the operator can repair the file
+            raise RuntimeError(
+                f"corrupted version pointer {self._pointer!r} "
+                f"(contents {raw!r}); restore it to the newest "
+                "committed v-<batch_id> snapshot id"
+            ) from None
 
     def _snapshot_dir(self, batch_id: int) -> str:
         return os.path.join(self.path, f"v-{batch_id:010d}")

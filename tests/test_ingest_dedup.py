@@ -105,3 +105,159 @@ def test_streaming_ingest_matches_batch_lsh(spark, tmp_path):
     again = sink.candidate_pairs().collect()
     assert len(again) == len(stream_pairs_rows)
     assert {(r.doc_a, r.doc_b) for r in again} == batch_pairs
+
+
+def test_corpus_join_is_partition_pruned(spark, tmp_path):
+    """VERDICT r5 #1 done-criterion: the per-batch corpus join reads
+    far fewer corpus files than exist — the (band, pfx) cell filter
+    prunes partition directories at the scan."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    sink = StreamingIngestDedup(
+        spark, str(tmp_path / "state"), sig_prefix_buckets=64
+    )
+    # two big corpus batches, then one tiny batch
+    sink.apply(docs.where(F.col("doc_id") % 3 == 0), 0)
+    sink.apply(docs.where(F.col("doc_id") % 3 == 1), 1)
+    tiny = docs.where(F.col("doc_id") % 3 == 2).limit(3)
+
+    total_parquet = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(str(tmp_path / "state" / "bands"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    nb = sink._with_pfx(
+        band_buckets(dd.minhash_signatures(dd.shingles(tiny, n=3), k=8))
+    )
+    cells = sorted(
+        {(r["band"], r["pfx"]) for r in nb.select("band", "pfx").distinct().collect()}
+    )
+    pruned = sink._pruned_corpus(2, cells)
+    assert pruned is not None
+    files_read = {
+        r[0]
+        for r in pruned.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    # 3 docs hit ≤ 12 of 256 cells; the corpus holds hundreds of cells
+    assert len(files_read) > 0  # the collision cells ARE read
+    assert len(total_parquet) > 4 * len(files_read), (
+        len(total_parquet),
+        len(files_read),
+    )
+
+
+def test_first_batch_crash_window_replays(spark, tmp_path):
+    """ADVICE r5 (medium): a crash between the sigs write and the
+    bands write of batch 0 must replay cleanly, not wedge."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    sink = StreamingIngestDedup(spark, str(tmp_path / "state"))
+    sink.apply(b0, 0)
+    # simulate the crash window: bands not yet written (bands is the
+    # LAST write, so this is exactly what a mid-batch crash leaves)
+    shutil.rmtree(str(tmp_path / "state" / "bands"))
+    sink.apply(b0, 0)  # replay: must not raise, must rebuild bands
+    got = {(r.doc_id, r.band, r.sig) for r in sink.corpus_bands().collect()}
+    want = {
+        (r.doc_id, r.band, r.sig)
+        for r in band_buckets(
+            dd.minhash_signatures(dd.shingles(b0, n=3), k=8)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_legacy_layout_refused(spark, tmp_path):
+    """bands without the _LAYOUT marker = a pre-v2 state dir; joining
+    a candidate set against it would silently change semantics."""
+    import pytest
+
+    state = tmp_path / "state"
+    (state / "bands").mkdir(parents=True)
+    sink = StreamingIngestDedup(spark, str(state))
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    with pytest.raises(RuntimeError, match="predates"):
+        sink.apply(docs.limit(2), 0)
+
+
+def test_compaction_consolidates_and_recovers(spark, tmp_path):
+    """compact() folds committed batches into one partition with the
+    corpus multiset unchanged; an interrupted run rolls forward/back."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    sink = StreamingIngestDedup(spark, str(tmp_path / "state"))
+    for i in range(3):
+        sink.apply(docs.where(F.col("doc_id") % 3 == i), i)
+    before = sorted(
+        (r.doc_id, r.band, r.sig) for r in sink.corpus_bands().collect()
+    )
+    bands_dir = str(tmp_path / "state" / "bands")
+    assert sink.compact(upto=1) == 2
+    parts = sorted(
+        d for d in os.listdir(bands_dir) if d.startswith("__batch_id=")
+    )
+    assert parts == ["__batch_id=1", "__batch_id=2"]
+    after = sorted(
+        (r.doc_id, r.band, r.sig) for r in sink.corpus_bands().collect()
+    )
+    assert after == before
+    # newest batch must stay replayable
+    import pytest
+
+    with pytest.raises(ValueError, match="replay"):
+        sink.compact(upto=2)
+
+    # crash-window recovery: a half-finished run (olds moved to trash,
+    # staged dir complete but not yet renamed) rolls FORWARD
+    sink2_dir = tmp_path / "state2"
+    sink2 = StreamingIngestDedup(spark, str(sink2_dir))
+    for i in range(3):
+        sink2.apply(docs.where(F.col("doc_id") % 3 == i), i)
+    want2 = sorted(
+        (r.doc_id, r.band, r.sig) for r in sink2.corpus_bands().collect()
+    )
+    b2 = str(sink2_dir / "bands")
+    tmp2, trash2 = sink2._tmp_dir(), sink2._trash_dir()
+    (
+        spark.read.parquet(b2)
+        .where(F.col("__batch_id") <= 1)
+        .drop("__batch_id")
+        .write.mode("overwrite")
+        .partitionBy("band", "pfx")
+        .parquet(tmp2)
+    )
+    os.makedirs(trash2)
+    for d in ("__batch_id=0", "__batch_id=1"):
+        os.replace(os.path.join(b2, d), os.path.join(trash2, d))
+    # interrupted HERE: next read triggers roll-forward
+    got2 = sorted(
+        (r.doc_id, r.band, r.sig) for r in sink2.corpus_bands().collect()
+    )
+    assert got2 == want2
+    assert not os.path.isdir(tmp2) and not os.path.isdir(trash2)
+    assert sorted(
+        d for d in os.listdir(b2) if d.startswith("__batch_id=")
+    ) == ["__batch_id=1", "__batch_id=2"]
+
+    # and an INCOMPLETE stage (no _SUCCESS) rolls BACK
+    sink3_dir = tmp_path / "state3"
+    sink3 = StreamingIngestDedup(spark, str(sink3_dir))
+    for i in range(2):
+        sink3.apply(docs.where(F.col("doc_id") % 2 == i), i)
+    want3 = sorted(
+        (r.doc_id, r.band, r.sig) for r in sink3.corpus_bands().collect()
+    )
+    b3 = str(sink3_dir / "bands")
+    os.makedirs(sink3._tmp_dir())  # partial stage, no _SUCCESS
+    os.makedirs(sink3._trash_dir())
+    os.replace(
+        os.path.join(b3, "__batch_id=0"),
+        os.path.join(sink3._trash_dir(), "__batch_id=0"),
+    )
+    got3 = sorted(
+        (r.doc_id, r.band, r.sig) for r in sink3.corpus_bands().collect()
+    )
+    assert got3 == want3
+    assert not os.path.isdir(sink3._tmp_dir())
+    assert not os.path.isdir(sink3._trash_dir())

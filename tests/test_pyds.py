@@ -554,3 +554,15 @@ def test_stream_fleet_ignores_directories(registered, tmp_path):
         str(tmp_path / "out"), str(tmp_path / "ck"),
     )
     assert got == ["m1.log:0:x"]
+
+
+def test_batch_read_missing_path_raises(registered, tmp_path):
+    """ADVICE r5: a typo'd batch path must fail loudly, mirroring the
+    stream reader — not return a healthy-looking empty scan."""
+    import pytest
+
+    spark = registered
+    for bad in (str(tmp_path / "nope.txt"), str(tmp_path / "nope*.log")):
+        df = spark.read.format("linetail").option("path", bad).load()
+        with pytest.raises(Exception, match="matches no files"):
+            df.collect()

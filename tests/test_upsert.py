@@ -255,3 +255,16 @@ def test_upsert_crash_between_snapshot_and_pointer(spark, tmp_path):
     assert {(r.uid, r.balance) for r in t.current().collect()} == {
         (1, 5.0), (2, 7.0),
     }
+
+
+def test_upsert_corrupted_pointer_raises(spark, tmp_path):
+    """ADVICE r5: an unparseable _VERSION pointer must raise, not read
+    as 'no table' (which would silently discard all prior state on the
+    next apply)."""
+    import pytest
+
+    t = UpsertTable(spark, str(tmp_path / "table"), key_col="uid")
+    with open(t._pointer, "w") as f:
+        f.write("garbage\x00")
+    with pytest.raises(RuntimeError, match="corrupted version pointer"):
+        t.version()
