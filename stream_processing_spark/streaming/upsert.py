@@ -1,4 +1,4 @@
-"""Exactly-once streaming UPSERT into a versioned keyed table.
+"""Exactly-once streaming UPSERT into a versioned, key-bucketed table.
 
 ``sinks.idempotent_batch_writer`` solves append-shaped output; CDC
 output is MERGE-shaped — each micro-batch carries upserts/deletes that
@@ -7,36 +7,47 @@ latest-change-per-key, one full-outer join) is
 ``queries/curation3.cdc_apply_latest_changes``; this module is the
 streaming shell around the same merge.
 
-Exactly-once under replay needs more than idempotent content here,
-because a replayed batch N must merge against version N-1, not against
-its own output. The table is therefore VERSIONED:
+Storage layout (the scale design): rows live in HASH-BUCKET leaf
+directories (``d-<batch>/__bucket=<i>``, bucket = hash(key) mod B) and
+a VERSION is a tiny JSON manifest mapping every bucket to the leaf dir
+holding its current rows. Applying a batch:
 
-- every applied batch writes a complete new snapshot at
-  ``<path>/v-<batch_id>`` (parquet, atomic via Spark's commit
-  protocol);
-- ``<path>/_VERSION`` is a tiny pointer file (``<batch_id>``) moved
-  into place with an atomic rename AFTER the snapshot commit;
-- ``apply`` SKIPS a re-delivered batch_id == the pointer (Spark's
-  crash window re-delivers at most the LAST batch; a crash between
-  snapshot write and pointer rename simply rewrites the same
-  snapshot), and REFUSES batch ids below the pointer — that shape
-  means a fresh checkpoint was pointed at an existing table, where
-  silently skipping would discard new data (``allow_full_replay=True``
-  opts into deliberate full re-drains);
-- deletes persist as TOMBSTONES (``__deleted`` rows keeping their
-  (ts, seq)) so stale out-of-order upserts cannot resurrect deleted
-  keys.
+- collapses the batch to latest-change-per-key,
+- collects the ≤ B bucket ids the batch touches,
+- reads ONLY those buckets' current leaves (partition-pruned merge
+  input — untouched buckets are never read),
+- merges and writes ONLY those buckets' new leaves under
+  ``d-<batch_id>``,
+- writes manifest ``v-<batch_id>`` referencing the new leaves for
+  touched buckets and the PREVIOUS version's leaves — byte-identical,
+  never rewritten — for untouched ones,
+- flips ``_VERSION`` (atomic rename) last.
 
-Full-snapshot-per-batch is the local-parquet spelling; on a lakehouse
-table format the same ``apply`` body becomes a transactional MERGE and
-the version pointer is the table's own log. The merge itself stays one
-shuffle of the change batch + one join against the current snapshot —
-no driver-side state (reference analogue: the leader's dedup dict +
-HyDFS flush, leader.py:241-284, collapsed into the checkpoint +
-pointer)."""
+Per-batch I/O is therefore O(touched buckets), not O(table): a batch
+touching 3 of 1024 buckets reads and writes 3/1024ths of the table.
+This is the same manifest-of-shared-files discipline a lakehouse MERGE
+uses (Delta/Iceberg file-level rewrite); the manifest here is the
+local-parquet spelling of the table log.
+
+Exactly-once under replay needs more than idempotent content, because
+a replayed batch N must merge against version N-1, not its own output.
+``apply`` SKIPS a re-delivered batch_id == the pointer (Spark's crash
+window re-delivers at most the LAST batch; a crash between manifest
+write and pointer rename simply rewrites the same leaves + manifest),
+and REFUSES batch ids below the pointer — that shape means a fresh
+checkpoint was pointed at an existing table, where silently skipping
+would discard new data (``allow_full_replay=True`` opts into
+deliberate full re-drains). Deletes persist as TOMBSTONES
+(``__deleted`` rows keeping their (ts, seq)) so stale out-of-order
+upserts cannot resurrect deleted keys.
+
+Reference analogue: the leader's dedup dict + HyDFS flush
+(leader.py:241-284), collapsed into the checkpoint + manifest chain.
+"""
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,7 +56,8 @@ from pyspark.sql.window import Window
 
 
 class UpsertTable:
-    """A keyed table materialized as versioned parquet snapshots.
+    """A keyed table materialized as bucketed parquet leaves shared
+    across versioned manifests.
 
     Change-row contract (the CDC shape of curation3): ``key_col``,
     ``op`` ('upsert' | 'delete'), ``ts`` + ``seq`` ordering columns
@@ -58,13 +70,16 @@ class UpsertTable:
         path: str,
         key_col: str,
         allow_full_replay: bool = False,
+        num_buckets: int = 16,
     ):
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.allow_full_replay = allow_full_replay
+        self.num_buckets = num_buckets
         os.makedirs(path, exist_ok=True)
         self._pointer = os.path.join(path, "_VERSION")
+        self._manifest_dir = os.path.join(path, "_manifests")
 
     # -- version bookkeeping ------------------------------------------
     def version(self) -> int:
@@ -84,18 +99,55 @@ class UpsertTable:
             raise RuntimeError(
                 f"corrupted version pointer {self._pointer!r} "
                 f"(contents {raw!r}); restore it to the newest "
-                "committed v-<batch_id> snapshot id"
+                "committed manifest's batch id"
             ) from None
 
-    def _snapshot_dir(self, batch_id: int) -> str:
-        return os.path.join(self.path, f"v-{batch_id:010d}")
+    def _manifest_path(self, batch_id: int) -> str:
+        return os.path.join(self._manifest_dir, f"v-{batch_id:010d}.json")
+
+    def _load_manifest(self, batch_id: int) -> dict[int, str]:
+        """bucket id → leaf dir path (relative to the table root)."""
+        with open(self._manifest_path(batch_id)) as f:
+            m = json.load(f)
+        return {int(k): v for k, v in m["buckets"].items()}
+
+    def _write_manifest(
+        self, batch_id: int, buckets: dict[int, str]
+    ) -> None:
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        tmp = self._manifest_path(batch_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "batch_id": batch_id,
+                    "num_buckets": self.num_buckets,
+                    "buckets": {str(k): v for k, v in buckets.items()},
+                },
+                f,
+                sort_keys=True,
+            )
+        os.replace(tmp, self._manifest_path(batch_id))
+
+    def _bucket_expr(self):
+        return F.pmod(
+            F.xxhash64(F.col(self.key_col)), F.lit(self.num_buckets)
+        )
+
+    def _data_dir(self, batch_id: int) -> str:
+        return f"d-{batch_id:010d}"
+
+    def _read_leaves(self, leaves: list[str]) -> DataFrame:
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, p) for p in leaves]
+        )
 
     def _raw(self) -> DataFrame | None:
         """Full snapshot INCLUDING tombstones (merge input)."""
         v = self.version()
         if v < 0:
             return None
-        return self.spark.read.parquet(self._snapshot_dir(v))
+        leaves = list(self._load_manifest(v).values())
+        return self._read_leaves(leaves) if leaves else None
 
     def current(self) -> DataFrame | None:
         """Live rows of the current snapshot (tombstones filtered)."""
@@ -105,6 +157,15 @@ class UpsertTable:
         return raw.where(~F.col("__deleted"))
 
     # -- the merge ----------------------------------------------------
+    def _as_stored(self, latest: DataFrame) -> DataFrame:
+        """Change rows → stored-row shape (first write / new buckets)."""
+        return (
+            latest.withColumn("__deleted", F.col("op") == "delete")
+            .drop("op")
+            .withColumnRenamed("ts", "__ts")
+            .withColumnRenamed("seq", "__seq")
+        )
+
     def apply(self, changes: DataFrame, batch_id: int) -> None:
         """Merge one micro-batch of changes; exactly-once under replay.
 
@@ -117,8 +178,8 @@ class UpsertTable:
         with __deleted=true and its (ts, seq)): without them, a stale
         upsert arriving after the delete would see no stored row and
         resurrect the key — caught by the multi-seed property test.
-        Tombstones persist; compacting them after a retention window is
-        a vacuum-level policy deliberately out of scope here."""
+        Tombstones persist; compacting them after a retention window
+        is vacuum-level policy deliberately out of scope here."""
         applied = self.version()
         if batch_id == applied:
             return  # Spark's crash window re-delivers the LAST batch
@@ -146,15 +207,21 @@ class UpsertTable:
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        cur = self._raw()
-        if cur is None:
-            merged = (
-                latest.withColumn("__deleted", F.col("op") == "delete")
-                .drop("op")
-                .withColumnRenamed("ts", "__ts")
-                .withColumnRenamed("seq", "__seq")
-            )
+
+        prev = self._load_manifest(applied) if applied >= 0 else {}
+        # bounded collect: the batch touches ≤ num_buckets bucket ids
+        touched = sorted(
+            r[0]
+            for r in latest.select(self._bucket_expr().alias("b"))
+            .distinct()
+            .collect()
+        )
+        cur_leaves = [prev[b] for b in touched if b in prev]
+        if not cur_leaves:
+            # every touched bucket is brand new: no merge input
+            merged = self._as_stored(latest)
         else:
+            cur = self._read_leaves(cur_leaves)
             payload = [
                 c
                 for c in cur.columns
@@ -199,7 +266,27 @@ class UpsertTable:
                 .otherwise(F.coalesce("__deleted", F.lit(False)))
                 .alias("__deleted"),
             )
-        merged.write.mode("overwrite").parquet(self._snapshot_dir(batch_id))
+        # write ONLY the touched buckets' new leaves; one shuffle keyed
+        # by bucket so each leaf gets a compact file set
+        ddir = self._data_dir(batch_id)
+        (
+            merged.withColumn("__bucket", self._bucket_expr())
+            .repartition("__bucket")
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(os.path.join(self.path, ddir))
+        )
+        # manifest: previous leaves for untouched buckets (the files
+        # are byte-identical — never read, never rewritten), new
+        # leaves for touched ones
+        buckets = dict(prev)
+        for b in touched:
+            leaf = os.path.join(ddir, f"__bucket={b}")
+            if os.path.isdir(os.path.join(self.path, leaf)):
+                buckets[b] = leaf
+            else:  # pragma: no cover - merge always emits each
+                buckets.pop(b, None)  # touched key's row or tombstone
+        self._write_manifest(batch_id, buckets)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(batch_id))
@@ -216,30 +303,33 @@ class UpsertTable:
     # -- retention / time travel --------------------------------------
     def versions(self) -> list[int]:
         """All retained snapshot batch ids, ascending."""
+        if not os.path.isdir(self._manifest_dir):
+            return []
         out = []
-        for d in os.listdir(self.path):
-            if d.startswith("v-"):
+        for d in os.listdir(self._manifest_dir):
+            if d.startswith("v-") and d.endswith(".json"):
                 try:
-                    out.append(int(d[2:]))
-                except ValueError:  # pragma: no cover - foreign dir
+                    out.append(int(d[2:-5]))
+                except ValueError:  # pragma: no cover - foreign file
                     pass
         return sorted(out)
 
     def read_version(self, batch_id: int) -> DataFrame:
         """Time-travel read of a retained snapshot (live rows only)."""
-        d = self._snapshot_dir(batch_id)
-        if not os.path.isdir(d):
+        if not os.path.exists(self._manifest_path(batch_id)):
             raise FileNotFoundError(
                 f"snapshot v-{batch_id} not retained (have "
                 f"{self.versions()}); raise vacuum keep_last"
             )
-        return self.spark.read.parquet(d).where(~F.col("__deleted"))
+        leaves = list(self._load_manifest(batch_id).values())
+        return self._read_leaves(leaves).where(~F.col("__deleted"))
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
-        """Drop all but the newest ``keep_last`` snapshots (never the
-        current one); returns the batch ids removed. Old snapshots are
-        pure storage once the pointer moved — retention is a time-travel
-        window, not a correctness need."""
+        """Drop all but the newest ``keep_last`` manifests (never the
+        current one), then garbage-collect leaf dirs no retained
+        manifest references — leaves are SHARED across versions, so
+        retention works at file level, exactly like lakehouse vacuum.
+        Returns the batch ids whose manifests were removed."""
         import shutil
 
         if keep_last < 1:
@@ -248,5 +338,22 @@ class UpsertTable:
         cur = self.version()
         drop = [v for v in vs[:-keep_last] if v != cur]
         for v in drop:
-            shutil.rmtree(self._snapshot_dir(v))
+            os.remove(self._manifest_path(v))
+        referenced = {
+            leaf
+            for v in self.versions()
+            for leaf in self._load_manifest(v).values()
+        }
+        for d in sorted(os.listdir(self.path)):
+            if not d.startswith("d-"):
+                continue
+            full = os.path.join(self.path, d)
+            for leaf in sorted(os.listdir(full)):
+                rel = os.path.join(d, leaf)
+                if leaf.startswith("__bucket=") and rel not in referenced:
+                    shutil.rmtree(os.path.join(self.path, rel))
+            if not any(
+                e.startswith("__bucket=") for e in os.listdir(full)
+            ):
+                shutil.rmtree(full)
         return drop

@@ -268,3 +268,69 @@ def test_upsert_corrupted_pointer_raises(spark, tmp_path):
         f.write("garbage\x00")
     with pytest.raises(RuntimeError, match="corrupted version pointer"):
         t.version()
+
+
+def test_upsert_untouched_buckets_not_rewritten(spark, tmp_path):
+    """VERDICT r5 #2 done-criterion: a batch rewrites ONLY the key
+    buckets it touches; every other bucket's leaf files stay
+    byte-identical (same paths, same bytes), and the merge reads only
+    the touched buckets' leaves."""
+    import hashlib
+
+    def _leaf_files(t, leaf):
+        d = os.path.join(t.path, leaf)
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    def _md5s(t, leaf):
+        d = os.path.join(t.path, leaf)
+        return {
+            f: hashlib.md5(
+                open(os.path.join(d, f), "rb").read()
+            ).hexdigest()
+            for f in _leaf_files(t, leaf)
+        }
+
+    t = UpsertTable(spark, str(tmp_path / "table"), key_col="uid")
+    schema = "uid long, op string, ts long, seq long, balance double"
+    b0 = spark.createDataFrame(
+        [(k, "upsert", 100, k, float(k)) for k in range(1, 51)], schema
+    )
+    t.apply(b0, 0)
+    m0 = t._load_manifest(0)
+    assert len(m0) > 5  # keys spread over many buckets
+    before = {b: _md5s(t, leaf) for b, leaf in m0.items()}
+
+    # spy on the merge input: which leaves does apply() actually read?
+    read_calls = []
+    orig = t._read_leaves
+
+    def spy(leaves):
+        read_calls.append(list(leaves))
+        return orig(leaves)
+
+    t._read_leaves = spy
+    b1 = spark.createDataFrame([(7, "upsert", 200, 99, 7.5)], schema)
+    t.apply(b1, 1)
+    t._read_leaves = orig
+
+    touched_bucket = [
+        b for b, leaf in t._load_manifest(1).items()
+        if leaf != m0.get(b)
+    ]
+    assert len(touched_bucket) == 1  # exactly one bucket rewritten
+    # merge read exactly that one bucket's previous leaf
+    assert read_calls == [[m0[touched_bucket[0]]]]
+    # every untouched bucket: same manifest entry, same bytes on disk
+    m1 = t._load_manifest(1)
+    for b, leaf in m0.items():
+        if b == touched_bucket[0]:
+            assert m1[b] != leaf
+            continue
+        assert m1[b] == leaf
+        assert _md5s(t, leaf) == before[b]
+    # and the table content is right
+    got = {(r.uid, r.balance) for r in t.current().collect()}
+    want = {(k, float(k)) for k in range(1, 51) if k != 7} | {(7, 7.5)}
+    assert got == want
