@@ -179,9 +179,20 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # The driver captures only a bounded TAIL of stdout's last line
+    # (BENCH_r5 came back `parsed: null` because the skew section blew
+    # past it) — so the skew/stress detail goes to a sidecar file and
+    # the FINAL printed line stays compact and parseable.
     if skew is not None:
-        out["skew"] = skew
-    print(json.dumps(out))
+        detail = dict(out)
+        detail["skew"] = skew
+        with open(
+            os.path.join(os.path.dirname(__file__) or ".",
+                         "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

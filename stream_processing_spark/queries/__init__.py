@@ -82,45 +82,45 @@ from stream_processing_spark.queries import pipesql  # noqa: E402,F401
 # SURVEY.md §2 reference-parity operator and (b) the LLM-pipeline and
 # analytics flagships. Everything else keeps registration order after.
 _PRIORITY = [
-    # §2.2/§2.3/§2.6 reference parity (T1-T7, grep, json)
+    # §2.2/§2.3/§2.6 reference parity anchors (T1-T7, G1-G3, json,
+    # S1/T8/A1/ST2 streaming) — these stay in EVERY round's window
     "t1_filter_pattern", "t2_select_columns", "t3_filter_project",
     "t4_filter_eq", "t5_count_by_category", "t6_word_count",
     "t7_custom_flatmap",
-    # (grep_case_insensitive / grep_invert_count / grep_fixed_literal_count
-    # moved out of the window in round 5 for the new flagships; G1-G3
-    # stay covered by the three below, the rest by GATE + pytest)
     "grep_count_by_source", "grep_total_count", "grep_word_anchor_count",
     "json_extract_props",
-    # §2 streaming operators (S1/T8/A1/ST1-ST7 query surfaces)
     "streaming_counts_by_type", "streaming_hourly_windows",
     "streaming_stateful_running_count", "streaming_dedup_events",
-    "skew_salted_user_counts", "skew_salted_user_totals",
-    # LLM-pipeline flagships: dedup tiers
-    "dedup_exact_groups", "dedup_minhash_signatures", "dedup_lsh_candidates",
-    "dedup_minhash_verified_pairs", "dedup_jaccard_pairs",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_connected_components",
-    "dedup_embedding_canonical",
-    # LLM-pipeline flagships: similarity search
-    "ann_brute_force_topk", "ann_lsh_bucketed_pairs", "ann_ivf_topk",
-    "embedding_label_centroids", "hybrid_search_topk",
-    # LLM-pipeline flagships: text analysis + sampling
-    "text_quality_stats", "text_lang_id", "text_token_counts",
-    "sample_hash_pct", "sample_stratified_per_lang",
-    # analytics flagships
-    "funnel_view_click_purchase", "sessionize_user_sessions",
-    "event_transition_matrix", "cohort_retention_daily",
-    "asof_last_click_before_purchase", "resample_hourly_ffill",
-    "range_join_clicks_before_purchase",
-    # headline TPC-H-style relational
-    "q1_pricing_summary", "q3_top_revenue_orders",
-    # round-4 flagships: the composed curation funnel and SemDeDup
-    # (q5/q18 moved out of the window; still certified by GATE_r4.json
-    # and tests/test_oracle_queries.py)
-    "curation_pipeline_yield", "semantic_dedup_stats",
-    # round-5 flagships: VARIANT semi-structured extraction, recursive
-    # CTE, SQL pipe syntax (everything else stays gate/pytest-certified)
-    "variant_typed_extract_stats", "rcte_capped_running_balance",
-    "pipe_syntax_lineitem_rollup",
+    # ---- round-6 rotation (VERDICT r5 #3): 35 queries never before
+    # in a driver window, so successive rounds accumulate driver-side
+    # certification beyond the in-repo gate. Everything rotated OUT
+    # (dedup/ann/text/analytics flagships of r3-r5 windows) keeps its
+    # GATE_r*/CORRECTNESS_r* history plus tests/test_oracle_queries.py.
+    # relational wave
+    "q4_priority_late_ship", "q11_important_part_values",
+    "q12_linestatus_priority_mix", "q13_customer_distribution",
+    "q16_supplier_count_by_part", "q20_dominant_part_suppliers",
+    "q21_last_shipper_waits", "q22_global_sales_opportunity",
+    # similarity tiers (PQ/IVFPQ + quantized + exact pairs)
+    "ann_cosine_pairs", "ann_quantized_topk", "ann_pq_topk",
+    "ann_ivfpq_topk",
+    # graph retrieval
+    "pagerank_copurchase_parts", "triangle_count_copurchase",
+    "clustering_coeff_copurchase",
+    # scale ops / observability
+    "bloom_prefilter_join_revenue", "zorder_shard_profile",
+    "snapshot_diff_events", "incremental_rollup_merge",
+    "observed_ingest_metrics", "dataset_content_digest",
+    # SQL surfaces (VARIANT, recursive CTE, LATERAL, GROUP BY ALL,
+    # grouping sets, PIVOT/UNPIVOT)
+    "variant_nested_roundtrip_filter", "variant_array_path_access",
+    "rcte_date_spine_order_counts", "lateral_top2_orders_per_customer",
+    "group_by_all_status_priority", "agg_grouping_sets",
+    "pivot_daily_event_counts", "unpivot_lineitem_measures",
+    # LLM-pipeline waves not yet driver-certified
+    "bpe_train_merges", "bm25_topk_docs", "decontaminate_ngram_overlap",
+    "similar_docs_minhash_topk", "cdc_apply_latest_changes",
+    "multimodal_binary_meta",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

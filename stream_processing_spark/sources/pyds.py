@@ -200,6 +200,38 @@ def _snap_to_line_end(path: str, size: int) -> int:
     return 0
 
 
+def _next_line_end(path: str, frm: int, upto: int) -> int:
+    """Smallest line-end offset > frm, scanning forward; ``upto`` (a
+    known line end) if no newline before it."""
+    chunk = 64 * 1024
+    with open(path, "rb") as f:
+        pos = frm
+        while pos < upto:
+            f.seek(pos)
+            buf = f.read(min(chunk, upto - pos))
+            if not buf:  # pragma: no cover - concurrent truncate
+                break
+            i = buf.find(b"\n")
+            if i >= 0:
+                return pos + i + 1
+            pos += len(buf)
+    return upto
+
+
+def _cap_advance(path: str, base: int, cap: int, full: int) -> int:
+    """Bound one trigger's offset advance to ~``cap`` bytes past
+    ``base``, preserving the complete-lines-only invariant: the largest
+    line end within the budget, or — liveness when a single line
+    exceeds the budget — exactly the next complete line."""
+    candidate = base + cap
+    if candidate >= full:
+        return full
+    bounded = _snap_to_line_end(path, candidate)
+    if bounded > base:
+        return bounded
+    return _next_line_end(path, candidate, full)
+
+
 class _LineTailStreamReader(DataSourceStreamReader):
     """Tail append-only files; offsets are consumed-prefix byte counts
     (complete lines only), checkpointed by Spark like any other source
@@ -246,6 +278,24 @@ class _LineTailStreamReader(DataSourceStreamReader):
                 )
         self._split_bytes = int(options.get("split_bytes", 32 * 1024 * 1024))
         self._last: dict[str, int] = {}  # per-file monotonicity guard
+        # per-trigger backpressure (reference analogue: bounded send
+        # queues, worker.py:221): each trigger advances each file's
+        # offset by at most this many bytes (snapped to a line end; a
+        # single oversized line still advances by that one line).
+        # STEADY-STATE bound: the engine calls latestOffset() before
+        # the reader can see any start offset (first call precedes
+        # initialOffset; restarts never replay it), so the FIRST
+        # planned micro-batch after any start/restart admits the whole
+        # existing backlog; every subsequent trigger is byte-bounded.
+        # Capping the blind first call against base 0 would break
+        # restarts (end < checkpointed start trips the shrink guard),
+        # so the uncapped first batch is deliberate, not an oversight.
+        mbt = options.get("max_bytes_per_trigger")
+        self._max_bytes = int(mbt) if mbt is not None else None
+        if self._max_bytes is not None and self._max_bytes <= 0:
+            raise ValueError("max_bytes_per_trigger must be positive")
+        self._base: dict[str, int] = {}  # last planned end per file
+        self._primed = False  # True once base offsets are trustworthy
 
     def _snap(self, path: str) -> int:
         try:
@@ -264,18 +314,33 @@ class _LineTailStreamReader(DataSourceStreamReader):
         return snapped
 
     def initialOffset(self) -> dict:
+        self._primed = True  # fresh query: every file's base starts 0
         return {"files": {}} if self._multi else {"offset": 0}
+
+    def _bounded(self, path: str, full: int) -> int:
+        if self._max_bytes is None:
+            return full
+        base = self._base.get(path)
+        if base is None:
+            if not self._primed:
+                return full  # restart: base unknown until partitions()
+            base = 0  # file newly joined the fleet: cap from 0
+        if full <= base:
+            return full
+        return _cap_advance(path, base, self._max_bytes, full)
 
     def latestOffset(self) -> dict:
         if not self._multi:
-            return {"offset": self._snap(self._path)}
-        return {
-            "files": {
-                f: self._snap(f)
-                for f in sorted(_glob.glob(self._path))
-                if os.path.isfile(f)  # a dir can match the glob
-            }
+            end = self._bounded(self._path, self._snap(self._path))
+            self._base[self._path] = end
+            return {"offset": end}
+        ends = {
+            f: self._bounded(f, self._snap(f))
+            for f in sorted(_glob.glob(self._path))
+            if os.path.isfile(f)  # a dir can match the glob
         }
+        self._base.update(ends)
+        return {"files": ends}
 
     def _file_splits(self, path: str, s: int, e: int) -> list[_Split]:
         if e < s:
@@ -317,10 +382,17 @@ class _LineTailStreamReader(DataSourceStreamReader):
             out: list[_Split] = []
             for f, e in end["files"].items():
                 out += self._file_splits(f, int(prev.get(f, 0)), int(e))
+                # authoritative (checkpoint-fed) base for the byte cap
+                self._base[f] = max(self._base.get(f, 0), int(e))
+            self._primed = True
             return out or [_Split(self._path, 0, 0)]
         out = self._file_splits(
             self._path, int(start["offset"]), int(end["offset"])
         )
+        self._base[self._path] = max(
+            self._base.get(self._path, 0), int(end["offset"])
+        )
+        self._primed = True
         return out or [_Split(self._path, 0, 0)]
 
     def read(self, partition: _Split) -> Iterator["object"]:

@@ -58,6 +58,8 @@ class StreamJob:
         max_files_per_trigger: int | None = None,
         state_store: str | None = None,
         source: str = "files",
+        max_bytes_per_trigger: int | None = None,
+        max_source_file_bytes: int = 64 * 1024 * 1024,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -68,6 +70,8 @@ class StreamJob:
         self.value_col = value_col
         self.checkpoint_dir = checkpoint_dir or os.path.join(output_dir, "_checkpoint")
         self.max_files_per_trigger = max_files_per_trigger
+        self.max_bytes_per_trigger = max_bytes_per_trigger
+        self.max_source_file_bytes = max_source_file_bytes
         if state_store not in (None, "hdfs", "rocksdb"):
             raise ValueError(
                 f"state_store must be None, 'hdfs' or 'rocksdb'; got "
@@ -94,19 +98,33 @@ class StreamJob:
             if self.max_files_per_trigger is not None:
                 raise ValueError(
                     "max_files_per_trigger applies to the directory "
-                    "file source; the tail source has no per-trigger "
-                    "bound yet — drop the option or use source='files'"
+                    "file source; the tail source's per-trigger bound "
+                    "is max_bytes_per_trigger — use that instead"
+                )
+            reader = self.spark.readStream.format("linetail").option(
+                "path", self.input_dir
+            )
+            if self.max_bytes_per_trigger is not None:
+                # backpressure: the analogue of the reference's bounded
+                # send queues (worker.py:221) — each trigger admits at
+                # most this many bytes per tailed file
+                reader = reader.option(
+                    "max_bytes_per_trigger", self.max_bytes_per_trigger
                 )
             return (
-                self.spark.readStream.format("linetail")
-                .option("path", self.input_dir)
-                .load()
+                reader.load()
                 .select(
                     F.concat_ws(":", F.col("file"), F.col("offset")).alias(
                         "key"
                     ),
                     F.col("value"),
                 )
+            )
+        if self.max_bytes_per_trigger is not None:
+            raise ValueError(
+                "max_bytes_per_trigger applies to the tail source; the "
+                "directory file source's per-trigger bound is "
+                "max_files_per_trigger — use that instead"
             )
         reader = self.spark.readStream.format("text").option("wholetext", "true")
         if self.max_files_per_trigger:
@@ -123,7 +141,31 @@ class StreamJob:
         # micro-file WHOLE and posexploding its lines (all JVM-side).
         # This pins one row per file pre-explode — fine for the
         # directory-of-micro-files shape this source documents (§7.3),
-        # where files are small by construction.
+        # where files are small by construction. Because "small by
+        # construction" is a contract, not a property, it is ENFORCED:
+        # a file above max_source_file_bytes fails the batch with an
+        # error naming the escape hatch (the linetail connector splits
+        # large/growing files by byte range instead of one-row-per-
+        # file). length() counts chars; for the ASCII-ish log shape
+        # this guards, that equals bytes to within the encoding.
+        guard = F.when(
+            F.length("value") > F.lit(self.max_source_file_bytes),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "streaming source file exceeds "
+                        f"max_source_file_bytes={self.max_source_file_bytes}: "
+                    ),
+                    F.input_file_name(),
+                    F.lit(
+                        " — route large/growing files through the "
+                        "linetail connector (source='tail') instead of "
+                        "the directory-of-micro-files source"
+                    ),
+                )
+            ),
+        ).otherwise(F.col("value"))
+        df = df.withColumn("value", guard)
         lines = F.split(F.col("value"), "\n")
         # a trailing newline yields one empty trailing element — drop it
         # (interior empty lines are real and kept, matching read.text)

@@ -566,3 +566,94 @@ def test_batch_read_missing_path_raises(registered, tmp_path):
         df = spark.read.format("linetail").option("path", bad).load()
         with pytest.raises(Exception, match="matches no files"):
             df.collect()
+
+
+def test_stream_tail_byte_bounded_triggers(registered, tmp_path):
+    """VERDICT r5 #5: max_bytes_per_trigger drains a backlog appended
+    mid-stream in >1 bounded micro-batches, byte-offset identity
+    preserved. (The first planned batch after start/restart is
+    uncapped by design — the engine asks for the latest offset before
+    the reader can know any start — so the backlog is appended while
+    the query runs, the live-tail shape the bound exists for.)"""
+    import time
+
+    spark = registered
+    src = str(tmp_path / "live.log")
+    ck = str(tmp_path / "ck")
+    with open(src, "w") as f:
+        f.write("head-0\n")
+    q = (
+        spark.readStream.format("linetail")
+        .option("path", src)
+        .option("max_bytes_per_trigger", 1000)
+        .load()
+        .writeStream.format("memory")
+        .queryName("bounded_tail")
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("bounded_tail").count() < 1:
+            time.sleep(0.2)
+        lines = [f"row-{i:05d}" for i in range(400)]  # ~4 KB backlog
+        with open(src, "a") as f:
+            f.write("\n".join(lines) + "\n")
+        want_rows = 1 + len(lines)
+        while time.time() < deadline and (
+            spark.table("bounded_tail").count() < want_rows
+        ):
+            time.sleep(0.2)
+        assert spark.table("bounded_tail").count() == want_rows
+        sizes = [
+            p["numInputRows"]
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        # ~4KB / 1000B cap → at least 4 non-empty batches for the
+        # backlog (plus the head batch); no batch beyond cap+1 line
+        assert len(sizes) >= 4, sizes
+        max_backlog_batch = max(s for s in sizes)
+        assert max_backlog_batch <= 1000 // 7 + 2, sizes  # ~143 rows/batch
+    finally:
+        q.stop()
+    got = sorted(
+        (r.offset, r.value) for r in spark.table("bounded_tail").collect()
+    )
+    want, off = [], 0
+    for ln in ["head-0"] + lines:
+        want.append((off, ln))
+        off += len(ln) + 1
+    assert got == want
+
+
+def test_cap_advance_oversized_line_liveness(tmp_path):
+    """A single line larger than the cap still advances by exactly
+    that one complete line (soft cap, like maxOffsetsPerTrigger)."""
+    from stream_processing_spark.sources.pyds import _cap_advance
+
+    p = str(tmp_path / "big.log")
+    big = "x" * 5000
+    with open(p, "w") as f:
+        f.write(f"small\n{big}\nafter\n")
+    full = 6 + 5001 + 6
+    # base at 'small\n' end; cap 100 < big line → advance to big's end
+    assert _cap_advance(p, 6, 100, full) == 6 + 5001
+    # base 0, cap 100 → just 'small\n'
+    assert _cap_advance(p, 0, 100, full) == 6
+    # cap beyond full → full
+    assert _cap_advance(p, 0, 10**6, full) == full
+
+
+def test_streamjob_files_rejects_byte_trigger_option(registered, tmp_path):
+    from stream_processing_spark.streaming import StreamJob
+
+    d = tmp_path / "ind"
+    d.mkdir()
+    job = StreamJob(
+        registered, str(d), str(tmp_path / "out"), ops=[],
+        source="files", max_bytes_per_trigger=1024,
+    )
+    with pytest.raises(ValueError, match="max_bytes_per_trigger"):
+        job.run_to_completion()

@@ -633,3 +633,23 @@ def test_stateful_sessions_randomized_batch_split_parity(spark, tmp_path):
     assert got == expect, (
         len(got), len(expect), got.symmetric_difference(expect),
     )
+
+
+def test_files_source_oversized_file_raises(spark, tmp_path):
+    """VERDICT r5 #7: the wholetext micro-file source enforces its
+    small-files contract — an oversized file fails the batch with an
+    error naming the linetail alternative."""
+    import pytest
+
+    from stream_processing_spark.streaming import StreamJob
+
+    ind, outd = tmp_path / "in", tmp_path / "out"
+    ind.mkdir()
+    with open(ind / "huge.log", "w") as f:
+        f.write("x" * 2048 + "\n")
+    job = StreamJob(
+        spark, str(ind), str(outd), ops=[],
+        max_source_file_bytes=1024,
+    )
+    with pytest.raises(Exception, match="linetail"):
+        job.run_to_completion()
