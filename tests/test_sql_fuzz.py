@@ -29,7 +29,7 @@ from stream_processing_spark.catalog import register_views
 from tests.oracle_util import compare
 
 SF = "/root/testdata/sf0.01"
-N_CASES = 120
+N_CASES = 170
 
 T = {
     "orders": {
@@ -170,7 +170,76 @@ def _window_query(rng: random.Random, tabs: list[str], frm: str, where: str) -> 
     )
 
 
+def _setop_query(rng: random.Random) -> str:
+    """UNION [ALL] / INTERSECT / EXCEPT of two filtered variants of the
+    same table — identical select-lists, total-order LIMIT on top."""
+    t = rng.choice([t for t in T if T[t]["int"] and T[t]["str"]])
+    cols = rng.sample(T[t]["int"], k=min(2, len(T[t]["int"])))
+    cols += rng.sample(T[t]["str"], k=1)
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    p1, p2 = _pred(rng, [t]), _pred(rng, [t])
+    sel = ", ".join(cols)
+    ords = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(cols)))
+    return (
+        f"SELECT {sel} FROM {t} WHERE {p1} {op} "
+        f"SELECT {sel} FROM {t} WHERE {p2} "
+        f"ORDER BY {ords} LIMIT {rng.choice([40, 90])}"
+    )
+
+
+def _semijoin_query(rng: random.Random) -> str:
+    """EXISTS / NOT EXISTS / IN / NOT IN subqueries over a FK pair.
+    (NOT) IN stays on non-null int key columns — the NULL-poisoning
+    semantics of NOT IN are deliberately out of the grammar."""
+    inner, outer, cond = rng.choice(JOINS)
+    ik, ok = cond.split(" = ")
+    ip = _pred(rng, [inner])
+    kind = rng.choice(["EXISTS", "NOT EXISTS", "IN", "NOT IN"])
+    proj = rng.sample(T[outer]["int"], k=min(2, len(T[outer]["int"])))
+    sel = ", ".join(proj)
+    ords = ", ".join(f"{i + 1} NULLS FIRST" for i in range(len(proj)))
+    if kind in ("EXISTS", "NOT EXISTS"):
+        sub = f"SELECT 1 FROM {inner} WHERE {ik} = {ok} AND {ip}"
+        where = f"{kind} ({sub})"
+    else:
+        sub = f"SELECT {ik} FROM {inner} WHERE {ip}"
+        where = f"{ok} {kind} ({sub})"
+    return (
+        f"SELECT {sel} FROM {outer} WHERE {where} "
+        f"ORDER BY {ords} LIMIT {rng.choice([30, 80])}"
+    )
+
+
+def _scalar_subquery_query(rng: random.Random) -> str:
+    """Correlated scalar subquery in the select list (aggregated, as
+    Spark requires), COALESCEd so no-match rows stay deterministic."""
+    inner, outer, cond = rng.choice(JOINS)
+    ik, ok = cond.split(" = ")
+    ip = _pred(rng, [inner])
+    agg = rng.choice(
+        [
+            "COUNT(*)",
+            f"MIN({rng.choice(T[inner]['int'])})",
+            f"CAST(SUM({rng.choice(T[inner]['int'])}) AS BIGINT)",
+        ]
+    )
+    key = T[outer]["int"][0]
+    return (
+        f"SELECT {key} AS pk, CAST(COALESCE((SELECT {agg} FROM {inner} "
+        f"WHERE {ik} = {ok} AND {ip}), -1) AS BIGINT) AS sq "
+        f"FROM {outer} "
+        f"ORDER BY 1 NULLS FIRST, 2 NULLS FIRST LIMIT {rng.choice([40, 90])}"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
+    shape = rng.random()
+    if shape < 0.12:
+        return _setop_query(rng)
+    if shape < 0.24:
+        return _semijoin_query(rng)
+    if shape < 0.34:
+        return _scalar_subquery_query(rng)
     if rng.random() < 0.4:
         t1, t2, cond = rng.choice(JOINS)
         tabs, frm = [t1, t2], f"{t1} JOIN {t2} ON {cond}"
