@@ -1,0 +1,102 @@
+"""Environment compatibility probes (no installs, no site mutation).
+
+``ensure_protobuf_runtime`` unblocks transformWithState execution in
+containers that ship no ``protobuf`` pip package but DO carry a
+vendored pure-python protobuf runtime (e.g. the google-cloud-sdk
+appengine platform tree). Spark's state-server protocol gencode
+(``pyspark/sql/streaming/proto/StateMessage_pb2.py``, protoc 6.33.0)
+refuses to import under a runtime older than its own version; protobuf
+provides the official escape hatch
+``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` for exactly this
+one-minor-version skew (the 6.32 runtime executes the 6.33 builder
+calls — verified by a serialize/parse roundtrip before we claim
+success).
+
+The probe NEVER adds the whole vendored tree to ``sys.path`` (it
+carries ``google.appengine``/``google.auth``/top-level modules that
+would shadow real packages); it builds a shim directory containing ONLY
+``google/protobuf`` as a symlink, so the namespace-package machinery
+resolves exactly one package out of the tree.
+
+Call this BEFORE the first SparkSession is created: the env vars must
+be in the driver's environment when the JVM launches so python workers
+(which run the state-server client during transformWithStateInPandas)
+inherit both the path and the version-check override.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_VENDORED_CANDIDATES = [
+    # pure-python runtime vendored by the cloud SDK's appengine platform
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+]
+
+_SENTINEL = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+
+
+def _gencode_roundtrips() -> bool:
+    """True iff Spark's state-protocol gencode imports AND a message
+    survives a serialize/parse roundtrip under the active runtime."""
+    try:
+        from pyspark.sql.streaming.proto import StateMessage_pb2 as M
+
+        m = M.StateRequest()
+        m.version = 2
+        m2 = M.StateRequest()
+        m2.ParseFromString(m.SerializeToString())
+        return m2.version == 2
+    except Exception:
+        return False
+
+
+def ensure_protobuf_runtime(shim_root: str | None = None) -> str | None:
+    """Make ``google.protobuf`` importable if at all possible.
+
+    Returns "native" (a real protobuf install works), "vendored" (the
+    shim + version-check override works, env vars exported for worker
+    inheritance), or None (container genuinely can't run the state
+    protocol — callers keep their conditional skips).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+
+        if _gencode_roundtrips():
+            return "native"
+    except ImportError:
+        pass
+
+    for root in _VENDORED_CANDIDATES:
+        pb = os.path.join(root, "google", "protobuf")
+        if not os.path.isdir(pb):
+            continue
+        shim = shim_root or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".pb_shim",
+        )
+        link = os.path.join(shim, "google", "protobuf")
+        try:
+            os.makedirs(os.path.dirname(link), exist_ok=True)
+            if not os.path.islink(link):
+                os.symlink(pb, link)
+        except OSError:
+            continue
+        # env BEFORE import: the gencode validates at import time, and
+        # the JVM must inherit both vars for python workers
+        os.environ[_SENTINEL] = "true"
+        prev = os.environ.get("PYTHONPATH", "")
+        if shim not in prev.split(os.pathsep):
+            os.environ["PYTHONPATH"] = (
+                shim + (os.pathsep + prev if prev else "")
+            )
+        if shim not in sys.path:
+            sys.path.insert(0, shim)
+        if _gencode_roundtrips():
+            return "vendored"
+        # roll back a failed candidate
+        sys.path.remove(shim)
+        os.environ["PYTHONPATH"] = prev
+        os.environ.pop(_SENTINEL, None)
+    return None

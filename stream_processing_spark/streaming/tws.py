@@ -23,6 +23,19 @@ operator process, rebuilt from a replayed log on recovery
 
 Each operator here is a drop-in ``DataFrame → DataFrame`` transform,
 usable as a ``StreamJob`` op (pass ``state_store="rocksdb"``).
+
+RUNTIME REQUIREMENT: executing these operators needs the python
+``protobuf`` runtime (the state-server protocol's gencode is built by
+protoc 6.33.0). In containers without a protobuf pip install,
+``stream_processing_spark.compat.ensure_protobuf_runtime()`` — called
+BEFORE the first SparkSession — can activate a vendored pure-python
+runtime (shim + the official one-minor-skew version-check override);
+with it, every operator in this module executes end-to-end (verified:
+running count across restarts, TTL'd dedup, event-time session
+timers, all on RocksDB). Two operational notes from those runs:
+TTL forces ``TimeMode.ProcessingTime``, and under that mode an
+``availableNow`` drain schedules state-maintenance batches long past
+the data — run TTL'd operators on a processing-time trigger.
 """
 
 from __future__ import annotations

@@ -6,11 +6,13 @@ event-time session timers reproducing the batch gaps-and-islands shape.
 
 ENVIRONMENT GATE: executing a transformWithState query requires the
 python ``protobuf`` runtime (>= the version Spark's StateMessage proto
-was generated with) for the state-server protocol; this container ships
-none that satisfies the gencode check, so the execution tests skip —
-same honest-conditional pattern as the PIL-gated codec tests
-(tests/test_multimodal.py). Plan construction is JVM-side and needs no
-protobuf, so the wiring test below runs unconditionally."""
+was generated with) for the state-server protocol. conftest.py calls
+``compat.ensure_protobuf_runtime()`` before the session exists; in
+this container that activates the cloud-sdk's vendored pure-python
+protobuf 6.32 under the official version-check override (gencode is
+6.33 — one minor of skew, roundtrip-verified), so these tests RUN
+here. The ``needs_tws_runtime`` skip remains for containers where no
+runtime can be found at all."""
 
 from __future__ import annotations
 
@@ -160,7 +162,28 @@ def test_tws_first_seen_dedup_across_batches(spark, tmp_path):
 @needs_tws_runtime
 def test_tws_first_seen_state_ttl_expires(spark, tmp_path):
     # finite TTL bounds dedup state to the ACTIVE key set: after the
-    # TTL elapses (processing time), the same key re-emits
+    # TTL elapses (processing time), the same key re-emits.
+    # TTL requires TimeMode.ProcessingTime, and under that mode an
+    # availableNow drain keeps scheduling state-maintenance batches
+    # long past the data (observed: 170+ empty micro-batches), so the
+    # operational spelling is a processing-time trigger stopped on
+    # quiescence — which is also how a TTL'd dedup runs in production.
+    def _run_until(job, want: set[str], deadline_sec: int = 120):
+        q = job.start(processing_time="500 milliseconds")
+        try:
+            t0 = time.time()
+            while time.time() - t0 < deadline_sec:
+                try:
+                    got = {r.value for r in job.read_output().collect()}
+                except Exception:  # output dir not created yet
+                    got = set()
+                if want <= got:
+                    return got
+                time.sleep(0.5)
+            raise TimeoutError(f"never saw {want}, have {got}")
+        finally:
+            q.stop()
+
     ind, outd = str(tmp_path / "in"), str(tmp_path / "out")
     ops = [_split_kv, lambda df: tws_first_seen(df, ttl_ms=1500)]
 
@@ -168,14 +191,14 @@ def test_tws_first_seen_state_ttl_expires(spark, tmp_path):
     job = StreamJob(
         spark, ind, outd, ops=ops, stateful=True, state_store="rocksdb"
     )
-    job.run_to_completion()
+    _run_until(job, {"k:alpha"})
     time.sleep(2.0)  # let the state variable's TTL lapse
     _write_input(ind, "b2.txt", ["k,beta"])
-    StreamJob(
+    job2 = StreamJob(
         spark, ind, outd, ops=ops, stateful=True, state_store="rocksdb"
-    ).run_to_completion()
-    out = sorted(r.value for r in job.read_output().collect())
-    assert out == ["k:alpha", "k:beta"], out
+    )
+    out = _run_until(job2, {"k:alpha", "k:beta"})
+    assert out == {"k:alpha", "k:beta"}, out
 
 
 @needs_tws_runtime
