@@ -43,7 +43,85 @@ QUERIES = [
     # round 5: plan-level recursion — wall ≈ levels x job overhead,
     # expected FLAT across decades (the serial dimension is constant)
     "rcte_capped_running_balance",
+    # round 6 window rotation: PQ ADC scoring and BM25 ranking
+    "ann_ivfpq_topk",
+    "bm25_topk_docs",
 ]
+
+
+def _time_ingest_apply(spark, sf: str) -> float:
+    """Second-batch apply of the streaming MinHash-LSH ingest corpus:
+    batch work + the PARTITION-PRUNED corpus join (round-6 fix — the
+    corpus side reads only colliding (band, pfx) cells)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_spark.catalog import load_table
+    from stream_processing_spark.streaming.ingest_dedup import (
+        StreamingIngestDedup,
+    )
+
+    docs = load_table(spark, f"/root/testdata/{sf}", "documents").select(
+        "doc_id", "text"
+    )
+    best = float("inf")
+    for _ in range(2):
+        d = tempfile.mkdtemp(prefix="sweep_ingest_")
+        try:
+            sink = StreamingIngestDedup(spark, d)
+            sink.apply(docs.where(F.col("doc_id") % 2 == 0), 0)
+            t0 = time.perf_counter()
+            sink.apply(docs.where(F.col("doc_id") % 2 == 1), 1)
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return best
+
+
+def _time_upsert_apply(spark, sf: str) -> float:
+    """Second-batch apply of the bucketed CDC upsert table: reads and
+    rewrites only the key buckets the batch touches (round-6 fix)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_spark.streaming.upsert import UpsertTable
+
+    orders = spark.read.parquet(f"/root/testdata/{sf}/orders.parquet")
+    changes = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.lit("upsert").alias("op"),
+        F.col("o_orderkey").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("balance"),
+    )
+    b0 = changes.where(F.col("ts") % 2 == 0)
+    # batch 1 touches ~1/8 of the keys → most buckets stay untouched
+    b1 = changes.where((F.col("ts") % 2 == 1) & (F.col("uid") % 8 == 0))
+    best = float("inf")
+    for _ in range(2):
+        d = tempfile.mkdtemp(prefix="sweep_upsert_")
+        try:
+            t = UpsertTable(spark, d, key_col="uid", num_buckets=64)
+            t.apply(b0, 0)
+            t0 = time.perf_counter()
+            t.apply(b1, 1)
+            best = min(best, time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return best
+
+
+# streaming accumulators (not registry queries): time the SECOND batch
+# against state built by the first — the per-batch cost a long-running
+# pipeline actually pays, and the paths the round-6 bucketing fixed
+CUSTOM = {
+    "ingest_dedup_apply_b2": _time_ingest_apply,
+    "upsert_apply_b2": _time_upsert_apply,
+}
 
 
 def main() -> None:
@@ -68,6 +146,10 @@ def main() -> None:
                 ).mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             results[name][sf] = round(best, 3)
+    for name, fn in CUSTOM.items():
+        results[name] = {}
+        for sf in SFS:
+            results[name][sf] = round(fn(spark, sf), 3)
 
     print("# SCALING — wall time across three data decades (local[32])")
     print()
@@ -90,13 +172,33 @@ def main() -> None:
             f"| {r1:.1f}× | {r2:.1f}× |"
         )
     print()
+    worst_name, worst = max(
+        ((n, r[SFS[2]] / r[SFS[1]]) for n, r in results.items() if r[SFS[1]]),
+        key=lambda t: t[1],
+    )
+    print(
+        f"Worst sf0.01→sf0.1 growth: {worst:.1f}× ({worst_name}) — "
+        "bound: must stay well under the 10× linear-data multiple."
+    )
+    print()
     print("Interpretation: per-query job-launch and plan-compile")
     print("overhead is ~0.1-0.5 s on this box, which dominates the")
     print("small decades; the sf0.01→sf0.1 column is the meaningful")
     print("one. Shuffle-bound queries (jaccard, LSH, sessionize) grow")
     print("a small multiple of data volume; driver-round-bound ones")
     print("(connected components, BPE training) grow sub-linearly")
-    print("because their round count is size-independent.")
+    print("because their round count is size-independent. The two")
+    print("`*_apply_b2` rows time a streaming accumulator's SECOND")
+    print("batch against first-batch state: after the round-6 bucketing")
+    print("fixes their cost tracks the BATCH, not the accumulated")
+    print("corpus/table.")
+    if worst > 12:
+        print(
+            f"\nWARNING: {worst_name} grew {worst:.1f}× over the last "
+            "decade — super-linear; investigate before shipping.",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
