@@ -182,16 +182,17 @@ def main() -> None:
     # The driver captures only a bounded TAIL of stdout's last line
     # (BENCH_r5 came back `parsed: null` because the skew section blew
     # past it) — so the skew/stress detail goes to a sidecar file and
-    # the FINAL printed line stays compact and parseable.
-    if skew is not None:
-        detail = dict(out)
-        detail["skew"] = skew
-        with open(
-            os.path.join(os.path.dirname(__file__) or ".",
-                         "BENCH_DETAIL.json"),
-            "w",
-        ) as f:
-            json.dump(detail, f, indent=1)
+    # the FINAL printed line stays compact and parseable. The sidecar
+    # is written EVERY run (skew: null when the section was skipped)
+    # so a stale skew section can never be attributed to a later run.
+    detail = dict(out)
+    detail["skew"] = skew
+    with open(
+        os.path.join(os.path.dirname(__file__) or ".",
+                     "BENCH_DETAIL.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
     print(json.dumps(out, separators=(",", ":")))
 
 

@@ -85,18 +85,32 @@ def ensure_protobuf_runtime(shim_root: str | None = None) -> str | None:
             continue
         # env BEFORE import: the gencode validates at import time, and
         # the JVM must inherit both vars for python workers
+        prev_sentinel = os.environ.get(_SENTINEL)
         os.environ[_SENTINEL] = "true"
-        prev = os.environ.get("PYTHONPATH", "")
-        if shim not in prev.split(os.pathsep):
+        prev = os.environ.get("PYTHONPATH")
+        added_env = shim not in (prev or "").split(os.pathsep)
+        if added_env:
             os.environ["PYTHONPATH"] = (
                 shim + (os.pathsep + prev if prev else "")
             )
-        if shim not in sys.path:
+        added_path = shim not in sys.path
+        if added_path:
             sys.path.insert(0, shim)
         if _gencode_roundtrips():
             return "vendored"
-        # roll back a failed candidate
-        sys.path.remove(shim)
-        os.environ["PYTHONPATH"] = prev
-        os.environ.pop(_SENTINEL, None)
+        # roll back a failed candidate EXACTLY: only remove what this
+        # call added, and never leave PYTHONPATH set-but-empty (an
+        # empty entry means cwd on sys.path — a mutation we promised
+        # not to make)
+        if added_path:
+            sys.path.remove(shim)
+        if added_env:
+            if prev is None:
+                os.environ.pop("PYTHONPATH", None)
+            else:
+                os.environ["PYTHONPATH"] = prev
+        if prev_sentinel is None:
+            os.environ.pop(_SENTINEL, None)
+        else:
+            os.environ[_SENTINEL] = prev_sentinel
     return None

@@ -43,6 +43,7 @@ in the corpus branch) — and the union over batches equals the batch
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -55,7 +56,7 @@ from stream_processing_spark.functions.dedup import band_buckets  # noqa: F401
 # the band/sig spelling — lsh_candidate_pairs builds its buckets from
 # the same helper, so stream/batch pair parity is by construction)
 
-_LAYOUT_VERSION = "2"  # 2 = (band, pfx)-partitioned bands w/ inline sigs
+_LAYOUT_VERSION = 2  # 2 = (band, pfx)-partitioned bands w/ inline sigs
 
 
 class StreamingIngestDedup:
@@ -95,13 +96,26 @@ class StreamingIngestDedup:
         self.sig_prefix_buckets = sig_prefix_buckets
 
     # -- layout & recovery --------------------------------------------
+    def _layout_params(self) -> dict:
+        """Every parameter that shapes the STORED corpus — a reopened
+        state dir must agree on all of them or its partition pruning
+        (and signature layout) silently diverges from the data."""
+        return {
+            "version": _LAYOUT_VERSION,
+            "shingle_n": self.shingle_n,
+            "k": self.k,
+            "bands": self.bands,
+            "rows_per_band": self.rows_per_band,
+            "sig_prefix_buckets": self.sig_prefix_buckets,
+        }
+
     def _check_layout(self) -> None:
-        """Refuse foreign/legacy state dirs; roll interrupted
-        compactions forward/back before any read."""
+        """Refuse foreign/legacy/parameter-mismatched state dirs; roll
+        interrupted compactions forward/back before any read."""
         if os.path.isdir(self.bands_path):
             try:
                 with open(self.layout_path) as f:
-                    v = f.read().strip()
+                    stored = json.load(f)
             except FileNotFoundError:
                 raise RuntimeError(
                     f"{self.bands_path} exists but {self.layout_path} "
@@ -109,10 +123,19 @@ class StreamingIngestDedup:
                     "(band, pfx) corpus layout; re-ingest into a fresh "
                     "state_dir"
                 ) from None
-            if v != _LAYOUT_VERSION:
+            except ValueError:
                 raise RuntimeError(
-                    f"state dir layout {v!r} != {_LAYOUT_VERSION!r}; "
-                    "re-ingest into a fresh state_dir"
+                    f"{self.layout_path} is unreadable; repair it to "
+                    f"{self._layout_params()} or re-ingest"
+                ) from None
+            if stored != self._layout_params():
+                # a pfx/band/k mismatch would make the pruning filter
+                # skip directories that DO hold colliding rows — the
+                # silent cross-batch pair-loss mode, refused loudly
+                raise RuntimeError(
+                    f"state dir was written with {stored}, reopened "
+                    f"with {self._layout_params()}: corpus layout "
+                    "parameters are immutable per state_dir"
                 )
             self._recover_compaction()
 
@@ -121,7 +144,7 @@ class StreamingIngestDedup:
             os.makedirs(self.state_dir, exist_ok=True)
             tmp = self.layout_path + ".tmp"
             with open(tmp, "w") as f:
-                f.write(_LAYOUT_VERSION)
+                json.dump(self._layout_params(), f, sort_keys=True)
             os.replace(tmp, self.layout_path)
 
     # -- pfx bucketing -------------------------------------------------
@@ -305,23 +328,20 @@ class StreamingIngestDedup:
         self._check_layout()
         if not os.path.isdir(self.bands_path):
             raise FileNotFoundError(f"no corpus at {self.bands_path}")
-        olds = [
-            d
-            for d in os.listdir(self.bands_path)
-            if d.startswith("__batch_id=")
-            and int(d.split("=", 1)[1]) <= upto
-        ]
-        newest = max(
+        batch_ids = sorted(
             int(d.split("=", 1)[1])
             for d in os.listdir(self.bands_path)
             if d.startswith("__batch_id=")
         )
-        if upto >= newest:
+        if not batch_ids:
+            return 0  # empty corpus (e.g. only an empty first batch)
+        if upto >= batch_ids[-1]:
             raise ValueError(
                 f"compact(upto={upto}) must be < the newest batch id "
-                f"{newest}: the newest batch is inside Spark's replay "
-                "window and must stay dynamically overwritable"
+                f"{batch_ids[-1]}: the newest batch is inside Spark's "
+                "replay window and must stay dynamically overwritable"
             )
+        olds = [f"__batch_id={b}" for b in batch_ids if b <= upto]
         if len(olds) <= 1:
             return len(olds)
         tmp, trash = self._tmp_dir(), self._trash_dir()
@@ -333,7 +353,13 @@ class StreamingIngestDedup:
             .partitionBy("band", "pfx")
             .parquet(tmp)
         )
+        # INTENT marker first: recovery must know the exact target id
+        # and which partitions were slated for removal — inferring it
+        # from whatever happened to reach the trash would duplicate
+        # rows if the move loop below is interrupted midway
         os.makedirs(trash, exist_ok=True)
+        with open(os.path.join(trash, "_UPTO"), "w") as f:
+            f.write(str(upto))
         for d in olds:
             os.replace(
                 os.path.join(self.bands_path, d), os.path.join(trash, d)
@@ -345,33 +371,43 @@ class StreamingIngestDedup:
     def _recover_compaction(self) -> None:
         """Roll an interrupted ``compact`` forward or back."""
         tmp, trash = self._tmp_dir(), self._trash_dir()
+        upto = None
+        if os.path.isdir(trash) and os.path.exists(
+            os.path.join(trash, "_UPTO")
+        ):
+            with open(os.path.join(trash, "_UPTO")) as f:
+                upto = int(f.read().strip())
         if os.path.isdir(tmp):
-            if os.path.exists(os.path.join(tmp, "_SUCCESS")):
-                # staged data complete: finish the move (upto = max
-                # batch id found in trash ∪ still-present olds is not
-                # recoverable from tmp alone, so compact target id is
-                # the max batch id in the trash — the olds were moved
-                # only after the stage finished, so any trash content
-                # identifies the run)
-                if os.path.isdir(trash) and os.listdir(trash):
-                    upto = max(
-                        int(d.split("=", 1)[1]) for d in os.listdir(trash)
-                    )
-                    dest = os.path.join(
-                        self.bands_path, f"__batch_id={upto}"
-                    )
-                    if os.path.isdir(dest):
-                        shutil.rmtree(dest)
-                    os.replace(tmp, dest)
-                    shutil.rmtree(trash)
-                else:
-                    # stage finished but no olds were moved yet: the
-                    # original partitions are all intact — discard
-                    shutil.rmtree(tmp)
+            if (
+                os.path.exists(os.path.join(tmp, "_SUCCESS"))
+                and upto is not None
+            ):
+                # staged data complete AND the intent marker names the
+                # target: roll FORWARD. First finish the interrupted
+                # move loop (any old partition <= upto still in bands
+                # would otherwise survive beside its compacted copy —
+                # duplicated rows), then swing the staged dir in.
+                for d in os.listdir(self.bands_path):
+                    if (
+                        d.startswith("__batch_id=")
+                        and int(d.split("=", 1)[1]) <= upto
+                    ):
+                        os.replace(
+                            os.path.join(self.bands_path, d),
+                            os.path.join(trash, d),
+                        )
+                os.replace(
+                    tmp, os.path.join(self.bands_path, f"__batch_id={upto}")
+                )
+                shutil.rmtree(trash)
             else:
-                # stage incomplete: restore anything trashed, drop tmp
+                # stage incomplete (no _SUCCESS) or no intent marker
+                # (crash before _UPTO): originals are authoritative —
+                # restore anything trashed, discard the stage
                 if os.path.isdir(trash):
                     for d in os.listdir(trash):
+                        if d == "_UPTO":
+                            continue
                         os.replace(
                             os.path.join(trash, d),
                             os.path.join(self.bands_path, d),
@@ -379,7 +415,8 @@ class StreamingIngestDedup:
                     shutil.rmtree(trash)
                 shutil.rmtree(tmp)
         elif os.path.isdir(trash):
-            # tmp already renamed into place; only the trash remains
+            # tmp already renamed into place (the move loop completed
+            # before the rename, by construction); only trash remains
             shutil.rmtree(trash)
 
     # -- readbacks ----------------------------------------------------

@@ -59,7 +59,7 @@ class StreamJob:
         state_store: str | None = None,
         source: str = "files",
         max_bytes_per_trigger: int | None = None,
-        max_source_file_bytes: int = 64 * 1024 * 1024,
+        max_source_file_bytes: int | None = None,
     ):
         self.spark = spark
         self.input_dir = input_dir
@@ -100,6 +100,14 @@ class StreamJob:
                     "max_files_per_trigger applies to the directory "
                     "file source; the tail source's per-trigger bound "
                     "is max_bytes_per_trigger — use that instead"
+                )
+            if self.max_source_file_bytes is not None:
+                raise ValueError(
+                    "max_source_file_bytes guards the directory "
+                    "micro-file source; the tail source splits files "
+                    "by byte range and needs no size cap — drop the "
+                    "option (use max_bytes_per_trigger for admission "
+                    "control)"
                 )
             reader = self.spark.readStream.format("linetail").option(
                 "path", self.input_dir
@@ -148,13 +156,18 @@ class StreamJob:
         # large/growing files by byte range instead of one-row-per-
         # file). length() counts chars; for the ASCII-ish log shape
         # this guards, that equals bytes to within the encoding.
+        limit = (
+            self.max_source_file_bytes
+            if self.max_source_file_bytes is not None
+            else 64 * 1024 * 1024
+        )
         guard = F.when(
-            F.length("value") > F.lit(self.max_source_file_bytes),
+            F.length("value") > F.lit(limit),
             F.raise_error(
                 F.concat(
                     F.lit(
                         "streaming source file exceeds "
-                        f"max_source_file_bytes={self.max_source_file_bytes}: "
+                        f"max_source_file_bytes={limit}: "
                     ),
                     F.input_file_name(),
                     F.lit(

@@ -106,9 +106,20 @@ class UpsertTable:
         return os.path.join(self._manifest_dir, f"v-{batch_id:010d}.json")
 
     def _load_manifest(self, batch_id: int) -> dict[int, str]:
-        """bucket id → leaf dir path (relative to the table root)."""
+        """bucket id → leaf dir path (relative to the table root).
+
+        The bucket count is a TABLE property, not a caller choice:
+        loading a manifest adopts its recorded ``num_buckets`` (like a
+        lakehouse table's layout metadata), so reopening an existing
+        table with a different constructor value cannot mis-route keys
+        — a key hashed with the wrong modulus would be merged into a
+        different bucket than the one holding its stored row, leaving
+        two live rows per key."""
         with open(self._manifest_path(batch_id)) as f:
             m = json.load(f)
+        stored = int(m["num_buckets"])
+        if stored != self.num_buckets:
+            self.num_buckets = stored
         return {int(k): v for k, v in m["buckets"].items()}
 
     def _write_manifest(

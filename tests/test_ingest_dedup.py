@@ -228,6 +228,8 @@ def test_compaction_consolidates_and_recovers(spark, tmp_path):
         .parquet(tmp2)
     )
     os.makedirs(trash2)
+    with open(os.path.join(trash2, "_UPTO"), "w") as f:
+        f.write("1")  # the intent marker a real compact() writes first
     for d in ("__batch_id=0", "__batch_id=1"):
         os.replace(os.path.join(b2, d), os.path.join(trash2, d))
     # interrupted HERE: next read triggers roll-forward
@@ -261,3 +263,67 @@ def test_compaction_consolidates_and_recovers(spark, tmp_path):
     assert got3 == want3
     assert not os.path.isdir(sink3._tmp_dir())
     assert not os.path.isdir(sink3._trash_dir())
+
+
+def test_compaction_mid_move_crash_no_duplicates(spark, tmp_path):
+    """Review r6: a crash midway through the olds→trash move loop
+    (stage complete, only SOME old partitions moved) must roll forward
+    without duplicating the not-yet-moved partitions' rows."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    sink = StreamingIngestDedup(spark, str(tmp_path / "state"))
+    for i in range(3):
+        sink.apply(docs.where(F.col("doc_id") % 3 == i), i)
+    want = sorted(
+        (r.doc_id, r.band, r.sig) for r in sink.corpus_bands().collect()
+    )
+    b = str(tmp_path / "state" / "bands")
+    tmp2, trash = sink._tmp_dir(), sink._trash_dir()
+    # stage the compacted copy of batches 0..1 (complete, _SUCCESS)
+    (
+        spark.read.parquet(b)
+        .where(F.col("__batch_id") <= 1)
+        .drop("__batch_id")
+        .write.mode("overwrite")
+        .partitionBy("band", "pfx")
+        .parquet(tmp2)
+    )
+    os.makedirs(trash)
+    with open(os.path.join(trash, "_UPTO"), "w") as f:
+        f.write("1")
+    # crash window: only batch 0 moved; batch 1 still in bands
+    os.replace(os.path.join(b, "__batch_id=0"),
+               os.path.join(trash, "__batch_id=0"))
+    got = sorted(
+        (r.doc_id, r.band, r.sig) for r in sink.corpus_bands().collect()
+    )
+    assert got == want  # roll-forward finished the move: NO duplicates
+    assert sorted(
+        d for d in os.listdir(b) if d.startswith("__batch_id=")
+    ) == ["__batch_id=1", "__batch_id=2"]
+    assert not os.path.isdir(tmp2) and not os.path.isdir(trash)
+
+
+def test_layout_parameter_mismatch_refused(spark, tmp_path):
+    """Review r6: reopening a state dir with different corpus-shaping
+    parameters (pfx buckets, bands, k...) must refuse — wrong pruning
+    would silently lose cross-batch pairs."""
+    import pytest
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    sink = StreamingIngestDedup(
+        spark, str(tmp_path / "state"), sig_prefix_buckets=64
+    )
+    sink.apply(docs.where(F.col("doc_id") % 3 == 0), 0)
+    reopened = StreamingIngestDedup(spark, str(tmp_path / "state"))
+    with pytest.raises(RuntimeError, match="immutable"):
+        reopened.apply(docs.where(F.col("doc_id") % 3 == 1), 1)
+
+
+def test_compact_empty_corpus_returns_zero(spark, tmp_path):
+    """Review r6: compact() over a bands dir with no batch partitions
+    (e.g. only an empty first batch's _SUCCESS) returns 0, not a bare
+    max() ValueError."""
+    sink = StreamingIngestDedup(spark, str(tmp_path / "state"))
+    os.makedirs(str(tmp_path / "state" / "bands"))
+    sink._write_layout()
+    assert sink.compact(upto=5) == 0

@@ -657,3 +657,19 @@ def test_streamjob_files_rejects_byte_trigger_option(registered, tmp_path):
     )
     with pytest.raises(ValueError, match="max_bytes_per_trigger"):
         job.run_to_completion()
+
+
+def test_streamjob_tail_rejects_source_file_cap(registered, tmp_path):
+    """Review r6: max_source_file_bytes silently ignored in tail mode
+    — now raises symmetrically with the other cross-option guards."""
+    from stream_processing_spark.streaming import StreamJob
+
+    src = str(tmp_path / "a.log")
+    with open(src, "w") as f:
+        f.write("x\n")
+    job = StreamJob(
+        registered, src, str(tmp_path / "out"), ops=[],
+        source="tail", max_source_file_bytes=1024,
+    )
+    with pytest.raises(ValueError, match="max_source_file_bytes"):
+        job.run_to_completion()

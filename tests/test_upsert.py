@@ -334,3 +334,28 @@ def test_upsert_untouched_buckets_not_rewritten(spark, tmp_path):
     got = {(r.uid, r.balance) for r in t.current().collect()}
     want = {(k, float(k)) for k in range(1, 51) if k != 7} | {(7, 7.5)}
     assert got == want
+
+
+def test_upsert_reopen_adopts_table_bucket_count(spark, tmp_path):
+    """Review r6: num_buckets is a table property — reopening with a
+    different constructor value must adopt the manifest's count, or a
+    key hashed with the wrong modulus merges into the wrong bucket and
+    the table serves two live rows for one key."""
+    schema = "uid long, op string, ts long, seq long, balance double"
+    t = UpsertTable(
+        spark, str(tmp_path / "table"), key_col="uid", num_buckets=64
+    )
+    t.apply(
+        spark.createDataFrame(
+            [(k, "upsert", 100, k, float(k)) for k in range(1, 40)], schema
+        ),
+        0,
+    )
+    # reopen with the DEFAULT bucket count and update an existing key
+    t2 = UpsertTable(spark, str(tmp_path / "table"), key_col="uid")
+    t2.apply(
+        spark.createDataFrame([(7, "upsert", 200, 99, 7.5)], schema), 1
+    )
+    assert t2.num_buckets == 64  # adopted from the manifest
+    rows = t2.current().where(F.col("uid") == 7).collect()
+    assert [(r.uid, r.balance) for r in rows] == [(7, 7.5)]  # ONE row
