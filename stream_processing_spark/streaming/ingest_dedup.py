@@ -76,6 +76,7 @@ class StreamingIngestDedup:
         rows_per_band: int = 2,
         min_agree: int = 0,
         sig_prefix_buckets: int = 16,
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -94,6 +95,10 @@ class StreamingIngestDedup:
         # pfx partition fan-out per band; the per-batch corpus read is
         # pruned to ≤ bands × this many cells
         self.sig_prefix_buckets = sig_prefix_buckets
+        # auto-compaction cadence: every N batches, fold all committed
+        # band partitions (< the just-written batch) into one — bounds
+        # small-file growth to ~N batches' worth. None = manual only.
+        self.compact_every = compact_every
 
     # -- layout & recovery --------------------------------------------
     def _layout_params(self) -> dict:
@@ -189,6 +194,18 @@ class StreamingIngestDedup:
     # -- the per-batch merge ------------------------------------------
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
         self._check_layout()
+        if batch_id <= self._compacted_upto():
+            # batches at or below the compaction watermark no longer
+            # own a partition — a dynamic-overwrite replay would write
+            # rows BESIDE their compacted copies (duplicates). Normal
+            # crash-window replay (the LAST batch) can never hit this
+            # (compact() enforces upto < newest); only a deliberate
+            # full re-drain can, and it needs a fresh state_dir.
+            raise RuntimeError(
+                f"batch {batch_id} is inside the compacted range "
+                f"(<= {self._compacted_upto()}); full re-drains into a "
+                "compacted corpus need a fresh state_dir"
+            )
         sh = dd.shingles(
             batch_df.select("doc_id", "text"), n=self.shingle_n
         )
@@ -298,6 +315,16 @@ class StreamingIngestDedup:
                 .partitionBy(*parts)
                 .parquet(path)
             )
+        if (
+            self.compact_every
+            and batch_id > 0
+            and batch_id % self.compact_every == 0
+        ):
+            # fold everything before this batch into one partition;
+            # idempotent under replay (a re-run finds <= 1 partition
+            # below upto and no-ops), and the just-written batch stays
+            # dynamically overwritable
+            self.compact(upto=batch_id - 1)
 
     def writer(self):
         def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -306,6 +333,22 @@ class StreamingIngestDedup:
         return write
 
     # -- compaction ----------------------------------------------------
+    def _compacted_upto(self) -> int:
+        try:
+            with open(os.path.join(self.state_dir, "_COMPACTED_UPTO")) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _mark_compacted(self, upto: int) -> None:
+        p = os.path.join(self.state_dir, "_COMPACTED_UPTO")
+        if upto <= self._compacted_upto():
+            return
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(upto))
+        os.replace(tmp, p)
+
     def _tmp_dir(self) -> str:
         return os.path.join(self.state_dir, "_compact_tmp")
 
@@ -365,6 +408,7 @@ class StreamingIngestDedup:
                 os.path.join(self.bands_path, d), os.path.join(trash, d)
             )
         os.replace(tmp, os.path.join(self.bands_path, f"__batch_id={upto}"))
+        self._mark_compacted(upto)
         shutil.rmtree(trash)
         return len(olds)
 
@@ -399,6 +443,7 @@ class StreamingIngestDedup:
                 os.replace(
                     tmp, os.path.join(self.bands_path, f"__batch_id={upto}")
                 )
+                self._mark_compacted(upto)
                 shutil.rmtree(trash)
             else:
                 # stage incomplete (no _SUCCESS) or no intent marker
@@ -416,7 +461,10 @@ class StreamingIngestDedup:
                 shutil.rmtree(tmp)
         elif os.path.isdir(trash):
             # tmp already renamed into place (the move loop completed
-            # before the rename, by construction); only trash remains
+            # before the rename, by construction); only trash remains —
+            # make sure the watermark records the completed run first
+            if upto is not None:
+                self._mark_compacted(upto)
             shutil.rmtree(trash)
 
     # -- readbacks ----------------------------------------------------

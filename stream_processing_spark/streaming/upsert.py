@@ -39,7 +39,10 @@ checkpoint was pointed at an existing table, where silently skipping
 would discard new data (``allow_full_replay=True`` opts into
 deliberate full re-drains). Deletes persist as TOMBSTONES
 (``__deleted`` rows keeping their (ts, seq)) so stale out-of-order
-upserts cannot resurrect deleted keys.
+upserts cannot resurrect deleted keys. SCHEMA EVOLUTION follows
+lakehouse ``UPDATE SET *`` semantics: a batch may add payload columns
+(stored rows read null there via mergeSchema) and a batch omitting a
+stored column leaves stored values untouched when its change wins.
 
 Reference analogue: the leader's dedup dict + HyDFS flush
 (leader.py:241-284), collapsed into the checkpoint + manifest chain.
@@ -148,7 +151,10 @@ class UpsertTable:
         return f"d-{batch_id:010d}"
 
     def _read_leaves(self, leaves: list[str]) -> DataFrame:
-        return self.spark.read.parquet(
+        # mergeSchema: leaves written before a schema-evolving batch
+        # lack the new columns (they read as null) — without it the
+        # scan would pin one leaf's schema and silently drop columns
+        return self.spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.path, p) for p in leaves]
         )
 
@@ -233,17 +239,30 @@ class UpsertTable:
             merged = self._as_stored(latest)
         else:
             cur = self._read_leaves(cur_leaves)
-            payload = [
+            stored_payload = [
                 c
                 for c in cur.columns
                 if c not in (self.key_col, "__ts", "__seq", "__deleted")
+            ]
+            change_payload = [
+                c
+                for c in latest.columns
+                if c not in (self.key_col, "op", "ts", "seq")
+            ]
+            # SCHEMA EVOLUTION (lakehouse UPDATE SET * semantics): the
+            # merged payload is the union — a column new in this batch
+            # is null on previously stored rows; a stored column absent
+            # from this batch keeps its stored value even when the
+            # change wins (the change simply doesn't set it)
+            payload = stored_payload + [
+                c for c in change_payload if c not in stored_payload
             ]
             ch = latest.select(
                 F.col(self.key_col).alias("__k"),
                 "op",
                 F.col("ts").alias("__cts"),
                 F.col("seq").alias("__cseq"),
-                *[F.col(c).alias(f"__new_{c}") for c in payload],
+                *[F.col(c).alias(f"__new_{c}") for c in change_payload],
             )
             j = cur.join(ch, cur[self.key_col] == ch["__k"], "full_outer")
             # newer ⇔ no stored row/tombstone yet, or change (ts, seq) >
@@ -258,12 +277,22 @@ class UpsertTable:
                 )
             )
             take = F.coalesce(newer, F.lit(False))  # op rows only below
+
+            def _new_val(c):
+                if c in change_payload:
+                    return F.col(f"__new_{c}")
+                # column not in this batch: winning change keeps the
+                # stored value (UPDATE SET * over the present columns)
+                return F.col(c) if c in stored_payload else F.lit(None)
+
+            def _old_val(c):
+                return F.col(c) if c in stored_payload else F.lit(None)
+
             merged = j.select(
                 F.coalesce(self.key_col, "__k").alias(self.key_col),
                 *[
-                    F.when(take & (F.col("op") == "upsert"),
-                           F.col(f"__new_{c}"))
-                    .otherwise(F.col(c))
+                    F.when(take & (F.col("op") == "upsert"), _new_val(c))
+                    .otherwise(_old_val(c))
                     .alias(c)
                     for c in payload
                 ],

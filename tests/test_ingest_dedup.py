@@ -327,3 +327,48 @@ def test_compact_empty_corpus_returns_zero(spark, tmp_path):
     os.makedirs(str(tmp_path / "state" / "bands"))
     sink._write_layout()
     assert sink.compact(upto=5) == 0
+
+
+def test_auto_compaction_bounds_partitions_keeps_parity(spark, tmp_path):
+    """compact_every folds committed batches as the stream runs: the
+    partition count stays bounded, pair/band parity with the batch
+    computation holds, and a replay into the compacted range is
+    refused (full re-drains need a fresh state_dir)."""
+    import pytest
+
+    docs, src_dir = _stage_batches(spark, tmp_path, n_batches=4)
+    sink = StreamingIngestDedup(
+        spark, str(tmp_path / "state"), compact_every=2
+    )
+    _drain(spark, src_dir, sink, str(tmp_path / "ck"))
+
+    bands_dir = str(tmp_path / "state" / "bands")
+    parts = sorted(
+        d for d in os.listdir(bands_dir) if d.startswith("__batch_id=")
+    )
+    # batches 0..3 with compaction at 2 (folds 0,1) → at most 3 parts
+    assert len(parts) <= 3, parts
+
+    got_bands = {
+        (r.doc_id, r.band, r.sig) for r in sink.corpus_bands().collect()
+    }
+    want_bands = {
+        (r.doc_id, r.band, r.sig)
+        for r in band_buckets(
+            dd.minhash_signatures(dd.shingles(docs, n=3), k=8)
+        ).collect()
+    }
+    assert got_bands == want_bands
+    batch_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.lsh_candidate_pairs(
+            dd.minhash_signatures(dd.shingles(docs, n=3), k=8)
+        ).collect()
+    }
+    rows = sink.candidate_pairs().collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == batch_pairs
+    assert len(rows) == len(batch_pairs)
+
+    # a batch id inside the compacted range is refused loudly
+    with pytest.raises(RuntimeError, match="compacted range"):
+        sink.apply(docs.limit(1), 0)

@@ -359,3 +359,42 @@ def test_upsert_reopen_adopts_table_bucket_count(spark, tmp_path):
     assert t2.num_buckets == 64  # adopted from the manifest
     rows = t2.current().where(F.col("uid") == 7).collect()
     assert [(r.uid, r.balance) for r in rows] == [(7, 7.5)]  # ONE row
+
+
+def test_upsert_schema_evolution_new_column(spark, tmp_path):
+    """Lakehouse UPDATE SET * semantics: a batch may add payload
+    columns (old rows read null there) and a batch that omits a stored
+    column leaves the stored value in place when its change wins."""
+    t = UpsertTable(spark, str(tmp_path / "table"), key_col="uid")
+    t.apply(
+        spark.createDataFrame(
+            [(k, "upsert", 100, k, float(k)) for k in (1, 2, 3)],
+            "uid long, op string, ts long, seq long, balance double",
+        ),
+        0,
+    )
+    # batch 1 adds 'tier' and updates key 2
+    t.apply(
+        spark.createDataFrame(
+            [(2, "upsert", 200, 10, 22.0, "gold")],
+            "uid long, op string, ts long, seq long, balance double,"
+            " tier string",
+        ),
+        1,
+    )
+    got = {
+        (r.uid, r.balance, r.tier) for r in t.current().collect()
+    }
+    assert got == {(1, 1.0, None), (2, 22.0, "gold"), (3, 3.0, None)}
+
+    # batch 2 omits 'tier' entirely; key 2's winning change keeps the
+    # stored tier, key 1 stays null
+    t.apply(
+        spark.createDataFrame(
+            [(2, "upsert", 300, 20, 23.0), (1, "upsert", 300, 21, 11.0)],
+            "uid long, op string, ts long, seq long, balance double",
+        ),
+        2,
+    )
+    got = {(r.uid, r.balance, r.tier) for r in t.current().collect()}
+    assert got == {(1, 11.0, None), (2, 23.0, "gold"), (3, 3.0, None)}
