@@ -131,6 +131,10 @@ BENCH_QUERIES = [
     # materialized once so levels touch 20 rows/user, never the events
     # scan
     "rcte_capped_running_balance",
+    # --- round-6 addition (new headliner — compare per-query against
+    # BENCH_r05, not in aggregate): PQ ADC lookup-table scoring over
+    # IVF-pruned candidates (the compressed-domain ANN scale path)
+    "ann_ivfpq_topk",
 ]
 
 

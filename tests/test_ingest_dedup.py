@@ -372,3 +372,52 @@ def test_auto_compaction_bounds_partitions_keeps_parity(spark, tmp_path):
     # a batch id inside the compacted range is refused loudly
     with pytest.raises(RuntimeError, match="compacted range"):
         sink.apply(docs.limit(1), 0)
+
+
+def test_random_batches_random_compaction_property(spark, tmp_path):
+    """Property: ANY batch partitioning of the corpus with compaction
+    at ANY admissible points yields exactly the batch computation's
+    bands and candidate pairs (each pair discovered once)."""
+    import random
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    n = 40
+    sub = docs.limit(n).localCheckpoint(eager=True)
+    ids = [r.doc_id for r in sub.select("doc_id").collect()]
+    want_bands = {
+        (r.doc_id, r.band, r.sig)
+        for r in band_buckets(
+            dd.minhash_signatures(dd.shingles(sub, n=3), k=8)
+        ).collect()
+    }
+    want_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dd.lsh_candidate_pairs(
+            dd.minhash_signatures(dd.shingles(sub, n=3), k=8)
+        ).collect()
+    }
+    for seed in (0, 7):
+        rng = random.Random(seed)
+        perm = ids[:]
+        rng.shuffle(perm)
+        n_batches = rng.randint(2, 5)
+        cuts = sorted(rng.sample(range(1, n), n_batches - 1))
+        batches, prev = [], 0
+        for c in cuts + [n]:
+            batches.append(perm[prev:c])
+            prev = c
+        sink = StreamingIngestDedup(spark, str(tmp_path / f"s{seed}"))
+        for i, members in enumerate(batches):
+            sink.apply(sub.where(F.col("doc_id").isin(members)), i)
+            # random admissible compaction after some batches
+            if i >= 1 and rng.random() < 0.5:
+                sink.compact(upto=i - 1)
+        got_bands = {
+            (r.doc_id, r.band, r.sig)
+            for r in sink.corpus_bands().collect()
+        }
+        assert got_bands == want_bands, seed
+        rows = sink.candidate_pairs().collect()
+        got_pairs = {(r.doc_a, r.doc_b) for r in rows}
+        assert got_pairs == want_pairs, seed
+        assert len(rows) == len(got_pairs), (seed, "pair emitted twice")
