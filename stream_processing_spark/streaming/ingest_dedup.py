@@ -133,6 +133,13 @@ class StreamingIngestDedup:
                     f"{self.layout_path} is unreadable; repair it to "
                     f"{self._layout_params()} or re-ingest"
                 ) from None
+            if not isinstance(stored, dict):
+                raise RuntimeError(
+                    f"{self.layout_path} holds a pre-JSON layout "
+                    f"marker ({stored!r}): this state dir was written "
+                    "by an earlier build of this module; re-ingest "
+                    "into a fresh state_dir"
+                )
             if stored != self._layout_params():
                 # a pfx/band/k mismatch would make the pruning filter
                 # skip directories that DO hold colliding rows — the
@@ -320,11 +327,12 @@ class StreamingIngestDedup:
             and batch_id > 0
             and batch_id % self.compact_every == 0
         ):
-            # fold everything before this batch into one partition;
-            # idempotent under replay (a re-run finds <= 1 partition
-            # below upto and no-ops), and the just-written batch stays
-            # dynamically overwritable
-            self.compact(upto=batch_id - 1)
+            # fold everything before this batch into one partition
+            # per table; idempotent under replay (a re-run finds <= 1
+            # partition below upto and no-ops); non-strict so an empty
+            # micro-batch at the cadence point (no partition written
+            # for batch_id) cannot wedge the stream
+            self.compact(upto=batch_id - 1, strict=False)
 
     def writer(self):
         def write(batch_df: DataFrame, batch_id: int) -> None:
@@ -349,53 +357,99 @@ class StreamingIngestDedup:
             f.write(str(upto))
         os.replace(tmp, p)
 
-    def _tmp_dir(self) -> str:
-        return os.path.join(self.state_dir, "_compact_tmp")
+    # fold order: bands first (the hot corpus-join table), then the
+    # sigs id-registry (re-read every batch for the duplicate-id
+    # semi-join), then pairs (output only — folded so dir listings
+    # stay bounded too)
+    _FOLD_TABLES = (
+        ("bands", ("band", "pfx")),
+        ("sigs", ()),
+        ("pairs", ()),
+    )
 
-    def _trash_dir(self) -> str:
-        return os.path.join(self.state_dir, "_compact_trash")
+    def _table_path(self, table: str) -> str:
+        return os.path.join(self.state_dir, table)
 
-    def compact(self, upto: int) -> int:
-        """Consolidate band partitions ``__batch_id <= upto`` into ONE
-        ``__batch_id = upto`` partition (many small per-batch files →
-        one compacted set per (band, pfx) cell). ``upto`` MUST be
-        strictly below the newest ingested batch id: Spark replays at
-        most the LAST batch, so compacted batches can never be
-        re-delivered and dynamic-overwritten. Crash-safe: data is
-        staged to ``_compact_tmp`` (completeness = Spark's _SUCCESS),
-        old partitions move to ``_compact_trash``, then the staged dir
-        renames into place; an interrupted run is rolled forward (tmp
-        complete) or back (tmp partial) by ``_recover_compaction`` on
-        the next read/apply. Returns the number of batch partitions
-        consolidated."""
-        self._check_layout()
-        if not os.path.isdir(self.bands_path):
-            raise FileNotFoundError(f"no corpus at {self.bands_path}")
-        batch_ids = sorted(
+    def _tmp_dir(self, table: str = "bands") -> str:
+        return os.path.join(self.state_dir, f"_compact_tmp_{table}")
+
+    def _trash_dir(self, table: str = "bands") -> str:
+        return os.path.join(self.state_dir, f"_compact_trash_{table}")
+
+    @staticmethod
+    def _partition_ids(path: str) -> list[int]:
+        if not os.path.isdir(path):
+            return []
+        return sorted(
             int(d.split("=", 1)[1])
-            for d in os.listdir(self.bands_path)
+            for d in os.listdir(path)
             if d.startswith("__batch_id=")
         )
+
+    def compact(self, upto: int, strict: bool = True) -> int:
+        """Consolidate every state table's partitions ``__batch_id <=
+        upto`` into ONE ``__batch_id = upto`` partition each (bands
+        keep their (band, pfx) inner layout; sigs/pairs fold flat).
+        ``upto`` MUST be strictly below the newest ingested batch id:
+        Spark replays at most the LAST batch, so compacted batches can
+        never be re-delivered and dynamic-overwritten — and the
+        ``_COMPACTED_UPTO`` watermark (written BEFORE any destructive
+        move, so a crash can only leave it conservatively high) makes
+        ``apply`` refuse deliberate full re-drains into the compacted
+        range. Crash-safe per table: data staged to
+        ``_compact_tmp_<t>`` (completeness = Spark's _SUCCESS), an
+        ``_UPTO`` intent marker, old partitions moved to
+        ``_compact_trash_<t>``, staged dir renamed in; an interrupted
+        run rolls forward (stage complete + marker) or back via
+        ``_recover_compaction`` on the next read/apply.
+
+        ``strict=False`` (the auto-compaction path) no-ops instead of
+        raising when there is nothing safely compactable — an empty
+        micro-batch at the cadence point must not wedge the stream.
+        Returns the number of bands partitions consolidated."""
+        self._check_layout()
+        if not os.path.isdir(self.bands_path):
+            if strict:
+                raise FileNotFoundError(f"no corpus at {self.bands_path}")
+            return 0
+        batch_ids = self._partition_ids(self.bands_path)
         if not batch_ids:
             return 0  # empty corpus (e.g. only an empty first batch)
         if upto >= batch_ids[-1]:
-            raise ValueError(
-                f"compact(upto={upto}) must be < the newest batch id "
-                f"{batch_ids[-1]}: the newest batch is inside Spark's "
-                "replay window and must stay dynamically overwritable"
-            )
-        olds = [f"__batch_id={b}" for b in batch_ids if b <= upto]
+            if strict:
+                raise ValueError(
+                    f"compact(upto={upto}) must be < the newest batch "
+                    f"id {batch_ids[-1]}: the newest batch is inside "
+                    "Spark's replay window and must stay dynamically "
+                    "overwritable"
+                )
+            return 0
+        self._mark_compacted(upto)
+        n_bands = 0
+        for table, inner in self._FOLD_TABLES:
+            n = self._fold(table, inner, upto)
+            if table == "bands":
+                n_bands = n
+        return n_bands
+
+    def _fold(
+        self, table: str, inner: tuple[str, ...], upto: int
+    ) -> int:
+        path = self._table_path(table)
+        ids = self._partition_ids(path)
+        olds = [f"__batch_id={b}" for b in ids if b <= upto]
         if len(olds) <= 1:
             return len(olds)
-        tmp, trash = self._tmp_dir(), self._trash_dir()
-        (
-            self.spark.read.parquet(self.bands_path)
+        tmp, trash = self._tmp_dir(table), self._trash_dir(table)
+        w = (
+            self.spark.read.parquet(path)
             .where(F.col("__batch_id") <= upto)
             .drop("__batch_id")
             .write.mode("overwrite")
-            .partitionBy("band", "pfx")
-            .parquet(tmp)
         )
+        if inner:
+            w = w.partitionBy(*inner)
+        w.parquet(tmp)
         # INTENT marker first: recovery must know the exact target id
         # and which partitions were slated for removal — inferring it
         # from whatever happened to reach the trash would duplicate
@@ -404,17 +458,19 @@ class StreamingIngestDedup:
         with open(os.path.join(trash, "_UPTO"), "w") as f:
             f.write(str(upto))
         for d in olds:
-            os.replace(
-                os.path.join(self.bands_path, d), os.path.join(trash, d)
-            )
-        os.replace(tmp, os.path.join(self.bands_path, f"__batch_id={upto}"))
-        self._mark_compacted(upto)
+            os.replace(os.path.join(path, d), os.path.join(trash, d))
+        os.replace(tmp, os.path.join(path, f"__batch_id={upto}"))
         shutil.rmtree(trash)
         return len(olds)
 
     def _recover_compaction(self) -> None:
-        """Roll an interrupted ``compact`` forward or back."""
-        tmp, trash = self._tmp_dir(), self._trash_dir()
+        """Roll an interrupted ``compact`` forward or back, per table."""
+        for table, _ in self._FOLD_TABLES:
+            self._recover_table(table)
+
+    def _recover_table(self, table: str) -> None:
+        path = self._table_path(table)
+        tmp, trash = self._tmp_dir(table), self._trash_dir(table)
         upto = None
         if os.path.isdir(trash) and os.path.exists(
             os.path.join(trash, "_UPTO")
@@ -428,21 +484,18 @@ class StreamingIngestDedup:
             ):
                 # staged data complete AND the intent marker names the
                 # target: roll FORWARD. First finish the interrupted
-                # move loop (any old partition <= upto still in bands
-                # would otherwise survive beside its compacted copy —
-                # duplicated rows), then swing the staged dir in.
-                for d in os.listdir(self.bands_path):
+                # move loop (any old partition <= upto still in the
+                # table would otherwise survive beside its compacted
+                # copy — duplicated rows), then swing the stage in.
+                for d in os.listdir(path):
                     if (
                         d.startswith("__batch_id=")
                         and int(d.split("=", 1)[1]) <= upto
                     ):
                         os.replace(
-                            os.path.join(self.bands_path, d),
-                            os.path.join(trash, d),
+                            os.path.join(path, d), os.path.join(trash, d)
                         )
-                os.replace(
-                    tmp, os.path.join(self.bands_path, f"__batch_id={upto}")
-                )
+                os.replace(tmp, os.path.join(path, f"__batch_id={upto}"))
                 self._mark_compacted(upto)
                 shutil.rmtree(trash)
             else:
@@ -454,8 +507,7 @@ class StreamingIngestDedup:
                         if d == "_UPTO":
                             continue
                         os.replace(
-                            os.path.join(trash, d),
-                            os.path.join(self.bands_path, d),
+                            os.path.join(trash, d), os.path.join(path, d)
                         )
                     shutil.rmtree(trash)
                 shutil.rmtree(tmp)

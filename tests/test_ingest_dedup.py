@@ -421,3 +421,73 @@ def test_random_batches_random_compaction_property(spark, tmp_path):
         got_pairs = {(r.doc_a, r.doc_b) for r in rows}
         assert got_pairs == want_pairs, seed
         assert len(rows) == len(got_pairs), (seed, "pair emitted twice")
+
+
+def test_auto_compaction_survives_empty_batch(spark, tmp_path):
+    """Review r6 pass 2: an empty micro-batch at the cadence point
+    (no partition written for that batch id) must not wedge the
+    stream — the auto path no-ops instead of raising."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    sink = StreamingIngestDedup(
+        spark, str(tmp_path / "state"), compact_every=2
+    )
+    sink.apply(docs.where(F.col("doc_id") % 3 == 0), 0)
+    sink.apply(docs.where(F.col("doc_id") % 3 == 1), 1)
+    # batch 2: EMPTY (cadence point) — previously raised ValueError
+    sink.apply(docs.where(F.lit(False)), 2)
+    # stream continues fine afterwards
+    sink.apply(docs.where(F.col("doc_id") % 3 == 2), 3)
+    got = {(r.doc_id, r.band, r.sig) for r in sink.corpus_bands().collect()}
+    want = {
+        (r.doc_id, r.band, r.sig)
+        for r in band_buckets(
+            dd.minhash_signatures(dd.shingles(docs, n=3), k=8)
+        ).collect()
+    }
+    assert got == want
+
+
+def test_compaction_folds_sigs_and_pairs_too(spark, tmp_path):
+    """Review r6 pass 2: the sigs registry is re-read EVERY batch for
+    the duplicate-id semi-join, so compaction must bound its partition
+    count too (and pairs', for dir-listing hygiene)."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    sink = StreamingIngestDedup(spark, str(tmp_path / "state"))
+    for i in range(4):
+        sink.apply(docs.where(F.col("doc_id") % 4 == i), i)
+    sigs_before = sink.spark.read.parquet(
+        str(tmp_path / "state" / "sigs")
+    ).drop("__batch_id").collect()
+    assert sink.compact(upto=2) == 3
+    for table in ("bands", "sigs", "pairs"):
+        parts = sorted(
+            d
+            for d in os.listdir(str(tmp_path / "state" / table))
+            if d.startswith("__batch_id=")
+        )
+        assert parts == ["__batch_id=2", "__batch_id=3"], (table, parts)
+    sigs_after = sink.spark.read.parquet(
+        str(tmp_path / "state" / "sigs")
+    ).drop("__batch_id").collect()
+    key = lambda r: (r.doc_id,)  # noqa: E731
+    assert sorted(map(tuple, sigs_before)) == sorted(map(tuple, sigs_after))
+    # and the next batch still works against the folded registry
+    import pytest
+
+    with pytest.raises(RuntimeError, match="already"):
+        sink.apply(docs.where(F.col("doc_id") % 4 == 0), 4)
+
+
+def test_legacy_pre_json_marker_refused_cleanly(spark, tmp_path):
+    """Review r6 pass 2: a _LAYOUT holding the old raw '2' marker gets
+    the explicit re-ingest diagnosis, not a bogus parameter-mismatch."""
+    import pytest
+
+    state = tmp_path / "state"
+    (state / "bands").mkdir(parents=True)
+    with open(state / "_LAYOUT", "w") as f:
+        f.write("2")
+    sink = StreamingIngestDedup(spark, str(state))
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    with pytest.raises(RuntimeError, match="pre-JSON layout"):
+        sink.apply(docs.limit(2), 0)
