@@ -441,14 +441,21 @@ class StreamingIngestDedup:
         if len(olds) <= 1:
             return len(olds)
         tmp, trash = self._tmp_dir(table), self._trash_dir(table)
-        w = (
+        df = (
             self.spark.read.parquet(path)
             .where(F.col("__batch_id") <= upto)
             .drop("__batch_id")
-            .write.mode("overwrite")
         )
+        # co-locate each output cell into one task before writing —
+        # without this shuffle every scan task writes its own file
+        # into every cell it touches and the "compacted" partition
+        # has as many files per cell as the inputs did (measured: the
+        # probe's files-read grew linearly with batches)
         if inner:
+            w = df.repartition(*inner).write.mode("overwrite")
             w = w.partitionBy(*inner)
+        else:
+            w = df.repartition(4).write.mode("overwrite")
         w.parquet(tmp)
         # INTENT marker first: recovery must know the exact target id
         # and which partitions were slated for removal — inferring it

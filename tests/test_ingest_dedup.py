@@ -491,3 +491,48 @@ def test_legacy_pre_json_marker_refused_cleanly(spark, tmp_path):
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
     with pytest.raises(RuntimeError, match="pre-JSON layout"):
         sink.apply(docs.limit(2), 0)
+
+
+def test_pruned_read_stays_bounded_as_corpus_grows(spark, tmp_path):
+    """Scale evidence for the round-6 design: with auto-compaction,
+    the corpus-side FILES READ for a fixed-size probe batch stays
+    bounded as the corpus grows (pruning bounds the cells; compaction
+    bounds files-per-cell). Without both, files read would grow with
+    every ingested batch."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    sink = StreamingIngestDedup(
+        spark, str(tmp_path / "state"), compact_every=2
+    )
+    probe = docs.where(F.col("doc_id") % 8 == 7).limit(4)
+    nb = sink._with_pfx(
+        band_buckets(dd.minhash_signatures(dd.shingles(probe, n=3), k=8))
+    )
+    cells = sorted(
+        {
+            (r["band"], r["pfx"])
+            for r in nb.select("band", "pfx").distinct().collect()
+        }
+    )
+
+    def files_read_now(batch_id):
+        pruned = sink._pruned_corpus(batch_id, cells)
+        if pruned is None:
+            return 0
+        return pruned.select(
+            F.input_file_name().alias("f")
+        ).distinct().count()
+
+    reads = []
+    for i in range(6):
+        sink.apply(docs.where(F.col("doc_id") % 8 == i), i)
+        reads.append(files_read_now(i + 1))
+    # the corpus tripled+ in batches; the probe's read set must NOT
+    # track it. Reads oscillate with the compaction cycle (compacted
+    # cell files + 1-2 fresh batches' files), so compare phase-aligned
+    # points two batches apart: zero growth once the cycle is primed
+    # (measured shape: [13, 27, 28, 41, 28, 41]).
+    assert reads[-1] <= reads[-3], reads
+    assert reads[-2] <= reads[-4], reads
+    # and the plateau is far below an uncompacted linear ramp, which
+    # would reach ~6 batches x first-batch file count by now
+    assert reads[-1] < 6 * reads[0], reads
