@@ -56,7 +56,10 @@ from stream_processing_spark.functions.dedup import band_buckets  # noqa: F401
 # the band/sig spelling — lsh_candidate_pairs builds its buckets from
 # the same helper, so stream/batch pair parity is by construction)
 
-_LAYOUT_VERSION = 2  # 2 = (band, pfx)-partitioned bands w/ inline sigs
+# 2 = (band, pfx)-partitioned bands w/ inline sigs
+# 3 = v2 + sigs registry partitioned by (dpfx) doc-id hash bucket so
+#     the per-batch duplicate-id check prunes to colliding buckets
+_LAYOUT_VERSION = 3
 
 
 class StreamingIngestDedup:
@@ -191,12 +194,33 @@ class StreamingIngestDedup:
             .where(F.expr(self._cell_filter_sql(cells)))
         )
 
-    def _read_sigs_before(self, batch_id: int) -> DataFrame | None:
+    def _with_dpfx(self, sigs: DataFrame) -> DataFrame:
+        """Doc-id hash bucket — the sigs registry's inner partition
+        key, pruned by the duplicate-id check the same way the corpus
+        join prunes on (band, pfx)."""
+        return sigs.withColumn(
+            "dpfx",
+            F.pmod(F.xxhash64("doc_id"), F.lit(self.sig_prefix_buckets)),
+        )
+
+    def _read_sigs_before(
+        self, batch_id: int, dpfxs: list[int] | None = None
+    ) -> DataFrame | None:
+        """Committed earlier batches' signature rows; with ``dpfxs``,
+        pruned to those doc-id hash buckets (partition pruning — the
+        dup check reads only buckets the batch's ids can land in)."""
         if not os.path.isdir(self.sigs_path):
             return None
-        return self.spark.read.parquet(self.sigs_path).where(
+        df = self.spark.read.parquet(self.sigs_path).where(
             F.col("__batch_id") < batch_id
         )
+        if dpfxs is not None:
+            if not dpfxs:
+                return df.where(F.lit(False))
+            df = df.where(
+                F.expr(" OR ".join(f"dpfx = {int(d)}" for d in dpfxs))
+            )
+        return df
 
     # -- the per-batch merge ------------------------------------------
     def apply(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -291,7 +315,11 @@ class StreamingIngestDedup:
         # would leave stale bands that cannot be retracted from the
         # append-only corpus — refuse loudly. One ids-only (column-
         # pruned) semi-join per batch against the sigs registry.
-        corpus_sigs = self._read_sigs_before(batch_id)
+        sigs_d = self._with_dpfx(sigs)
+        dpfxs = sorted(
+            r[0] for r in sigs_d.select("dpfx").distinct().collect()
+        )
+        corpus_sigs = self._read_sigs_before(batch_id, dpfxs)
         if corpus_sigs is not None:
             n_dup = (
                 sigs.select("doc_id")
@@ -311,7 +339,7 @@ class StreamingIngestDedup:
         # consistent (possibly empty) committed prefix
         self._write_layout()
         for df, path, parts in (
-            (sigs, self.sigs_path, ["__batch_id"]),
+            (sigs_d, self.sigs_path, ["__batch_id", "dpfx"]),
             (pairs, self.pairs_path, ["__batch_id"]),
             (new_b, self.bands_path, ["__batch_id", "band", "pfx"]),
         ):
@@ -363,7 +391,7 @@ class StreamingIngestDedup:
     # stay bounded too)
     _FOLD_TABLES = (
         ("bands", ("band", "pfx")),
-        ("sigs", ()),
+        ("sigs", ("dpfx",)),
         ("pairs", ()),
     )
 

@@ -536,3 +536,32 @@ def test_pruned_read_stays_bounded_as_corpus_grows(spark, tmp_path):
     # and the plateau is far below an uncompacted linear ramp, which
     # would reach ~6 batches x first-batch file count by now
     assert reads[-1] < 6 * reads[0], reads
+
+
+def test_dup_check_reads_only_colliding_sig_buckets(spark, tmp_path):
+    """The duplicate-id semi-join prunes the sigs registry to the
+    batch's doc-id hash buckets — files read ≪ registry files."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    sink = StreamingIngestDedup(
+        spark, str(tmp_path / "state"), sig_prefix_buckets=64
+    )
+    sink.apply(docs.where(F.col("doc_id") % 3 == 0), 0)
+    sink.apply(docs.where(F.col("doc_id") % 3 == 1), 1)
+    tiny = docs.where(F.col("doc_id") % 3 == 2).limit(3)
+    sigs_d = sink._with_dpfx(
+        dd.minhash_signatures(dd.shingles(tiny, n=3), k=8)
+    )
+    dpfxs = sorted(r[0] for r in sigs_d.select("dpfx").distinct().collect())
+    assert 0 < len(dpfxs) <= 3
+    pruned = sink._read_sigs_before(2, dpfxs)
+    files_read = pruned.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    total = sum(
+        1
+        for _, _, fs in os.walk(str(tmp_path / "state" / "sigs"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert files_read > 0
+    assert total > 4 * files_read, (total, files_read)
