@@ -80,6 +80,7 @@ class StreamingIngestDedup:
         min_agree: int = 0,
         sig_prefix_buckets: int = 16,
         compact_every: int | None = None,
+        id_buckets: int | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -98,6 +99,12 @@ class StreamingIngestDedup:
         # pfx partition fan-out per band; the per-batch corpus read is
         # pruned to ≤ bands × this many cells
         self.sig_prefix_buckets = sig_prefix_buckets
+        # id-registry fan-out (dpfx partitions) — independent of the
+        # band-cell fan-out so hot band cells can be spread without
+        # multiplying sigs directories; defaults to the same value
+        self.id_buckets = (
+            id_buckets if id_buckets is not None else sig_prefix_buckets
+        )
         # auto-compaction cadence: every N batches, fold all committed
         # band partitions (< the just-written batch) into one — bounds
         # small-file growth to ~N batches' worth. None = manual only.
@@ -115,6 +122,7 @@ class StreamingIngestDedup:
             "bands": self.bands,
             "rows_per_band": self.rows_per_band,
             "sig_prefix_buckets": self.sig_prefix_buckets,
+            "id_buckets": self.id_buckets,
         }
 
     def _check_layout(self) -> None:
@@ -200,7 +208,7 @@ class StreamingIngestDedup:
         join prunes on (band, pfx)."""
         return sigs.withColumn(
             "dpfx",
-            F.pmod(F.xxhash64("doc_id"), F.lit(self.sig_prefix_buckets)),
+            F.pmod(F.xxhash64("doc_id"), F.lit(self.id_buckets)),
         )
 
     def _read_sigs_before(
@@ -217,9 +225,10 @@ class StreamingIngestDedup:
         if dpfxs is not None:
             if not dpfxs:
                 return df.where(F.lit(False))
-            df = df.where(
-                F.expr(" OR ".join(f"dpfx = {int(d)}" for d in dpfxs))
-            )
+            # single-column prune: a plain In predicate on the
+            # partition column (the OR-string spelling is only needed
+            # for the compound (band, pfx) key)
+            df = df.where(F.col("dpfx").isin([int(d) for d in dpfxs]))
         return df
 
     # -- the per-batch merge ------------------------------------------
@@ -316,9 +325,14 @@ class StreamingIngestDedup:
         # append-only corpus — refuse loudly. One ids-only (column-
         # pruned) semi-join per batch against the sigs registry.
         sigs_d = self._with_dpfx(sigs)
-        dpfxs = sorted(
-            r[0] for r in sigs_d.select("dpfx").distinct().collect()
-        )
+        if os.path.isdir(self.sigs_path):
+            # bounded collect, and only when a registry exists to
+            # prune (batch 0 of a fresh dir skips the wasted job)
+            dpfxs = sorted(
+                r[0] for r in sigs_d.select("dpfx").distinct().collect()
+            )
+        else:
+            dpfxs = None
         corpus_sigs = self._read_sigs_before(batch_id, dpfxs)
         if corpus_sigs is not None:
             n_dup = (
@@ -483,7 +497,11 @@ class StreamingIngestDedup:
             w = df.repartition(*inner).write.mode("overwrite")
             w = w.partitionBy(*inner)
         else:
-            w = df.repartition(4).write.mode("overwrite")
+            # flat table: coalesce (no shuffle) to a cluster-scaled
+            # file count — the fold only bounds files, it need not
+            # co-locate anything
+            n = max(1, self.spark.sparkContext.defaultParallelism)
+            w = df.coalesce(n).write.mode("overwrite")
         w.parquet(tmp)
         # INTENT marker first: recovery must know the exact target id
         # and which partitions were slated for removal — inferring it
