@@ -15,6 +15,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# transformWithState queries need a google.protobuf runtime exported to
+# python workers via env BEFORE the JVM starts; importing this module is
+# the one step every harness performs before building its session, so
+# the export happens here. Idempotent, and a no-op when a native
+# protobuf install exists or the vendored shim is unavailable.
+from stream_processing_spark.compat import ensure_protobuf_runtime
+
+ensure_protobuf_runtime()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the reference's demo

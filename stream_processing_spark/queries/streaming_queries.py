@@ -87,22 +87,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATE_PARTITIONS = 32
 
 
-def _run_drained(writer, spark: SparkSession):
-    """Start `writer` under the pinned state-partition count, drain it
+def _run_drained(writer, spark: SparkSession, extra_confs: dict | None = None):
+    """Start `writer` under the pinned state-partition count (plus any
+    `extra_confs`, e.g. a state-store provider pin), drain it
     (availableNow), and raise if it hangs.
 
-    The pin-set/start/restore window mutates a session conf, so
+    The pin-set/start/restore window mutates session confs, so
     CONCURRENT query starts on one session could observe each other's
     pin. Registry queries run sequentially (driver contract); a caller
     who wants concurrent starts should start each query from its own
     spark.newSession()."""
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, str(_STATE_PARTITIONS))
+    pins = {"spark.sql.shuffle.partitions": str(_STATE_PARTITIONS)}
+    pins.update(extra_confs or {})
+    prev = {k: spark.conf.get(k, None) for k in pins}
+    for k, v in pins.items():
+        spark.conf.set(k, v)
     try:
         q = writer.start()
     finally:
-        spark.conf.set(key, prev)
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     q.awaitTermination(300)
     if q.isActive:  # pragma: no cover
         q.stop()
@@ -232,6 +239,87 @@ def streaming_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFr
     )
     _run_drained(writer, spark)
     # update mode emits one row per key per batch; the last (= max) is final
+    return spark.table(name).groupBy("key").agg(F.max("cnt").alias("cnt"))
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming."
+    "state.RocksDBStateStoreProvider"
+)
+
+
+def _assert_tws_runtime(spark: SparkSession) -> None:
+    """transformWithState's state-server protocol needs google.protobuf
+    importable INSIDE python workers, which requires the env export to
+    have happened before the JVM started (importing __spark_entry__
+    does it). Probe one worker so a mis-ordered harness gets an
+    actionable error instead of a mid-stream worker traceback."""
+    from stream_processing_spark.compat import ensure_protobuf_runtime
+
+    runtime = ensure_protobuf_runtime()
+    if runtime is None:
+        raise RuntimeError(
+            "transformWithState needs a google.protobuf runtime and "
+            "neither a native install nor the vendored shim is "
+            "available in this environment"
+        )
+    if runtime == "native":
+        return
+
+    def _probe(batches):
+        import google.protobuf  # noqa: F401
+
+        yield from batches
+
+    try:
+        spark.range(1).mapInPandas(_probe, "id long").collect()
+    except Exception as exc:  # pragma: no cover - harness-order guard
+        raise RuntimeError(
+            "python workers cannot import google.protobuf — the "
+            "SparkSession was created before __spark_entry__ (or "
+            "compat.ensure_protobuf_runtime) exported the vendored "
+            "runtime; import the entry module first, then build the "
+            "session"
+        ) from exc
+
+
+@register(
+    "streaming_tws_running_count",
+    """
+    SELECT event_type AS key, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="T8 parity on Spark 4's transformWithStateInPandas tier: the "
+    "same per-key running count as streaming_stateful_running_count "
+    "but with engine-owned typed ValueState on RocksDB (the state "
+    "backend contract the new API mandates) instead of a row-encoded "
+    "tuple on the default provider. Runs drained in update mode; the "
+    "final update per key (max cnt — counts only grow) equals the "
+    "batch count. The state server speaks protobuf to python workers, "
+    "so the query asserts the runtime is worker-visible first "
+    "(vendored shim, compat.ensure_protobuf_runtime).",
+)
+def streaming_tws_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.tws import tws_running_count
+
+    _assert_tws_runtime(spark)
+    src = _events_stream(spark, sf_dir).select(F.col("event_type").alias("key"))
+    counts = tws_running_count(src, key_col="key")
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    writer = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    _run_drained(
+        writer,
+        spark,
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER
+        },
+    )
     return spark.table(name).groupBy("key").agg(F.max("cnt").alias("cnt"))
 
 
