@@ -709,3 +709,73 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_drained(writer, spark)
     return spark.table(name)
+
+
+@register(
+    "streaming_tws_sessions",
+    """
+    WITH e AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(ts) AS ms
+        FROM events
+    ),
+    x AS (
+        SELECT key, ms,
+               CASE WHEN LAG(ms) OVER (PARTITION BY key ORDER BY ms)
+                         IS NULL
+                      OR ms - LAG(ms) OVER (PARTITION BY key ORDER BY ms)
+                         > 1800000
+                    THEN 1 ELSE 0 END AS brk
+        FROM e
+    ),
+    g AS (
+        SELECT key, ms,
+               SUM(brk) OVER (PARTITION BY key ORDER BY ms
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM x
+    ),
+    s AS (
+        SELECT key, MIN(ms) AS start_ms, MAX(ms) + 1800000 AS end_ms,
+               COUNT(*) AS n_events
+        FROM g GROUP BY key, sid
+    )
+    SELECT key, start_ms, end_ms, n_events FROM s
+    WHERE end_ms < (SELECT MAX(epoch_ms(ts)) FROM events)
+    ORDER BY key, start_ms
+    """,
+    doc="The streaming_stateful_sessions semantics on Spark 4's "
+    "transformWithState tier: inactivity-gap sessions where quiet "
+    "keys close via NATIVE event-time timers (registerTimer / "
+    "handleExpiredTimer on RocksDB) instead of the "
+    "applyInPandasWithState timeout shim — the engine wakes the key "
+    "when the watermark passes its pending session end, with zero "
+    "new input for that key. Same append-mode finality rule (a block "
+    "emits only once the watermark STRICTLY passes end+gap, so an "
+    "admissible late event can still merge), hence the same oracle: "
+    "batch gaps-and-islands sessions whose end precedes max(ts) "
+    "under a 0-second watermark.",
+)
+def streaming_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.tws import tws_event_sessions
+
+    _assert_tws_runtime(spark)
+    src = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "0 seconds")
+        .select(F.col("user_id").cast("string").alias("key"), "ts")
+    )
+    sess = tws_event_sessions(src, gap_sec=1800)
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    writer = (
+        sess.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    _run_drained(
+        writer,
+        spark,
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER
+        },
+    )
+    return spark.table(name)
