@@ -114,3 +114,31 @@ def ensure_protobuf_runtime(shim_root: str | None = None) -> str | None:
         else:
             os.environ[_SENTINEL] = prev_sentinel
     return None
+
+
+def tws_worker_env_ok(spark) -> bool:
+    """True iff THIS session's JVM inherited the vendored-shim env, so
+    transformWithState's state-server python workers (launched by the
+    JVM with the JVM's start-time env, NOT the current os.environ) can
+    import google.protobuf.
+
+    A plain mapInPandas worker probe is NOT equivalent: regular python
+    workers inherit updated env through the daemon while the TWS
+    driver worker is launched with the JVM snapshot, so a session
+    built before ensure_protobuf_runtime() passes the probe and still
+    crashes mid-stream. Only the JVM's own System.getenv tells the
+    truth. Returns True when it can't look (Spark Connect has no
+    _jvm): better to attempt the stream than to refuse blindly.
+    """
+    try:
+        getenv = spark._jvm.java.lang.System.getenv
+    except Exception:
+        return True
+    if getenv(_SENTINEL) != "true":
+        return False
+    pp = getenv("PYTHONPATH") or ""
+    return any(
+        os.path.isfile(os.path.join(p, "google", "protobuf", "__init__.py"))
+        for p in pp.split(os.pathsep)
+        if p
+    )

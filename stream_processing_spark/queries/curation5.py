@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from stream_processing_spark.catalog import load_table
 from stream_processing_spark.queries import register
+from stream_processing_spark.runtime import rebalance_for_expansion
 
 # Gopher thresholds use the most-frequent-gram char fraction for
 # n=2..4 and the duplicated-gram char fraction for n=5..8 (the paper
@@ -98,7 +99,9 @@ def _frac_cols_sql() -> str:
 )
 def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # spread the 7-way explode across cores only when the scan itself
+    # is narrower than the cluster (no unconditional full-text shuffle)
+    docs = rebalance_for_expansion(docs)
     base = docs.select(
         "doc_id",
         F.length("text").alias("nc"),

@@ -250,11 +250,18 @@ _ROCKSDB_PROVIDER = (
 
 def _assert_tws_runtime(spark: SparkSession) -> None:
     """transformWithState's state-server protocol needs google.protobuf
-    importable INSIDE python workers, which requires the env export to
+    importable inside the TWS driver worker, which the JVM launches
+    with its OWN start-time env — so the vendored-shim export must
     have happened before the JVM started (importing __spark_entry__
-    does it). Probe one worker so a mis-ordered harness gets an
-    actionable error instead of a mid-stream worker traceback."""
-    from stream_processing_spark.compat import ensure_protobuf_runtime
+    does it). Check the JVM's System.getenv (NOT a regular python
+    worker probe, which inherits newer env through the daemon and
+    passes even when the TWS worker would crash) so a mis-ordered
+    harness gets an actionable error instead of a mid-stream
+    XXKST worker traceback."""
+    from stream_processing_spark.compat import (
+        ensure_protobuf_runtime,
+        tws_worker_env_ok,
+    )
 
     runtime = ensure_protobuf_runtime()
     if runtime is None:
@@ -265,22 +272,14 @@ def _assert_tws_runtime(spark: SparkSession) -> None:
         )
     if runtime == "native":
         return
-
-    def _probe(batches):
-        import google.protobuf  # noqa: F401
-
-        yield from batches
-
-    try:
-        spark.range(1).mapInPandas(_probe, "id long").collect()
-    except Exception as exc:  # pragma: no cover - harness-order guard
+    if not tws_worker_env_ok(spark):
         raise RuntimeError(
-            "python workers cannot import google.protobuf — the "
-            "SparkSession was created before __spark_entry__ (or "
-            "compat.ensure_protobuf_runtime) exported the vendored "
-            "runtime; import the entry module first, then build the "
-            "session"
-        ) from exc
+            "the JVM was started before the vendored protobuf runtime "
+            "was exported, so transformWithState's state-server "
+            "worker cannot import google.protobuf — import "
+            "__spark_entry__ (or call compat.ensure_protobuf_runtime) "
+            "FIRST, then build the SparkSession"
+        )
 
 
 @register(
@@ -300,17 +299,14 @@ def _assert_tws_runtime(spark: SparkSession) -> None:
     "so the query asserts the runtime is worker-visible first "
     "(vendored shim, compat.ensure_protobuf_runtime).",
 )
-def streaming_tws_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from stream_processing_spark.streaming.tws import tws_running_count
-
-    _assert_tws_runtime(spark)
-    src = _events_stream(spark, sf_dir).select(F.col("event_type").alias("key"))
-    counts = tws_running_count(src, key_col="key")
+def _drain_tws(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
+    """Drain a transformWithState stream into a memory sink under the
+    RocksDB provider pin (the state backend the API mandates)."""
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
     writer = (
-        counts.writeStream.format("memory")
+        df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("update")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
     )
     _run_drained(
@@ -320,7 +316,18 @@ def streaming_tws_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER
         },
     )
-    return spark.table(name).groupBy("key").agg(F.max("cnt").alias("cnt"))
+    return spark.table(name)
+
+
+def streaming_tws_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.tws import tws_running_count
+
+    _assert_tws_runtime(spark)
+    src = _events_stream(spark, sf_dir).select(F.col("event_type").alias("key"))
+    counts = tws_running_count(src, key_col="key")
+    out = _drain_tws(counts, spark, "update")
+    # update mode emits one row per key per batch; the last (= max) is final
+    return out.groupBy("key").agg(F.max("cnt").alias("cnt"))
 
 
 @register(
@@ -644,9 +651,12 @@ def streaming_stream_stream_left_join(
     return spark.table(name)
 
 
-@register(
-    "streaming_stateful_sessions",
-    """
+# Shared by BOTH stateful-session tiers (applyInPandasWithState and
+# transformWithState): batch gaps-and-islands sessions whose end
+# precedes max(ts) — exactly the drained result under a 0-second
+# watermark and the strict append-mode finality rule. One copy so the
+# gap constant / finality predicate can never diverge between tiers.
+_SESSIONS_ORACLE = """
     WITH e AS (
         SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(ts) AS ms
         FROM events
@@ -674,7 +684,12 @@ def streaming_stream_stream_left_join(
     SELECT key, start_ms, end_ms, n_events FROM s
     WHERE end_ms < (SELECT MAX(epoch_ms(ts)) FROM events)
     ORDER BY key, start_ms
-    """,
+    """
+
+
+@register(
+    "streaming_stateful_sessions",
+    _SESSIONS_ORACLE,
     doc="CUSTOM stateful sessions with EVENT-TIME TIMEOUTS "
     "(streaming/stateful.py stateful_event_sessions): unlike "
     "session_window, the state emits when the WATERMARK says a key "
@@ -713,35 +728,7 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_tws_sessions",
-    """
-    WITH e AS (
-        SELECT CAST(user_id AS VARCHAR) AS key, epoch_ms(ts) AS ms
-        FROM events
-    ),
-    x AS (
-        SELECT key, ms,
-               CASE WHEN LAG(ms) OVER (PARTITION BY key ORDER BY ms)
-                         IS NULL
-                      OR ms - LAG(ms) OVER (PARTITION BY key ORDER BY ms)
-                         > 1800000
-                    THEN 1 ELSE 0 END AS brk
-        FROM e
-    ),
-    g AS (
-        SELECT key, ms,
-               SUM(brk) OVER (PARTITION BY key ORDER BY ms
-                              ROWS UNBOUNDED PRECEDING) AS sid
-        FROM x
-    ),
-    s AS (
-        SELECT key, MIN(ms) AS start_ms, MAX(ms) + 1800000 AS end_ms,
-               COUNT(*) AS n_events
-        FROM g GROUP BY key, sid
-    )
-    SELECT key, start_ms, end_ms, n_events FROM s
-    WHERE end_ms < (SELECT MAX(epoch_ms(ts)) FROM events)
-    ORDER BY key, start_ms
-    """,
+    _SESSIONS_ORACLE,
     doc="The streaming_stateful_sessions semantics on Spark 4's "
     "transformWithState tier: inactivity-gap sessions where quiet "
     "keys close via NATIVE event-time timers (registerTimer / "
@@ -764,18 +751,4 @@ def streaming_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").cast("string").alias("key"), "ts")
     )
     sess = tws_event_sessions(src, gap_sec=1800)
-    name = f"stream_q_{uuid.uuid4().hex[:12]}"
-    writer = (
-        sess.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-    )
-    _run_drained(
-        writer,
-        spark,
-        extra_confs={
-            "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER
-        },
-    )
-    return spark.table(name)
+    return _drain_tws(sess, spark, "append")

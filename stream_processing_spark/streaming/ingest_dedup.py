@@ -151,6 +151,11 @@ class StreamingIngestDedup:
                     "by an earlier build of this module; re-ingest "
                     "into a fresh state_dir"
                 )
+            # id_buckets postdates the first v3 dirs and defaulted to
+            # sig_prefix_buckets before it existed — a stored file
+            # without the key IS that default, not a mismatch
+            if "id_buckets" not in stored:
+                stored["id_buckets"] = stored.get("sig_prefix_buckets")
             if stored != self._layout_params():
                 # a pfx/band/k mismatch would make the pruning filter
                 # skip directories that DO hold colliding rows — the

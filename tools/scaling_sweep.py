@@ -46,6 +46,12 @@ QUERIES = [
     # round 6 window rotation: PQ ADC scoring and BM25 ranking
     "ann_ivfpq_topk",
     "bm25_topk_docs",
+    # round 6 additions: 7-way n-gram explode (largest row-multiplier
+    # in the registry — the per-doc-bounded agg must stay linear) and
+    # the transformWithState tier (state-server protocol overhead must
+    # track keys, not corpus)
+    "quality_gopher_repetition",
+    "streaming_tws_running_count",
 ]
 
 
@@ -125,9 +131,13 @@ CUSTOM = {
 
 
 def main() -> None:
+    from stream_processing_spark.compat import ensure_protobuf_runtime
     from stream_processing_spark.queries import REGISTRY
     from stream_processing_spark.session import get_spark
 
+    # BEFORE the JVM: the transformWithState sweep row needs the
+    # vendored protobuf env inherited by the state-server worker
+    ensure_protobuf_runtime()
     spark = get_spark(app_name="scaling-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     # warm JVM + file listing off the clock
