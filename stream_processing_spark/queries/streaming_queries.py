@@ -282,23 +282,6 @@ def _assert_tws_runtime(spark: SparkSession) -> None:
         )
 
 
-@register(
-    "streaming_tws_running_count",
-    """
-    SELECT event_type AS key, COUNT(*) AS cnt
-    FROM events
-    GROUP BY event_type
-    """,
-    doc="T8 parity on Spark 4's transformWithStateInPandas tier: the "
-    "same per-key running count as streaming_stateful_running_count "
-    "but with engine-owned typed ValueState on RocksDB (the state "
-    "backend contract the new API mandates) instead of a row-encoded "
-    "tuple on the default provider. Runs drained in update mode; the "
-    "final update per key (max cnt — counts only grow) equals the "
-    "batch count. The state server speaks protobuf to python workers, "
-    "so the query asserts the runtime is worker-visible first "
-    "(vendored shim, compat.ensure_protobuf_runtime).",
-)
 def _drain_tws(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFrame:
     """Drain a transformWithState stream into a memory sink under the
     RocksDB provider pin (the state backend the API mandates)."""
@@ -319,6 +302,23 @@ def _drain_tws(df: DataFrame, spark: SparkSession, output_mode: str) -> DataFram
     return spark.table(name)
 
 
+@register(
+    "streaming_tws_running_count",
+    """
+    SELECT event_type AS key, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="T8 parity on Spark 4's transformWithStateInPandas tier: the "
+    "same per-key running count as streaming_stateful_running_count "
+    "but with engine-owned typed ValueState on RocksDB (the state "
+    "backend contract the new API mandates) instead of a row-encoded "
+    "tuple on the default provider. Runs drained in update mode; the "
+    "final update per key (max cnt — counts only grow) equals the "
+    "batch count. The state server speaks protobuf to python workers, "
+    "so the query asserts the runtime is worker-visible first "
+    "(vendored shim, compat.ensure_protobuf_runtime).",
+)
 def streaming_tws_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_spark.streaming.tws import tws_running_count
 
