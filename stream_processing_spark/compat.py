@@ -37,6 +37,42 @@ _VENDORED_CANDIDATES = [
 _SENTINEL = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
 
 
+def _purge_stale_protobuf(shim: str) -> dict[str, object]:
+    """Drop sys.modules entries that would shadow a freshly-shimmed
+    ``google.protobuf`` and return them so a failed candidate can be
+    restored exactly.
+
+    Why: a native-but-too-old protobuf install imports fine, fails the
+    gencode roundtrip, and stays CACHED in sys.modules — after the shim
+    is prepended, ``import google.protobuf`` would still resolve the
+    cached stale runtime and the probe would report failure even though
+    freshly-launched python workers (no cache) would use the shim.
+    Three cache layers matter:
+
+    * ``google.protobuf`` / ``google.protobuf.*`` modules whose import
+      origin is outside the shim;
+    * Spark's gencode (``pyspark.sql.streaming.proto.*``) — its module
+      body binds the runtime's builder at import time, so it pins
+      whichever runtime was active when it was first imported;
+    * a REGULAR (``__init__.py``-bearing) ``google`` parent package —
+      its ``__path__`` is frozen at import and won't include the shim;
+      PEP-420 namespace parents recompute and are left alone.
+    """
+    removed: dict[str, object] = {}
+    for name, mod in list(sys.modules.items()):
+        if name == "google.protobuf" or name.startswith("google.protobuf."):
+            origin = getattr(mod, "__file__", None) or ""
+            if origin.startswith(shim + os.sep):
+                continue
+        elif name == "google":
+            if getattr(mod, "__file__", None) is None:
+                continue  # namespace package: __path__ recomputes
+        elif not name.startswith("pyspark.sql.streaming.proto"):
+            continue
+        removed[name] = sys.modules.pop(name)
+    return removed
+
+
 def _gencode_roundtrips() -> bool:
     """True iff Spark's state-protocol gencode imports AND a message
     survives a serialize/parse roundtrip under the active runtime."""
@@ -96,12 +132,24 @@ def ensure_protobuf_runtime(shim_root: str | None = None) -> str | None:
         added_path = shim not in sys.path
         if added_path:
             sys.path.insert(0, shim)
+        purged = _purge_stale_protobuf(shim)
+        before_probe = set(sys.modules)
         if _gencode_roundtrips():
+            # NOTE: the sentinel stays exported on success, and it is
+            # process-wide — it silences the version check for ALL
+            # protobuf gencode in this interpreter (and in workers that
+            # inherit the env), not just Spark's state protocol. That
+            # is the cost of the official escape hatch; acceptable here
+            # because the only gencode this engine loads is Spark's.
             return "vendored"
         # roll back a failed candidate EXACTLY: only remove what this
         # call added, and never leave PYTHONPATH set-but-empty (an
         # empty entry means cwd on sys.path — a mutation we promised
-        # not to make)
+        # not to make). Drop modules the failed probe imported, then
+        # restore the purged originals.
+        for name in set(sys.modules) - before_probe:
+            sys.modules.pop(name, None)
+        sys.modules.update(purged)
         if added_path:
             sys.path.remove(shim)
         if added_env:
