@@ -92,36 +92,39 @@ _PRIORITY = [
     "json_extract_props",
     "streaming_counts_by_type", "streaming_hourly_windows",
     "streaming_stateful_running_count", "streaming_dedup_events",
-    # ---- round-6 rotation (VERDICT r5 #3): 35 queries never before
-    # in a driver window, so successive rounds accumulate driver-side
-    # certification beyond the in-repo gate. Everything rotated OUT
-    # (dedup/ann/text/analytics flagships of r3-r5 windows) keeps its
-    # GATE_r*/CORRECTNESS_r* history plus tests/test_oracle_queries.py.
-    # relational wave
-    "q4_priority_late_ship", "q11_important_part_values",
-    "q12_linestatus_priority_mix", "q13_customer_distribution",
-    "q16_supplier_count_by_part", "q20_dominant_part_suppliers",
-    "q21_last_shipper_waits", "q22_global_sales_opportunity",
-    # similarity tiers (PQ/IVFPQ + quantized + exact pairs)
-    "ann_cosine_pairs", "ann_quantized_topk", "ann_pq_topk",
-    "ann_ivfpq_topk",
-    # graph retrieval
-    "pagerank_copurchase_parts", "triangle_count_copurchase",
-    "clustering_coeff_copurchase",
-    # scale ops / observability
-    "bloom_prefilter_join_revenue", "zorder_shard_profile",
-    "snapshot_diff_events", "incremental_rollup_merge",
-    "observed_ingest_metrics", "dataset_content_digest",
-    # SQL surfaces (VARIANT, recursive CTE, LATERAL, GROUP BY ALL,
-    # grouping sets, PIVOT/UNPIVOT)
-    "variant_nested_roundtrip_filter", "variant_array_path_access",
-    "rcte_date_spine_order_counts", "lateral_top2_orders_per_customer",
-    "group_by_all_status_priority", "agg_grouping_sets",
-    "pivot_daily_event_counts", "unpivot_lineitem_measures",
-    # LLM-pipeline waves not yet driver-certified
-    "bpe_train_merges", "bm25_topk_docs", "decontaminate_ngram_overlap",
-    "similar_docs_minhash_topk", "cdc_apply_latest_changes",
-    "multimodal_binary_meta",
+    # ---- round-7 rotation (VERDICT r6 #3): 35 queries never before
+    # in any driver window (r01/r02/r03/r05/r06), so successive rounds
+    # accumulate driver-side certification beyond the in-repo gate.
+    # Everything rotated OUT keeps its GATE_r*/CORRECTNESS_r* history
+    # plus tests/test_oracle_queries.py.
+    # full streaming tier (incl. the two transformWithState queries,
+    # registered correctly as of this round)
+    "streaming_sliding_windows", "streaming_session_windows",
+    "streaming_static_join_counts", "streaming_stream_stream_join",
+    "streaming_stream_stream_left_join", "streaming_custom_stateful_max",
+    "streaming_trending_topk", "streaming_stateful_sessions",
+    "streaming_tws_running_count", "streaming_tws_sessions",
+    # remaining §2.6 grep parity variants (G2 flag surface)
+    "grep_context_count", "grep_only_matching_counts",
+    "grep_max_count_first_matches", "grep_files_with_matches",
+    "grep_multi_pattern_count",
+    # curation waves
+    "quality_gopher_repetition", "funnel_time_bounded",
+    "scd2_user_event_type_history", "events_anomaly_days",
+    # LLM-pipeline dedup/curation flagships not yet driver-certified
+    "dedup_incremental_new_vs_corpus", "dedup_survivors_near",
+    "curation_final_keep", "similar_docs_lsh_pruned_topk",
+    # scale ops remainder
+    "bpe_encode_source_stats", "dq_expectations_report",
+    "join_size_prediction",
+    # sessionize / sampling / variant surfaces
+    "resample_hourly_lerp", "weighted_reservoir_sample",
+    "variant_missing_path_semantics",
+    # ML pipeline
+    "kmeans_cluster_assignments", "association_rules_parts",
+    # relational function surfaces
+    "window_lead_lag_events", "join_full_outer_daily",
+    "array_functions_surface", "map_functions_surface",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
