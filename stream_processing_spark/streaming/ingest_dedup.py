@@ -20,7 +20,13 @@ bounded set, ≤ bands × sig_prefix_buckets) are collected, and the
 corpus scan reads ONLY those partition directories. Per-batch corpus
 I/O is therefore O(colliding buckets), not O(corpus): at 100 TB the
 scan touches the handful of cells the new docs can possibly collide
-in. Verification needs no corpus-wide signature scan either — each
+in. Skew guard: a boilerplate-saturated corpus can concentrate one
+cell until "the handful of cells" is itself O(corpus) — the optional
+``hot_cell_max_bytes`` cap (the streaming mirror of
+functions/dedup.py's ``max_bucket``) sizes candidate cells from file
+metadata and skips the saturated ones, keeping per-batch reads
+bounded under adversarial skew. Verification needs no corpus-wide
+signature scan either — each
 band row carries its doc's full MinHash signature inline (k small
 ints, duplicated per band: a deliberate ×bands storage trade to keep
 the per-batch join count at one).
@@ -81,6 +87,7 @@ class StreamingIngestDedup:
         sig_prefix_buckets: int = 16,
         compact_every: int | None = None,
         id_buckets: int | None = None,
+        hot_cell_max_bytes: int | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -109,6 +116,28 @@ class StreamingIngestDedup:
         # band partitions (< the just-written batch) into one — bounds
         # small-file growth to ~N batches' worth. None = manual only.
         self.compact_every = compact_every
+        # hot-cell guard (the streaming mirror of functions/dedup.py's
+        # ``max_bucket``): a skewed band signature — stop-shingle mode
+        # collapse, boilerplate-saturated corpora — concentrates one
+        # (band, pfx) cell, and the per-batch corpus join would read
+        # that WHOLE cell, re-introducing an O(corpus) term. Cells
+        # whose accumulated on-disk size exceeds this many bytes are
+        # SKIPPED by the corpus read (sized from file metadata only —
+        # listdir + stat, no data read), trading recall ONLY on
+        # buckets that are overwhelmingly near-identical boilerplate.
+        # Granularity note: the skip is per (band, pfx) cell because
+        # that is the pruning granularity — innocent signatures
+        # sharing a hot cell's pfx lose cross-batch recall too; raise
+        # ``sig_prefix_buckets`` to shrink that collateral (1/buckets
+        # of a band's signature space). Read-time only: not part of
+        # the immutable layout, and hot cells keep being WRITTEN (a
+        # bounded O(batch) append), so the data stays available to
+        # offline analysis and to reopens with a higher cap.
+        # None = unlimited (exact stream/batch pair parity).
+        self.hot_cell_max_bytes = hot_cell_max_bytes
+        # (band, pfx) cells the LAST apply()/``_pruned_corpus`` call
+        # skipped as hot — observability for monitors and tests
+        self.last_hot_cells: list[tuple[int, int]] = []
 
     # -- layout & recovery --------------------------------------------
     def _layout_params(self) -> dict:
@@ -191,16 +220,58 @@ class StreamingIngestDedup:
             f"(band = {int(b)} AND pfx = {int(p)})" for b, p in cells
         )
 
+    def _cell_bytes(
+        self, batch_id: int, cells: list[tuple[int, int]]
+    ) -> dict[tuple[int, int], int]:
+        """Accumulated on-disk bytes per candidate cell across all
+        COMMITTED batches (< batch_id — a replayed batch's own
+        half-written partition must not count). Pure file metadata:
+        one directory listing plus stats over ≤ batches × |cells|
+        directories — the same class of op the parquet scan's own
+        planning performs, and never a data read."""
+        sizes: dict[tuple[int, int], int] = {c: 0 for c in cells}
+        if not os.path.isdir(self.bands_path):
+            return sizes
+        for d in os.listdir(self.bands_path):
+            if not d.startswith("__batch_id="):
+                continue
+            if int(d.split("=", 1)[1]) >= batch_id:
+                continue
+            for b, p in cells:
+                cdir = os.path.join(
+                    self.bands_path, d, f"band={b}", f"pfx={p}"
+                )
+                if not os.path.isdir(cdir):
+                    continue
+                for f in os.listdir(cdir):
+                    if not f.startswith(("_", ".")):
+                        sizes[(b, p)] += os.path.getsize(
+                            os.path.join(cdir, f)
+                        )
+        return sizes
+
     def _pruned_corpus(
         self, batch_id: int, cells: list[tuple[int, int]]
     ) -> DataFrame | None:
         """Committed earlier batches' band rows, pruned to the cells
-        this batch can collide in. Only a genuinely ABSENT table means
-        "first batch" — any real read error must propagate and fail the
-        batch (Spark retries), or every cross-batch pair of this batch
-        would be silently and permanently lost."""
+        this batch can collide in — minus cells the hot-cell guard
+        skips (see ``hot_cell_max_bytes``). Only a genuinely ABSENT
+        table means "first batch" — any real read error must propagate
+        and fail the batch (Spark retries), or every cross-batch pair
+        of this batch would be silently and permanently lost."""
+        self.last_hot_cells = []
         if not os.path.isdir(self.bands_path) or not cells:
             return None
+        if self.hot_cell_max_bytes is not None:
+            sizes = self._cell_bytes(batch_id, cells)
+            self.last_hot_cells = [
+                c for c in cells if sizes[c] > self.hot_cell_max_bytes
+            ]
+            cells = [
+                c for c in cells if sizes[c] <= self.hot_cell_max_bytes
+            ]
+            if not cells:
+                return None
         return (
             self.spark.read.parquet(self.bands_path)
             .where(F.col("__batch_id") < batch_id)

@@ -565,3 +565,88 @@ def test_dup_check_reads_only_colliding_sig_buckets(spark, tmp_path):
     )
     assert files_read > 0
     assert total > 4 * files_read, (total, files_read)
+
+
+def test_hot_cell_guard_bounds_reads_under_boilerplate_skew(spark, tmp_path):
+    """VERDICT r6 #4: a skewed band signature (boilerplate mode
+    collapse) concentrates one (band, pfx) cell; ``hot_cell_max_bytes``
+    must keep the per-batch corpus read bounded — hot cells identified
+    from file METADATA alone and skipped at the scan — while
+    cross-batch pairs through cold cells are still discovered."""
+    BOILER = (
+        "the same boilerplate sentence repeated verbatim in every "
+        "document of this synthetic corpus slice"
+    )
+    RARE = "rare unique marker text alpha beta gamma delta epsilon zeta"
+
+    def mk(lo, hi, text):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"), text.alias("text")
+        )
+
+    state = str(tmp_path / "state")
+    # 64 pfx buckets: cold rows spread thin, so the planted hot cell's
+    # bytes dominate the footer floor of 1-row cold files
+    sink = StreamingIngestDedup(spark, state, sig_prefix_buckets=64)
+    for i in range(3):
+        batch = mk(i * 10000, i * 10000 + 500, F.lit(BOILER))
+        if i == 0:
+            batch = batch.unionByName(mk(900001, 900002, F.lit(RARE)))
+        sink.apply(batch, i)
+
+    probe = mk(990001, 990002, F.lit(RARE)).unionByName(
+        mk(990002, 990003, F.lit(BOILER))
+    )
+
+    def cells_of(df):
+        nb = sink._with_pfx(
+            band_buckets(dd.minhash_signatures(dd.shingles(df, n=3), k=8))
+        )
+        return sorted(
+            {
+                (r["band"], r["pfx"])
+                for r in nb.select("band", "pfx").distinct().collect()
+            }
+        )
+
+    cells = cells_of(probe)
+    boiler_cells = cells_of(mk(990002, 990003, F.lit(BOILER)))
+    sizes = sink._cell_bytes(3, cells)
+    hot_min = min(sizes[c] for c in boiler_cells)
+    cold = [c for c in cells if c not in boiler_cells]
+    cold_max = max(sizes[c] for c in cold) if cold else 0
+    # the planted skew is real: every boiler cell dwarfs every cold one
+    assert hot_min > 2 * cold_max, (sizes, boiler_cells)
+    thr = (hot_min + cold_max) // 2
+
+    # hot_cell_max_bytes is read-time-only, so reopening the SAME state
+    # dir with the guard on is legal (not a layout parameter)
+    guarded = StreamingIngestDedup(
+        spark, state, sig_prefix_buckets=64, hot_cell_max_bytes=thr
+    )
+
+    def files(df):
+        if df is None:
+            return set()
+        return {
+            r[0]
+            for r in df.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+
+    unguarded_files = files(sink._pruned_corpus(3, cells))
+    assert sink.last_hot_cells == []  # guard off → nothing skipped
+    guarded_files = files(guarded._pruned_corpus(3, cells))
+    assert sorted(guarded.last_hot_cells) == boiler_cells
+    assert guarded_files and len(guarded_files) < len(unguarded_files)
+    for f in guarded_files:
+        assert all(
+            f"band={b}/pfx={p}/" not in f + "/" for b, p in boiler_cells
+        ), f
+
+    # recall on cold signal survives: the guarded apply still finds the
+    # cross-batch near-dup (RARE in batch 0 × RARE in this batch)
+    guarded.apply(probe, 3)
+    got = {(r.doc_a, r.doc_b) for r in guarded.candidate_pairs().collect()}
+    assert (900001, 990001) in got
