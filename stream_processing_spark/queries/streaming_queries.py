@@ -87,10 +87,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATE_PARTITIONS = 32
 
 
-def _run_drained(writer, spark: SparkSession, extra_confs: dict | None = None):
+def _start_pinned(writer, spark: SparkSession, extra_confs: dict | None = None):
     """Start `writer` under the pinned state-partition count (plus any
-    `extra_confs`, e.g. a state-store provider pin), drain it
-    (availableNow), and raise if it hangs.
+    `extra_confs`, e.g. a state-store provider pin) and return the
+    running query, restoring the session confs immediately after start
+    (a streaming query captures its confs at start).
 
     The pin-set/start/restore window mutates session confs, so
     CONCURRENT query starts on one session could observe each other's
@@ -103,17 +104,79 @@ def _run_drained(writer, spark: SparkSession, extra_confs: dict | None = None):
     for k, v in pins.items():
         spark.conf.set(k, v)
     try:
-        q = writer.start()
+        return writer.start()
     finally:
         for k, v in prev.items():
             if v is None:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _run_drained(writer, spark: SparkSession, extra_confs: dict | None = None):
+    """Start `writer` pinned (see _start_pinned), drain it
+    (availableNow), and raise if it hangs."""
+    q = _start_pinned(writer, spark, extra_confs)
     q.awaitTermination(300)
     if q.isActive:  # pragma: no cover
         q.stop()
         raise TimeoutError("stream did not drain")
+
+
+def _drain_processing_time(
+    df: DataFrame,
+    spark: SparkSession,
+    expected_input_rows: int,
+    trigger: str = "300 milliseconds",
+    stable_polls: int = 8,
+    poll_sec: float = 0.5,
+    extra_confs: dict | None = None,
+) -> DataFrame:
+    """Drain a stream that CANNOT use availableNow — processing-time
+    timers/TTL only fire on a wall-clock trigger (an availableNow drain
+    under TimeMode.ProcessingTime loops state-maintenance micro-batches
+    without ever letting pending timers mature past real data). Runs
+    the query on a processing-time trigger and stops on QUIESCENCE: all
+    ``expected_input_rows`` ingested (tracked per batchId — the
+    recentProgress buffer is a ring, so counts are accumulated, not
+    re-summed) and the update-mode memory sink stable for
+    ``stable_polls`` consecutive polls. Returns the sink table."""
+    import time
+
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(processingTime=trigger)
+    )
+    q = _start_pinned(writer, spark, extra_confs)
+    rows_by_batch: dict[int, int] = {}
+    last_cnt, stable = -1, 0
+    deadline = time.time() + 240
+    try:
+        while time.time() < deadline:
+            time.sleep(poll_sec)
+            for p in q.recentProgress:
+                rows_by_batch[p["batchId"]] = int(p["numInputRows"])
+            cnt = spark.table(name).count()
+            ingested = sum(rows_by_batch.values()) >= expected_input_rows
+            if ingested and cnt > 0 and cnt == last_cnt:
+                stable += 1
+                if stable >= stable_polls:
+                    break
+            else:
+                stable = 0
+                last_cnt = cnt
+    finally:
+        q.stop()
+    if stable < stable_polls:  # pragma: no cover - deadline
+        raise TimeoutError(
+            f"stream never quiesced: ingested "
+            f"{sum(rows_by_batch.values())}/{expected_input_rows} rows, "
+            f"sink at {last_cnt} rows"
+        )
+    return spark.table(name)
 
 
 def _drain_complete(df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -328,6 +391,57 @@ def streaming_tws_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _drain_tws(counts, spark, "update")
     # update mode emits one row per key per batch; the last (= max) is final
     return out.groupBy("key").agg(F.max("cnt").alias("cnt"))
+
+
+@register(
+    "streaming_tws_timer_flush",
+    """
+    SELECT event_type AS key, CAST(2 * COUNT(*) AS BIGINT) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Native PROCESSING-TIME timer expiry end-to-end (tws.py "
+    "handleExpiredTimer, reference ST5 timer analogue "
+    "framework.py:52-54): a buffer-and-flush operator whose "
+    "handleInputRows NEVER emits — every output row is produced by a "
+    "handleExpiredTimer firing on the wall clock, so a non-empty "
+    "result PROVES the timer path ran. The events file is staged "
+    "twice (maxFilesPerTrigger=1 → two data batches), the stream runs "
+    "on a processing-time trigger (availableNow cannot mature "
+    "processing-time timers) and stops on quiescence; per-key SUM of "
+    "the flushed partials equals 2× the batch count no matter how "
+    "many flushes the wall clock produced — the timing-invariance "
+    "that makes a timer query oracle-able.",
+)
+def streaming_tws_timer_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.tws import tws_timer_flush_counts
+
+    _assert_tws_runtime(spark)
+    schema, _ = _events_schema_and_norm(_events_ts_layout(spark, sf_dir))
+    d = tempfile.mkdtemp(prefix="stream_src_events_flush_")
+    for copy in ("a", "b"):
+        os.symlink(
+            table_path(sf_dir, "events"), os.path.join(d, f"events_{copy}.parquet")
+        )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .select(F.col("event_type").alias("key"))
+    )
+    flushed = tws_timer_flush_counts(src, flush_ms=400)
+    n_events = spark.read.parquet(table_path(sf_dir, "events")).count()
+    out = _drain_processing_time(
+        flushed,
+        spark,
+        expected_input_rows=2 * n_events,
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": _ROCKSDB_PROVIDER
+        },
+    )
+    return out.groupBy("key").agg(
+        F.sum("flushed").cast("bigint").alias("total")
+    )
 
 
 @register(

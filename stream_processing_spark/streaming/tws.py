@@ -164,6 +164,81 @@ def tws_first_seen(
     )
 
 
+FLUSH_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("flushed", LongType())]
+)
+
+
+class _TimerFlushCounts(StatefulProcessor):
+    """Buffer-and-flush on PROCESSING-TIME timers: input rows only
+    accumulate a pending count and (re)arm a per-key timer
+    ``flush_ms`` ahead; emission happens EXCLUSIVELY in
+    ``handleExpiredTimer``, which drains and clears the buffer. The
+    micro-batching sink pattern (accumulate cheap, emit on a wall-clock
+    cadence) — and the operator whose OUTPUT EXISTING at all proves the
+    timer path ran: no expiry, no rows. The per-emission partial counts
+    sum to the exact input count per key regardless of how many flushes
+    the wall clock produced, which is what makes a query over it
+    oracle-able (reference ST5 timer analogue, framework.py:52-54)."""
+
+    def __init__(self, flush_ms: int):
+        self._flush_ms = flush_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._pend = handle.getValueState("pend", "pend bigint")
+
+    def handleInputRows(
+        self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
+    ) -> Iterator[pd.DataFrame]:
+        n = 0
+        for b in rows:
+            n += len(b)
+        cur = self._pend.get()[0] if self._pend.exists() else 0
+        self._pend.update((cur + n,))
+        # one outstanding timer per key: re-arrival pushes the flush out
+        # (materialize before deleting — see _EventSessions._settle)
+        for t in list(self._handle.listTimers()):
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + self._flush_ms
+        )
+        return iter(())  # no emission on input — the timer owns output
+
+    def handleExpiredTimer(
+        self, key: Any, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        if not self._pend.exists():  # pragma: no cover - stale timer
+            return
+        n = self._pend.get()[0]
+        self._pend.clear()
+        if n:
+            yield pd.DataFrame({"key": [key[0]], "flushed": [n]})
+
+    def close(self) -> None:
+        pass
+
+
+def tws_timer_flush_counts(
+    df: DataFrame, key_col: str = "key", flush_ms: int = 500
+) -> DataFrame:
+    """Per-key buffered counts flushed by native PROCESSING-TIME timers
+    (update mode). Every output row is produced by
+    ``handleExpiredTimer``; ``handleInputRows`` never emits. Summing
+    ``flushed`` per key over the drained output reproduces the exact
+    input count per key, independent of flush cadence."""
+    return (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .transformWithStateInPandas(
+            statefulProcessor=_TimerFlushCounts(flush_ms),
+            outputStructType=FLUSH_SCHEMA,
+            outputMode="update",
+            timeMode="processingtime",
+        )
+    )
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("key", StringType()),

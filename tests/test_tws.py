@@ -350,3 +350,51 @@ def test_tws_sessions_late_event_merges_into_held_session(spark, tmp_path):
         ("1", t10, t10 + 50 * m, 2),
         ("1", noon, noon + 30 * m, 1),
     }, got
+
+
+@needs_tws_runtime
+def test_tws_timer_flush_emits_only_on_expiry_and_clears(spark, tmp_path):
+    """Buffer-and-flush on processing-time timers: nothing emits from
+    handleInputRows — output appears only after the per-key timer
+    matures — and a flush CLEARS the buffer, so a later arrival flushes
+    only its own delta."""
+    from stream_processing_spark.streaming.tws import tws_timer_flush_counts
+
+    def _run_until(job, want: set[str], deadline_sec: int = 120):
+        q = job.start(processing_time="300 milliseconds")
+        try:
+            t0 = time.time()
+            got: set[str] = set()
+            while time.time() - t0 < deadline_sec:
+                try:
+                    got = {r.value for r in job.read_output().collect()}
+                except Exception:  # output dir not created yet
+                    got = set()
+                if want <= got:
+                    return got
+                time.sleep(0.3)
+            raise TimeoutError(f"never saw {want}, have {got}")
+        finally:
+            q.stop()
+
+    ind, outd = str(tmp_path / "in"), str(tmp_path / "out")
+    ops = [_split_kv, lambda df: tws_timer_flush_counts(df, flush_ms=300)]
+    _write_input(ind, "b1.txt", ["a,1"] * 3 + ["b,1"])
+    job = StreamJob(
+        spark, ind, outd, ops=ops, stateful=True, value_col="flushed",
+        state_store="rocksdb",
+    )
+    got = _run_until(job, {"a:3", "b:1"})
+    # emission happened via the timer (the only output path) and the
+    # buffer emptied: no partial counts other than the full ones
+    assert got == {"a:3", "b:1"}, got
+
+    # a later arrival for a flushed key re-buffers and re-flushes ONLY
+    # the delta — state was cleared, not carried
+    _write_input(ind, "b2.txt", ["a,1"])
+    job2 = StreamJob(
+        spark, ind, outd, ops=ops, stateful=True, value_col="flushed",
+        state_store="rocksdb",
+    )
+    got = _run_until(job2, {"a:3", "b:1", "a:1"})
+    assert got == {"a:3", "b:1", "a:1"}, got
