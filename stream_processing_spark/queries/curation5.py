@@ -9,9 +9,16 @@ top-bigram share of bigram *occurrences*; this module adds the
 character-fraction form the published filters actually threshold on.
 
 The reference corpus (documents.parquet) is single-line text, so the
-line/paragraph dedup rules of the same paper are degenerate here (one
-line per doc) and intentionally omitted — the n-gram family is the
-meaningful subset on this data.
+line/paragraph dedup rules of the same paper would be degenerate on
+raw docs (one line per doc). ``quality_gopher_line_para_dedup``
+therefore DERIVES a deterministic multi-line page fixture from the
+documents table inside the query (the same derivation spelled in both
+engines, since the oracle can only see the shared views): grouped
+truncated texts as lines, a planted boilerplate line for ids ≡ 1
+(mod 3) to create genuine duplicate lines, every third paragraph
+emitted twice to create genuine duplicate paragraphs — then computes
+the paper's duplicated-line/paragraph fractions from the assembled
+multi-line text itself (split on newline / blank line).
 
 Determinism rules as elsewhere in the registry: integer counts and
 coverage products end-to-end, ONE double division per output column,
@@ -158,3 +165,171 @@ def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             for n in _DUP_NS
         ],
     ).drop("nc")
+
+
+_BOILER = "click here to subscribe to our newsletter today"
+# page assembly knobs (shared by both engines): docs per page group,
+# lines per paragraph, and the paragraph-duplication stride
+_PAGE_GROUPS = 40
+_LINES_PER_PARA = 4
+_PARA_DUP_STRIDE = 3
+
+
+@register(
+    "quality_gopher_line_para_dedup",
+    f"""
+    WITH src AS (
+        SELECT doc_id % {_PAGE_GROUPS} AS grp, doc_id,
+               CASE WHEN doc_id % 3 = 1 THEN '{_BOILER}'
+                    ELSE substr(text, 1, 80) END AS line
+        FROM documents
+    ),
+    numbered AS (
+        SELECT grp, line,
+               row_number() OVER (PARTITION BY grp ORDER BY doc_id) - 1 AS rn
+        FROM src
+    ),
+    paras0 AS (
+        SELECT grp, rn // {_LINES_PER_PARA} AS pid,
+               string_agg(line, chr(10) ORDER BY rn) AS para
+        FROM numbered GROUP BY grp, rn // {_LINES_PER_PARA}
+    ),
+    paras AS (
+        SELECT grp, pid, u.k, para
+        FROM paras0,
+             UNNEST(CASE WHEN pid % {_PARA_DUP_STRIDE} = 0
+                         THEN [0, 1] ELSE [0] END) AS u(k)
+    ),
+    page AS (
+        SELECT grp, string_agg(para, chr(10) || chr(10) ORDER BY pid, k) AS text
+        FROM paras GROUP BY grp
+    ),
+    line_grp AS (
+        SELECT grp, l AS line, COUNT(*) AS c, length(l) AS ln
+        FROM page, UNNEST(string_split(text, chr(10))) AS t(l)
+        WHERE l <> ''
+        GROUP BY grp, l
+    ),
+    line_agg AS (
+        SELECT grp, SUM(c) AS n_lines, COUNT(*) AS n_distinct,
+               SUM(c * ln) AS total_chars,
+               SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS dup_chars
+        FROM line_grp GROUP BY grp
+    ),
+    para_grp AS (
+        SELECT grp, p AS para, COUNT(*) AS c, length(p) AS ln
+        FROM page, UNNEST(string_split(text, chr(10) || chr(10))) AS t(p)
+        GROUP BY grp, p
+    ),
+    para_agg AS (
+        SELECT grp, SUM(c) AS n_paras, COUNT(*) AS pn_distinct,
+               SUM(c * ln) AS p_total_chars,
+               SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS p_dup_chars
+        FROM para_grp GROUP BY grp
+    )
+    SELECT l.grp AS page_id,
+           CAST(l.n_lines AS BIGINT) AS n_lines,
+           ROUND(CAST(l.n_lines - l.n_distinct AS DOUBLE)
+                 / CAST(l.n_lines AS DOUBLE), 6) AS dup_line_frac,
+           ROUND(CAST(l.dup_chars AS DOUBLE)
+                 / CAST(l.total_chars AS DOUBLE), 6) AS dup_line_char_frac,
+           CAST(p.n_paras AS BIGINT) AS n_paras,
+           ROUND(CAST(p.n_paras - p.pn_distinct AS DOUBLE)
+                 / CAST(p.n_paras AS DOUBLE), 6) AS dup_para_frac,
+           ROUND(CAST(p.p_dup_chars AS DOUBLE)
+                 / CAST(p.p_total_chars AS DOUBLE), 6) AS dup_para_char_frac
+    FROM line_agg l JOIN para_agg p USING (grp)
+    """,
+    doc="Gopher §A.1 line/paragraph dedup signals over a derived "
+    "multi-line page fixture (the raw corpus is single-line, so the "
+    "fixture is assembled in-query, identically in both engines): "
+    f"pages = documents grouped by doc_id % {_PAGE_GROUPS}, lines = "
+    "80-char text prefixes with a planted boilerplate line (ids ≡ 1 "
+    f"mod 3), paragraphs = runs of {_LINES_PER_PARA} lines with every "
+    f"{_PARA_DUP_STRIDE}rd paragraph emitted twice. Signals are then "
+    "computed FROM THE ASSEMBLED TEXT (split on newline / blank "
+    "line): dup_*_frac = occurrences beyond the first of an identical "
+    "unit / total units; dup_*_char_frac = ALL characters of units "
+    "whose content appears ≥2 times / total unit characters (the "
+    "paper's 'characters contained within duplicated lines'). Plan: "
+    "one scan, one narrow shuffle on the page key (80-char "
+    "truncations, not full texts), per-page-bounded state, no "
+    "cross-page joins — linear in corpus size. Integer counts, one "
+    "double division per fraction, round 6dp.",
+)
+def quality_gopher_line_para_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lines = docs.select(
+        (F.col("doc_id") % _PAGE_GROUPS).alias("grp"),
+        F.struct(
+            F.col("doc_id"),
+            F.when(F.col("doc_id") % 3 == 1, F.lit(_BOILER))
+            .otherwise(F.substring("text", 1, 80))
+            .alias("line"),
+        ).alias("x"),
+    )
+    # deterministic line order inside a page: sort the collected
+    # structs by the unique doc_id (collect_list alone is
+    # partition-order-dependent)
+    arr = lines.groupBy("grp").agg(
+        F.sort_array(F.collect_list("x")).alias("xs")
+    )
+    para_sql = (
+        f"array_join(transform(slice(xs, pid * {_LINES_PER_PARA} + 1, "
+        f"{_LINES_PER_PARA}), x -> x.line), '\\n')"
+    )
+    page = arr.select(
+        "grp",
+        F.expr(
+            f"""array_join(flatten(transform(
+                sequence(0, cast(floor((size(xs) - 1) / {_LINES_PER_PARA}) as int)),
+                pid -> CASE WHEN pid % {_PARA_DUP_STRIDE} = 0
+                            THEN array({para_sql}, {para_sql})
+                            ELSE array({para_sql}) END)), '\\n\\n')"""
+        ).alias("text"),
+    ).localCheckpoint(eager=False)  # feeds the line AND paragraph branches
+
+    def _unit_agg(unit_col: str, sep: str, prefix: str) -> DataFrame:
+        occ = page.select(
+            "grp", F.explode(F.split("text", sep)).alias(unit_col)
+        )
+        if unit_col == "line":  # blank separators between paragraphs
+            occ = occ.filter(F.col(unit_col) != "")
+        grpd = occ.groupBy("grp", unit_col).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        ln = F.length(unit_col)
+        return grpd.groupBy("grp").agg(
+            F.sum("c").alias(f"{prefix}n"),
+            F.count(F.lit(1)).alias(f"{prefix}distinct"),
+            F.sum(F.col("c") * ln).alias(f"{prefix}chars"),
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * ln).otherwise(0)
+            ).alias(f"{prefix}dup_chars"),
+        )
+
+    la = _unit_agg("line", "\n", "l_")
+    pa = _unit_agg("para", "\n\n", "p_")
+
+    def _frac(num, den):
+        return F.round(num.cast("double") / den.cast("double"), 6)
+
+    return la.join(pa, "grp").select(
+        F.col("grp").alias("page_id"),
+        F.col("l_n").cast("bigint").alias("n_lines"),
+        _frac(F.col("l_n") - F.col("l_distinct"), F.col("l_n")).alias(
+            "dup_line_frac"
+        ),
+        _frac(F.col("l_dup_chars"), F.col("l_chars")).alias(
+            "dup_line_char_frac"
+        ),
+        F.col("p_n").cast("bigint").alias("n_paras"),
+        _frac(F.col("p_n") - F.col("p_distinct"), F.col("p_n")).alias(
+            "dup_para_frac"
+        ),
+        _frac(F.col("p_dup_chars"), F.col("p_chars")).alias(
+            "dup_para_char_frac"
+        ),
+    )
