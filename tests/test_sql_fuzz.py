@@ -29,7 +29,7 @@ from stream_processing_spark.catalog import register_views
 from tests.oracle_util import compare
 
 SF = "/root/testdata/sf0.01"
-N_CASES = 170
+N_CASES = 230
 
 T = {
     "orders": {
@@ -232,14 +232,110 @@ def _scalar_subquery_query(rng: random.Random) -> str:
     )
 
 
+def _lateral_query(rng: random.Random) -> str:
+    """Correlated LATERAL subquery in FROM (the r5 registry surface,
+    fuzzed): either a lateral AGGREGATE (exactly one row per outer row)
+    or a lateral TOP-K with a TOTAL tie-break (ORDER BY over every int
+    column of the inner table — each table's int columns contain a
+    unique key, so the k rows are deterministic)."""
+    inner, outer, cond = rng.choice(JOINS)
+    ik, ok = cond.split(" = ")
+    ip = _pred(rng, [inner])
+    okey = T[outer]["int"][0]
+    if rng.random() < 0.5:
+        agg = rng.choice(
+            [
+                "COUNT(*)",
+                f"COALESCE(MIN({rng.choice(T[inner]['int'])}), -1)",
+                f"COALESCE(CAST(SUM({rng.choice(T[inner]['int'])}) "
+                "AS BIGINT), -1)",
+            ]
+        )
+        sub = (
+            f"SELECT CAST({agg} AS BIGINT) AS lv FROM {inner} "
+            f"WHERE {ik} = {ok} AND {ip}"
+        )
+    else:
+        c = rng.choice(T[inner]["int"])
+        tie = ", ".join(T[inner]["int"])
+        sub = (
+            f"SELECT {c} AS lv FROM {inner} WHERE {ik} = {ok} AND {ip} "
+            f"ORDER BY {c} NULLS FIRST, {tie} LIMIT {rng.randint(1, 3)}"
+        )
+    return (
+        f"SELECT {okey} AS pk, lv FROM {outer}, LATERAL ({sub}) t "
+        f"ORDER BY 1 NULLS FIRST, 2 NULLS FIRST LIMIT {rng.choice([40, 90])}"
+    )
+
+
+def _ranked_filter_query(rng: random.Random) -> str:
+    """Windowed subquery with a rank predicate — the QUALIFY semantics
+    (top-k per partition) in the one spelling both grammars parse
+    (Spark has no QUALIFY clause; DuckDB planners treat this rewrite
+    identically). ROW_NUMBER carries a total tie-break; RANK/DENSE_RANK
+    rely on rank-ties being deterministic sets."""
+    t = rng.choice(list(T))
+    ints = T[t]["int"]
+    strs = T[t]["str"]
+    part = rng.choice(strs + [f"{ints[0]} % {rng.randint(3, 7)}"])
+    ordc = rng.choice(ints)
+    fn = rng.choice(["ROW_NUMBER", "RANK", "DENSE_RANK"])
+    if fn == "ROW_NUMBER":
+        over = (
+            f"PARTITION BY {part} ORDER BY {ordc} NULLS FIRST, "
+            + ", ".join(ints)
+        )
+    else:
+        over = f"PARTITION BY {part} ORDER BY {ordc} NULLS FIRST"
+    preds = [_pred(rng, [t]) for _ in range(rng.randint(0, 1))]
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    inner_sql = (
+        f"SELECT {ints[0]} AS pk, {ordc} AS oc, "
+        f"{fn}() OVER ({over}) AS rn FROM {t}{where}"
+    )
+    return (
+        f"SELECT pk, oc, rn FROM ({inner_sql}) WHERE rn <= {rng.randint(1, 3)} "
+        f"ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3 NULLS FIRST "
+        f"LIMIT {rng.choice([50, 120])}"
+    )
+
+
+def _group_by_all_query(rng: random.Random) -> str:
+    """GROUP BY ALL (the r5 single-example surface, fuzzed): grouping
+    keys inferred from the non-aggregate select expressions by both
+    engines."""
+    if rng.random() < 0.4:
+        t1, t2, cond = rng.choice(JOINS)
+        tabs, frm = [t1, t2], f"{t1} JOIN {t2} ON {cond}"
+    else:
+        t1 = rng.choice(list(T))
+        tabs, frm = [t1], t1
+    preds = [_pred(rng, tabs) for _ in range(rng.randint(0, 2))]
+    where = (" WHERE " + " AND ".join(preds)) if preds else ""
+    n_keys = rng.randint(1, 2)
+    keys = [f"{_group_key(rng, tabs)} AS k{i}" for i in range(n_keys)]
+    aggs = [_agg(rng, tabs, f"a{i}") for i in range(rng.randint(1, 2))]
+    key_ords = ", ".join(f"{i + 1} NULLS FIRST" for i in range(n_keys))
+    return (
+        f"SELECT {', '.join(keys + aggs)} FROM {frm}{where} "
+        f"GROUP BY ALL ORDER BY {key_ords}"
+    )
+
+
 def _gen_query(rng: random.Random) -> str:
     shape = rng.random()
-    if shape < 0.12:
+    if shape < 0.10:
         return _setop_query(rng)
-    if shape < 0.24:
+    if shape < 0.20:
         return _semijoin_query(rng)
-    if shape < 0.34:
+    if shape < 0.28:
         return _scalar_subquery_query(rng)
+    if shape < 0.38:
+        return _lateral_query(rng)
+    if shape < 0.46:
+        return _ranked_filter_query(rng)
+    if shape < 0.53:
+        return _group_by_all_query(rng)
     if rng.random() < 0.4:
         t1, t2, cond = rng.choice(JOINS)
         tabs, frm = [t1, t2], f"{t1} JOIN {t2} ON {cond}"
