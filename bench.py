@@ -135,6 +135,17 @@ BENCH_QUERIES = [
     # BENCH_r05, not in aggregate): PQ ADC lookup-table scoring over
     # IVF-pruned candidates (the compressed-domain ANN scale path)
     "ann_ivfpq_topk",
+    # --- round-7 additions (VERDICT r6 #8): the SAME per-key running
+    # count on both arbitrary-stateful tiers, so the transformWithState
+    # "richer state model" claim carries a measured cost. The TWS row
+    # pays the state-server protocol (a protobuf round-trip per state
+    # access between the python worker and the JVM's state server) and
+    # the RocksDB provider; the applyInPandasWithState row is the
+    # row-encoded-tuple tier already benched as
+    # streaming_stateful_running_count. Compare the pair to each other,
+    # not against earlier rounds' totals.
+    "streaming_stateful_running_count",
+    "streaming_tws_running_count",
 ]
 
 
@@ -142,6 +153,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    # export the vendored protobuf runtime BEFORE the JVM starts so the
+    # transformWithState rows can run (workers inherit the JVM's env)
+    from stream_processing_spark.compat import ensure_protobuf_runtime
+
+    ensure_protobuf_runtime()
 
     from stream_processing_spark.session import get_spark
     from stream_processing_spark.queries import REGISTRY
