@@ -74,12 +74,26 @@ class UpsertTable:
         key_col: str,
         allow_full_replay: bool = False,
         num_buckets: int = 16,
+        vacuum_every: int | None = None,
+        vacuum_keep_last: int = 2,
     ):
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.allow_full_replay = allow_full_replay
         self.num_buckets = num_buckets
+        # auto-vacuum cadence (VERDICT r6 #9 — the 1e6-batch metadata
+        # hot spot): every N applied batches, fold retention — drop all
+        # but the newest ``vacuum_keep_last`` manifests and GC
+        # unreferenced leaves. Manifests are SELF-CONTAINED snapshots
+        # (each maps every bucket to its current leaf — there is no
+        # delta chain to replay), so "folding the chain into a base" IS
+        # deletion of superseded manifests; nothing needs rewriting.
+        # With a cadence set, the manifest directory holds at most
+        # ~vacuum_every + vacuum_keep_last files regardless of how many
+        # batches the table has absorbed. None = manual vacuum only.
+        self.vacuum_every = vacuum_every
+        self.vacuum_keep_last = vacuum_keep_last
         os.makedirs(path, exist_ok=True)
         self._pointer = os.path.join(path, "_VERSION")
         self._manifest_dir = os.path.join(path, "_manifests")
@@ -331,6 +345,16 @@ class UpsertTable:
         with open(tmp, "w") as f:
             f.write(str(batch_id))
         os.replace(tmp, self._pointer)  # atomic version flip
+        if (
+            self.vacuum_every
+            and batch_id > 0
+            and batch_id % self.vacuum_every == 0
+        ):
+            # idempotent under crash-window replay (a re-run finds the
+            # manifests already dropped and no unreferenced leaves);
+            # never touches the current manifest, so the NEXT apply's
+            # merge input is always intact
+            self.vacuum(keep_last=self.vacuum_keep_last)
 
     def writer(self):
         """foreachBatch callback: ``writeStream.foreachBatch(t.writer())``."""

@@ -398,3 +398,70 @@ def test_upsert_schema_evolution_new_column(spark, tmp_path):
     )
     got = {(r.uid, r.balance, r.tier) for r in t.current().collect()}
     assert got == {(1, 11.0, None), (2, 23.0, "gold"), (3, 3.0, None)}
+
+
+def test_upsert_auto_vacuum_bounds_manifests_time_travel_green(
+    spark, tmp_path
+):
+    """VERDICT r6 #9: with a vacuum cadence set, the manifest directory
+    stays bounded as batches accumulate (manifests are self-contained
+    snapshots, so retention IS the fold), time travel over every
+    RETAINED version stays green, dropped versions refuse loudly, and
+    on-disk data dirs shrink to exactly what retained manifests
+    reference."""
+    t = UpsertTable(
+        spark, str(tmp_path / "table"), key_col="uid",
+        vacuum_every=4, vacuum_keep_last=2,
+    )
+
+    def mkdf(rows):
+        return spark.createDataFrame(
+            rows, "uid long, op string, ts long, seq long, balance double"
+        )
+
+    for b in range(10):
+        t.apply(mkdf([(b % 3, "upsert", 100 + b, 1, float(b))]), b)
+    assert t.version() == 9
+    # bounded: at most ~cadence + keep_last manifests survive
+    assert len(t.versions()) <= 6, t.versions()
+    assert 8 in t.versions() and 9 in t.versions()
+
+    # time travel over every retained version reflects its batch prefix
+    for v in t.versions():
+        got = {(r.uid, r.balance) for r in t.read_version(v).collect()}
+        want = {}
+        for b in range(v + 1):
+            want[b % 3] = float(b)
+        assert got == set(want.items()), (v, got)
+
+    # folded versions are gone and refuse loudly
+    dropped = [b for b in range(10) if b not in t.versions()]
+    assert dropped
+    with pytest.raises(FileNotFoundError):
+        t.read_version(dropped[0])
+
+    # leaf GC: only data dirs a retained manifest references remain
+    ddirs = {
+        d
+        for d in os.listdir(str(tmp_path / "table"))
+        if d.startswith("d-")
+    }
+    referenced = {
+        leaf.split(os.sep)[0]
+        for v in t.versions()
+        for leaf in t._load_manifest(v).values()
+    }
+    assert ddirs == referenced
+
+    # crash-window replay of the cadence batch re-runs merge + vacuum
+    # idempotently (batch 9 hits the == pointer skip; re-applying via a
+    # fresh handle with the same id is the real replay shape)
+    t2 = UpsertTable(
+        spark, str(tmp_path / "table"), key_col="uid",
+        vacuum_every=4, vacuum_keep_last=2,
+    )
+    t2.apply(mkdf([(9 % 3, "upsert", 109, 1, 9.0)]), 9)  # skipped
+    assert t2.version() == 9
+    assert {(r.uid, r.balance) for r in t2.current().collect()} == {
+        (0, 9.0), (1, 7.0), (2, 8.0)
+    }
