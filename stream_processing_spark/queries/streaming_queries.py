@@ -866,3 +866,183 @@ def streaming_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sess = tws_event_sessions(src, gap_sec=1800)
     return _drain_tws(sess, spark, "append")
+
+
+def _stage_halves(df: DataFrame, split_expr, d: str) -> None:
+    """Stage ``df`` as TWO single-file parquet batches in ``d`` (split
+    by ``split_expr``), with explicitly pinned distinct mtimes so the
+    FileStreamSource admits them in a deterministic order under
+    maxFilesPerTrigger=1."""
+    import glob
+    import shutil
+    import time as _time
+
+    now = _time.time()
+    for i, keep in enumerate((split_expr, ~split_expr)):
+        tmp = tempfile.mkdtemp(prefix="stage_half_")
+        df.where(keep).coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = os.path.join(d, f"b{i}.parquet")
+        shutil.copy(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (now - 100 + i * 50, now - 100 + i * 50))
+
+
+_INGEST_SIGS_SQL = (
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sigs AS (SELECT doc_id, """
+    + ", ".join(f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(8))
+    + """ FROM shingles GROUP BY doc_id),
+    buckets AS (
+    """
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(h{2*b} || '|' || h{2*b+1}) "
+        "AS sig FROM sigs"
+        for b in range(4)
+    )
+    + """),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM buckets a JOIN buckets b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    """
+)
+
+_N_AGREE_SQL = " + ".join(
+    f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END" for s in range(8)
+)
+
+
+@register(
+    "streaming_ingest_neardup_pairs",
+    _INGEST_SIGS_SQL
+    + f"""
+    SELECT doc_a, doc_b,
+           CAST({_N_AGREE_SQL} AS BIGINT) AS n_agree,
+           ROUND(CAST({_N_AGREE_SQL} AS DOUBLE) / 8.0, 6) AS est_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = doc_a
+    JOIN sigs sb ON sb.doc_id = doc_b
+    """,
+    doc="The RUNNING MinHash-LSH corpus (streaming/ingest_dedup.py) "
+    "driven end-to-end under the driver gate: documents arrive in two "
+    "micro-batches (split by doc_id parity, deterministic order), each "
+    "batch joins its banded signatures against the partition-pruned "
+    "accumulated corpus, and the union of per-batch discoveries must "
+    "equal the BATCH LSH pipeline over the full corpus — the module's "
+    "once-per-pair discovery invariant, here hash-checked against the "
+    "batch oracle (same md5 minhash/band spelling as "
+    "dedup_minhash_verified_pairs, min_agree=0 so every candidate "
+    "carries its signature-agreement score).",
+)
+def streaming_ingest_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.catalog import load_table
+    from stream_processing_spark.streaming.ingest_dedup import (
+        StreamingIngestDedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = tempfile.mkdtemp(prefix="stream_src_ingest_")
+    _stage_halves(docs, F.col("doc_id") % 2 == 0, d)
+    sink = StreamingIngestDedup(
+        spark, tempfile.mkdtemp(prefix="ingest_state_")
+    )
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .writeStream.foreachBatch(sink.writer())
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="ingest_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError("ingest stream did not drain")
+    return sink.candidate_pairs()
+
+
+@register(
+    "streaming_upsert_latest_state",
+    """
+    WITH ranked AS (
+        SELECT user_id, value, event_type,
+               CASE WHEN event_id % 10 = 0 THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, value AS last_value, event_type AS last_type
+    FROM ranked WHERE rn = 1 AND op = 'upsert'
+    """,
+    doc="The versioned bucketed UPSERT table (streaming/upsert.py) "
+    "driven end-to-end under the driver gate: events become CDC "
+    "changes (key=user_id, op=delete for event_id % 10 = 0 else "
+    "upsert, ts=event micros, seq=event_id) arriving in two "
+    "micro-batches split by event_id parity — so most keys MERGE "
+    "across batches, older cross-batch changes must lose to fresher "
+    "stored state, and a key whose latest change is a delete must "
+    "stay tombstoned out of current(). Oracle = latest change per key "
+    "via a ranked window, live rows only.",
+)
+def streaming_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.upsert import UpsertTable
+
+    schema, norm = _events_schema_and_norm(_events_ts_layout(spark, sf_dir))
+    ev = (
+        spark.read.schema(schema)
+        .parquet(table_path(sf_dir, "events"))
+        .withColumn("ts", norm)
+    )
+    changes = ev.select(
+        F.col("user_id").alias("uid"),
+        F.when(F.col("event_id") % 10 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.unix_micros("ts").alias("cts"),
+        F.col("event_id").alias("seq"),
+        "value",
+        "event_type",
+    ).withColumnRenamed("cts", "ts")
+    d = tempfile.mkdtemp(prefix="stream_src_upsert_")
+    _stage_halves(changes, F.col("seq") % 2 == 0, d)
+    table = UpsertTable(
+        spark,
+        tempfile.mkdtemp(prefix="upsert_table_"),
+        key_col="uid",
+        vacuum_every=2,  # exercise manifest folding under the gate too
+    )
+    q = (
+        spark.readStream.schema(
+            "uid bigint, op string, ts bigint, seq bigint, "
+            "value double, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .writeStream.foreachBatch(table.writer())
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="upsert_ck_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError("upsert stream did not drain")
+    return table.current().select(
+        F.col("uid").alias("user_id"),
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_type"),
+    )
