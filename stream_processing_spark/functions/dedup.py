@@ -158,6 +158,62 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    sh: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    min_shingles: int = 1,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT pairs: C(A→B) = |A∩B| / |A| —
+    the quote/subset-duplication signal Jaccard misses (a short doc
+    fully embedded in a long one has high containment but low Jaccard,
+    because the union is dominated by the container). Emits DIRECTED
+    pairs (doc_a = contained, doc_b = container, doc_a ≠ doc_b) with
+    C ≥ threshold and |A| ≥ min_shingles (tiny shingle sets are
+    trivially contained — the floor keeps the signal meaningful).
+
+    Plan shape and scale guards are jaccard_pairs': one shuffle on the
+    shingle, ``max_df`` bounds every join key to max_df² rows, sizes
+    joined back, one exact double division. The intersection is
+    computed ONCE per unordered pair and emitted in both orientations
+    — no second self-join."""
+    if max_df is not None:
+        sh = cap_document_frequency(sh, max_df)
+    sh = materialize(
+        sh, eager=False, reliable=reliable, checkpoint_dir=checkpoint_dir
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    both = common.unionByName(
+        common.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "n_common",
+        )
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")
+    )
+    cont = F.col("n_common") / F.col("n_a")
+    return (
+        both.join(sa, "doc_a")
+        .filter(F.col("n_a") >= min_shingles)
+        .withColumn("containment", F.round(cont, 6))
+        .filter(cont >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, k: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -203,6 +203,57 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_THRESHOLD = 0.9
+_CONTAINMENT_MIN_SH = 5
+
+
+@register(
+    "dedup_containment_pairs",
+    _SHINGLE_SQL
+    + f""",
+    capped AS (
+        SELECT doc_id, sh FROM (
+            SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+            FROM shingles
+        ) WHERE df <= {_JACCARD_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    oriented AS (
+        SELECT doc_a, doc_b, n_common FROM common
+        UNION ALL
+        SELECT doc_b AS doc_a, doc_a AS doc_b, n_common FROM common
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / sa.n_sh, 6) AS containment
+    FROM oriented JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE sa.n_sh >= {_CONTAINMENT_MIN_SH}
+      AND n_common * 1.0 / sa.n_sh >= {_CONTAINMENT_THRESHOLD}
+    """,
+    doc="Asymmetric 3-gram CONTAINMENT pairs (C(A→B) = |A∩B|/|A| ≥ "
+    f"{_CONTAINMENT_THRESHOLD}, |A| ≥ {_CONTAINMENT_MIN_SH} shingles): "
+    "the quote/subset-duplication signal Jaccard misses — a short doc "
+    "embedded in a long one has high containment but low Jaccard "
+    "(union dominated by the container). Same scale guards as "
+    f"dedup_jaccard_pairs (df ≤ {_JACCARD_MAX_DF} bounds every join "
+    "key; the intersection is computed once per unordered pair and "
+    "emitted in both orientations — no second self-join). Integer "
+    "arithmetic until one exact double division.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(
+        dd.shingles(docs, n=3),
+        threshold=_CONTAINMENT_THRESHOLD,
+        max_df=_JACCARD_MAX_DF,
+        min_shingles=_CONTAINMENT_MIN_SH,
+    )
+
+
 @register(
     "dedup_connected_components",
     "WITH RECURSIVE"

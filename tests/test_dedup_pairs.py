@@ -26,3 +26,33 @@ def test_simhash_band_join_is_exact_at_radius_3(spark):
     }
     assert banded == brute
     assert brute, "no pairs at radius 3 — testdata assumption broken"
+
+
+def test_containment_pairs_directional_subset(spark):
+    """A short doc fully embedded in a long one: containment from the
+    short side is 1.0, the reverse direction fails the threshold, and
+    an unrelated doc pairs with neither. min_shingles floors out
+    trivially-contained tiny docs."""
+    short = "alpha beta gamma delta epsilon zeta eta"  # 5 shingles
+    longd = short + " theta iota kappa lambda mu nu xi omicron pi rho"
+    tiny = "alpha beta gamma"  # 1 shingle — under the floor
+    other = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, short), (2, longd), (3, tiny), (4, other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.containment)
+        for r in dd.containment_pairs(
+            dd.shingles(df, n=3), threshold=0.9, min_shingles=5
+        ).collect()
+    }
+    assert got == {(1, 2, 1.0)}, got
+    # without the floor, the tiny doc is trivially contained in both
+    got2 = {
+        (r.doc_a, r.doc_b)
+        for r in dd.containment_pairs(
+            dd.shingles(df, n=3), threshold=0.9, min_shingles=1
+        ).collect()
+    }
+    assert got2 == {(1, 2), (3, 1), (3, 2)}, got2
