@@ -298,6 +298,43 @@ _BM25_TERMS = ("scan", "merge", "window")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for the fixed query termset — the scoring core
+    shared by bm25_topk_docs and the RRF hybrid fusion."""
+    lens = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("L")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("N"),
+        (F.sum("L").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    idf = (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    den = F.col("tf") + k1 * (1 - b + b * F.col("L") / F.col("avgdl"))
+    term_score = F.round(idf * (F.col("tf") * (k1 + 1)) / den, 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").cast("double").alias("bm25"))
+    )
+
+
 @register(
     "bm25_topk_docs",
     f"""
@@ -348,38 +385,144 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 )
 def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    lens = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).alias("L")
+    return (
+        _bm25_scored(docs)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
     )
-    stats = lens.agg(
-        F.count(F.lit(1)).alias("N"),
-        (F.sum("L").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 20  # per-retriever candidate depth feeding the fusion
+
+
+@register(
+    "retrieval_rrf_hybrid_topk",
+    f"""
+    WITH lens AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS L FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS N, CAST(SUM(L) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM lens
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN {_BM25_TERMS!r}
+        GROUP BY doc_id, token
+    ),
+    dfreq AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(ROUND(
+                   ((s.N - d.df + 0.5) / (d.df + 0.5))
+                   * (t.tf * ({_BM25_K1} + 1))
+                   / (t.tf + {_BM25_K1} * (1 - {_BM25_B}
+                        + {_BM25_B} * l.L / s.avgdl)),
+                   6) AS DECIMAL(18,6)) AS term_score
+        FROM tf t
+        JOIN dfreq d ON d.token = t.token
+        JOIN lens l ON l.doc_id = t.doc_id
+        CROSS JOIN stats s
+    ),
+    bm25 AS (
+        SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25
+        FROM scored WHERE doc_id <> 0 GROUP BY doc_id
+    ),
+    sparse AS (
+        SELECT doc_id, rank_s FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_s
+            FROM bm25
+        ) WHERE rank_s <= {_RRF_DEPTH}
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(
+                 list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(q.qe AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                            CAST(q.qe AS DOUBLE[])))),
+                 6) AS cos_sim
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    dense AS (
+        SELECT doc_id, rank_d FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_d
+            FROM cos
+        ) WHERE rank_d <= {_RRF_DEPTH}
     )
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + rank_s), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + rank_d), 0), 6) AS rrf
+    FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc=f"Hybrid retrieval via reciprocal-rank fusion (k={_RRF_K}): "
+    f"top-{_RRF_DEPTH} BM25 candidates for the fixed termset fused "
+    f"with top-{_RRF_DEPTH} dense-cosine candidates for query vector "
+    "0 (vec_id and doc_id share the id space in this corpus), score = "
+    "Σ 1/(k+rank) over the retrievers that returned the doc — the "
+    "standard sparse+dense RAG retrieval composition, built purely "
+    "from ranks so the incomparable score scales never mix. "
+    "Determinism: ranks are total (score DESC, id), 1/(k+rank) is one "
+    "exact IEEE division on integers, one ROUND(…, 6) at the end. "
+    "Plan: both retrievers broadcast their 1-row query side and scan "
+    "once; the rank windows run over ≤ depth-bounded candidate sets "
+    "(the BM25 side only over term-matching docs), and the fusion "
+    "join is {_RRF_DEPTH}×2 rows — driver-negligible at any corpus "
+    "size because depth, not corpus, bounds it.",
+)
+def retrieval_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.functions import similarity as sim
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # sparse arm: BM25 over term-matching docs only (a small frame —
+    # the global rank window is bounded by matches, not the corpus)
+    sparse = (
+        _bm25_scored(docs)
+        .filter(F.col("doc_id") != 0)
+        .withColumn(
+            "rank_s",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("rank_s") <= _RRF_DEPTH)
+        .select("doc_id", "rank_s")
     )
-    tf = (
-        toks.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # dense arm: exact cosine top-depth (broadcast query, one scan,
+    # TakeOrderedAndProject); ranks assigned over the depth rows only
+    dense = (
+        sim.brute_force_topk(emb, query_vec_id=0, k=_RRF_DEPTH)
+        .withColumn(
+            "rank_d",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+            ),
+        )
+        .select(F.col("vec_id").alias("doc_id"), "rank_d")
     )
-    dfreq = tf.groupBy("token").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
-    k1, b = _BM25_K1, _BM25_B
-    idf = (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    den = F.col("tf") + k1 * (1 - b + b * F.col("L") / F.col("avgdl"))
-    term_score = F.round(idf * (F.col("tf") * (k1 + 1)) / den, 6).cast(
-        "decimal(18,6)"
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_s")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_d")), F.lit(0.0)),
+        6,
     )
     return (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(lens, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", term_score.alias("term_score"))
-        .groupBy("doc_id")
-        .agg(F.sum("term_score").cast("double").alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        sparse.join(dense, "doc_id", "full_outer")
+        .select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
 
