@@ -574,3 +574,87 @@ def safe_cast_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_tok_filled"
         ),
     )
+
+
+@register(
+    "sql_udf_disc_revenue",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                    (CAST(1 AS DECIMAL(4,2)) -
+                     CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS disc_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="SQL scalar UDF surface (Spark 4 CREATE FUNCTION ... RETURN "
+    "expr): the discounted-revenue term packaged as a declarative SQL "
+    "function instead of a Python UDF — Catalyst INLINES the body into "
+    "the plan, so the aggregate stays whole-stage-codegen JVM-side "
+    "with zero serialization (the exact opposite of the row-Python "
+    "path plan-lint forbids). The body mirrors REVENUE_SQL's decimal "
+    "spelling, hence bit-identical sums; the oracle is the inlined "
+    "expression.",
+)
+def sql_udf_disc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sqludf_lineitem"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_rev(p DOUBLE, d DOUBLE)
+        RETURNS DECIMAL(17,4)
+        RETURN CAST(p AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(4,2)) - CAST(d AS DECIMAL(4,2)))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(disc_rev(l_extendedprice, l_discount)) AS DOUBLE)
+                   AS disc_revenue
+        FROM sqludf_lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "collation_lcase_group",
+    """
+    WITH mixed AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg
+        FROM customer
+    )
+    SELECT lower(seg) AS seg, COUNT(*) AS n
+    FROM mixed
+    GROUP BY lower(seg)
+    """,
+    doc="String collation surface (Spark 4.0): grouping under "
+    "UTF8_LCASE makes case-insensitivity a PROPERTY OF THE COMPARISON "
+    "(hash/sort keys derive from the collation), not an expression "
+    "rewrite — at scale that matters because the shuffle key is the "
+    "collated value itself. The fixture mixes case by key parity; the "
+    "group key is projected through lower() and cast back to a "
+    "default-collation string so both engines emit one canonical row "
+    "per case-insensitive class. Oracle = the classic lower() rewrite, "
+    "which is the collation's equivalence class on this data.",
+)
+def collation_lcase_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "coll_customer"
+    )
+    return spark.sql(
+        """
+        WITH mixed AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                        ELSE lower(c_mktsegment) END AS seg
+            FROM coll_customer
+        )
+        SELECT CAST(lower(seg COLLATE UTF8_LCASE) AS STRING) AS seg,
+               COUNT(*) AS n
+        FROM mixed
+        GROUP BY seg COLLATE UTF8_LCASE
+        """
+    )

@@ -52,6 +52,18 @@ QUERIES = [
     # track keys, not corpus)
     "quality_gopher_repetition",
     "streaming_tws_running_count",
+    # round 7 additions: line/paragraph dedup over the derived page
+    # fixture (page-keyed shuffle must stay linear), asymmetric
+    # containment (same df-capped self-join bound as jaccard), RRF
+    # hybrid fusion (both arms depth-bounded — expected ~flat), the
+    # full streaming components under their registry drivers, and the
+    # processing-time timer drain (quiescence-bounded, expected ~flat)
+    "quality_gopher_line_para_dedup",
+    "dedup_containment_pairs",
+    "retrieval_rrf_hybrid_topk",
+    "streaming_ingest_neardup_pairs",
+    "streaming_upsert_latest_state",
+    "streaming_tws_timer_flush",
 ]
 
 
