@@ -1046,3 +1046,72 @@ def streaming_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("value").alias("last_value"),
         F.col("event_type").alias("last_type"),
     )
+
+
+@register(
+    "streaming_stream_stream_full_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase'
+            AND ts < TIMESTAMP '2024-01-25 00:00:00') p
+    FULL OUTER JOIN
+         (SELECT * FROM events
+          WHERE event_type = 'click'
+            AND ts < TIMESTAMP '2024-01-25 00:00:00') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts <= p.ts
+    """,
+    doc="STREAM-STREAM FULL OUTER join with watermarks — completes the "
+    "join-mode matrix beside the inner and left variants. Both sides "
+    "must finalize their null-padded rows, so BOTH are closed windows "
+    "(ts < Jan 25) and — the load-bearing trick — the watermark is "
+    "attached BEFORE the window filter: the watermark node then "
+    "observes the full stream (max ts ≈ Jan 30 23:57, watermark "
+    "≈ 21:57) and clears both horizons, while only windowed rows reach "
+    "the join. Filtering first would stall each side's watermark 2 h "
+    "short of its own tail and withhold the final null-padded rows "
+    "forever. Drained result equals the batch full outer join exactly.",
+)
+def streaming_stream_stream_full_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") < cutoff))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .filter((F.col("event_type") == "click") & (F.col("ts") < cutoff))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select("purchase_id", "click_id")
+
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    writer = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    _run_drained(writer, spark)
+    return spark.table(name)
