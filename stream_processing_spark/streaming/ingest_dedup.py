@@ -88,6 +88,7 @@ class StreamingIngestDedup:
         compact_every: int | None = None,
         id_buckets: int | None = None,
         hot_cell_max_bytes: int | None = None,
+        max_bucket: int | None = None,
     ):
         self.spark = spark
         self.state_dir = state_dir
@@ -138,6 +139,16 @@ class StreamingIngestDedup:
         # (band, pfx) cells the LAST apply()/``_pruned_corpus`` call
         # skipped as hot — observability for monitors and tests
         self.last_hot_cells: list[tuple[int, int]] = []
+        # within-batch bucket cap (functions/dedup.py max_bucket,
+        # batch-local form): a batch whose docs collapse into one
+        # (band, sig) bucket pays d² rows in the within-batch self-join
+        # — rows in buckets larger than this are dropped from BOTH join
+        # sides (within-batch and the batch side of the corpus join)
+        # but still WRITTEN to the corpus, so the guard is join-time
+        # only and replay-invariant. The two guards compose: max_bucket
+        # bounds the within-batch quadratic, hot_cell_max_bytes bounds
+        # the corpus-side read. None = uncapped (exact parity).
+        self.max_bucket = max_bucket
 
     # -- layout & recovery --------------------------------------------
     def _layout_params(self) -> dict:
@@ -337,21 +348,39 @@ class StreamingIngestDedup:
             ).join(sigs.select("doc_id", *hcols), "doc_id")
         ).localCheckpoint(eager=True)  # feeds 4 branches below
 
-        # bounded collect: ≤ bands × sig_prefix_buckets cells
+        # join-side rows: optionally drop oversized within-batch
+        # buckets (see max_bucket); the WRITE below always uses the
+        # full new_b, so the cap never changes stored state
+        join_b = new_b
+        if self.max_bucket is not None:
+            from pyspark.sql.window import Window
+
+            join_b = (
+                new_b.withColumn(
+                    "__bsz",
+                    F.count(F.lit(1)).over(Window.partitionBy("band", "sig")),
+                )
+                .filter(F.col("__bsz") <= self.max_bucket)
+                .drop("__bsz")
+            )
+
+        # bounded collect: ≤ bands × sig_prefix_buckets cells (computed
+        # from the JOIN side — capped-out rows can't produce pairs, so
+        # their cells need not be read)
         cells = sorted(
             {
                 (r["band"], r["pfx"])
-                for r in new_b.select("band", "pfx").distinct().collect()
+                for r in join_b.select("band", "pfx").distinct().collect()
             }
         )
 
-        a_side = new_b.select(
+        a_side = join_b.select(
             F.col("doc_id").alias("doc_a"),
             "band",
             "sig",
             *[F.col(h).alias(f"a{s}") for s, h in enumerate(hcols)],
         )
-        b_side = new_b.select(
+        b_side = join_b.select(
             F.col("doc_id").alias("doc_b"),
             "band",
             "sig",

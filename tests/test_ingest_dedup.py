@@ -650,3 +650,31 @@ def test_hot_cell_guard_bounds_reads_under_boilerplate_skew(spark, tmp_path):
     guarded.apply(probe, 3)
     got = {(r.doc_a, r.doc_b) for r in guarded.candidate_pairs().collect()}
     assert (900001, 990001) in got
+
+
+def test_max_bucket_caps_within_batch_join(spark, tmp_path):
+    """A batch whose docs collapse into one (band, sig) bucket must not
+    pay the d² within-batch self-join: rows in buckets over max_bucket
+    are dropped from the join sides (no boilerplate pairs emitted) but
+    still WRITTEN to the corpus — the cap is join-time only."""
+    BOILER = (
+        "identical boilerplate text shared by every document in the "
+        "saturated batch slice"
+    )
+    RARE = "rare unique marker text alpha beta gamma delta epsilon zeta"
+
+    def mk(lo, hi, text):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"), F.lit(text).alias("text")
+        )
+
+    batch = mk(0, 800, BOILER).unionByName(mk(900001, 900003, RARE))
+    sink = StreamingIngestDedup(
+        spark, str(tmp_path / "state"), max_bucket=50
+    )
+    sink.apply(batch, 0)
+    pairs = {(r.doc_a, r.doc_b) for r in sink.candidate_pairs().collect()}
+    assert pairs == {(900001, 900002)}, pairs
+    # every doc's bands are stored regardless of the join-side cap
+    n_docs = sink.corpus_bands().select("doc_id").distinct().count()
+    assert n_docs == 802, n_docs
