@@ -658,3 +658,44 @@ def collation_lcase_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY seg COLLATE UTF8_LCASE
         """
     )
+
+
+@register(
+    "sql_variables_param_filter",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    GROUP BY o_orderstatus
+    """,
+    doc="SQL session variables (Spark 4 DECLARE/SET VARIABLE): the "
+    "price floor is bound as a typed session variable and referenced "
+    "by name in the query — the parameterized-query surface that "
+    "replaces string interpolation (and its injection risk) for "
+    "dashboard-style repeated queries. Catalyst constant-folds the "
+    "variable at plan time, so the predicate still pushes down to the "
+    "parquet scan exactly as a literal would. Oracle = the same query "
+    "with the value inlined.",
+)
+def sql_variables_param_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "var_orders"
+    )
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("SET VARIABLE price_floor = 150000.0")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_price
+        FROM var_orders
+        WHERE o_totalprice > price_floor
+        GROUP BY o_orderstatus
+        """
+    )
