@@ -45,6 +45,9 @@ CROSS_OK = {
     "similar_docs_minhash_topk",  # 1-row query-signature broadcast
     "similar_docs_lsh_pruned_topk",  # 1-row query-signature broadcast
     "q11_important_part_values",  # 1-row global-threshold scalar broadcast
+    # 1-row broadcasts inherited from BOTH fused arms: the BM25 (N,
+    # avgdl) stats row and the dense query vector row
+    "retrieval_rrf_hybrid_topk",
 }
 
 _SKIP = tuple(
