@@ -216,3 +216,66 @@ def resample_hourly_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
         unit="hour",
         lerp_cols=["val"],
     )
+
+
+_TSM_W = 8  # subsequence window length
+
+_TSM_LEADS = ",\n               ".join(
+    f"lead(cents, {k}) OVER (PARTITION BY user_id "
+    f"ORDER BY ts, event_id) AS c{k}"
+    for k in range(_TSM_W)
+)
+_TSM_DIST = " + ".join(f"(w.c{k} - q.c{k}) * (w.c{k} - q.c{k})" for k in range(_TSM_W))
+
+_TSM_SQL = f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM {{events}}
+    ),
+    win AS (
+        SELECT user_id, event_id, ts,
+               {_TSM_LEADS}
+        FROM ordered
+    ),
+    complete AS (
+        SELECT * FROM win WHERE c{_TSM_W - 1} IS NOT NULL
+    ),
+    q AS (
+        SELECT user_id AS quser, event_id AS qstart,
+               {", ".join(f"c{k}" for k in range(_TSM_W))}
+        FROM complete
+        WHERE user_id = (SELECT MIN(user_id) FROM complete)
+        ORDER BY ts, event_id LIMIT 1
+    )
+    SELECT w.user_id, w.event_id AS start_event_id,
+           CAST({_TSM_DIST} AS BIGINT) AS sq_dist
+    FROM complete w, q
+    WHERE NOT (w.user_id = q.quser AND w.event_id = q.qstart)
+    ORDER BY sq_dist, w.user_id, start_event_id
+    LIMIT 10
+"""
+
+
+@register(
+    "tsmatch_topk_windows",
+    _TSM_SQL.format(events="events"),
+    doc=f"Time-series subsequence similarity search (EDBT'19 streaming "
+    "time-series search, batch form): the query pattern is the first "
+    f"complete length-{_TSM_W} window of the lowest user's value "
+    "series, and the answer is the top-10 closest sliding windows "
+    "across ALL users by squared Euclidean distance. Windows "
+    f"materialize as {_TSM_W} lead() columns over (user, time) — one "
+    "sort per user partition, no self-join, no explode — and the "
+    "distance is exact INTEGER arithmetic on 100×-scaled values "
+    "(the 2-decimal data makes ROUND(value*100) lossless), so both "
+    "engines agree bit-for-bit with no float ordering concerns. The "
+    "1-row query window broadcasts; at scale the scan stays one "
+    "window-function pass, linear in events, with TakeOrderedAndProject "
+    "keeping k.",
+)
+def tsmatch_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "tsm_events"
+    )
+    return spark.sql(_TSM_SQL.format(events="tsm_events"))

@@ -48,6 +48,7 @@ CROSS_OK = {
     # 1-row broadcasts inherited from BOTH fused arms: the BM25 (N,
     # avgdl) stats row and the dense query vector row
     "retrieval_rrf_hybrid_topk",
+    "tsmatch_topk_windows",       # 1-row query-window broadcast
 }
 
 _SKIP = tuple(
