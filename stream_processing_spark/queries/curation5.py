@@ -333,3 +333,81 @@ def quality_gopher_line_para_dedup(
             "dup_para_char_frac"
         ),
     )
+
+
+@register(
+    "dedup_c4_crossdoc_lines",
+    f"""
+    WITH src AS (
+        SELECT doc_id % {_PAGE_GROUPS} AS grp, doc_id,
+               CASE WHEN doc_id % 3 = 1 THEN '{_BOILER}'
+                    ELSE substr(text, 1, 80) END AS line
+        FROM documents
+    ),
+    npages AS (
+        SELECT line, COUNT(DISTINCT grp) AS np FROM src GROUP BY line
+    )
+    SELECT s.grp AS page_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN np >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_crossdoc_dup_lines,
+           ROUND(CAST(SUM(CASE WHEN np >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS crossdoc_dup_line_frac,
+           ROUND(CAST(SUM(CASE WHEN np >= 2 THEN length(s.line)
+                          ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(length(s.line)) AS DOUBLE), 6)
+               AS crossdoc_dup_char_frac
+    FROM src s JOIN npages USING (line)
+    GROUP BY s.grp
+    """,
+    doc="C4-style CROSS-DOCUMENT line dedup signals (Raffel et al. "
+    "2020 removed any line occurring more than once in the corpus) "
+    "over the same derived page fixture as "
+    "quality_gopher_line_para_dedup — but counting a line as "
+    "duplicated when it appears in ≥2 DISTINCT pages, the corpus-wide "
+    "rule, not the within-page one (the planted boilerplate line hits "
+    "every page; shared 80-char prefixes surface real exact-dup "
+    "text). Per page: line count, cross-doc duplicated lines, and the "
+    "line/char fractions C4's filter would strip. Plan: one shuffle "
+    "keyed by the 80-char line (the corpus-wide line-frequency table "
+    "every C4 implementation materializes) + one page-keyed agg — "
+    "both linear; no cross-page pair join ever forms. Integer counts, "
+    "one double division per fraction.",
+)
+def dedup_c4_crossdoc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.select(
+        (F.col("doc_id") % _PAGE_GROUPS).alias("grp"),
+        F.when(F.col("doc_id") % 3 == 1, F.lit(_BOILER))
+        .otherwise(F.substring("text", 1, 80))
+        .alias("line"),
+    )
+    npages = src.groupBy("line").agg(
+        F.countDistinct("grp").alias("np")
+    )
+    dup = F.when(F.col("np") >= 2, 1).otherwise(0)
+    dup_chars = F.when(F.col("np") >= 2, F.length("line")).otherwise(0)
+    return (
+        src.join(npages, "line")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(dup).alias("__nd"),
+            F.sum(F.length("line")).alias("__chars"),
+            F.sum(dup_chars).alias("__dchars"),
+        )
+        .select(
+            F.col("grp").alias("page_id"),
+            F.col("__n").cast("bigint").alias("n_lines"),
+            F.col("__nd").cast("bigint").alias("n_crossdoc_dup_lines"),
+            F.round(
+                F.col("__nd").cast("double") / F.col("__n").cast("double"),
+                6,
+            ).alias("crossdoc_dup_line_frac"),
+            F.round(
+                F.col("__dchars").cast("double")
+                / F.col("__chars").cast("double"),
+                6,
+            ).alias("crossdoc_dup_char_frac"),
+        )
+    )

@@ -1535,3 +1535,75 @@ def similar_docs_lsh_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_agree"), F.asc("doc_id"))
         .limit(_SIM_TOPK)
     )
+
+
+_MATRYOSHKA_DIMS = 16  # truncation prefix (of 64 stored dims)
+
+
+@register(
+    "ann_matryoshka_overlap",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    full_top AS (
+        SELECT e.vec_id,
+               ROUND({_COS_SQL.format(a="e.embedding", b="q.qe")}, 6)
+                   AS cos_full
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_full DESC, e.vec_id LIMIT 10
+    ),
+    tr_scored AS (
+        SELECT e.vec_id,
+               ROUND({_COS_SQL.format(
+                   a=f"e.embedding[1:{_MATRYOSHKA_DIMS}]",
+                   b=f"q.qe[1:{_MATRYOSHKA_DIMS}]")}, 6) AS cos_trunc
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_trunc DESC, e.vec_id LIMIT 10
+    ),
+    tr_top AS (
+        SELECT vec_id, cos_trunc,
+               row_number() OVER (ORDER BY cos_trunc DESC, vec_id)
+                   AS trunc_rank
+        FROM tr_scored
+    )
+    SELECT t.vec_id, CAST(t.trunc_rank AS BIGINT) AS trunc_rank,
+           t.cos_trunc, (f.vec_id IS NOT NULL) AS in_full_topk
+    FROM tr_top t LEFT JOIN full_top f ON f.vec_id = t.vec_id
+    """,
+    doc=f"Matryoshka-truncation retrieval evaluation: the top-10 by "
+    f"cosine over only the first {_MATRYOSHKA_DIMS} of 64 dims, each "
+    "row flagged for membership in the full-dimension top-10 — the "
+    "measurement behind serving truncated (MRL-style) embeddings, "
+    "where a prefix of the vector rides a cheaper index and the flag "
+    "column IS the recall audit. Both rankings broadcast the 1-row "
+    "query and scan once with TakeOrderedAndProject keeping k (the "
+    "rank window runs over the 10 kept rows only, never the corpus); "
+    "the membership join is 10×10. Cosines rounded to 6dp before "
+    "ranking so tie order is engine-stable.",
+)
+def ann_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _MATRYOSHKA_DIMS
+    full_top = sim.brute_force_topk(emb, query_vec_id=0, k=10).select(
+        "vec_id", F.lit(True).alias("in_full_topk")
+    )
+    tr = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+    tr_top = (
+        sim.brute_force_topk(tr, query_vec_id=0, k=10)
+        .withColumnRenamed("cos_sim", "cos_trunc")
+        .withColumn(
+            "trunc_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos_trunc"), F.asc("vec_id")))
+            .cast("bigint"),
+        )
+    )
+    return tr_top.join(full_top, "vec_id", "left").select(
+        "vec_id",
+        "trunc_rank",
+        "cos_trunc",
+        F.coalesce("in_full_topk", F.lit(False)).alias("in_full_topk"),
+    )

@@ -49,6 +49,7 @@ CROSS_OK = {
     # avgdl) stats row and the dense query vector row
     "retrieval_rrf_hybrid_topk",
     "tsmatch_topk_windows",       # 1-row query-window broadcast
+    "ann_matryoshka_overlap",     # 1-row query vector broadcast (both arms)
 }
 
 _SKIP = tuple(
