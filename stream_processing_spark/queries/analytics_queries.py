@@ -950,3 +950,76 @@ def revenue_share_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    """
+    WITH firstw AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size
+        FROM firstw GROUP BY cohort_week
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS w
+        FROM events e
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.w) / 7 AS BIGINT)
+               AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE)
+                 / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM act a
+    JOIN firstw f ON f.user_id = a.user_id
+    JOIN sizes s ON s.cohort_week = f.cohort_week
+    GROUP BY f.cohort_week, 2, s.cohort_size
+    """,
+    doc="Cohort retention matrix — the classic product-analytics "
+    "rollup: users cohorted by first-active week (Monday-truncated in "
+    "both engines), each later active week counted as (cohort, "
+    "week-offset) distinct users over cohort size. week_offset is an "
+    "exact integer because both week buckets are Monday-aligned (the "
+    "day diff is always a multiple of 7). Plan: one user-keyed agg for "
+    "first-seen, one distinct over (user, week) with map-side partial, "
+    "then a user-keyed join — cohort sizes broadcast (weeks are few). "
+    "Linear in events; no per-pair or per-day blowup.",
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sizes = firstw.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        act.join(firstw, "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+            "cohort_size",
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("active_users").cast("bigint").alias("active_users"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.round(
+                F.col("active_users").cast("double")
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("retention"),
+        )
+    )
