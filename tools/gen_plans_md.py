@@ -19,6 +19,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # query name -> one-line audit note (what the plan must show and why)
 AUDITED = {
+    "retrieval_rrf_hybrid_topk": (
+        "Hybrid RRF fusion: each arm broadcasts its 1-row query side "
+        "(BM25 (N,avgdl) stats / dense query vector) and scans its "
+        "table once; the dense arm's top-depth compiles to "
+        "TakeOrderedAndProject, ranks attach over depth-bounded rows "
+        "only, and the full-outer fusion join is depth×2 rows — the "
+        "only corpus-sized work is the two scans."
+    ),
+    "dedup_containment_pairs": (
+        "Asymmetric containment: ONE shuffle keyed by the shingle "
+        "(df-capped, so every join key is bounded at max_df² rows), "
+        "the intersection aggregates once per unordered pair, and the "
+        "two orientations are a union over the SAME aggregated frame "
+        "— no second self-join; sizes join back by id only."
+    ),
+    "tsmatch_topk_windows": (
+        "Time-series subsequence search: windows materialize as lead() "
+        "columns inside ONE window pass per (user) partition — no "
+        "explode, no self-join; the 1-row query window broadcasts and "
+        "the distance is integer codegen; TakeOrderedAndProject keeps "
+        "k."
+    ),
+    "dedup_c4_crossdoc_lines": (
+        "C4 corpus-wide line rule: one shuffle keyed by the 80-char "
+        "line builds the corpus line-frequency table (the artifact "
+        "every C4 implementation materializes), one page-keyed agg "
+        "computes the strip fractions; both linear, no pair join."
+    ),
     "ann_ivfpq_topk": (
         "IVFADC: the coarse-cell assignment and the PQ codes both "
         "evaluate MAP-SIDE from inlined literals (no shuffle until the "
