@@ -139,8 +139,13 @@ def _drain_processing_time(
     the query on a processing-time trigger and stops on QUIESCENCE: all
     ``expected_input_rows`` ingested (tracked per batchId — the
     recentProgress buffer is a ring, so counts are accumulated, not
-    re-summed) and the update-mode memory sink stable for
-    ``stable_polls`` consecutive polls. Returns the sink table."""
+    re-summed), the stateful operator's ``numRowsTotal`` back to ZERO
+    (no key still holds a pending buffer — the metric-backed guarantee
+    that a slow micro-batch can't trick a wall-clock window into
+    stopping before the last flush), and the update-mode memory sink
+    stable for 2 polls. Where the state metric is unavailable, falls
+    back to ``stable_polls`` consecutive stable polls. Returns the
+    sink table."""
     import time
 
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
@@ -153,24 +158,37 @@ def _drain_processing_time(
     q = _start_pinned(writer, spark, extra_confs)
     rows_by_batch: dict[int, int] = {}
     last_cnt, stable = -1, 0
+    quiesced = False
     deadline = time.time() + 240
     try:
         while time.time() < deadline:
             time.sleep(poll_sec)
             for p in q.recentProgress:
                 rows_by_batch[p["batchId"]] = int(p["numInputRows"])
+            state_rows = None
+            lp = q.lastProgress
+            if lp is not None:
+                ops = lp.get("stateOperators") or []
+                if ops:
+                    state_rows = sum(
+                        int(o.get("numRowsTotal", 0)) for o in ops
+                    )
             cnt = spark.table(name).count()
             ingested = sum(rows_by_batch.values()) >= expected_input_rows
-            if ingested and cnt > 0 and cnt == last_cnt:
+            drained = ingested and cnt > 0 and (
+                state_rows == 0 if state_rows is not None else True
+            )
+            if drained and cnt == last_cnt:
                 stable += 1
-                if stable >= stable_polls:
+                if stable >= (2 if state_rows is not None else stable_polls):
+                    quiesced = True
                     break
             else:
                 stable = 0
                 last_cnt = cnt
     finally:
         q.stop()
-    if stable < stable_polls:  # pragma: no cover - deadline
+    if not quiesced:  # pragma: no cover - deadline
         raise TimeoutError(
             f"stream never quiesced: ingested "
             f"{sum(rows_by_batch.values())}/{expected_input_rows} rows, "
