@@ -700,3 +700,74 @@ def join_size_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "predicted_join_rows"
         )
     )
+
+
+@register(
+    "ivm_join_delta_revenue",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_orders
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n_name
+    """,
+    doc="Incremental view maintenance for a JOIN view (delta-join "
+    "algebra): with both inputs split into base + delta, "
+    "Δ(C ⋈ O) = ΔC⋈O₀ ∪ C₀⋈ΔO ∪ ΔC⋈ΔO, and the aggregate view merges "
+    "as a group-wise sum of the four partial aggregates — the identity "
+    "every incremental pipeline relies on to avoid re-joining the full "
+    "inputs per batch. Here customers split by key % 4, orders by "
+    "key % 3, each quadrant aggregated independently (partial sums "
+    "stay DECIMAL until the final merge so the regrouping is exact), "
+    "merged, then dimension-joined. The oracle is the FULL recompute — "
+    "proving incremental ≡ full, which is the entire contract. At "
+    "scale each Δ term joins a delta-sized side (broadcastable) "
+    "against a base; only the original view build ever joins "
+    "base × base. Complements incremental_rollup_merge, which covers "
+    "the aggregate-only case.",
+)
+def ivm_join_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.queries._util import dec
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c0 = cust.filter(F.col("c_custkey") % 4 != 0)
+    dc = cust.filter(F.col("c_custkey") % 4 == 0)
+    o0 = orders.filter(F.col("o_custkey") % 3 != 0)
+    do_ = orders.filter(F.col("o_custkey") % 3 == 0)
+
+    def contrib(c: DataFrame, o: DataFrame) -> DataFrame:
+        # partial aggregate per quadrant; sums stay DECIMAL so the
+        # final regrouping is exact (order-independent)
+        return (
+            c.join(o, c["c_custkey"] == o["o_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum(dec("o_totalprice")).alias("rev_part"),
+                F.count(F.lit(1)).alias("cnt_part"),
+            )
+        )
+
+    merged = (
+        contrib(c0, o0)
+        .unionByName(contrib(dc, o0))
+        .unionByName(contrib(c0, do_))
+        .unionByName(contrib(dc, do_))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("rev_part").cast("double").alias("revenue"),
+            F.sum("cnt_part").cast("bigint").alias("n_orders"),
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return merged.join(
+        F.broadcast(nation),
+        merged["c_nationkey"] == nation["n_nationkey"],
+    ).select("n_name", "revenue", "n_orders")
