@@ -699,3 +699,73 @@ def sql_variables_param_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@register(
+    "jsonl_source_counts",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="JSON-lines source path end-to-end (the reference reads "
+    "text/naive-CSV only; SURVEY §2.1 notes the format breadth here): "
+    "orders staged as JSONL, read back with an EXPLICIT schema (schema "
+    "inference at 100 TB is a full extra scan — never rely on it), "
+    "then aggregated. Doubles survive the text roundtrip exactly "
+    "(shortest-roundtrip serialization), proven by the decimal-sum "
+    "hash against the parquet-sourced oracle.",
+)
+def jsonl_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="jsonl_src_")
+    src.write.mode("overwrite").json(d)
+    back = spark.read.schema(
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    ).json(d)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+@register(
+    "orc_roundtrip_digest",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="ORC source/sink path end-to-end: lineitem measures staged as "
+    "ORC (the columnar format Spark ships beside parquet — relevant "
+    "wherever Hive-era estates feed the pipeline), read back and "
+    "aggregated; binary column storage makes the roundtrip bit-exact, "
+    "proven against the parquet-sourced oracle.",
+)
+def orc_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    )
+    d = tempfile.mkdtemp(prefix="orc_src_")
+    src.write.mode("overwrite").orc(d)
+    back = spark.read.schema("l_returnflag string, l_quantity double").orc(d)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
