@@ -1151,3 +1151,62 @@ def vocab_oov_rate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_L_DIV = 3
+
+
+@register(
+    "l_diversity_report",
+    f"""
+    WITH grp AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               COUNT(DISTINCT user_id % 10) AS n_sensitive,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    )
+    SELECT event_type,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN n_sensitive < {_L_DIV} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN n_sensitive < {_L_DIV} THEN n_events
+                    ELSE 0 END) AS BIGINT) AS events_suppressed,
+           ROUND(SUM(CASE WHEN n_sensitive < {_L_DIV} THEN n_events
+                     ELSE 0 END) / SUM(n_events), 6) AS suppression_rate
+    FROM grp
+    GROUP BY event_type
+    """,
+    doc=f"l-diversity audit (l={_L_DIV}) — k-anonymity's complement: a "
+    "group can contain many users yet still leak if the SENSITIVE "
+    "attribute (here the user-cohort bucket user_id % 10, the "
+    "release-table stand-in) takes too few distinct values inside it "
+    "— everyone in the group shares the secret. Per event type: "
+    "hour-groups whose sensitive-value diversity falls below l, and "
+    "the event mass a suppress policy would drop. Same shuffle shape "
+    "as k_anonymity_report (one quasi-identifier agg + tiny rollup), "
+    "integer arithmetic, single final division.",
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.countDistinct(F.col("user_id") % 10).alias("n_sensitive"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    viol = F.col("n_sensitive") < _L_DIV
+    return grp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(viol, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(F.when(viol, F.col("n_events")).otherwise(0))
+        .cast("bigint")
+        .alias("events_suppressed"),
+        F.round(
+            F.sum(F.when(viol, F.col("n_events")).otherwise(0))
+            / F.sum("n_events"),
+            6,
+        ).alias("suppression_rate"),
+    )
