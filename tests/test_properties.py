@@ -395,3 +395,44 @@ def test_bloom_join_invariant_on_random_keys(spark, big, build, m_bits):
         )
     )
     assert got == want
+
+
+# documents over a tiny token alphabet: forces shared shingles,
+# identical docs, sub-shingle-length docs, and containment chains
+_docs = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=8),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(docs=_docs)
+@SET
+def test_containment_pairs_matches_bruteforce(spark, docs):
+    from stream_processing_spark.functions import dedup as dd
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dd.containment_pairs(
+            dd.shingles(df, n=3), threshold=0.5, min_shingles=1
+        ).collect()
+    }
+
+    def sh(words):
+        return {
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        }
+
+    want = {}
+    for ia, wa in enumerate(docs):
+        for ib, wb in enumerate(docs):
+            if ia == ib or not sh(wa):
+                continue
+            c = len(sh(wa) & sh(wb)) / len(sh(wa))
+            if c >= 0.5:
+                want[(ia, ib)] = round(c, 6)
+    assert got == want, (got, want)
