@@ -279,3 +279,57 @@ def tsmatch_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tsm_events"
     )
     return spark.sql(_TSM_SQL.format(events="tsm_events"))
+
+
+@register(
+    "pattern_match_event_sequences",
+    """
+    WITH o AS (
+        SELECT user_id, substr(event_type, 1, 1) AS l, ts, event_id
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               string_agg(l, '' ORDER BY ts, event_id) AS seq
+        FROM o GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT)
+               AS n_funnels
+    FROM s
+    """,
+    doc="CEP-style sequence pattern matching (the batch spelling of "
+    "MATCH_RECOGNIZE): each user's event history compresses to a "
+    "letter string in strict (ts, event_id) order — the five event "
+    "types have distinct initials — and the funnel pattern "
+    "view→click+→purchase is the regex 'vc+p', counted "
+    "non-overlapping leftmost (identical semantics in Java regex and "
+    "DuckDB's RE2 for this class). Unlike the stage-join funnel "
+    "(funnel_time_bounded), the regex form expresses ADJACENCY — no "
+    "intervening events inside a match — which join chains cannot say "
+    "without a row-number gap check per stage. Plan: one keyed "
+    "shuffle, per-user state bounded by that user's history, regex "
+    "map-side; the struct sort_array makes the order deterministic "
+    "under any partitioning.",
+)
+def pattern_match_event_sequences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arr = (
+        ev.select(
+            "user_id",
+            F.struct(
+                "ts", "event_id", F.substring("event_type", 1, 1).alias("l")
+            ).alias("x"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("x")).alias("xs"))
+    )
+    seq = F.expr("array_join(transform(xs, x -> x.l), '')")
+    return arr.select(
+        "user_id",
+        F.length(seq).cast("bigint").alias("n_events"),
+        F.regexp_count(seq, F.lit("vc+p")).cast("bigint").alias("n_funnels"),
+    )
