@@ -146,6 +146,15 @@ BENCH_QUERIES = [
     # not against earlier rounds' totals.
     "streaming_stateful_running_count",
     "streaming_tws_running_count",
+    # round-7 new-capability headliners (compare per-query against
+    # BENCH_r06, not in aggregate): asymmetric containment (df-capped
+    # shingle self-join), hybrid RRF fusion (depth-bounded), Gopher
+    # line/para dedup over the derived page fixture (page-keyed
+    # shuffle), CEP-style sequence regex (per-user keyed shuffle)
+    "dedup_containment_pairs",
+    "retrieval_rrf_hybrid_topk",
+    "quality_gopher_line_para_dedup",
+    "pattern_match_event_sequences",
 ]
 
 
