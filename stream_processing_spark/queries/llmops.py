@@ -1607,3 +1607,48 @@ def ann_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_trunc",
         F.coalesce("in_full_topk", F.lit(False)).alias("in_full_topk"),
     )
+
+
+@register(
+    "arrow_native_char_stats",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, ' ', ''))
+                AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+    doc="mapInArrow tier — the Arrow-NATIVE batch API that completes "
+    "the sanctioned-Python matrix beside pandas_udf (scalar), "
+    "mapInPandas (batch→pandas), applyInPandas(WithState), UDTF, and "
+    "the pandas-on-Spark API: RecordBatches flow JVM→pyarrow with NO "
+    "pandas materialization, and the kernels (utf8_length, "
+    "count_substring) are vectorized C++ — the shape to use when the "
+    "per-batch work is itself columnar and the pandas conversion "
+    "would be pure overhead (exactly the regime of 100 TB byte/string "
+    "feature extraction). Oracle = the equivalent JVM-side string "
+    "expressions; for THIS trivially-SQL-able stat the built-ins "
+    "win — the entry certifies the API contract (zero-copy schema, "
+    "arity, batch iteration) for ops that genuinely need it.",
+)
+def arrow_native_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches):
+        for b in batches:
+            t = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(t), pa.int64()),
+                    pc.cast(pc.count_substring(t, " "), pa.int64()),
+                ],
+                ["doc_id", "n_chars", "n_spaces"],
+            )
+
+    return docs.mapInArrow(
+        stats, "doc_id bigint, n_chars bigint, n_spaces bigint"
+    )

@@ -769,3 +769,39 @@ def orc_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+@register(
+    "pandas_api_status_revenue",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    doc="pandas-on-Spark API tier (pyspark.pandas): the same "
+    "status-revenue rollup expressed as df.pandas_api().groupby(...)"
+    ".agg(...) — the migration surface for pandas codebases. The "
+    "pandas spelling compiles to the identical hash-aggregate plan "
+    "(no Python execution, no index materialization on this path), "
+    "and decimal dtypes survive the API round-trip, so the sums stay "
+    "exact — proven by the hash match against the plain-SQL oracle.",
+)
+def pandas_api_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+    )
+    out = (
+        df.pandas_api()
+        .groupby("o_orderstatus", as_index=False)
+        .agg(n=("p", "count"), total=("p", "sum"))
+        .to_spark()
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total").cast("double").alias("total_price"),
+    )
