@@ -56,7 +56,12 @@ def _purge_stale_protobuf(shim: str) -> dict[str, object]:
       whichever runtime was active when it was first imported;
     * a REGULAR (``__init__.py``-bearing) ``google`` parent package —
       its ``__path__`` is frozen at import and won't include the shim;
-      PEP-420 namespace parents recompute and are left alone.
+      PEP-420 namespace parents recompute and are left alone;
+    * cached ``google._upb`` native extension modules — a stale upb
+      C runtime pins the old implementation even after the pure-python
+      shim is prepended (protobuf's api_implementation prefers upb when
+      importable), so the probe would fail safe and the shim would
+      never take effect: exactly the configuration the shim targets.
     """
     removed: dict[str, object] = {}
     for name, mod in list(sys.modules.items()):
@@ -67,7 +72,9 @@ def _purge_stale_protobuf(shim: str) -> dict[str, object]:
         elif name == "google":
             if getattr(mod, "__file__", None) is None:
                 continue  # namespace package: __path__ recomputes
-        elif not name.startswith("pyspark.sql.streaming.proto"):
+        elif name != "google._upb" and not name.startswith(
+            "google._upb."
+        ) and not name.startswith("pyspark.sql.streaming.proto"):
             continue
         removed[name] = sys.modules.pop(name)
     return removed

@@ -179,7 +179,13 @@ def containment_pairs(
     shingle, ``max_df`` bounds every join key to max_df² rows, sizes
     joined back, one exact double division. The intersection is
     computed ONCE per unordered pair and emitted in both orientations
-    — no second self-join."""
+    — no second self-join.
+
+    Rounding: the threshold applies to the UNROUNDED containment; the
+    emitted ``containment`` column is rounded to 6dp for display and
+    hash-stability, so a row can display a value that rounds just
+    below the threshold (e.g. true C = threshold + 1e-8). The DuckDB
+    oracle mirrors filter-then-round exactly."""
     if max_df is not None:
         sh = cap_document_frequency(sh, max_df)
     sh = materialize(

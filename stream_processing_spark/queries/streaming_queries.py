@@ -145,7 +145,13 @@ def _drain_processing_time(
     stopping before the last flush), and the update-mode memory sink
     stable for 2 polls. Where the state metric is unavailable, falls
     back to ``stable_polls`` consecutive stable polls. Returns the
-    sink table."""
+    sink table.
+
+    PRECONDITION: the drained output must be NON-EMPTY. Quiescence
+    requires ``cnt > 0``, so a stream whose correct result is zero rows
+    can never quiesce and burns the full deadline before raising
+    TimeoutError. All current callers guarantee ≥1 output row (every
+    ingested key flushes at least one record)."""
     import time
 
     name = f"stream_q_{uuid.uuid4().hex[:12]}"
@@ -740,11 +746,9 @@ def streaming_stream_stream_left_join(
     # Jan 30 so its own watermark can never pass its own tail, and the
     # last 2 h of purchases would be withheld forever. The 'max' policy
     # lets the unbounded click side (runs to Jan 30 23:57) drive the
-    # global watermark past the whole closed purchase window. Session
-    # conf side effect, like catalog.load_table's nanos conf: it only
-    # changes behavior for multi-watermark queries, where min is just
-    # the conservative default for late cross-input data we don't have.
-    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    # global watermark past the whole closed purchase window. Scoped to
+    # the query-start window via extra_confs (a streaming query captures
+    # its confs at start), so the session default is restored after.
     purchases = (
         _events_stream(spark, sf_dir)
         .filter(
@@ -779,7 +783,11 @@ def streaming_stream_stream_left_join(
         .outputMode("append")
         .trigger(availableNow=True)
     )
-    _run_drained(writer, spark)
+    _run_drained(
+        writer,
+        spark,
+        extra_confs={"spark.sql.streaming.multipleWatermarkPolicy": "max"},
+    )
     return spark.table(name)
 
 
@@ -1094,7 +1102,8 @@ def streaming_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame
 def streaming_stream_stream_full_join(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    # 'max' watermark policy scoped to the query-start window via
+    # extra_confs (see the left-join variant for why max is needed).
     cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
     purchases = (
         _events_stream(spark, sf_dir)
@@ -1131,5 +1140,9 @@ def streaming_stream_stream_full_join(
         .outputMode("append")
         .trigger(availableNow=True)
     )
-    _run_drained(writer, spark)
+    _run_drained(
+        writer,
+        spark,
+        extra_confs={"spark.sql.streaming.multipleWatermarkPolicy": "max"},
+    )
     return spark.table(name)

@@ -134,6 +134,11 @@ class StreamingIngestDedup:
         # the immutable layout, and hot cells keep being WRITTEN (a
         # bounded O(batch) append), so the data stays available to
         # offline analysis and to reopens with a higher cap.
+        # Sizing cost: the metadata scan walks every committed
+        # __batch_id=* directory per micro-batch (O(batches × cells)
+        # listdir/stat), so with this cap set, ALSO set
+        # ``compact_every`` — compaction folds committed batches into
+        # one partition set, keeping the guard's own scan O(cells).
         # None = unlimited (exact stream/batch pair parity).
         self.hot_cell_max_bytes = hot_cell_max_bytes
         # (band, pfx) cells the LAST apply()/``_pruned_corpus`` call
