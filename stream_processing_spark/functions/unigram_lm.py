@@ -1,0 +1,197 @@
+"""Distributed Unigram-LM (SentencePiece-style) tokenizer training.
+
+Kudo (2018, "Subword Regularization") trains the unigram language
+model tokenizer by EM: given piece probabilities, segment the corpus;
+given segmentations, re-estimate probabilities. This module implements
+the hard-EM (Viterbi-EM) variant — the E-step assigns each word its
+single best segmentation instead of expected counts — which keeps
+every quantity exact-arithmetic and therefore engine-portable:
+
+  seed   : every substring of length 1..max_piece of every distinct
+           word, weighted by word frequency (the standard
+           frequent-substring seed vocabulary)
+  E-step : Viterbi-best segmentation of each DISTINCT word under the
+           current piece log-probs (ties broken toward the LONGEST
+           piece ending at a position, i.e. the smallest start index)
+  M-step : piece count = 1 + freq-weighted count over best paths
+           (add-1 over the whole seed vocabulary — the character-
+           coverage floor, so every piece stays segmentable and the
+           candidate join never loses keys), re-normalized.
+
+Scale shape (the same argument as functions/bpe.py): the corpus-sized
+work is ONE word-frequency aggregation; every EM round then runs over
+the DISTINCT-WORD table (vocabulary-sized, ~log of corpus), so at
+100 TB the lattice work is millions of rows, not terabytes. The
+Viterbi lattice itself is per-word data-parallel: candidates are
+produced by one explode, scored by one piece-probability join, and the
+per-word DP runs in an Arrow-batched pandas UDF over integer-scaled
+log-probs — the sanctioned slow path, on the vocab-sized table only.
+
+Determinism (how the DuckDB oracle can replay EM bit-exactly): piece
+log-probs are ROUND(LN(cnt/total), 6) stored as DECIMAL — the one
+transcendental per piece per round, identical in both engines at 6dp
+(<1 ulp libm error vs a 5e-7 rounding threshold; same precedent as
+mixture_temperature_weights' SQRT). Path scores are then SUMS OF
+DECIMALS (integer-scaled longs in the UDF — the same values), so
+maxima, ties, and backtracks are exact and engine-independent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from stream_processing_spark.runtime import materialize
+
+_LP_SCALE = 1_000_000  # DECIMAL(18,6) log-probs as exact longs
+
+
+def word_table(
+    docs: DataFrame, text_col: str = "text", max_word: int = 12
+) -> DataFrame:
+    """(w, freq): distinct whitespace words of length ≤ max_word.
+
+    The length bound caps the lattice depth (the oracle unrolls one
+    DP stage per character position); longer words are excluded from
+    TRAINING, the same role as SentencePiece's max sentence length."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= max_word))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+
+
+def candidate_pieces(words: DataFrame, max_piece: int = 4) -> DataFrame:
+    """(w, freq, s, e, piece): every substring of 1..max_piece chars,
+    addressed by half-open char positions [s, e) — the lattice arcs."""
+    arcs = F.expr(
+        f"flatten(transform(sequence(0, length(w) - 1), s -> "
+        f"transform(sequence(s + 1, least(length(w), s + {max_piece})), "
+        f"e -> struct(s AS s, e AS e, "
+        f"substring(w, s + 1, e - s) AS piece))))"
+    )
+    return words.select("w", "freq", F.explode(arcs).alias("a")).select(
+        "w",
+        "freq",
+        F.col("a.s").alias("s"),
+        F.col("a.e").alias("e"),
+        F.col("a.piece").alias("piece"),
+    )
+
+
+def _normalize(counts: DataFrame) -> DataFrame:
+    """M-step normalizer: (piece, cnt) → (piece, cnt, lp) with
+    lp = ROUND(LN(cnt / total), 6) as DECIMAL(18,6). The 1-row total
+    broadcasts (allowlisted plan shape)."""
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "cnt",
+        F.round(
+            F.log(
+                F.col("cnt").cast("double") / F.col("__total").cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lp"),
+    )
+
+
+def seed_vocab(cand: DataFrame) -> DataFrame:
+    """Initial vocabulary: freq-weighted substring occurrence counts,
+    MLE-normalized (all seed counts are ≥ 1 by construction)."""
+    counts = cand.groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("cnt")
+    )
+    return _normalize(counts)
+
+
+@pandas_udf("array<string>")
+def _viterbi_pieces(w: pd.Series, arcs: pd.Series) -> pd.Series:
+    """Best segmentation per word. dp over EXACT integer-scaled
+    log-probs; dp[i] = max over arcs (s, i) of dp[s] + lp. Backtrack
+    picks the smallest start among optimal arcs (longest piece)."""
+    out = []
+    for word, alist in zip(w, arcs):
+        L = len(word)
+        by_e: dict[int, list[tuple[int, int]]] = {}
+        for a in alist:
+            by_e.setdefault(a["e"], []).append((a["s"], a["lpi"]))
+        dp: list[int | None] = [None] * (L + 1)
+        dp[0] = 0
+        for i in range(1, L + 1):
+            best = None
+            for s, lpi in by_e.get(i, ()):
+                if dp[s] is None:
+                    continue
+                cand = dp[s] + lpi
+                if best is None or cand > best:
+                    best = cand
+            dp[i] = best
+        pieces = []
+        i = L
+        while i > 0:
+            chosen = None
+            for s, lpi in sorted(by_e.get(i, ())):
+                if dp[s] is not None and dp[s] + lpi == dp[i]:
+                    chosen = s
+                    break
+            assert chosen is not None, "lattice gap: seed vocab must cover"
+            pieces.append(word[chosen:i])
+            i = chosen
+        out.append(pieces[::-1])
+    return pd.Series(out)
+
+
+def em_round(cand: DataFrame, vocab: DataFrame) -> DataFrame:
+    """One Viterbi-EM round: score arcs under `vocab`, best-segment
+    every distinct word, re-count (+1 over the seed vocabulary),
+    re-normalize. Returns the new (piece, cnt, lp) vocabulary."""
+    lpi = (F.col("lp") * _LP_SCALE).cast("long").alias("lpi")
+    scored = cand.join(vocab.select("piece", lpi), "piece")
+    segmented = (
+        scored.groupBy("w", "freq")
+        .agg(F.collect_list(F.struct("s", "e", "lpi")).alias("arcs"))
+        .select("freq", F.explode(_viterbi_pieces("w", "arcs")).alias("piece"))
+    )
+    path_counts = segmented.groupBy("piece").agg(
+        F.sum("freq").cast("bigint").alias("__c")
+    )
+    counts = (
+        vocab.select("piece")
+        .join(path_counts, "piece", "left")
+        .select(
+            "piece",
+            (F.coalesce(F.col("__c"), F.lit(0)) + 1)
+            .cast("bigint")
+            .alias("cnt"),
+        )
+    )
+    return _normalize(counts)
+
+
+def unigram_lm_train(
+    docs: DataFrame,
+    rounds: int = 2,
+    max_piece: int = 4,
+    max_word: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train `rounds` of Viterbi-EM; returns the final vocabulary as
+    (piece, cnt, logp) with logp surfaced as DOUBLE. Each round costs
+    one vocab-sized join + aggregation; frames are localCheckpoint'd
+    per round so lineage stays flat (same discipline as bpe_train)."""
+    words = word_table(docs, text_col=text_col, max_word=max_word)
+    cand = materialize(candidate_pieces(words, max_piece=max_piece),
+                       eager=False)
+    vocab = seed_vocab(cand)
+    for _ in range(rounds):
+        vocab = materialize(em_round(cand, vocab), eager=False)
+    return vocab.select(
+        "piece", "cnt", F.col("lp").cast("double").alias("logp")
+    )

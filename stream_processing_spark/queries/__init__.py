@@ -69,6 +69,7 @@ from stream_processing_spark.queries import curation2  # noqa: E402,F401
 from stream_processing_spark.queries import curation3  # noqa: E402,F401
 from stream_processing_spark.queries import curation4  # noqa: E402,F401
 from stream_processing_spark.queries import curation5  # noqa: E402,F401
+from stream_processing_spark.queries import curation6  # noqa: E402,F401
 from stream_processing_spark.queries import graph_retrieval  # noqa: E402,F401
 from stream_processing_spark.queries import pq  # noqa: E402,F401
 from stream_processing_spark.queries import scale_ops  # noqa: E402,F401

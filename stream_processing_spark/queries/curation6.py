@@ -1,0 +1,503 @@
+"""Round-8 curation operators: exact-substring dedup (Lee et al.
+2022), DSIR importance resampling (Xie et al. 2023), and Unigram-LM
+(SentencePiece) tokenizer training.
+
+These close the three public-method gaps the round-7 review named:
+
+* ``dedup_exact_substring_spans`` — Lee et al., "Deduplicating
+  Training Data Makes Language Models Better" (2022): cross-document
+  VERBATIM span extraction. Unlike shingle-set similarity (MinHash /
+  Jaccard) or window-fingerprint counting (dedup_duplicate_spans),
+  this reports per-document MAXIMAL duplicated spans: every k-token
+  window repeated anywhere in the corpus marks its tokens, and
+  overlapping/adjacent marked windows chain into maximal runs — a
+  duplicated substring of length L ≥ k produces L-k+1 consecutive
+  duplicated windows that merge into ONE maximal span, which is
+  exactly the suffix-array-free match-extension step of the paper.
+
+* ``mixture_dsir_weights`` / ``mixture_dsir_resample`` — Data
+  Selection via Importance Resampling (NeurIPS 2023): hashed n-gram
+  bag features (unigrams + bigrams → B buckets), bucket importance
+  weight = smoothed target probability / smoothed raw probability,
+  per-document log-importance = sum of its feature occurrences'
+  log-weights, keep documents with non-negative log-importance
+  (at least as target-like as the raw average under the bucket
+  product model). Target distribution here: English documents.
+
+* ``unigram_lm_train`` — hard-EM (Viterbi-EM) unigram tokenizer
+  training (functions/unigram_lm.py); the oracle replays both EM
+  rounds as an unrolled CTE ladder (one DP stage per char position,
+  one backtrack stage per path step) over exact DECIMAL path scores,
+  the same technique bpe_train_merges uses for its merge ladder.
+
+Determinism rules as elsewhere: integer counts end-to-end, DECIMAL
+path sums, ROUND(…, 6) on each LN/division output, identical aliases
+in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_processing_spark.catalog import load_table
+from stream_processing_spark.queries import register
+
+# --------------------------------------------------------------------
+# exact-substring dedup (Lee et al. 2022)
+
+_ESS_K = 8  # k-token anchor window
+
+
+def _ess_terms_sql(n: int) -> str:
+    return " || ' ' || ".join(f"t[i+{j}]" for j in range(n))
+
+
+_ESS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+wins AS (
+    SELECT doc_id, len(t) AS n_tokens, i AS s, i + {_ESS_K - 1} AS e,
+           md5({_ess_terms_sql(_ESS_K)}) AS fp
+    FROM toks, UNNEST(range(1, len(t) - {_ESS_K - 2})) AS u(i)
+    WHERE len(t) >= {_ESS_K}
+),
+hot AS (SELECT fp FROM wins GROUP BY fp HAVING COUNT(*) >= 2),
+dup AS (SELECT w.doc_id, w.n_tokens, w.s, w.e FROM wins w JOIN hot USING (fp)),
+m AS (
+    SELECT doc_id, n_tokens, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS prev_e
+    FROM dup
+),
+g AS (
+    SELECT doc_id, n_tokens, s, e,
+           SUM(CASE WHEN prev_e IS NULL OR s > prev_e + 1
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS grp
+    FROM m
+),
+islands AS (
+    SELECT doc_id, n_tokens, grp,
+           CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS len
+    FROM g GROUP BY doc_id, n_tokens, grp
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(len) AS BIGINT) AS dup_tokens,
+       n_tokens,
+       ROUND(CAST(SUM(len) AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+           AS dup_token_frac
+FROM islands
+GROUP BY doc_id, n_tokens
+"""
+
+
+@register(
+    "dedup_exact_substring_spans",
+    _ESS_ORACLE,
+    doc=f"Exact-substring dedup (Lee et al. 2022): every {_ESS_K}-token "
+    "window repeated >= 2 times corpus-wide (within- OR cross-document "
+    "— the paper counts both) marks its token positions; per document, "
+    "overlapping/adjacent marked windows chain into MAXIMAL duplicated "
+    "spans via gaps-and-islands (running-max-end window function), the "
+    "match-extension step: an L-token verbatim repeat yields L-k+1 "
+    "consecutive hot windows that merge into one span. Emits per-doc "
+    "span count, duplicated-token count, and duplicated-token "
+    "fraction — the quantity the paper's ExactSubstr filter thresholds "
+    "on. Scale shape: window volume is LINEAR in corpus tokens (one "
+    "window per token), the hot-set is an fp-keyed aggregation (hot "
+    "fingerprints cost ONE count row, never a quadratic bucket — no "
+    "self-join anywhere), the count join-back is fp-keyed and "
+    "AQE-skew-safe, and the island merge is a per-doc sort bounded by "
+    "document length. Property-tested against a brute-force Python "
+    "scan in tests/test_curation6.py.",
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, k=_ESS_K)
+
+
+def exact_substring_spans(docs: DataFrame, k: int = _ESS_K) -> DataFrame:
+    """Core operator over any (doc_id, text) frame — see the registry
+    doc above. Separated so tests can drive planted-repeat fixtures."""
+    wins_arr = F.expr(
+        f"transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> struct(i AS s, i + {k - 1} AS e, "
+        f"md5(concat_ws(' ', slice(t, i, {k}))) AS fp))"
+    )
+    wins = (
+        docs.select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens"),
+            F.explode(wins_arr).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("w.s").cast("bigint").alias("s"),
+            F.col("w.e").cast("bigint").alias("e"),
+            F.col("w.fp").alias("fp"),
+        )
+    )
+    hot = (
+        wins.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("fp")
+    )
+    dup = wins.join(hot, "fp").select("doc_id", "n_tokens", "s", "e")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    brk = F.when(
+        F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e") + 1), 1
+    ).otherwise(0)
+    islands = (
+        dup.withColumn("prev_e", F.max("e").over(w_prev))
+        .withColumn("grp", F.sum(brk).over(w_run))
+        .groupBy("doc_id", "n_tokens", "grp")
+        .agg((F.max("e") - F.min("s") + 1).cast("bigint").alias("len"))
+    )
+    return islands.groupBy("doc_id", "n_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("len").cast("bigint").alias("dup_tokens"),
+    ).select(
+        "doc_id",
+        "n_spans",
+        "dup_tokens",
+        "n_tokens",
+        F.round(
+            F.col("dup_tokens").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("dup_token_frac"),
+    )
+
+
+# --------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023)
+
+_DSIR_B = 1024  # hashed n-gram feature buckets
+_DSIR_TARGET_LANG = "en"
+
+# one row per feature OCCURRENCE: unigrams + bigrams of whitespace
+# tokens, hashed to a bucket via the shared md5-prefix integer idiom
+# (Spark conv(hex) == DuckDB CAST('0x'||hex), same integer).
+_DSIR_FEATS_SQL = f"""
+    feats AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                   % {_DSIR_B} AS bucket
+        FROM (
+            SELECT doc_id, lang, unnest(tf) AS g
+            FROM (SELECT doc_id, lang,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS tf
+                  FROM documents)
+            UNION ALL
+            SELECT doc_id, lang, tf[i] || ' ' || tf[i + 1] AS g
+            FROM (SELECT doc_id, lang,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS tf
+                  FROM documents),
+                 UNNEST(range(1, len(tf))) AS u(i)
+        )
+    ),
+    bstats AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_target
+        FROM feats GROUP BY bucket
+    ),
+    btot AS (
+        SELECT CAST(SUM(n_raw) AS BIGINT) AS raw_total,
+               CAST(SUM(n_target) AS BIGINT) AS target_total
+        FROM bstats
+    ),
+    bweights AS (
+        SELECT bucket, n_target, n_raw,
+               ROUND(CAST((n_target + 1) * (raw_total + {_DSIR_B})
+                          AS DOUBLE)
+                     / CAST((n_raw + 1) * (target_total + {_DSIR_B})
+                            AS DOUBLE), 6) AS weight
+        FROM bstats, btot
+    )
+"""
+
+
+@register(
+    "mixture_dsir_weights",
+    f"WITH {_DSIR_FEATS_SQL} SELECT bucket, n_target, n_raw, weight "
+    "FROM bweights",
+    doc=f"DSIR bucket importance weights (Xie et al., NeurIPS 2023): "
+    f"hashed n-gram features (unigrams + bigrams → {_DSIR_B} buckets "
+    "via the md5-prefix integer idiom), add-1-smoothed bucket "
+    f"probability under the target (lang='{_DSIR_TARGET_LANG}') vs the "
+    "raw pool, weight = p_target(b)/p_raw(b). Exact integer bucket "
+    "counts and integer cross-products end-to-end; ONE double division "
+    "per bucket, rounded 6dp. Scale shape: feature hashing is "
+    "map-side (no vocabulary shuffle — the whole point of DSIR's "
+    "hashed features), one bucket-keyed aggregation, a 1-row totals "
+    "broadcast; bucket cardinality is a CONSTANT so every downstream "
+    "join against bweights broadcasts at any corpus size.",
+)
+def mixture_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_bucket_weights(docs)
+
+
+def dsir_bucket_weights(docs: DataFrame) -> DataFrame:
+    """Core operator over any (doc_id, lang, text) frame — see the
+    registry doc above. Separated so tests can drive fixtures."""
+    bstats, btot = _dsir_bucket_stats(docs)
+    return bstats.crossJoin(F.broadcast(btot)).select(
+        "bucket",
+        "n_target",
+        "n_raw",
+        _dsir_weight_col().alias("weight"),
+    )
+
+
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    tf = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id", "lang", tf.alias("tf"))
+    uni = base.select("doc_id", "lang", F.explode("tf").alias("g"))
+    bi_arr = F.expr(
+        "transform(slice(tf, 1, greatest(size(tf) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at(tf, i + 2)))"
+    )
+    bi = base.select("doc_id", "lang", F.explode(bi_arr).alias("g"))
+    bucket = F.pmod(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 8), 16, 10) "
+            "AS BIGINT)"
+        ),
+        F.lit(_DSIR_B),
+    )
+    return uni.unionByName(bi).select(
+        "doc_id", "lang", bucket.alias("bucket")
+    )
+
+
+def _dsir_bucket_stats(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    feats = _dsir_features(docs)
+    bstats = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_target"),
+    )
+    btot = bstats.agg(
+        F.sum("n_raw").cast("bigint").alias("raw_total"),
+        F.sum("n_target").cast("bigint").alias("target_total"),
+    )
+    return bstats, btot
+
+
+def _dsir_weight_col():
+    num = (F.col("n_target") + 1) * (F.col("raw_total") + _DSIR_B)
+    den = (F.col("n_raw") + 1) * (F.col("target_total") + _DSIR_B)
+    return F.round(num.cast("double") / den.cast("double"), 6)
+
+
+@register(
+    "mixture_dsir_resample",
+    f"""
+    WITH {_DSIR_FEATS_SQL},
+    doclw AS (
+        SELECT f.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               SUM(CAST(ROUND(LN(w.weight), 6) AS DECIMAL(18,6))) AS lw
+        FROM feats f JOIN bweights w USING (bucket)
+        GROUP BY f.doc_id
+    )
+    SELECT d.doc_id, docs.lang, d.n_feats, CAST(d.lw AS DOUBLE) AS log_weight
+    FROM doclw d JOIN documents docs USING (doc_id)
+    WHERE d.lw >= 0
+    """,
+    doc="DSIR resampled-keep: per-document log-importance = sum over "
+    "its feature occurrences of ln(bucket weight) (each ln rounded 6dp "
+    "to DECIMAL first, so the per-doc sum is exact and order-"
+    "independent); keep documents with log-importance >= 0 — at least "
+    "as target-like as the raw pool under the bucket product model. "
+    "The keep decision is MAP-SIDE after a broadcast join against the "
+    f"constant-size ({_DSIR_B}-bucket) weight table — no global sort, "
+    "no driver collect, so the selection runs at full scan speed on "
+    "any corpus size (the paper's top-k-with-Gumbel variant needs a "
+    "global top-k; the threshold form is the scale-clean spelling).",
+)
+def mixture_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_resample_keep(docs)
+
+
+def dsir_resample_keep(docs: DataFrame) -> DataFrame:
+    """Core operator over any (doc_id, lang, text) frame — see the
+    registry doc above. Separated so tests can drive fixtures."""
+    feats = _dsir_features(docs)
+    bweights = dsir_bucket_weights(docs).select("bucket", "weight")
+    lw6 = F.round(F.log(F.col("weight")), 6).cast("decimal(18,6)")
+    doclw = (
+        feats.join(F.broadcast(bweights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum(lw6).alias("lw"),
+        )
+        .where(F.col("lw") >= 0)
+    )
+    return doclw.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_feats", F.col("lw").cast("double").alias(
+            "log_weight"
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Unigram-LM (SentencePiece) tokenizer training
+
+_ULM_ROUNDS = 2
+_ULM_MAX_WORD = 12
+_ULM_MAX_PIECE = 4
+
+
+def _unigram_oracle(
+    rounds: int = _ULM_ROUNDS,
+    max_word: int = _ULM_MAX_WORD,
+    max_piece: int = _ULM_MAX_PIECE,
+) -> str:
+    """Unrolled Viterbi-EM ladder: per round, one DP stage per char
+    position (forward max over DECIMAL path scores) and one backtrack
+    stage per path step (min-start tie-break), then add-1 recount and
+    renormalize — the same CTE-ladder technique as _bpe_oracle."""
+    parts = [
+        f"""
+    tok AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    words AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok
+        WHERE w <> '' AND length(w) <= {max_word} GROUP BY w
+    ),
+    cand AS MATERIALIZED (
+        SELECT w, freq, s, s + pl AS e, substr(w, s + 1, pl) AS piece
+        FROM words,
+             UNNEST(range(0, length(w))) AS us(s),
+             UNNEST(range(1, {max_piece + 1})) AS up(pl)
+        WHERE s + pl <= length(w)
+    ),
+    v0 AS MATERIALIZED (
+        SELECT piece, cnt,
+               CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)),
+                          6) AS DECIMAL(18,6)) AS lp
+        FROM (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+              FROM cand GROUP BY piece) c,
+             (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM cand) t
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    sc{r} AS MATERIALIZED (
+        SELECT c.w, c.freq, c.s, c.e, c.piece, v.lp
+        FROM cand c JOIN v{r - 1} v USING (piece)
+    ),
+    a{r}_0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(0 AS DECIMAL(18,6)) AS dp
+               FROM words)""")
+        for i in range(1, max_word + 1):
+            parts.append(f"""
+    d{r}_{i} AS MATERIALIZED (
+        SELECT c.w, {i} AS pos,
+               CAST(MAX(d.dp + c.lp) AS DECIMAL(18,6)) AS dp
+        FROM sc{r} c JOIN a{r}_{i - 1} d ON d.w = c.w AND d.pos = c.s
+        WHERE c.e = {i} GROUP BY c.w
+    ),
+    a{r}_{i} AS MATERIALIZED (SELECT * FROM a{r}_{i - 1}
+                 UNION ALL SELECT * FROM d{r}_{i})""")
+        parts.append(f"""
+    b{r}_0 AS MATERIALIZED (SELECT w, freq, length(w) AS pos FROM words)""")
+        for t in range(1, max_word + 1):
+            parts.append(f"""
+    b{r}_{t} AS MATERIALIZED (
+        SELECT w, freq, pos, piece FROM (
+            SELECT b.w, b.freq, c.s AS pos, c.piece,
+                   ROW_NUMBER() OVER (PARTITION BY b.w
+                                      ORDER BY c.s) AS rn
+            FROM b{r}_{t - 1} b
+            JOIN sc{r} c ON c.w = b.w AND c.e = b.pos
+            JOIN a{r}_{max_word} ds ON ds.w = b.w AND ds.pos = c.s
+            JOIN a{r}_{max_word} dt ON dt.w = b.w AND dt.pos = b.pos
+            WHERE b.pos > 0 AND ds.dp + c.lp = dt.dp
+        ) z WHERE rn = 1
+    )""")
+        paths = " UNION ALL ".join(
+            f"SELECT freq, piece FROM b{r}_{t}"
+            for t in range(1, max_word + 1)
+        )
+        parts.append(f"""
+    vc{r} AS MATERIALIZED (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS c
+        FROM ({paths}) p GROUP BY piece
+    ),
+    v{r} AS MATERIALIZED (
+        SELECT s.piece,
+               CAST(COALESCE(vc.c, 0) + 1 AS BIGINT) AS cnt,
+               CAST(ROUND(LN(CAST(COALESCE(vc.c, 0) + 1 AS DOUBLE)
+                             / CAST(t.total AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS lp
+        FROM (SELECT piece FROM v0) s
+        LEFT JOIN vc{r} vc ON vc.piece = s.piece
+        CROSS JOIN (SELECT CAST((SELECT COUNT(*) FROM v0)
+                          + (SELECT SUM(c) FROM vc{r}) AS BIGINT)
+                        AS total) t
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT piece, cnt, CAST(lp AS DOUBLE) AS logp FROM v{rounds}"""
+    )
+
+
+@register(
+    "unigram_lm_train",
+    _unigram_oracle(),
+    doc=f"Unigram-LM (SentencePiece, Kudo 2018) tokenizer training via "
+    f"hard EM — {_ULM_ROUNDS} Viterbi-EM rounds over the distinct-word "
+    "table (functions/unigram_lm.py). Seed vocabulary = all substrings "
+    f"of length 1..{_ULM_MAX_PIECE} weighted by word frequency; each "
+    "round Viterbi-segments every distinct word under the current "
+    "piece log-probs (exact DECIMAL path sums, ties to the longest "
+    "piece), recounts with an add-1 character-coverage floor, and "
+    "renormalizes. The one transcendental per piece per round "
+    "(LN of an exact integer ratio) is rounded to 6dp DECIMAL, making "
+    "path maxima/ties/backtracks engine-exact: the DuckDB oracle "
+    "replays both rounds as an unrolled DP + backtrack CTE ladder. "
+    "Scale: corpus-sized work is ONE word count; EM rounds run on the "
+    "vocab-sized word table (~log of corpus), lattice DP in an "
+    "Arrow-batched pandas UDF over integer-scaled log-probs. Parity vs "
+    "a pure-Python reference in tests/test_curation6.py.",
+)
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.functions import unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm.unigram_lm_train(
+        docs,
+        rounds=_ULM_ROUNDS,
+        max_piece=_ULM_MAX_PIECE,
+        max_word=_ULM_MAX_WORD,
+    )

@@ -50,6 +50,9 @@ CROSS_OK = {
     "retrieval_rrf_hybrid_topk",
     "tsmatch_topk_windows",       # 1-row query-window broadcast
     "ann_matryoshka_overlap",     # 1-row query vector broadcast (both arms)
+    "mixture_dsir_weights",       # 1-row (raw_total, target_total) broadcast
+    "mixture_dsir_resample",      # same 1-row totals broadcast, inherited
+    "unigram_lm_train",           # 1-row normalizer-total broadcast per EM round
 }
 
 _SKIP = tuple(
