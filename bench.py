@@ -155,6 +155,23 @@ BENCH_QUERIES = [
     "retrieval_rrf_hybrid_topk",
     "quality_gopher_line_para_dedup",
     "pattern_match_event_sequences",
+    # --- round-8 additions (new capabilities — compare per-query
+    # against BENCH_r07, not in aggregate).
+    # Round-over-round note: funnel_view_click_purchase was REWRITTEN
+    # this round (the r7 >2x regression): the three-branch join form
+    # re-evaluated shared stage subtrees (six events scans); the new
+    # form is one scan + one user_id shuffle with per-user
+    # collect_list arrays and map-side array_min(filter(...)) stage
+    # derivation — 1.17 s -> ~0.8 s on the r8 box.
+    # Lee et al. exact-substring spans: linear window fingerprints,
+    # gaps-and-islands merge
+    "dedup_exact_substring_spans",
+    # DSIR: map-side hashed features, constant-size bucket-weight
+    # broadcast, map-side keep
+    "mixture_dsir_resample",
+    # Viterbi-EM tokenizer training: 2 EM rounds over the vocab-sized
+    # word table (pandas-UDF lattice DP)
+    "unigram_lm_train",
 ]
 
 
