@@ -113,11 +113,30 @@ def _start_pinned(writer, spark: SparkSession, extra_confs: dict | None = None):
                 spark.conf.set(k, v)
 
 
+# Micro-batch physical plans of recently drained registry streams —
+# the lint surface for tests/test_plan_lint.py's streaming tier (the
+# batch tier lints executedPlan; streams only materialize a plan once
+# a micro-batch has run, so the drain helpers capture it post-run).
+# Bounded: callers clear it; plans are strings, never row data.
+CAPTURED_PLANS: list[str] = []
+
+
+def _capture_plan(q) -> None:
+    """Record the query's last micro-batch plan (explainInternal
+    survives termination via lastExecution). Best-effort: a stream
+    that never ran a batch has no plan to lint."""
+    try:
+        CAPTURED_PLANS.append(q._jsq.explainInternal(True))
+    except Exception:
+        pass
+
+
 def _run_drained(writer, spark: SparkSession, extra_confs: dict | None = None):
     """Start `writer` pinned (see _start_pinned), drain it
     (availableNow), and raise if it hangs."""
     q = _start_pinned(writer, spark, extra_confs)
     q.awaitTermination(300)
+    _capture_plan(q)
     if q.isActive:  # pragma: no cover
         q.stop()
         raise TimeoutError("stream did not drain")
@@ -194,6 +213,7 @@ def _drain_processing_time(
                 last_cnt = cnt
     finally:
         q.stop()
+        _capture_plan(q)
     if not quiesced:  # pragma: no cover - deadline
         raise TimeoutError(
             f"stream never quiesced: ingested "
@@ -992,6 +1012,7 @@ def streaming_ingest_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
     )
     q.awaitTermination(300)
+    _capture_plan(q)
     if q.isActive:  # pragma: no cover
         q.stop()
         raise TimeoutError("ingest stream did not drain")
@@ -1064,6 +1085,7 @@ def streaming_upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination(300)
+    _capture_plan(q)
     if q.isActive:  # pragma: no cover
         q.stop()
         raise TimeoutError("upsert stream did not drain")

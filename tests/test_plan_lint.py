@@ -71,3 +71,27 @@ def test_plan_is_scale_safe(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan  # no row-at-a-time UDFs
+
+
+# ---------------------------------------------------------------------
+# Streaming tier: streams execute on .start() (no lazy executedPlan),
+# so the drain helpers capture each query's last MICRO-BATCH physical
+# plan (explainInternal survives termination) and this test lints the
+# capture under the same bans. foreachBatch-internal batch plans (the
+# ingest/upsert sinks' own jobs) are not part of the stream's plan —
+# those modules' plan shapes are asserted in their own tests.
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in sorted(REGISTRY) if n.startswith("streaming_")]
+)
+def test_streaming_microbatch_plan_is_scale_safe(spark, name):
+    from stream_processing_spark.queries import streaming_queries as sq
+
+    sq.CAPTURED_PLANS.clear()
+    REGISTRY[name].spark(spark, SF)
+    assert sq.CAPTURED_PLANS, f"{name}: no micro-batch plan captured"
+    for plan in sq.CAPTURED_PLANS:
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
