@@ -141,6 +141,23 @@ CUSTOM = {
     "upsert_apply_b2": _time_upsert_apply,
 }
 
+# sf1 decade (VERDICT r7 #6): the 10 most expensive bench headliners,
+# one more 10× decade over generated data (tools/gen_sf1.py — ten
+# replica-decorrelated sf0.1 shards, so per-shard pair/cell density is
+# unchanged and any hidden quadratic shows up super-linearly).
+SF1_QUERIES = [
+    "semantic_dedup_stats",
+    "dedup_connected_components",
+    "ann_ivfpq_topk",
+    "streaming_tws_running_count",
+    "rcte_capped_running_balance",
+    "dedup_jaccard_pairs",
+    "dedup_containment_pairs",
+    "dedup_simhash_pairs",
+    "ann_lsh_bucketed_pairs",
+    "cross_source_span_overlap",
+]
+
 
 def main() -> None:
     from stream_processing_spark.compat import ensure_protobuf_runtime
@@ -217,6 +234,59 @@ def main() -> None:
     if worst > 12:
         print(
             f"\nWARNING: {worst_name} grew {worst:.1f}× over the last "
+            "decade — super-linear; investigate before shipping.",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+
+    # ---- sf1 decade for the top-10 headliners ----
+    from tools.gen_sf1 import ensure_sf1
+
+    sf1_dir = ensure_sf1(spark)
+    print()
+    print("## sf1 decade — top-10 headliners (generated data)")
+    print()
+    print("One more 10× decade over `tools/gen_sf1.py`'s ten")
+    print("replica-decorrelated sf0.1 shards (.scaledata/sf1/: 50k docs,")
+    print("1M events, 20k embeddings — per-shard duplicate/similarity")
+    print("density identical to sf0.1, near-zero cross-shard collisions).")
+    print("A linear operator grows ≤~10×; a hidden quadratic (pair join,")
+    print("cluster cell, state blowup) would exceed it.")
+    print()
+    print("| query | sf0.1 | sf1 | ×/dec 3 |")
+    print("|---|---|---|---|")
+    worst1_name, worst1 = "", 0.0
+    for name in SF1_QUERIES:
+        spec = REGISTRY[name]
+        base = results[name][SFS[2]] if name in results else None
+        if base is None:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.spark(spark, f"/root/testdata/{SFS[2]}").write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            base = round(best, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf1_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        ratio = best / base if base else float("nan")
+        print(f"| {name} | {base:.2f}s | {best:.2f}s | {ratio:.1f}× |")
+        if ratio > worst1:
+            worst1_name, worst1 = name, ratio
+    print()
+    print(
+        f"Worst sf0.1→sf1 growth: {worst1:.1f}× ({worst1_name}) — "
+        "bound: must stay at or under the ~10× linear-data multiple."
+    )
+    if worst1 > 12:
+        print(
+            f"\nWARNING: {worst1_name} grew {worst1:.1f}× over the sf1 "
             "decade — super-linear; investigate before shipping.",
             file=sys.stderr,
         )
