@@ -84,48 +84,51 @@ from stream_processing_spark.queries import pipesql  # noqa: E402,F401
 # SURVEY.md §2 reference-parity operator and (b) the LLM-pipeline and
 # analytics flagships. Everything else keeps registration order after.
 _PRIORITY = [
-    # §2.2/§2.3/§2.6 reference parity anchors (T1-T7, G1-G3, json,
-    # S1/T8/A1/ST2 streaming) — these stay in EVERY round's window
+    # §2.2/§2.3/§2.6 reference parity ANCHORS — shrunk to 10 this round
+    # (VERDICT r7 #1) so the window certifies 40 first-time names.
+    # These stay in EVERY round's window: T1-T7 (the reference's whole
+    # transform tier), G1/G3 grep, and the A1/T8 stateful streaming
+    # running count. Everything rotated OUT keeps its GATE_r*/
+    # CORRECTNESS_r* history plus tests/test_oracle_queries.py.
     "t1_filter_pattern", "t2_select_columns", "t3_filter_project",
     "t4_filter_eq", "t5_count_by_category", "t6_word_count",
     "t7_custom_flatmap",
-    "grep_count_by_source", "grep_total_count", "grep_word_anchor_count",
-    "json_extract_props",
-    "streaming_counts_by_type", "streaming_hourly_windows",
-    "streaming_stateful_running_count", "streaming_dedup_events",
-    # ---- round-7 rotation (VERDICT r6 #3): 35 queries never before
-    # in any driver window (r01/r02/r03/r05/r06), so successive rounds
-    # accumulate driver-side certification beyond the in-repo gate.
-    # Everything rotated OUT keeps its GATE_r*/CORRECTNESS_r* history
-    # plus tests/test_oracle_queries.py.
-    # full streaming tier (incl. the two transformWithState queries,
-    # registered correctly as of this round)
-    "streaming_sliding_windows", "streaming_session_windows",
-    "streaming_static_join_counts", "streaming_stream_stream_join",
-    "streaming_stream_stream_left_join", "streaming_custom_stateful_max",
-    "streaming_trending_topk", "streaming_stateful_sessions",
-    "streaming_tws_running_count", "streaming_tws_sessions",
-    # remaining §2.6 grep parity variants (G2 flag surface)
-    "grep_context_count", "grep_only_matching_counts",
-    "grep_max_count_first_matches", "grep_files_with_matches",
-    "grep_multi_pattern_count",
-    # curation waves
-    "quality_gopher_repetition", "funnel_time_bounded",
-    "scd2_user_event_type_history", "events_anomaly_days",
-    # LLM-pipeline dedup/curation flagships not yet driver-certified
-    "dedup_incremental_new_vs_corpus", "dedup_survivors_near",
-    "curation_final_keep", "similar_docs_lsh_pruned_topk",
-    # scale ops remainder
-    "bpe_encode_source_stats", "dq_expectations_report",
-    "join_size_prediction",
-    # sessionize / sampling / variant surfaces
-    "resample_hourly_lerp", "weighted_reservoir_sample",
-    "variant_missing_path_semantics",
-    # ML pipeline
-    "kmeans_cluster_assignments", "association_rules_parts",
-    # relational function surfaces
-    "window_lead_lag_events", "join_full_outer_daily",
-    "array_functions_surface", "map_functions_surface",
+    "grep_count_by_source", "grep_total_count",
+    "streaming_stateful_running_count",
+    # ---- round-8 rotation: 40 queries never before in any driver
+    # window (r01-r07). Streaming flagships first (the four big
+    # round-7 components the verdict named), then user-facing staples,
+    # API tiers, and the round-8 additions.
+    "streaming_tws_timer_flush", "streaming_ingest_neardup_pairs",
+    "streaming_upsert_latest_state", "streaming_stream_stream_full_join",
+    # user-facing staples
+    "pii_redact_stats", "sort_global_orders_sample",
+    "dedup_containment_pairs", "dedup_c4_crossdoc_lines",
+    "quality_gopher_line_para_dedup", "retrieval_rrf_hybrid_topk",
+    "pattern_match_event_sequences", "ivm_join_delta_revenue",
+    "cohort_retention_matrix", "ann_matryoshka_overlap",
+    "tsmatch_topk_windows",
+    # API tiers (pandas-on-Spark, Arrow-native, SQL UDF / collation /
+    # session variables) and source roundtrips
+    "pandas_api_status_revenue", "arrow_native_char_stats",
+    "sql_udf_disc_revenue", "collation_lcase_group",
+    "sql_variables_param_filter", "jsonl_source_counts",
+    "orc_roundtrip_digest",
+    # privacy / stats tier (hll_sketch_rollup_users stays out: it is
+    # rows-only by design — DataSketches HLL has no DuckDB twin — and
+    # the rotation's purpose is HASH certification)
+    "l_diversity_report", "grouped_wavg_pandas_udaf",
+    "zscore_orders_per_status", "linreg_price_on_quantity",
+    # curation / mixture / text tail
+    "dedup_duplicate_spans", "mixture_temperature_weights",
+    "mixture_equalize_langs", "text_langid_confusion",
+    "text_token_counts_pandas", "corpus_stats", "vocab_top_tokens",
+    # relational surfaces
+    "window_rank_surface", "agg_filter_clause",
+    "rollup_revenue_region_nation",
+    # round-8 new operators (exact-substring dedup, DSIR, unigram-LM)
+    "dedup_exact_substring_spans", "mixture_dsir_weights",
+    "mixture_dsir_resample", "unigram_lm_train",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
