@@ -501,3 +501,284 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece=_ULM_MAX_PIECE,
         max_word=_ULM_MAX_WORD,
     )
+
+
+# --------------------------------------------------------------------
+# fastText-style quality classifier (Joulin et al. 2016; the linear
+# reference-corpus filter of CCNet / GPT-3 data curation)
+
+_CLF_B = 256       # hashed feature buckets (weight table size)
+_CLF_ROUNDS = 3    # full-batch gradient-descent rounds
+_CLF_LR = 1.0      # learning rate (constant; documented)
+_CLF_TARGET_LANG = "en"  # positive class: the reference corpus proxy
+
+
+def _clf_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, bucket): one row per hashed unigram/bigram
+    OCCURRENCE, labeled positive when the doc is reference-corpus-like
+    (lang = target). Same md5-prefix integer hashing as DSIR."""
+    tf = F.filter(F.split("text", " "), lambda x: x != "")
+    y = F.when(F.col("lang") == _CLF_TARGET_LANG, 1).otherwise(0)
+    base = docs.select("doc_id", y.alias("y"), tf.alias("tf"))
+    uni = base.select("doc_id", "y", F.explode("tf").alias("g"))
+    bi_arr = F.expr(
+        "transform(slice(tf, 1, greatest(size(tf) - 1, 0)), "
+        "(x, i) -> concat(x, ' ', element_at(tf, i + 2)))"
+    )
+    bi = base.select("doc_id", "y", F.explode(bi_arr).alias("g"))
+    bucket = F.pmod(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 8), 16, 10) "
+            "AS BIGINT)"
+        ),
+        F.lit(_CLF_B),
+    )
+    return uni.unionByName(bi).select("doc_id", "y", bucket.alias("bucket"))
+
+
+def _clf_scores(feats: DataFrame, weights: DataFrame, bias) -> DataFrame:
+    """Per-doc raw score under (weights, bias): mean bucket weight plus
+    bias, rounded 6dp. The weight table is a constant-size broadcast;
+    the mean's one double division is exact-input (6dp decimals)."""
+    return (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(
+            F.sum("w").alias("__sw"),
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            "n_feats",
+            F.round(
+                F.lit(float(bias))
+                + F.col("__sw").cast("double") / F.col("n_feats"),
+                6,
+            ).alias("score"),
+        )
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame, rounds: int = _CLF_ROUNDS
+) -> tuple[DataFrame, float]:
+    """Full-batch logistic regression over mean hashed-n-gram features
+    — fastText's linear model trained the oracle-replayable way.
+
+    Every round: score docs (decimal weight sums, one rounded double
+    division), p = ROUND(sigmoid(score), 6), per-occurrence gradient
+    ROUND((p - y)/n_feats, 9) summed per bucket as exact decimals,
+    weight update ROUND(w - lr·grad/N, 6). The per-round rounding makes
+    the whole trajectory engine-exact (the LN/EXP-at-6dp precedent),
+    so the DuckDB oracle replays training as an unrolled CTE ladder.
+
+    Scale shape: the corpus-sized work per round is one feature scan +
+    one bucket-keyed aggregation; the weight table is CONSTANT-size
+    (B buckets), broadcast to every scorer — the same profile as DSIR.
+    Returns (weights DataFrame(bucket, w DECIMAL), bias float)."""
+    from stream_processing_spark.runtime import materialize
+
+    feats = materialize(_clf_features(docs), eager=False)
+    n_docs = feats.select("doc_id").distinct().count()
+    weights = feats.select("bucket").distinct().select(
+        "bucket", F.lit(0).cast("decimal(18,6)").alias("w")
+    )
+    bias = 0.0
+    for _ in range(rounds):
+        scored = _clf_scores(feats, weights, bias)
+        p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6)
+        docp = scored.select(
+            "doc_id",
+            "n_feats",
+            (p6.cast("decimal(18,6)") - F.col("y")).alias("r6"),
+        )
+        g9 = F.round(
+            F.col("r6").cast("double") / F.col("n_feats"), 9
+        ).cast("decimal(18,9)")
+        grads = (
+            feats.join(docp, "doc_id")
+            .select("bucket", g9.alias("g9"))
+            .groupBy("bucket")
+            .agg(F.sum("g9").alias("G9"))
+        )
+        bias_grad = docp.agg(F.sum("r6").alias("BG")).head()["BG"]
+        weights = materialize(
+            weights.join(grads, "bucket", "left").select(
+                "bucket",
+                F.round(
+                    F.col("w").cast("double")
+                    - _CLF_LR
+                    * F.coalesce(F.col("G9"), F.lit(0)).cast("double")
+                    / n_docs,
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias("w"),
+            ),
+            eager=False,
+        )
+        bias = float(
+            __import__("decimal").Decimal(
+                repr(bias - _CLF_LR * float(bias_grad) / n_docs)
+            ).quantize(
+                __import__("decimal").Decimal("0.000001"),
+                rounding=__import__("decimal").ROUND_HALF_UP,
+            )
+        )
+    return weights, bias
+
+
+def _clf_oracle(rounds: int = _CLF_ROUNDS) -> str:
+    """Unrolled gradient-descent ladder: per round one scoring CTE
+    (decimal weight sums), one sigmoid/residual CTE, one bucket-grad
+    aggregate, one weight/bias update — MATERIALIZED like the unigram
+    ladder so the planner computes each stage once."""
+    parts = [
+        f"""
+    feats AS MATERIALIZED (
+        SELECT doc_id, y,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                   % {_CLF_B} AS bucket
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN lang = '{_CLF_TARGET_LANG}' THEN 1 ELSE 0 END
+                       AS y,
+                   unnest(tf) AS g
+            FROM (SELECT doc_id, lang,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS tf
+                  FROM documents)
+            UNION ALL
+            SELECT doc_id,
+                   CASE WHEN lang = '{_CLF_TARGET_LANG}' THEN 1 ELSE 0 END,
+                   tf[i] || ' ' || tf[i + 1]
+            FROM (SELECT doc_id, lang,
+                         list_filter(string_split(text, ' '),
+                                     x -> x <> '') AS tf
+                  FROM documents),
+                 UNNEST(range(1, len(tf))) AS u(i)
+        )
+    ),
+    nd AS MATERIALIZED (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM feats
+    ),
+    w0 AS MATERIALIZED (
+        SELECT DISTINCT bucket, CAST(0 AS DECIMAL(18,6)) AS w FROM feats
+    ),
+    b0 AS MATERIALIZED (SELECT CAST(0 AS DECIMAL(18,6)) AS b)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    s{r} AS MATERIALIZED (
+        SELECT f.doc_id, f.y,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               ROUND(CAST(MAX(b.b) AS DOUBLE)
+                     + CAST(SUM(w.w) AS DOUBLE) / COUNT(*), 6) AS score
+        FROM feats f
+        JOIN w{r - 1} w USING (bucket)
+        CROSS JOIN b{r - 1} b
+        GROUP BY f.doc_id, f.y
+    ),
+    d{r} AS MATERIALIZED (
+        SELECT doc_id, n_feats,
+               CAST(ROUND(1.0 / (1.0 + EXP(-score)), 6)
+                    AS DECIMAL(18,6)) - y AS r6
+        FROM s{r}
+    ),
+    g{r} AS MATERIALIZED (
+        SELECT f.bucket,
+               SUM(CAST(ROUND(CAST(d.r6 AS DOUBLE) / d.n_feats, 9)
+                        AS DECIMAL(18,9))) AS G9
+        FROM feats f JOIN d{r} d USING (doc_id)
+        GROUP BY f.bucket
+    ),
+    w{r} AS MATERIALIZED (
+        SELECT w.bucket,
+               CAST(ROUND(CAST(w.w AS DOUBLE)
+                          - {_CLF_LR} * CAST(COALESCE(g.G9, 0) AS DOUBLE)
+                            / (SELECT n FROM nd), 6)
+                    AS DECIMAL(18,6)) AS w
+        FROM w{r - 1} w LEFT JOIN g{r} g USING (bucket)
+    ),
+    b{r} AS MATERIALIZED (
+        SELECT CAST(ROUND(CAST((SELECT b FROM b{r - 1}) AS DOUBLE)
+                          - {_CLF_LR} * CAST((SELECT SUM(r6) FROM d{r})
+                                             AS DOUBLE)
+                            / (SELECT n FROM nd), 6)
+                    AS DECIMAL(18,6)) AS b
+    )""")
+    return "WITH " + ",".join(parts), rounds
+
+
+_CLF_LADDER, _CLF_R = _clf_oracle()
+
+
+@register(
+    "quality_classifier_train",
+    _CLF_LADDER
+    + f"""
+    SELECT bucket, CAST(w AS DOUBLE) AS weight FROM w{_CLF_R}
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS bucket, CAST(b AS DOUBLE) AS weight
+    FROM b{_CLF_R}
+    """,
+    doc=f"fastText-style quality classifier TRAINING (Joulin et al. "
+    "2016 — the linear reference-corpus filter of CCNet/GPT-3 data "
+    f"curation): {_CLF_ROUNDS} full-batch logistic-regression rounds "
+    f"over mean hashed unigram+bigram features ({_CLF_B} buckets, "
+    f"positive class lang='{_CLF_TARGET_LANG}'). Decimal weight sums, "
+    "ROUND(sigmoid, 6) per doc per round, per-occurrence gradients "
+    "rounded to 9dp decimals and summed exactly — the whole descent "
+    "trajectory is engine-exact, so the oracle replays it as an "
+    "unrolled MATERIALIZED-CTE ladder. Output: the final weight table "
+    "(bias as bucket -1). Scale: per round one feature scan + one "
+    "bucket aggregation; the weight table is constant-size and every "
+    "scoring join broadcasts it (the DSIR profile). Parity vs a "
+    "pure-Python trainer in tests/test_curation6.py.",
+)
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights, bias = train_quality_classifier(docs)
+    w = weights.select("bucket", F.col("w").cast("double").alias("weight"))
+    b = spark.createDataFrame(
+        [(-1, bias)], "bucket bigint, weight double"
+    )
+    return w.unionByName(b)
+
+
+@register(
+    "quality_classifier_scores",
+    _CLF_LADDER
+    + f"""
+    SELECT s.doc_id, s.y AS label, s.n_feats, s.score,
+           CASE WHEN s.score >= 0 THEN 1 ELSE 0 END AS predicted
+    FROM (
+        SELECT f.doc_id, f.y,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               ROUND(CAST(MAX(b.b) AS DOUBLE)
+                     + CAST(SUM(w.w) AS DOUBLE) / COUNT(*), 6) AS score
+        FROM feats f
+        JOIN w{_CLF_R} w USING (bucket)
+        CROSS JOIN b{_CLF_R} b
+        GROUP BY f.doc_id, f.y
+    ) s
+    """,
+    doc="Quality-classifier INFERENCE over the whole corpus: every "
+    "document scored under the trained weights (see "
+    "quality_classifier_train), with its label and the >= 0 keep "
+    "decision — the filter stage a curation pipeline applies after "
+    "training. Map-side after a constant-size weight-table broadcast; "
+    "no global sort, no collect beyond the bias scalar.",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights, bias = train_quality_classifier(docs)
+    feats = _clf_features(docs)
+    return _clf_scores(feats, weights, bias).select(
+        "doc_id",
+        F.col("y").alias("label"),
+        "n_feats",
+        "score",
+        F.when(F.col("score") >= 0, 1).otherwise(0).alias("predicted"),
+    )

@@ -298,3 +298,103 @@ def test_unigram_lm_random_vs_reference(spark, texts):
         ).items()
     }
     assert got == want
+
+
+# ---------------------------------------- quality classifier (fastText)
+
+
+def _clf_bruteforce(docs, rounds=3, B=256, lr=1.0, target="en"):
+    """Pure-Python full-batch logistic regression with the engine's
+    exact rounding discipline (6dp weights/sigmoid, 9dp per-occurrence
+    gradients, decimal sums)."""
+
+    def r6(x):
+        return _round6(x)
+
+    def r9(x):
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    feats = []  # (doc_id, y, bucket)
+    for d, lang, text in docs:
+        t = [w for w in text.split(" ") if w]
+        grams = t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+        y = 1 if lang == target else 0
+        feats += [
+            (d, y, int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B)
+            for g in grams
+        ]
+    n_docs = len({d for d, _, _ in feats})
+    w = {b: Decimal(0) for _, _, b in feats}
+    bias = 0.0
+    by_doc = {}
+    for d, y, b in feats:
+        by_doc.setdefault(d, (y, []))[1].append(b)
+    for _ in range(rounds):
+        grads = {b: Decimal(0) for b in w}
+        bias_grad = Decimal(0)
+        for d, (y, bs) in by_doc.items():
+            s = r6(bias + float(sum(w[b] for b in bs)) / len(bs))
+            p = Decimal(repr(r6(1.0 / (1.0 + math.exp(-s)))))
+            r = p - y
+            bias_grad += r
+            g = Decimal(repr(r9(float(r) / len(bs))))
+            for b in bs:
+                grads[b] += g
+        w = {
+            b: Decimal(repr(r6(float(w[b]) - lr * float(grads[b]) / n_docs)))
+            for b in w
+        }
+        bias = r6(bias - lr * float(bias_grad) / n_docs)
+    return {b: float(v) for b, v in w.items()}, bias
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_lang, st.lists(_words, min_size=1, max_size=8)),
+        min_size=2,
+        max_size=6,
+    )
+)
+@SET
+def test_quality_classifier_vs_bruteforce(spark, rows):
+    from stream_processing_spark.queries.curation6 import (
+        train_quality_classifier,
+    )
+
+    docs = [(i, lang, " ".join(ws)) for i, (lang, ws) in enumerate(rows)]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    weights, bias = train_quality_classifier(df, rounds=2)
+    got = {
+        r["bucket"]: float(r["w"]) for r in weights.collect()
+    }
+    want_w, want_b = _clf_bruteforce(docs, rounds=2)
+    assert got == want_w
+    assert abs(bias - want_b) < 1e-12, (bias, want_b)
+
+
+def test_quality_classifier_learns_separable_fixture(spark):
+    """On a linearly separable fixture (disjoint vocabularies per
+    class) three rounds must already classify every doc correctly."""
+    from stream_processing_spark.queries.curation6 import (
+        _clf_features,
+        _clf_scores,
+        train_quality_classifier,
+    )
+
+    docs = [(i, "en", "good clean prose text here") for i in range(8)] + [
+        (i + 8, "de", "spam junk noise garbage tokens") for i in range(8)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    weights, bias = train_quality_classifier(df, rounds=3)
+    scored = _clf_scores(_clf_features(df), weights, bias).collect()
+    assert len(scored) == 16
+    for r in scored:
+        assert (r["score"] >= 0) == (r["y"] == 1), (
+            r["doc_id"],
+            r["score"],
+            r["y"],
+        )
