@@ -166,24 +166,42 @@ def _cell_rank_sql(
     Column objects — expression construction is driver-side and
     constant-in-data, but at 256 codewords it was multiple seconds per
     query."""
-    entries = []
-    for cid, cvec in sorted(cents.items()):
-        lits = ", ".join(repr(float(w)) + "D" for w in cvec)
-        if metric == "l2":
-            s = (
-                f"{_dot_sql(vec_sql, cvec)} - 0.5D * "
-                f"{_dot_sql(f'array({lits})', cvec)}"
-            )
-        else:
-            s = (
-                f"{_dot_sql(vec_sql, cvec)} / "
-                f"(sqrt({_self_dot_sql(vec_sql)}) * "
-                f"sqrt({_dot_sql(f'array({lits})', cvec)}))"
-            )
-        entries.append(f"named_struct('s', {s}, 'nc', {-cid})")
-    if not entries:
+    if not cents:
         return None
-    return f"array({', '.join(entries)})"
+    # ONE transform over an array-of-centroid-structs literal, instead
+    # of an N-entry array of independent per-centroid subtrees. The
+    # arithmetic is IDENTICAL per cell (same zip_with/aggregate fold,
+    # same order), so results are bit-equal to the old form and to the
+    # oracles — but the generated code is a small data-driven loop, so
+    # codegen stays inside JIT limits at sqrt(N)-scaled cell counts
+    # (the unrolled form at 141 cells fell off JIT: semantic dedup
+    # measured 146 s vs 21 s at sf1).
+    cent_lits = ", ".join(
+        "named_struct('cv', array({}), 'nc', {})".format(
+            ", ".join(repr(float(w)) + "D" for w in cvec), -cid
+        )
+        for cid, cvec in sorted(cents.items())
+    )
+    dot_vc = (
+        f"aggregate(zip_with({vec_sql}, c.cv, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    dot_cc = (
+        "aggregate(zip_with(c.cv, c.cv, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0D, (acc, x) -> acc + x)"
+    )
+    if metric == "l2":
+        s = f"{dot_vc} - 0.5D * {dot_cc}"
+    else:
+        s = (
+            f"{dot_vc} / (sqrt({_self_dot_sql(vec_sql)}) * sqrt({dot_cc}))"
+        )
+    return (
+        f"transform(array({cent_lits}), "
+        f"c -> named_struct('s', {s}, 'nc', c.nc))"
+    )
 
 
 def _cell_rank_array(
@@ -303,8 +321,12 @@ def kmeans_centroids(
     )
     seeds = {i: list(r[1]) for i, r in enumerate(seed_rows)}
 
+    from stream_processing_spark.runtime import rebalance_for_expansion
+
     rank_arr = _cell_rank_array(vec_col, seeds, metric=metric)
-    assigned = embeddings.withColumn(
+    # the Lloyd-round assignment is O(n_cells·dim) per row — spread a
+    # small scan's rows across cores before the compute-heavy map
+    assigned = rebalance_for_expansion(embeddings).withColumn(
         "__cell", -F.array_max(rank_arr).getField("nc")
     )
     mean_rows = (

@@ -464,14 +464,24 @@ def ann_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_CELL_SQL = """
+def _ivf_cell_sql(ncells: str = "16") -> str:
+    """The deterministic-quantizer CTE ladder with a parametrizable
+    cell count. ``ncells`` is spliced as a SQL expression: the ANN/IVF
+    oracles keep the literal 16 (their probe semantics are tuned to a
+    fixed coarse quantizer); SemDeDup-family oracles pass a
+    sqrt(N)-scaled scalar subquery so cell SIZE stays bounded as the
+    corpus grows (the r8 sf1 sweep caught the fixed-16 quadratic)."""
+    return _IVF_CELL_TMPL.replace("{NCELLS}", ncells)
+
+
+_IVF_CELL_TMPL = """
     seeds AS (
         SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
                                   vec_id) - 1 AS cid,
                CAST(embedding AS DOUBLE[]) AS svec
         FROM embeddings
         QUALIFY ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                                   vec_id) <= 16
+                                   vec_id) <= {NCELLS}
     ),
     sseed AS (
         SELECT e.vec_id, s.cid,
@@ -517,6 +527,8 @@ _IVF_CELL_SQL = """
         FROM csims
     )
 """
+
+_IVF_CELL_SQL = _ivf_cell_sql()
 
 
 @register(

@@ -485,12 +485,39 @@ def _semantic_drop_ids(cells: DataFrame, blocks: int = 8) -> DataFrame:
     return pairs.select(F.greatest("id_a", "id_b").alias("vec_id")).distinct()
 
 
-def _cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, embedding, cluster) under the deterministic quantizer."""
-    from stream_processing_spark.functions import similarity as sim
+# SemDeDup cell-count rule (shared by both dialects): n_cells grows
+# as sqrt(N) so average CELL SIZE also grows as sqrt(N) — the pairwise
+# work per cell stays bounded and total pair work stays ~linear (the
+# r8 sf1 sweep measured 23.5×/decade under a fixed 16 cells; sqrt
+# scaling restores ~linear growth). Floor 16 keeps the certified
+# sf0.01 behavior bit-identical (sqrt(200)≈14 < 16); cap 1024 bounds
+# the inlined-centroid-literal expression and the driver's means
+# collect (past that, broadcast-join the centroid table instead).
+_SEMD_NCELLS_SQL = (
+    "(SELECT LEAST(1024, GREATEST(16, "
+    "CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))) FROM embeddings)"
+)
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = sim.kmeans_centroids(emb, n_cells=16)
+
+def _semd_n_cells(n: int) -> int:
+    import math
+
+    return min(1024, max(16, int(math.floor(math.sqrt(n)))))
+
+
+def _cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cluster) under the deterministic quantizer,
+    cell count scaled by the sqrt(N) rule above (one count() driver
+    scalar — the same class of trip as kmeans seed collection)."""
+    from stream_processing_spark.functions import similarity as sim
+    from stream_processing_spark.runtime import rebalance_for_expansion
+
+    # the assignment map is O(cells·dim) PER ROW — compute-bound, not
+    # IO-bound — so a small parquet's 1-2 native partitions would
+    # serialize it; spread rows across cores first (no-op when the
+    # scan already has >= defaultParallelism partitions)
+    emb = rebalance_for_expansion(load_table(spark, sf_dir, "embeddings"))
+    cents = sim.kmeans_centroids(emb, n_cells=_semd_n_cells(emb.count()))
     rank = sim._cell_rank_array("embedding", cents)
     return emb.select(
         "vec_id",
@@ -500,10 +527,10 @@ def _cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle() -> str:
-    from stream_processing_spark.queries.llmops import _COS_SQL, _IVF_CELL_SQL
+    from stream_processing_spark.queries.llmops import _COS_SQL, _ivf_cell_sql
 
     return f"""
-    WITH {_IVF_CELL_SQL},
+    WITH {_ivf_cell_sql(_SEMD_NCELLS_SQL)},
     cells AS (SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1),
     pairs AS (
         SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b
@@ -544,7 +571,12 @@ def _semantic_dedup_oracle() -> str:
     "carry ids only.",
 )
 def semantic_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cells = _cluster_cells(spark, sf_dir)
+    from stream_processing_spark.runtime import materialize
+
+    # materialized: the cells frame feeds BOTH pair-join sides and the
+    # stats scan — re-evaluating the sqrt(N)-cell assignment (an
+    # O(N·cells·dim) map pass) three times dominated the sf1 wall
+    cells = materialize(_cluster_cells(spark, sf_dir), eager=False)
     drops = _semantic_drop_ids(cells).withColumn("__d", F.lit(1))
     return (
         cells.select("vec_id", "cluster")
@@ -563,10 +595,10 @@ _EMB_SERVE_CAP = 100
 
 
 def _embedding_pipeline_oracle() -> str:
-    from stream_processing_spark.queries.llmops import _COS_SQL, _IVF_CELL_SQL
+    from stream_processing_spark.queries.llmops import _COS_SQL, _ivf_cell_sql
 
     return f"""
-    WITH {_IVF_CELL_SQL},
+    WITH {_ivf_cell_sql(_SEMD_NCELLS_SQL)},
     cells AS (SELECT vec_id, cid AS cluster FROM ranked WHERE rn = 1),
     v1 AS (SELECT e.vec_id, c.cluster,
                   sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
@@ -621,9 +653,15 @@ def embedding_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from stream_processing_spark.functions import similarity as sim
+    from stream_processing_spark.runtime import materialize
 
-    v1 = _cluster_cells(spark, sf_dir).withColumn(
-        "nrm", sim.norm(F.col("embedding"))
+    # materialized for the same reason as semantic_dedup_stats: v1/v2
+    # feed every later stage, and the assignment pass must run once
+    v1 = materialize(
+        _cluster_cells(spark, sf_dir).withColumn(
+            "nrm", sim.norm(F.col("embedding"))
+        ),
+        eager=False,
     )
     v2 = v1.filter(F.col("nrm") > 0)
     # shared SemDeDup drop set (same tau, quantizer, and block-
