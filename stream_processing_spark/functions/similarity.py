@@ -447,6 +447,8 @@ def lsh_banded_pairs(
          and filter on exact cosine. Vectors are shipped O(candidates),
          not O(bucket²).
     """
+    from stream_processing_spark.runtime import rebalance_for_expansion
+
     planes = _hyperplanes(dim, bands * rows_per_band, seed)
     band_structs = [
         F.struct(
@@ -457,7 +459,9 @@ def lsh_banded_pairs(
         )
         for b in range(bands)
     ]
-    buckets = embeddings.select(
+    # the signature pass is bands×rows hyperplane dots per row —
+    # compute-bound; spread a small scan's rows across cores first
+    buckets = rebalance_for_expansion(embeddings).select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
     if max_bucket is not None:

@@ -365,7 +365,11 @@ _XS_SPAN_TERMS = " || ' ' || ".join(f"t[i+{j}]" for j in range(_XS_SPAN_W))
     "broadcast joined back for the coefficient.",
 )
 def cross_source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from stream_processing_spark.runtime import rebalance_for_expansion
+
+    # span fingerprinting is a compute-heavy map (md5 per token
+    # window); spread a small scan's rows across cores first
+    docs = rebalance_for_expansion(load_table(spark, sf_dir, "documents"))
     spans = (
         docs.select("source", F.split(F.col("text"), " ").alias("t"))
         .where(F.size("t") >= _XS_SPAN_W)
