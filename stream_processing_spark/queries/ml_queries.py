@@ -911,3 +911,131 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.desc("confidence"), "ante", "cons")
         .limit(_AR_TOP)
     )
+
+
+# --------------------------------------------- power-iteration PC1
+
+_PI_ROUNDS = 3
+_PI_DIM = 64
+
+
+def _power_iter_oracle(rounds: int = _PI_ROUNDS, dim: int = _PI_DIM) -> str:
+    """Unrolled power-iteration ladder over exact decimal dot products
+    (every double product rounded to 9dp and decimal-summed, so the
+    parallel reductions are order-independent in both engines)."""
+    parts = [
+        f"""
+    x AS MATERIALIZED (
+        SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, UNNEST(range(1, {dim + 1})) AS u(i)
+    ),
+    v0 AS MATERIALIZED (
+        SELECT i AS pos, CAST(0.125 AS DOUBLE) AS v
+        FROM UNNEST(range(0, {dim})) AS t(i)
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    s{r} AS MATERIALIZED (
+        SELECT x.vec_id,
+               ROUND(CAST(SUM(CAST(ROUND(x.val * v.v, 9)
+                                   AS DECIMAL(28,9))) AS DOUBLE), 6) AS s
+        FROM x JOIN v{r - 1} v USING (pos) GROUP BY x.vec_id
+    ),
+    n{r} AS MATERIALIZED (
+        SELECT x.pos,
+               CAST(SUM(CAST(ROUND(s.s * x.val, 9) AS DECIMAL(28,9)))
+                    AS DOUBLE) AS num
+        FROM x JOIN s{r} s USING (vec_id) GROUP BY x.pos
+    ),
+    v{r} AS MATERIALIZED (
+        SELECT pos,
+               ROUND(num / (SELECT SQRT(CAST(SUM(CAST(ROUND(num * num, 9)
+                                                      AS DECIMAL(28,9)))
+                                             AS DOUBLE)) FROM n{r}), 6) AS v
+        FROM n{r}
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT pos, v AS loading FROM v{rounds}"""
+    )
+
+
+@register(
+    "embedding_power_iteration_pc1",
+    _power_iter_oracle(),
+    doc=f"Top principal direction of the embedding matrix via "
+    f"{_PI_ROUNDS} POWER-ITERATION rounds — the covariance-free PCA "
+    "step a feature-analysis / whitening pipeline runs at scale: "
+    "v' = normalize(X^T (X v)), never materializing the d x d Gram "
+    "matrix. Each round is two linear passes (per-vector score "
+    "s_i = x_i . v, then per-dimension accumulation sum_i s_i x_ij) "
+    "with the direction vector living as a d-row frame, BROADCAST to "
+    "the scorers — no driver collect anywhere, so the loop shape is "
+    "exactly what a 1000-executor run needs. Determinism: every "
+    "double product is rounded to 9dp and DECIMAL-summed (parallel "
+    "reduction order-independent), scores and loadings re-rounded "
+    "6dp per round, deterministic all-0.125 init; the oracle replays "
+    "the iterations as an unrolled MATERIALIZED-CTE ladder. Sign and "
+    "convergence are therefore bit-reproducible in any engine.",
+)
+def embedding_power_iteration_pc1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.runtime import (
+        materialize,
+        rebalance_for_expansion,
+    )
+
+    emb = rebalance_for_expansion(load_table(spark, sf_dir, "embeddings"))
+    x = materialize(
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "val")
+        ).select(
+            "vec_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("val").cast("double").alias("val"),
+        ),
+        eager=False,
+    )
+    v = spark.range(_PI_DIM).select(
+        F.col("id").alias("pos"), F.lit(0.125).alias("v")
+    )
+    d9 = "decimal(28,9)"
+    for _ in range(_PI_ROUNDS):
+        s = (
+            x.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("val") * F.col("v"), 9).cast(d9)
+                    ).cast("double"),
+                    6,
+                ).alias("s")
+            )
+        )
+        n = (
+            x.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum(F.round(F.col("s") * F.col("val"), 9).cast(d9))
+                .cast("double")
+                .alias("num")
+            )
+        )
+        nrm = n.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("num") * F.col("num"), 9).cast(d9))
+                .cast("double")
+            ).alias("nrm")
+        )
+        v = materialize(
+            n.crossJoin(F.broadcast(nrm)).select(
+                "pos", F.round(F.col("num") / F.col("nrm"), 6).alias("v")
+            ),
+            eager=False,
+        )
+    return v.select("pos", F.col("v").alias("loading"))

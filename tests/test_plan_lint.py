@@ -53,6 +53,7 @@ CROSS_OK = {
     "mixture_dsir_weights",       # 1-row (raw_total, target_total) broadcast
     "mixture_dsir_resample",      # same 1-row totals broadcast, inherited
     "unigram_lm_train",           # 1-row normalizer-total broadcast per EM round
+    "embedding_power_iteration_pc1",  # 1-row norm scalar broadcast per iteration
 }
 
 _SKIP = tuple(
