@@ -1168,3 +1168,49 @@ def streaming_stream_stream_full_join(
         extra_confs={"spark.sql.streaming.multipleWatermarkPolicy": "max"},
     )
     return spark.table(name)
+
+
+@register(
+    "streaming_state_inspection",
+    """
+    SELECT CAST(event_type AS VARCHAR) AS key,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    doc="STATE-STORE INSPECTION (streaming/stateview.py, the Spark 4 "
+    "'statestore' data source): run the streaming count to completion "
+    "against a persistent checkpoint, then read the checkpoint's keyed "
+    "state back as a TABLE — no replay, no query downtime — and verify "
+    "it equals the batch aggregate. This is the 100 TB ops surface for "
+    "stateful pipelines (audit a dedup set after replay, find the "
+    "skewed key whose state blew up) and the engine-side twin of the "
+    "reference's recover_log state rebuild "
+    "(src/Streaming/worker.py:327-368), which must REPLAY the "
+    "processed log line by line to see the same dict. Fully oracled: "
+    "drained state == the batch GROUP BY.",
+)
+def streaming_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.stateview import read_state
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ck = tempfile.mkdtemp(prefix="stateinspect_ck_")
+    name = f"stream_q_{uuid.uuid4().hex[:12]}"
+    writer = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+    )
+    _run_drained(writer, spark)
+    st = read_state(spark, ck)
+    # the streaming-agg state value stores the internal aggregation
+    # buffer; count(1) buffers surface as field `count`
+    return st.select(
+        F.col("key").getField("event_type").alias("key"),
+        F.col("value").getField("count").cast("bigint").alias("cnt"),
+    )
