@@ -87,8 +87,16 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchases"),
         )
         .withColumn(
+            # NULL-keyed events form a group under groupBy (stage 1
+            # counts it, like the oracle's GROUP BY), but the later
+            # stages' equi-joins can never match a NULL user — guard
+            # t2 so the NULL group exits the funnel after stage 1
+            # (t3 inherits the null through its t2 dependency)
             "t2",
-            F.array_min(F.filter("clicks", lambda x: x > F.col("t1"))),
+            F.when(
+                F.col("user_id").isNotNull(),
+                F.array_min(F.filter("clicks", lambda x: x > F.col("t1"))),
+            ),
         )
         .withColumn(
             "t3",
