@@ -782,3 +782,133 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.when(F.col("score") >= 0, 1).otherwise(0).alias("predicted"),
     )
+
+
+# --------------------------------------------------------------------
+# CUSUM changepoint detection (Page 1954)
+
+_CUSUM_K6 = "0.5"   # slack (in std units), 6dp literal
+_CUSUM_H6 = "4.0"   # decision threshold (in std units)
+
+
+@register(
+    "changepoint_cusum_daily_events",
+    f"""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mu,
+               SQRT(
+                   (CAST(SUM(CAST(n * n AS BIGINT)) AS DOUBLE)
+                    - CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE)
+                      / COUNT(*)) / COUNT(*)
+               ) AS sigma
+        FROM daily
+    ),
+    z AS (
+        SELECT day, n,
+               CAST(ROUND((n - mu) / sigma, 6) AS DECIMAL(18,6)) AS z6
+        FROM daily, stats
+    ),
+    p AS (
+        SELECT day, n, CAST(z6 AS DOUBLE) AS z,
+               SUM(z6 - CAST({_CUSUM_K6} AS DECIMAL(18,6)))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS ph,
+               SUM(z6 + CAST({_CUSUM_K6} AS DECIMAL(18,6)))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pl
+        FROM z
+    ),
+    walk AS (
+        SELECT day, n, z,
+               GREATEST(CAST(0 AS DECIMAL(28,6)),
+                   ph - MIN(ph) OVER (ORDER BY day
+                                      ROWS UNBOUNDED PRECEDING)) AS s_hi,
+               GREATEST(CAST(0 AS DECIMAL(28,6)),
+                   MAX(pl) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) - pl) AS s_lo
+        FROM p
+    )
+    SELECT day, n, z,
+           CAST(s_hi AS DOUBLE) AS s_hi,
+           CAST(s_lo AS DOUBLE) AS s_lo,
+           CASE WHEN s_hi > {_CUSUM_H6} OR s_lo > {_CUSUM_H6}
+                THEN 1 ELSE 0 END AS alarm
+    FROM walk
+    """,
+    doc="CUSUM changepoint detection (Page 1954) over the daily event "
+    "count series — the classic drift monitor a data pipeline runs on "
+    "its ingest volume. The textbook recursion "
+    "S_t = max(0, S_(t-1) + z_t - k) is not directly windowable, but "
+    "with all-decimal increments it EQUALS the prefix-sum identity "
+    "S_t = P_t - min_(j<=t) P_j over P_t = sum(z - k) — exact because "
+    "decimal addition is associative, so the running-min spelling is "
+    "bit-identical to the recursion and both engines can compute it "
+    "with two stacked window functions (no recursion, no UDF). "
+    "Two-sided: s_hi catches upward drift, s_lo downward; alarm when "
+    "either exceeds h = 4 std. z-scores are 6dp-rounded decimals "
+    "(mu/sigma from exact integer moments). Scale: the heavy work is "
+    "the daily count; the walk runs over DAYS — constant-size at any "
+    "corpus (same argument as mixture_temperature_weights' window).",
+)
+def changepoint_cusum_daily_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    stats = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.sqrt(
+            (
+                F.sum((F.col("n") * F.col("n")).cast("bigint")).cast(
+                    "double"
+                )
+                - F.sum("n").cast("double")
+                * F.sum("n").cast("double")
+                / F.count(F.lit(1))
+            )
+            / F.count(F.lit(1))
+        ).alias("sigma"),
+    )
+    k6 = F.lit(float(_CUSUM_K6)).cast("decimal(18,6)")
+    z = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 6)
+        .cast("decimal(18,6)")
+        .alias("z6"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    zero = F.lit(0).cast("decimal(28,6)")
+    prefixes = z.select(
+        "day",
+        "n",
+        F.col("z6").cast("double").alias("z"),
+        F.sum(F.col("z6") - k6).over(w).alias("ph"),
+        F.sum(F.col("z6") + k6).over(w).alias("pl"),
+    )
+    walk = prefixes.select(
+        "day",
+        "n",
+        "z",
+        F.greatest(zero, F.col("ph") - F.min("ph").over(w)).alias("s_hi"),
+        F.greatest(zero, F.max("pl").over(w) - F.col("pl")).alias("s_lo"),
+    )
+    h = float(_CUSUM_H6)
+    return walk.select(
+        "day",
+        "n",
+        "z",
+        F.col("s_hi").cast("double").alias("s_hi"),
+        F.col("s_lo").cast("double").alias("s_lo"),
+        F.when(
+            (F.col("s_hi") > h) | (F.col("s_lo") > h), 1
+        )
+        .otherwise(0)
+        .alias("alarm"),
+    )

@@ -398,3 +398,77 @@ def test_quality_classifier_learns_separable_fixture(spark):
             r["score"],
             r["y"],
         )
+
+
+# --------------------------------------------------- CUSUM changepoint
+
+
+def test_cusum_alarm_fires_on_planted_level_shift(spark):
+    """The two-sided CUSUM must stay quiet on a flat series and alarm
+    after a sustained level shift (and the prefix-sum spelling must
+    equal the textbook recursion computed in exact integers)."""
+    import datetime
+
+    from stream_processing_spark.queries.curation6 import (
+        changepoint_cusum_daily_events,
+    )
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for d in range(30):
+        n = 100 if d < 20 else 160  # +60 shift from day 20
+        for i in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(days=d, seconds=i), 1,
+                 "view", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cusum_fx_")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = {
+        r["day"].isoformat(): (r["s_hi"], r["alarm"])
+        for r in changepoint_cusum_daily_events(spark, d).collect()
+    }
+    assert len(out) == 30
+    pre = [v for k, v in sorted(out.items())[:20]]
+    post = [v for k, v in sorted(out.items())[22:]]
+    assert all(a == 0 for _, a in pre), pre
+    assert any(a == 1 for _, a in post), post
+
+    # recursion parity: S_t = max(0, S_{t-1} + z_t - k) over the same
+    # 6dp z-scores (scaled-integer arithmetic) == the prefix-sum form
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    daily = [100] * 20 + [160] * 10
+    n = len(daily)
+    mu = sum(daily) / n
+    sigma = math.sqrt((sum(x * x for x in daily) -
+                       sum(daily) * sum(daily) / n) / n)
+    k = 500000  # 0.5 scaled 1e6
+    s = 0
+    want_alarms = []
+    for x in daily:
+        z = int(
+            Decimal(repr(float(
+                Decimal(repr((x - mu) / sigma)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            ))) * 1_000_000
+        )
+        s = max(0, s + z - k)
+        want_alarms.append(1 if s > 4_000_000 else 0)
+    got_alarms = [a for _, (h, a) in sorted(out.items())]
+    # the fixture only drifts UP, so the two-sided alarm equals s_hi's
+    assert got_alarms == want_alarms

@@ -54,6 +54,7 @@ CROSS_OK = {
     "mixture_dsir_resample",      # same 1-row totals broadcast, inherited
     "unigram_lm_train",           # 1-row normalizer-total broadcast per EM round
     "embedding_power_iteration_pc1",  # 1-row norm scalar broadcast per iteration
+    "changepoint_cusum_daily_events",  # 1-row (mu, sigma) stats broadcast
 }
 
 _SKIP = tuple(
