@@ -190,7 +190,7 @@ def main() -> None:
         for sf in SFS:
             results[name][sf] = round(fn(spark, sf), 3)
 
-    print("# SCALING — wall time across three data decades (local[32])")
+    print("# SCALING — wall time across four data decades (local[32])")
     print()
     print("Regenerate: `python tools/scaling_sweep.py > SCALING.md`.")
     print("Best-of-2 per cell (steady-state). `×/dec` columns show the")
