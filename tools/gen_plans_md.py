@@ -223,8 +223,48 @@ AUDITED = {
         "the facts: standardization itself is shuffle-free."
     ),
     "funnel_view_click_purchase": (
-        "All three stage joins and aggs hash-partition on user_id; "
-        "joins carry one row per qualifying user, never raw events."
+        "ONE events scan and ONE user_id shuffle (r8 rewrite): per-user "
+        "collect_list aggregation, map-side array_min(filter(...)) "
+        "stage derivation, a 1-row count aggregate unpivoted into the "
+        "three stage rows — no joins, no window, no shared-subtree "
+        "re-evaluation."
+    ),
+    "dedup_exact_substring_spans": (
+        "Exact-substring spans (Lee et al.): window volume is LINEAR "
+        "in corpus tokens, the hot set is an fp-keyed aggregation "
+        "(never a pair join), the count join-back keys on fp, and the "
+        "gaps-and-islands merge is a per-doc window sort bounded by "
+        "document length."
+    ),
+    "mixture_dsir_resample": (
+        "DSIR keep: map-side hashed features, one bucket-keyed "
+        "aggregation, the CONSTANT-size (1024-bucket) weight table "
+        "broadcast back, the keep decision a map-side decimal-sum "
+        "threshold — no global sort, no collect."
+    ),
+    "unigram_lm_train": (
+        "Viterbi-EM: the corpus-sized work is ONE word-frequency "
+        "aggregation; every EM round joins/aggregates the vocab-sized "
+        "distinct-word table, with the lattice DP in an Arrow-batched "
+        "pandas UDF over integer-scaled log-probs (ArrowEvalPython in "
+        "the plan, never BatchEvalPython)."
+    ),
+    "quality_classifier_scores": (
+        "fastText-style inference: ONE feature scan, one per-doc "
+        "aggregation, the constant-size weight table broadcast — the "
+        "scoring join is BroadcastHashJoin and the keep decision is "
+        "map-side."
+    ),
+    "embedding_power_iteration_pc1": (
+        "Power iteration: each round is two linear passes (per-vector "
+        "score, per-dimension accumulation) with the direction vector "
+        "as a broadcast d-row frame; the only single-row exchange is "
+        "the norm scalar. No Gram matrix, no driver collect."
+    ),
+    "changepoint_cusum_daily_events": (
+        "CUSUM: the heavy work is the daily count aggregation; the "
+        "prefix-sum walk runs over DAYS (constant-size at any corpus) "
+        "in two staged window passes over decimals."
     ),
     "pii_redact_stats": (
         "Regex scrub is pure map-side codegen (Project over the scan, "
