@@ -124,6 +124,11 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_substring_spans(docs: DataFrame, k: int = _ESS_K) -> DataFrame:
     """Core operator over any (doc_id, text) frame — see the registry
     doc above. Separated so tests can drive planted-repeat fixtures."""
+    from stream_processing_spark.runtime import rebalance_for_expansion
+
+    # the window-fingerprint map is an md5 per token — compute-bound;
+    # spread a small scan's rows across cores first
+    docs = rebalance_for_expansion(docs)
     wins_arr = F.expr(
         f"transform(sequence(1, size(t) - {k - 1}), "
         f"i -> struct(i AS s, i + {k - 1} AS e, "
@@ -273,6 +278,10 @@ def dsir_bucket_weights(docs: DataFrame) -> DataFrame:
 
 
 def _dsir_features(docs: DataFrame) -> DataFrame:
+    from stream_processing_spark.runtime import rebalance_for_expansion
+
+    # hashed-feature generation is an md5 per gram — compute-bound
+    docs = rebalance_for_expansion(docs)
     tf = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select("doc_id", "lang", tf.alias("tf"))
     uni = base.select("doc_id", "lang", F.explode("tf").alias("g"))
@@ -517,6 +526,9 @@ def _clf_features(docs: DataFrame) -> DataFrame:
     """(doc_id, y, bucket): one row per hashed unigram/bigram
     OCCURRENCE, labeled positive when the doc is reference-corpus-like
     (lang = target). Same md5-prefix integer hashing as DSIR."""
+    from stream_processing_spark.runtime import rebalance_for_expansion
+
+    docs = rebalance_for_expansion(docs)
     tf = F.filter(F.split("text", " "), lambda x: x != "")
     y = F.when(F.col("lang") == _CLF_TARGET_LANG, 1).otherwise(0)
     base = docs.select("doc_id", y.alias("y"), tf.alias("tf"))
