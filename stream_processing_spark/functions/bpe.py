@@ -106,3 +106,65 @@ def bpe_train(
             "freq",
         )
     return merges
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    n_merges: int = 5,
+    text_col: str = "text",
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+) -> list[tuple[int, str, str, int, float]]:
+    """WordPiece merge training (Schuster & Nakajima 2012; the BERT
+    tokenizer): identical machinery to ``bpe_train`` except the merge
+    criterion — instead of the most FREQUENT adjacent pair, pick the
+    pair maximizing the likelihood ratio
+
+        score(a, b) = count(ab) / (count(a) * count(b))
+
+    i.e. the pair whose merge most increases a unigram LM's corpus
+    likelihood. Symbol counts come from the same word-frequency table
+    (one extra vocab-sized aggregation per step); the score is a
+    single IEEE division of exact integers, so the argmax and its
+    total tie-break (score DESC, a ASC, b ASC) are engine-exact and
+    the DuckDB oracle replays the ladder. Returns
+    [(step, left, right, pair_count, score), ...].
+
+    Simplification vs production WordPiece: no '##' continuation
+    markers (the reference corpus is space-tokenized, so surface
+    forms never collide); greedy-longest-match encoding is what
+    ``merge_pair_expr`` already implements."""
+    cur = word_frequencies(docs, text_col)
+    merges: list[tuple[int, str, str, int, float]] = []
+    for step in range(1, n_merges + 1):
+        cur = materialize(
+            cur, eager=False, reliable=reliable, checkpoint_dir=checkpoint_dir
+        )
+        pairs = _adjacent_pairs(cur)
+        syms = (
+            cur.select(F.explode(F.split("repr", " ")).alias("s"), "freq")
+            .groupBy("s")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+        )
+        sa = syms.select(F.col("s").alias("a"), F.col("n").alias("na"))
+        sb = syms.select(F.col("s").alias("b"), F.col("n").alias("nb"))
+        score = F.col("c").cast("double") / (
+            F.col("na").cast("double") * F.col("nb").cast("double")
+        )
+        top = (
+            pairs.join(sa, "a")
+            .join(sb, "b")
+            .select("a", "b", "c", score.alias("score"))
+            .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+            .head()
+        )
+        if top is None:
+            break
+        merges.append(
+            (step, top["a"], top["b"], int(top["c"]), float(top["score"]))
+        )
+        cur = cur.select(
+            merge_pair_expr(F.col("repr"), top["a"], top["b"]).alias("repr"),
+            "freq",
+        )
+    return merges

@@ -127,8 +127,9 @@ def _bpe_oracle(n: int) -> str:
     engine uses (left-to-right non-overlapping merge)."""
     parts = [
         """
-    tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-    r0 AS (
+    tok AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+    r0 AS MATERIALIZED (
         SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr,
                COUNT(*) AS freq
         FROM tok WHERE w <> '' GROUP BY 1
@@ -136,7 +137,7 @@ def _bpe_oracle(n: int) -> str:
     ]
     for k in range(1, n + 1):
         parts.append(f"""
-    p{k} AS (
+    p{k} AS MATERIALIZED (
         SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS c
         FROM (SELECT string_split(repr, ' ') AS l, freq FROM r{k - 1}) t,
              UNNEST(range(1, len(l))) AS u(i)
@@ -771,3 +772,85 @@ def ivm_join_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation),
         merged["c_nationkey"] == nation["n_nationkey"],
     ).select("n_name", "revenue", "n_orders")
+
+
+def _wordpiece_oracle(n: int) -> str:
+    """Unrolled WordPiece ladder — the BPE CTE ladder with the
+    likelihood-ratio argmax (score = c_ab / (c_a * c_b), exact-integer
+    inputs, one IEEE division, total tie-break)."""
+    parts = [
+        """
+    tok AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+    r0 AS MATERIALIZED (
+        SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS repr,
+               COUNT(*) AS freq
+        FROM tok WHERE w <> '' GROUP BY 1
+    )"""
+    ]
+    for k in range(1, n + 1):
+        parts.append(f"""
+    p{k} AS MATERIALIZED (
+        SELECT l[i] AS a, l[i + 1] AS b, CAST(SUM(freq) AS BIGINT) AS c
+        FROM (SELECT string_split(repr, ' ') AS l, freq FROM r{k - 1}) t,
+             UNNEST(range(1, len(l))) AS u(i)
+        GROUP BY 1, 2
+    ),
+    u{k} AS MATERIALIZED (
+        SELECT s, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(repr, ' ')) AS s, freq
+              FROM r{k - 1}) t
+        GROUP BY s
+    ),
+    m{k} AS MATERIALIZED (
+        SELECT p.a, p.b, p.c,
+               CAST(p.c AS DOUBLE) /
+               (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS score
+        FROM p{k} p
+        JOIN u{k} ua ON ua.s = p.a
+        JOIN u{k} ub ON ub.s = p.b
+        ORDER BY score DESC, p.a ASC, p.b ASC LIMIT 1
+    ),
+    r{k} AS MATERIALIZED (
+        SELECT trim(replace(replace(
+                   ' ' || replace(repr, ' ', '  ') || ' ',
+                   (SELECT ' ' || a || '  ' || b || ' ' FROM m{k}),
+                   (SELECT ' ' || a || b || ' ' FROM m{k})),
+               '  ', ' ')) AS repr, freq
+        FROM r{k - 1}
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS step, a AS left_sym, b AS right_sym, "
+        f"c AS pair_count, ROUND(score, 9) AS score FROM m{k}"
+        for k in range(1, n + 1)
+    )
+    return "WITH " + ",".join(parts) + f" {finals} ORDER BY step"
+
+
+@register(
+    "wordpiece_train_merges",
+    _wordpiece_oracle(_BPE_MERGES),
+    doc=f"WordPiece tokenizer training (Schuster & Nakajima 2012 — the "
+    f"BERT tokenizer), first {_BPE_MERGES} merges: the same "
+    "word-frequency ladder as bpe_train_merges but the merge argmax is "
+    "the LIKELIHOOD RATIO count(ab)/(count(a)·count(b)) — the pair "
+    "whose merge most increases a unigram LM's corpus likelihood — "
+    "instead of the raw pair count. Completes the public tokenizer-"
+    "training trio beside BPE (greedy frequency) and unigram-LM "
+    "(Viterbi-EM pruning). Per step: one pair-count aggregation + one "
+    "vocab-sized symbol-count aggregation + a 1-row argmax driver trip "
+    "with a total tie-break; the score is one IEEE division of exact "
+    "integers, so the trajectory is engine-exact and the oracle "
+    "replays it as an unrolled CTE ladder. Parity vs a pure-Python "
+    "trainer in tests/test_bpe.py.",
+)
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.wordpiece_train(docs, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(s, a, b, c, round(sc, 9)) for s, a, b, c, sc in merges],
+        "step int, left_sym string, right_sym string, pair_count bigint, "
+        "score double",
+    )

@@ -81,3 +81,76 @@ def test_merge_expr_overlap_semantics(spark):
             .head()["m"]
         )
         assert got == want, (r, a, b, got, want)
+
+
+def _py_wordpiece(word_freq: dict[str, int], n_merges: int):
+    """Canonical WordPiece: same scan-merge, argmax by likelihood
+    ratio c_ab / (c_a * c_b) with (score desc, a, b) tie-break."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        syms_count: Counter = Counter()
+        for syms, f in vocab.items():
+            for s in syms:
+                syms_count[s] += f
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), c = min(
+            pairs.items(),
+            key=lambda kv: (
+                -(kv[1] / (syms_count[kv[0][0]] * syms_count[kv[0][1]])),
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        score = c / (syms_count[a] * syms_count[b])
+        merges.append((step, a, b, c, round(score, 9)))
+        new_vocab: dict[tuple, int] = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_wordpiece_matches_python_reference(spark):
+    docs = load_table(spark, SF, "documents")
+    words = [
+        w
+        for r in docs.select(F.split("text", " ").alias("t")).collect()
+        for w in r["t"]
+        if w
+    ]
+    wf = dict(Counter(words))
+    want = _py_wordpiece(wf, 6)
+    got = [
+        (s, a, b, c, round(sc, 9))
+        for s, a, b, c, sc in bpe.wordpiece_train(docs, n_merges=6)
+    ]
+    assert got == want
+
+
+def test_wordpiece_diverges_from_bpe_on_frequency_vs_likelihood(spark):
+    """A pair can be the most FREQUENT without being the most
+    LIKELIHOOD-lifting (its symbols are themselves frequent) — the two
+    criteria must pick different first merges on this fixture."""
+    rows = (
+        [("aa bb",)] * 10          # 'a a' / 'b b' pairs: frequent symbols
+        + [("qz",)] * 3            # q,z occur ONLY together: max lift
+    )
+    docs = spark.createDataFrame(rows, "text string")
+    first_bpe = bpe.bpe_train(docs, n_merges=1)[0]
+    first_wp = bpe.wordpiece_train(docs, n_merges=1)[0]
+    assert (first_bpe[1], first_bpe[2]) == ("a", "a")
+    assert (first_wp[1], first_wp[2]) == ("q", "z")
