@@ -1664,3 +1664,152 @@ def arrow_native_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         stats, "doc_id bigint, n_chars bigint, n_spaces bigint"
     )
+
+
+# ------------------------------------------------- MMR re-ranking
+
+_MMR_DEPTH = 20   # candidate pool from first-stage retrieval
+_MMR_K = 5        # final diversity-selected size
+_MMR_L = "0.7"    # lambda (relevance weight), DECIMAL literal
+
+
+def _mmr_oracle(k: int = _MMR_K, depth: int = _MMR_DEPTH) -> str:
+    """Unrolled greedy-MMR ladder over exact DECIMAL scores: one CTE
+    per selection step (argmax of lambda*rel - (1-lambda)*max-sim-to-
+    selected, ties to the smaller id)."""
+    lam, oml = _MMR_L, "0.3"
+    parts = [
+        f"""
+    q AS MATERIALIZED (SELECT embedding AS qe FROM embeddings
+                       WHERE vec_id = 0),
+    cand AS MATERIALIZED (
+        SELECT e.vec_id,
+               CAST(ROUND({_COS_SQL.format(a="e.embedding", b="q.qe")}, 6)
+                    AS DECIMAL(18,6)) AS rel
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY rel DESC, e.vec_id LIMIT {depth}
+    ),
+    csim AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(ROUND({_COS_SQL.format(a="ea.embedding",
+                                           b="eb.embedding")}, 6)
+                    AS DECIMAL(18,6)) AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT 1 AS rank, vec_id, rel,
+               CAST({lam} AS DECIMAL(2,1)) * rel AS mmr
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    acc1 AS MATERIALIZED (SELECT rank, vec_id, rel, mmr FROM sel1)"""
+    ]
+    for t in range(2, k + 1):
+        parts.append(f"""
+    sel{t} AS MATERIALIZED (
+        SELECT {t} AS rank, c.vec_id, c.rel,
+               CAST({lam} AS DECIMAL(2,1)) * c.rel
+               - CAST({oml} AS DECIMAL(2,1)) * MAX(cs.s) AS mmr
+        FROM cand c
+        JOIN csim cs ON cs.id_a = c.vec_id
+        JOIN acc{t - 1} a ON a.vec_id = cs.id_b
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{t - 1})
+        GROUP BY c.vec_id, c.rel
+        ORDER BY mmr DESC, c.vec_id LIMIT 1
+    ),
+    acc{t} AS MATERIALIZED (
+        SELECT * FROM acc{t - 1} UNION ALL SELECT * FROM sel{t}
+    )""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT rank, vec_id, CAST(rel AS DOUBLE) AS rel,
+           CAST(mmr AS DOUBLE) AS mmr_score
+    FROM acc{k}"""
+    )
+
+
+@register(
+    "retrieval_mmr_rerank_topk",
+    _mmr_oracle(),
+    doc=f"Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    f"1998): first-stage retrieval takes the top-{_MMR_DEPTH} by query "
+    f"cosine, then {_MMR_K} results are selected GREEDILY by "
+    f"mmr = {_MMR_L}·rel − 0.3·max-sim-to-already-selected — the "
+    "diversity re-rank every RAG/search stack runs between retrieval "
+    "and the context window. Scale shape: the corpus-sized work is the "
+    "ONE first-stage top-k scan (TakeOrderedAndProject); everything "
+    "after operates on the DEPTH-bounded candidate set (candidate-"
+    "candidate sims are depth² engine-side rows, each greedy step is "
+    "one 1-row argmax driver trip — the BPE-argmax pattern, bounded by "
+    "k, never by data). All scores are 6dp-DECIMAL cosines with exact "
+    "decimal lambda arithmetic, so selection order and ties are "
+    "engine-exact; the oracle replays the greedy loop as an unrolled "
+    "MATERIALIZED-CTE ladder.",
+)
+def retrieval_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    rel6 = F.round(sim.cosine(F.col("embedding"), F.col("qe")), 6).cast(
+        "decimal(18,6)"
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", rel6.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_DEPTH)
+    )
+    from stream_processing_spark.runtime import materialize
+
+    cand = materialize(cand, eager=False)
+    a = cand.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    csim = materialize(
+        a.join(b, F.col("id_a") != F.col("id_b")).select(
+            "id_a",
+            "id_b",
+            F.round(sim.cosine(F.col("ea"), F.col("eb")), 6)
+            .cast("decimal(18,6)")
+            .alias("s"),
+        ),
+        eager=False,
+    )
+    lam = F.lit(0.7).cast("decimal(2,1)")
+    oml = F.lit(0.3).cast("decimal(2,1)")
+    first = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select("vec_id", "rel", (lam * F.col("rel")).alias("mmr"))
+        .head()
+    )
+    selected = [(1, first["vec_id"], first["rel"], first["mmr"])]
+    for t in range(2, _MMR_K + 1):
+        chosen_ids = [s[1] for s in selected]
+        nxt = (
+            cand.filter(~F.col("vec_id").isin(chosen_ids))
+            .join(
+                csim.filter(F.col("id_b").isin(chosen_ids)),
+                F.col("vec_id") == F.col("id_a"),
+            )
+            .groupBy("vec_id", "rel")
+            .agg((lam * F.col("rel") - oml * F.max("s")).alias("mmr"))
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .head()
+        )
+        selected.append((t, nxt["vec_id"], nxt["rel"], nxt["mmr"]))
+    out = spark.createDataFrame(
+        [(r, v, float(rel), float(mmr)) for r, v, rel, mmr in selected],
+        "rank int, vec_id bigint, rel double, mmr_score double",
+    )
+    return out

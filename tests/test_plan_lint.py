@@ -55,6 +55,8 @@ CROSS_OK = {
     "unigram_lm_train",           # 1-row normalizer-total broadcast per EM round
     "embedding_power_iteration_pc1",  # 1-row norm scalar broadcast per iteration
     "changepoint_cusum_daily_events",  # 1-row (mu, sigma) stats broadcast
+    "retrieval_mmr_rerank_topk",   # 1-row query vector broadcast; all
+                                   # later joins are depth-bounded (20)
 }
 
 _SKIP = tuple(
