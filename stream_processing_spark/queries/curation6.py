@@ -597,6 +597,8 @@ def train_quality_classifier(
         "bucket", F.lit(0).cast("decimal(18,6)").alias("w")
     )
     bias = 0.0
+    if n_docs == 0:  # empty corpus: no features, no descent — the
+        return weights, bias  # weight table is already empty
     for _ in range(rounds):
         scored = _clf_scores(feats, weights, bias)
         p6 = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score"))), 6)
@@ -734,6 +736,7 @@ _CLF_LADDER, _CLF_R = _clf_oracle()
     UNION ALL
     SELECT CAST(-1 AS BIGINT) AS bucket, CAST(b AS DOUBLE) AS weight
     FROM b{_CLF_R}
+    WHERE (SELECT COUNT(*) FROM feats) > 0
     """,
     doc=f"fastText-style quality classifier TRAINING (Joulin et al. "
     "2016 — the linear reference-corpus filter of CCNet/GPT-3 data "
@@ -753,6 +756,8 @@ def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     weights, bias = train_quality_classifier(docs)
     w = weights.select("bucket", F.col("w").cast("double").alias("weight"))
+    if docs.isEmpty():  # oracle emits no bias row for an empty corpus
+        return w
     b = spark.createDataFrame(
         [(-1, bias)], "bucket bigint, weight double"
     )

@@ -1792,6 +1792,9 @@ def retrieval_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "rel", (lam * F.col("rel")).alias("mmr"))
         .head()
     )
+    out_schema = "rank int, vec_id bigint, rel double, mmr_score double"
+    if first is None:  # no query vector / empty corpus — empty result
+        return spark.createDataFrame([], out_schema)
     selected = [(1, first["vec_id"], first["rel"], first["mmr"])]
     for t in range(2, _MMR_K + 1):
         chosen_ids = [s[1] for s in selected]
@@ -1807,9 +1810,11 @@ def retrieval_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .head()
         )
+        if nxt is None:  # candidate pool exhausted before k picks
+            break
         selected.append((t, nxt["vec_id"], nxt["rel"], nxt["mmr"]))
     out = spark.createDataFrame(
         [(r, v, float(rel), float(mmr)) for r, v, rel, mmr in selected],
-        "rank int, vec_id bigint, rel double, mmr_score double",
+        out_schema,
     )
     return out

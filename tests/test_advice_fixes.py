@@ -170,6 +170,13 @@ def test_empty_corpus_degenerates_gracefully(spark, tmp_path):
         "ann_ivf_topk", "ann_ivfpq_topk", "kmeans_cluster_assignments",
         "semantic_dedup_stats", "embedding_label_centroids",
         "dedup_connected_components", "curation_pipeline_yield",
+        # round 8: empty corpus must not crash the iterative trainers
+        # (classifier descent, MMR greedy loop, EM/power ladders)
+        "dedup_exact_substring_spans", "mixture_dsir_weights",
+        "mixture_dsir_resample", "quality_classifier_train",
+        "quality_classifier_scores", "unigram_lm_train",
+        "embedding_power_iteration_pc1", "retrieval_mmr_rerank_topk",
+        "wordpiece_train_merges",
     ]:
         spec = REGISTRY[name]
         got = spec.spark(spark, str(tmp_path))
@@ -228,6 +235,11 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         "event_transition_matrix", "cohort_retention_daily",
         "decayed_user_activity", "weighted_reservoir_sample",
         "observed_ingest_metrics",
+        # round 8: NULL text/lang/user_id through the new operators
+        "dedup_exact_substring_spans", "mixture_dsir_weights",
+        "mixture_dsir_resample", "quality_classifier_scores",
+        "unigram_lm_train", "wordpiece_train_merges",
+        "changepoint_cusum_daily_events",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
@@ -268,6 +280,10 @@ def test_unicode_text_matches_oracle(spark, tmp_path):
         "dedup_minhash_signatures", "dedup_simhash",
         "bpe_encode_source_stats", "curation_pipeline_yield",
         "weighted_reservoir_sample", "sample_hash_pct",
+        # round 8: codepoint-exact md5/split/substr through the new ops
+        "dedup_exact_substring_spans", "mixture_dsir_resample",
+        "quality_classifier_scores", "unigram_lm_train",
+        "wordpiece_train_merges",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
