@@ -172,6 +172,23 @@ BENCH_QUERIES = [
     # Viterbi-EM tokenizer training: 2 EM rounds over the vocab-sized
     # word table (pandas-UDF lattice DP)
     "unigram_lm_train",
+    # WordPiece likelihood-ratio merges (same ladder as BPE, extra
+    # vocab-sized symbol-count agg per step)
+    "wordpiece_train_merges",
+    # fastText-style classifier inference: one feature scan + a
+    # constant-size weight broadcast (training runs inside, 3 GD rounds)
+    "quality_classifier_scores",
+    # MMR diversity re-rank: one first-stage top-k scan + depth-bounded
+    # greedy selection
+    "retrieval_mmr_rerank_topk",
+    # power-iteration PC1: two linear passes per round, broadcast d-row
+    # direction vector
+    "embedding_power_iteration_pc1",
+    # CUSUM drift monitor: daily-count agg + constant-size decimal walk
+    "changepoint_cusum_daily_events",
+    # checkpoint state read back as a table (statestore source) after a
+    # drained streaming count
+    "streaming_state_inspection",
 ]
 
 

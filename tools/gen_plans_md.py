@@ -261,6 +261,19 @@ AUDITED = {
         "as a broadcast d-row frame; the only single-row exchange is "
         "the norm scalar. No Gram matrix, no driver collect."
     ),
+    "wordpiece_train_merges": (
+        "WordPiece: per merge step one pair-count aggregation + one "
+        "vocab-sized symbol-count aggregation + a 1-row argmax driver "
+        "trip; the likelihood-ratio score is a single IEEE division "
+        "of exact integers. Corpus is scanned ONCE (the initial word "
+        "count); iterations touch the word-frequency table only."
+    ),
+    "retrieval_mmr_rerank_topk": (
+        "MMR re-rank: the corpus-sized work is ONE first-stage top-k "
+        "scan (TakeOrderedAndProject over the broadcast query row); "
+        "candidate-candidate sims and the greedy argmax steps operate "
+        "on the depth-bounded (20-row) candidate set."
+    ),
     "changepoint_cusum_daily_events": (
         "CUSUM: the heavy work is the daily count aggregation; the "
         "prefix-sum walk runs over DAYS (constant-size at any corpus) "
