@@ -929,3 +929,84 @@ def changepoint_cusum_daily_events(
         .otherwise(0)
         .alias("alarm"),
     )
+
+
+# --------------------------------------------------------------------
+# character-entropy quality signal
+
+
+@register(
+    "quality_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, substr(text, i, 1) AS ch
+        FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)
+        WHERE length(text) > 0
+    ),
+    counts AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chars GROUP BY doc_id, ch
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct
+        FROM counts GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n AS n_chars, t.n_distinct,
+           ROUND(CAST(-SUM(CAST(ROUND(
+               (CAST(k.c AS DOUBLE) / t.n)
+               * log2(CAST(k.c AS DOUBLE) / t.n), 9)
+               AS DECIMAL(18,9))) AS DOUBLE), 6) AS entropy_bits
+    FROM counts k JOIN tot t USING (doc_id)
+    GROUP BY t.doc_id, t.n, t.n_distinct
+    """,
+    doc="Per-document Shannon CHARACTER entropy (bits/char) — the "
+    "compression-style quality heuristic curation pipelines use to "
+    "flag boilerplate and degenerate text (low entropy: repeated "
+    "characters/patterns; the Gopher/RefinedWeb family applies the "
+    "same idea via compression ratios). Each term "
+    "(c/n)·log2(c/n) is one IEEE product of an exact integer ratio, "
+    "rounded to 9dp DECIMAL before the per-doc sum, so the parallel "
+    "reduction is order-independent and engine-exact; final 6dp "
+    "round. Scale shape: the char explode is linear in corpus chars, "
+    "both aggregations key on doc_id (one shuffle since the second "
+    "reuses the partitioning), nothing quadratic anywhere.",
+)
+def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.runtime import rebalance_for_expansion
+
+    docs = rebalance_for_expansion(load_table(spark, sf_dir, "documents"))
+    chars = (
+        docs.where(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text)), "
+                    "i -> substring(text, i, 1))"
+                )
+            ).alias("ch"),
+        )
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term9 = F.round(p * F.log2(p), 9).cast("decimal(18,9)")
+    return (
+        counts.join(tot, "doc_id")
+        .groupBy("doc_id", "n", "n_distinct")
+        .agg(F.round((-F.sum(term9)).cast("double"), 6).alias(
+            "entropy_bits"
+        ))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "n_distinct",
+            "entropy_bits",
+        )
+    )

@@ -239,7 +239,7 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         "dedup_exact_substring_spans", "mixture_dsir_weights",
         "mixture_dsir_resample", "quality_classifier_scores",
         "unigram_lm_train", "wordpiece_train_merges",
-        "changepoint_cusum_daily_events",
+        "changepoint_cusum_daily_events", "quality_char_entropy",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
@@ -283,7 +283,7 @@ def test_unicode_text_matches_oracle(spark, tmp_path):
         # round 8: codepoint-exact md5/split/substr through the new ops
         "dedup_exact_substring_spans", "mixture_dsir_resample",
         "quality_classifier_scores", "unigram_lm_train",
-        "wordpiece_train_merges",
+        "wordpiece_train_merges", "quality_char_entropy",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
