@@ -39,6 +39,34 @@ def load_centroids(spark: SparkSession, path: str) -> dict[int, list[float]]:
     return {cid: [vals[p] for p in range(len(vals))] for cid, vals in by.items()}
 
 
+def save_classifier(
+    spark: SparkSession,
+    weights: list[tuple[int, str]],
+    bias: float,
+    n_docs: int,
+    path: str,
+) -> None:
+    """Quality-classifier artifact → parquet rows (bucket, w6, meta):
+    the <=B weight rows as 6dp-decimal strings (exact round-trip), plus
+    one meta row (bucket -1) carrying bias and the training doc count."""
+    rows = [(int(b), str(w), None) for b, w in weights]
+    rows.append((-1, repr(float(bias)), int(n_docs)))
+    spark.createDataFrame(
+        rows, "bucket bigint, w6 string, n_docs bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_classifier(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[int, str]], float, int]:
+    rows = spark.read.parquet(path).collect()
+    weights = sorted(
+        (int(r.bucket), r.w6) for r in rows if r.bucket >= 0
+    )
+    meta = next(r for r in rows if r.bucket == -1)
+    return weights, float(meta.w6), int(meta.n_docs)
+
+
 def save_bpe_merges(
     spark: SparkSession, merges: list[tuple[int, str, str, int]], path: str
 ) -> None:

@@ -845,12 +845,22 @@ def _wordpiece_oracle(n: int) -> str:
     "trainer in tests/test_bpe.py.",
 )
 def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import ROUND_HALF_UP, Decimal
+
     from stream_processing_spark.functions import bpe
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.wordpiece_train(docs, n_merges=_BPE_MERGES)
+    # HALF_UP on the decimal repr, matching DuckDB ROUND(x, 9) (half
+    # away from zero) — builtin round() is half-even on the binary
+    # double and diverges on exact halves (repo convention; ADVICE r8).
+    q9 = Decimal("1e-9")
+
+    def r9(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP))
+
     return spark.createDataFrame(
-        [(s, a, b, c, round(sc, 9)) for s, a, b, c, sc in merges],
+        [(s, a, b, c, r9(sc)) for s, a, b, c, sc in merges],
         "step int, left_sym string, right_sym string, pair_count bigint, "
         "score double",
     )

@@ -367,7 +367,7 @@ def test_quality_classifier_vs_bruteforce(spark, rows):
 
     docs = [(i, lang, " ".join(ws)) for i, (lang, ws) in enumerate(rows)]
     df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
-    weights, bias = train_quality_classifier(df, rounds=2)
+    weights, bias, _ = train_quality_classifier(df, rounds=2)
     got = {
         r["bucket"]: float(r["w"]) for r in weights.collect()
     }
@@ -389,7 +389,7 @@ def test_quality_classifier_learns_separable_fixture(spark):
         (i + 8, "de", "spam junk noise garbage tokens") for i in range(8)
     ]
     df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
-    weights, bias = train_quality_classifier(df, rounds=3)
+    weights, bias, _ = train_quality_classifier(df, rounds=3)
     scored = _clf_scores(_clf_features(df), weights, bias).collect()
     assert len(scored) == 16
     for r in scored:
@@ -404,20 +404,32 @@ def test_quality_classifier_learns_separable_fixture(spark):
 
 
 def test_cusum_alarm_fires_on_planted_level_shift(spark):
-    """The two-sided CUSUM must stay quiet on a flat series and alarm
-    after a sustained level shift (and the prefix-sum spelling must
-    equal the textbook recursion computed in exact integers)."""
-    import datetime
+    """A sustained +2.1σ level shift from day 20 must alarm within a
+    few days, and the prefix-sum spelling must equal the textbook
+    two-sided recursion computed in exact integers. (The pre-shift
+    plateau sits 0.707σ BELOW the full-series mean, so the downward
+    side correctly accumulates 0.207/day and brushes h=4 once at day
+    20 — the corrected virtual-P_0 recursion keeps that alarm; the
+    pre-r9 spelling missed it.)"""
+    daily = [100] * 20 + [160] * 10
+    got = _cusum_got(spark, daily)
+    want = _cusum_reference(daily)
+    assert got == want
+    # upward side quiet through the plateau, alarming from day 25
+    assert all(g[0] == 0 for g in got[:20])
+    assert all(g[2] == 1 for g in got[24:])
 
-    from stream_processing_spark.queries.curation6 import (
-        changepoint_cusum_daily_events,
-    )
+
+def _cusum_events_fixture(spark, daily: list[int]) -> str:
+    """Write an events.parquet whose per-day counts equal ``daily``."""
+    import datetime
+    import os
+    import tempfile
 
     rows = []
     eid = 0
     base = datetime.datetime(2024, 1, 1)
-    for d in range(30):
-        n = 100 if d < 20 else 160  # +60 shift from day 20
+    for d, n in enumerate(daily):
         for i in range(n):
             rows.append(
                 (eid, base + datetime.timedelta(days=d, seconds=i), 1,
@@ -429,46 +441,83 @@ def test_cusum_alarm_fires_on_planted_level_shift(spark):
         "event_id long, ts timestamp, user_id long, event_type string, "
         "value double, props string",
     )
-    import os
-    import tempfile
-
     d = tempfile.mkdtemp(prefix="cusum_fx_")
     df.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(d, "events.parquet")
     )
-    out = {
-        r["day"].isoformat(): (r["s_hi"], r["alarm"])
-        for r in changepoint_cusum_daily_events(spark, d).collect()
-    }
-    assert len(out) == 30
-    pre = [v for k, v in sorted(out.items())[:20]]
-    post = [v for k, v in sorted(out.items())[22:]]
-    assert all(a == 0 for _, a in pre), pre
-    assert any(a == 1 for _, a in post), post
+    return d
 
-    # recursion parity: S_t = max(0, S_{t-1} + z_t - k) over the same
-    # 6dp z-scores (scaled-integer arithmetic) == the prefix-sum form
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
 
-    daily = [100] * 20 + [160] * 10
+def _cusum_reference(daily: list[int]) -> list[tuple[int, int, int]]:
+    """Textbook two-sided CUSUM recursion over the same 6dp z-scores in
+    scaled-integer arithmetic (virtual S_0 = 0): per day
+    (s_hi, s_lo, alarm) scaled 1e6."""
     n = len(daily)
     mu = sum(daily) / n
-    sigma = math.sqrt((sum(x * x for x in daily) -
-                       sum(daily) * sum(daily) / n) / n)
-    k = 500000  # 0.5 scaled 1e6
-    s = 0
-    want_alarms = []
+    sigma = math.sqrt(
+        (sum(x * x for x in daily) - sum(daily) * sum(daily) / n) / n
+    )
+    k = 500_000
+    h = 4_000_000
+    s_hi = s_lo = 0
+    out = []
     for x in daily:
-        z = int(
-            Decimal(repr(float(
-                Decimal(repr((x - mu) / sigma)).quantize(
-                    Decimal("0.000001"), rounding=ROUND_HALF_UP
-                )
-            ))) * 1_000_000
+        z = 0 if sigma == 0 else int(
+            Decimal(repr(_round6((x - mu) / sigma))) * 1_000_000
         )
-        s = max(0, s + z - k)
-        want_alarms.append(1 if s > 4_000_000 else 0)
-    got_alarms = [a for _, (h, a) in sorted(out.items())]
-    # the fixture only drifts UP, so the two-sided alarm equals s_hi's
-    assert got_alarms == want_alarms
+        s_hi = max(0, s_hi + z - k)
+        s_lo = max(0, s_lo - z - k)
+        out.append((s_hi, s_lo, 1 if s_hi > h or s_lo > h else 0))
+    return out
+
+
+def _cusum_got(spark, daily: list[int]) -> list[tuple[int, int, int]]:
+    from stream_processing_spark.queries.curation6 import (
+        changepoint_cusum_daily_events,
+    )
+
+    d = _cusum_events_fixture(spark, daily)
+    rows = sorted(
+        changepoint_cusum_daily_events(spark, d).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) == len(daily)
+    return [
+        (
+            int(Decimal(repr(r["s_hi"])) * 1_000_000),
+            int(Decimal(repr(r["s_lo"])) * 1_000_000),
+            r["alarm"],
+        )
+        for r in rows
+    ]
+
+
+def test_cusum_day1_spike(spark):
+    """A series whose anomaly starts at the FIRST row: the virtual
+    P_0 = 0 term must participate in the running extremum, else s_hi
+    is zero everywhere and the alarm is missed (ADVICE r8, high)."""
+    daily = [500, 90, 110, 95, 105, 100, 100, 98, 102, 100]
+    got = _cusum_got(spark, daily)
+    want = _cusum_reference(daily)
+    assert got == want
+    # the day-1 spike must register immediately (z_1 ≈ 2.85σ → S_1 > 0)
+    assert got[0][0] > 0, got[0]
+
+
+def test_cusum_flat_series_no_alarm(spark):
+    """Constant daily counts → sigma = 0; the NULLIF guard must emit
+    z = 0 and no alarm instead of NaN-propagating (ADVICE r8, low)."""
+    got = _cusum_got(spark, [100] * 8)
+    assert all(g == (0, 0, 0) for g in got), got
+
+
+@given(
+    daily=st.lists(st.integers(min_value=1, max_value=400),
+                   min_size=2, max_size=24)
+)
+@SET
+def test_cusum_recursion_parity_random(spark, daily):
+    """Property: the prefix-sum spelling equals the textbook recursion
+    on RANDOM daily-count series, both sides and the alarm bit
+    (VERDICT r8 item 6)."""
+    assert _cusum_got(spark, daily) == _cusum_reference(daily)
