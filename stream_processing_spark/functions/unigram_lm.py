@@ -175,6 +175,39 @@ def em_round(cand: DataFrame, vocab: DataFrame) -> DataFrame:
     return _normalize(counts)
 
 
+def unigram_encode_word_tokens(
+    docs: DataFrame,
+    rounds: int = 2,
+    max_piece: int = 4,
+    max_word: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer APPLICATION: train ``rounds`` of Viterbi-EM, then run
+    one more E-step (segmentation only, no recount) under the final
+    vocabulary. Returns (w, n_tok) — the Viterbi token count per
+    distinct word — the vocabulary-sized map an encode pass broadcasts
+    against the corpus. Words longer than ``max_word`` are out of the
+    tokenizer's contract (same bound as training)."""
+    words = word_table(docs, text_col=text_col, max_word=max_word)
+    cand = materialize(candidate_pieces(words, max_piece=max_piece),
+                       eager=False)
+    vocab = seed_vocab(cand)
+    for _ in range(rounds):
+        vocab = materialize(em_round(cand, vocab), eager=False)
+    lpi = (F.col("lp") * _LP_SCALE).cast("long").alias("lpi")
+    scored = cand.join(vocab.select("piece", lpi), "piece")
+    return (
+        scored.groupBy("w")
+        .agg(F.collect_list(F.struct("s", "e", "lpi")).alias("arcs"))
+        .select(
+            "w",
+            F.size(_viterbi_pieces("w", "arcs"))
+            .cast("bigint")
+            .alias("n_tok"),
+        )
+    )
+
+
 def unigram_lm_train(
     docs: DataFrame,
     rounds: int = 2,

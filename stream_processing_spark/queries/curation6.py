@@ -386,16 +386,9 @@ _ULM_MAX_WORD = 12
 _ULM_MAX_PIECE = 4
 
 
-def _unigram_oracle(
-    rounds: int = _ULM_ROUNDS,
-    max_word: int = _ULM_MAX_WORD,
-    max_piece: int = _ULM_MAX_PIECE,
-) -> str:
-    """Unrolled Viterbi-EM ladder: per round, one DP stage per char
-    position (forward max over DECIMAL path scores) and one backtrack
-    stage per path step (min-start tie-break), then add-1 recount and
-    renormalize — the same CTE-ladder technique as _bpe_oracle."""
-    parts = [
+def _unigram_seed_parts(max_word: int, max_piece: int) -> list[str]:
+    """Shared ladder head: word table, candidate arcs, seed vocab."""
+    return [
         f"""
     tok AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
     words AS MATERIALIZED (
@@ -418,16 +411,22 @@ def _unigram_oracle(
              (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM cand) t
     )"""
     ]
-    for r in range(1, rounds + 1):
-        parts.append(f"""
+
+
+def _unigram_estep_parts(r: int, max_word: int) -> list[str]:
+    """E-step ladder for round ``r`` under vocab v{r-1}: forward DP
+    (one stage per char position, exact DECIMAL path maxima) and
+    backtrack (one stage per path step, min-start = longest-piece
+    tie-break). Emits sc{r}, a{r}_*, d{r}_*, b{r}_*."""
+    parts = [f"""
     sc{r} AS MATERIALIZED (
         SELECT c.w, c.freq, c.s, c.e, c.piece, v.lp
         FROM cand c JOIN v{r - 1} v USING (piece)
     ),
     a{r}_0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(0 AS DECIMAL(18,6)) AS dp
-               FROM words)""")
-        for i in range(1, max_word + 1):
-            parts.append(f"""
+               FROM words)"""]
+    for i in range(1, max_word + 1):
+        parts.append(f"""
     d{r}_{i} AS MATERIALIZED (
         SELECT c.w, {i} AS pos,
                CAST(MAX(d.dp + c.lp) AS DECIMAL(18,6)) AS dp
@@ -436,10 +435,10 @@ def _unigram_oracle(
     ),
     a{r}_{i} AS MATERIALIZED (SELECT * FROM a{r}_{i - 1}
                  UNION ALL SELECT * FROM d{r}_{i})""")
-        parts.append(f"""
+    parts.append(f"""
     b{r}_0 AS MATERIALIZED (SELECT w, freq, length(w) AS pos FROM words)""")
-        for t in range(1, max_word + 1):
-            parts.append(f"""
+    for t in range(1, max_word + 1):
+        parts.append(f"""
     b{r}_{t} AS MATERIALIZED (
         SELECT w, freq, pos, piece FROM (
             SELECT b.w, b.freq, c.s AS pos, c.piece,
@@ -452,11 +451,17 @@ def _unigram_oracle(
             WHERE b.pos > 0 AND ds.dp + c.lp = dt.dp
         ) z WHERE rn = 1
     )""")
-        paths = " UNION ALL ".join(
-            f"SELECT freq, piece FROM b{r}_{t}"
-            for t in range(1, max_word + 1)
-        )
-        parts.append(f"""
+    return parts
+
+
+def _unigram_mstep_parts(r: int, max_word: int) -> list[str]:
+    """M-step for round ``r``: add-1 recount over the backtracked
+    paths and renormalize into v{r}."""
+    paths = " UNION ALL ".join(
+        f"SELECT freq, piece FROM b{r}_{t}"
+        for t in range(1, max_word + 1)
+    )
+    return [f"""
     vc{r} AS MATERIALIZED (
         SELECT piece, CAST(SUM(freq) AS BIGINT) AS c
         FROM ({paths}) p GROUP BY piece
@@ -472,12 +477,66 @@ def _unigram_oracle(
         CROSS JOIN (SELECT CAST((SELECT COUNT(*) FROM v0)
                           + (SELECT SUM(c) FROM vc{r}) AS BIGINT)
                         AS total) t
-    )""")
+    )"""]
+
+
+def _unigram_oracle(
+    rounds: int = _ULM_ROUNDS,
+    max_word: int = _ULM_MAX_WORD,
+    max_piece: int = _ULM_MAX_PIECE,
+) -> str:
+    """Unrolled Viterbi-EM ladder: per round, one DP stage per char
+    position (forward max over DECIMAL path scores) and one backtrack
+    stage per path step (min-start tie-break), then add-1 recount and
+    renormalize — the same CTE-ladder technique as _bpe_oracle."""
+    parts = _unigram_seed_parts(max_word, max_piece)
+    for r in range(1, rounds + 1):
+        parts.extend(_unigram_estep_parts(r, max_word))
+        parts.extend(_unigram_mstep_parts(r, max_word))
     return (
         "WITH "
         + ",".join(parts)
         + f"""
     SELECT piece, cnt, CAST(lp AS DOUBLE) AS logp FROM v{rounds}"""
+    )
+
+
+def _unigram_encode_oracle(
+    rounds: int = _ULM_ROUNDS,
+    max_word: int = _ULM_MAX_WORD,
+    max_piece: int = _ULM_MAX_PIECE,
+) -> str:
+    """Training ladder + ONE MORE E-step (segmentation under the final
+    vocab, no recount), then per-source token accounting — the unigram
+    twin of _bpe_encode_oracle."""
+    enc = rounds + 1
+    parts = _unigram_seed_parts(max_word, max_piece)
+    for r in range(1, rounds + 1):
+        parts.extend(_unigram_estep_parts(r, max_word))
+        parts.extend(_unigram_mstep_parts(r, max_word))
+    parts.extend(_unigram_estep_parts(enc, max_word))
+    paths = " UNION ALL ".join(
+        f"SELECT w FROM b{enc}_{t}" for t in range(1, max_word + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    wtok AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM ({paths}) p GROUP BY w
+    ),
+    corpus AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT c.source,
+           COUNT(*) AS n_words,
+           CAST(SUM(m.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(c.w)) AS BIGINT) AS n_chars
+    FROM corpus c JOIN wtok m ON m.w = c.w
+    WHERE c.w <> '' AND length(c.w) <= {max_word}
+    GROUP BY c.source ORDER BY c.source
+    """
     )
 
 
@@ -509,6 +568,49 @@ def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounds=_ULM_ROUNDS,
         max_piece=_ULM_MAX_PIECE,
         max_word=_ULM_MAX_WORD,
+    )
+
+
+@register(
+    "unigram_encode_source_stats",
+    _unigram_encode_oracle(),
+    doc="Unigram-LM tokenizer APPLICATION — the encode half of "
+    "unigram_lm_train (the bpe_encode_source_stats twin): Viterbi-"
+    "segment every distinct word under the trained vocabulary (one "
+    "extra E-step, exact DECIMAL path scores, longest-piece "
+    "tie-break) and report per-source token accounting (words, "
+    "tokens, chars). Spark-first shape: the word→token-count map is "
+    "vocabulary-sized and BROADCAST, so the corpus-sized pass is one "
+    "explode + map-side hash join + partial agg — no corpus shuffle. "
+    f"Words longer than {_ULM_MAX_WORD} chars are outside the "
+    "tokenizer's contract (the training bound) and excluded from the "
+    "accounting in both engines. The oracle replays training and the "
+    "encode E-step as one unrolled DP+backtrack CTE ladder.",
+)
+def unigram_encode_source_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.functions import unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    wmap = unigram_lm.unigram_encode_word_tokens(
+        docs,
+        rounds=_ULM_ROUNDS,
+        max_piece=_ULM_MAX_PIECE,
+        max_word=_ULM_MAX_WORD,
+    )
+    corpus = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter((F.col("w") != "") & (F.length("w") <= _ULM_MAX_WORD))
+    return (
+        corpus.join(F.broadcast(wmap), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.length("w").cast("bigint")).alias("n_chars"),
+        )
+        .orderBy("source")
     )
 
 

@@ -827,6 +827,140 @@ def _wordpiece_oracle(n: int) -> str:
     return "WITH " + ",".join(parts) + f" {finals} ORDER BY step"
 
 
+_WP_MAX_WORD = 16  # greedy-walk ladder depth; the tokenizer's contract
+
+
+def _wordpiece_encode_oracle(n: int, max_word: int = _WP_MAX_WORD) -> str:
+    """Training ladder (same CTEs as _wordpiece_oracle) + an unrolled
+    greedy longest-match-first walk (one CTE per step; each step
+    consumes >=1 char so max_word steps finish every word) + per-source
+    token stats."""
+    body = _wordpiece_oracle(n)
+    cut = body.rindex(" SELECT 1 AS step")
+    ladder = body[len("WITH "):cut].rstrip().rstrip(",")
+    pieces = " UNION ".join(
+        f"SELECT a || b AS piece FROM m{k}" for k in range(1, n + 1)
+    )
+    g = [f"""
+    pieces AS MATERIALIZED ({pieces}),
+    g0 AS MATERIALIZED (
+        SELECT DISTINCT w, 1 AS pos, 0 AS n FROM tok
+        WHERE w <> '' AND length(w) <= {max_word}
+    )"""]
+    for t in range(1, max_word + 1):
+        g.append(f"""
+    g{t} AS MATERIALIZED (
+        SELECT w,
+               CASE WHEN pos <= length(w) THEN pos + best ELSE pos END
+                   AS pos,
+               CASE WHEN pos <= length(w) THEN n + 1 ELSE n END AS n
+        FROM (
+            SELECT q.w, q.pos, q.n,
+                   COALESCE(MAX(length(p.piece)), 1) AS best
+            FROM g{t - 1} q
+            LEFT JOIN pieces p
+              ON substr(q.w, q.pos, length(p.piece)) = p.piece
+            GROUP BY q.w, q.pos, q.n
+        ) z
+    )""")
+    return (
+        "WITH "
+        + ladder
+        + ","
+        + ",".join(g)
+        + f""",
+    wtok AS (SELECT w, CAST(n AS BIGINT) AS n_tok FROM g{max_word}),
+    corpus AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT c.source,
+           COUNT(*) AS n_words,
+           CAST(SUM(m.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(c.w)) AS BIGINT) AS n_chars
+    FROM corpus c JOIN wtok m ON m.w = c.w
+    WHERE c.w <> '' AND length(c.w) <= {max_word}
+    GROUP BY c.source ORDER BY c.source
+    """
+    )
+
+
+@register(
+    "wordpiece_encode_source_stats",
+    _wordpiece_encode_oracle(_BPE_MERGES),
+    doc="WordPiece tokenizer APPLICATION — greedy longest-match-first "
+    "encoding (the actual BERT inference algorithm, not merge replay): "
+    "vocabulary = corpus characters + the trained merge outputs; at "
+    "each position take the longest vocab piece matching the suffix "
+    "(single characters always match, so no UNK on the training "
+    "corpus), count tokens per word, report per-source accounting. "
+    "Spark-first shape: the walk is a single engine-side aggregate() "
+    "fold over character positions with a nested fold over the "
+    "(tiny, driver-state) multi-char piece list — JVM lambda "
+    "execution, no Python in the loop — over the DISTINCT word table; "
+    "the corpus-sized pass is one explode + broadcast join + partial "
+    f"agg. Words longer than {_WP_MAX_WORD} chars are outside the "
+    "contract (bounds the oracle's unrolled walk ladder). The oracle "
+    "replays training plus the greedy walk, one CTE per step.",
+)
+def wordpiece_encode_source_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.functions import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.wordpiece_train(docs, n_merges=_BPE_MERGES)
+    pieces = sorted({a + b for _s, a, b, _c, _sc in merges})
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= _WP_MAX_WORD))
+        .distinct()
+    )
+    if pieces:
+        parr = F.array(*[F.lit(p) for p in pieces])
+
+        def bestlen(pos):  # longest vocab piece matching w at pos
+            return F.aggregate(
+                parr,
+                F.lit(1),
+                lambda acc, v: F.when(
+                    (F.length(v) > acc)
+                    & (F.substring(F.col("w"), pos, F.length(v)) == v),
+                    F.length(v),
+                ).otherwise(acc),
+            )
+
+    else:  # no merges learned (degenerate corpus): every char a token
+
+        def bestlen(pos):
+            return F.lit(1)
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        F.struct(F.lit(1).alias("pos"), F.lit(0).alias("n")),
+        lambda st, i: F.when(i != st["pos"], st).otherwise(
+            F.struct(
+                (st["pos"] + bestlen(st["pos"])).alias("pos"),
+                (st["n"] + 1).alias("n"),
+            )
+        ),
+        lambda st: st["n"],
+    )
+    wmap = words.select("w", walk.cast("bigint").alias("n_tok"))
+    corpus = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).filter((F.col("w") != "") & (F.length("w") <= _WP_MAX_WORD))
+    return (
+        corpus.join(F.broadcast(wmap), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.length("w").cast("bigint")).alias("n_chars"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "wordpiece_train_merges",
     _wordpiece_oracle(_BPE_MERGES),

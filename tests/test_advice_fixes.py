@@ -177,6 +177,8 @@ def test_empty_corpus_degenerates_gracefully(spark, tmp_path):
         "quality_classifier_scores", "unigram_lm_train",
         "embedding_power_iteration_pc1", "retrieval_mmr_rerank_topk",
         "wordpiece_train_merges",
+        # round 9: encode passes over an empty corpus
+        "wordpiece_encode_source_stats", "unigram_encode_source_stats",
     ]:
         spec = REGISTRY[name]
         got = spec.spark(spark, str(tmp_path))
@@ -240,6 +242,8 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         "mixture_dsir_resample", "quality_classifier_scores",
         "unigram_lm_train", "wordpiece_train_merges",
         "changepoint_cusum_daily_events", "quality_char_entropy",
+        # round 9: NULL/empty text through the encode passes
+        "wordpiece_encode_source_stats", "unigram_encode_source_stats",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
@@ -284,6 +288,9 @@ def test_unicode_text_matches_oracle(spark, tmp_path):
         "dedup_exact_substring_spans", "mixture_dsir_resample",
         "quality_classifier_scores", "unigram_lm_train",
         "wordpiece_train_merges", "quality_char_entropy",
+        # round 9: codepoint-exact substr/length through the greedy walk
+        # and the Viterbi encode
+        "wordpiece_encode_source_stats", "unigram_encode_source_stats",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),

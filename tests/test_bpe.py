@@ -141,6 +141,76 @@ def test_wordpiece_matches_python_reference(spark):
     assert got == want
 
 
+def _py_greedy_stats(
+    texts: list[tuple[str, str]], merges, max_word: int
+) -> dict[str, tuple[int, int, int]]:
+    """Reference greedy longest-match-first encode: vocab = chars +
+    merge outputs; per source (n_words, n_tokens, n_chars)."""
+    pieces = sorted({a + b for _s, a, b, _c, _sc in merges})
+    lens = sorted({len(p) for p in pieces}, reverse=True)
+
+    def n_tok(w: str) -> int:
+        pos, n = 0, 0
+        while pos < len(w):
+            step = 1
+            for pl in lens:
+                sub = w[pos : pos + pl]
+                if len(sub) == pl and sub in pieces and pl > step:
+                    step = pl
+                    break  # lens descending: first hit is longest
+            pos += step
+            n += 1
+        return n
+
+    out: dict[str, tuple[int, int, int]] = {}
+    for source, text in texts:
+        for w in text.split(" "):
+            if not w or len(w) > max_word:
+                continue
+            a, b, c = out.get(source, (0, 0, 0))
+            out[source] = (a + 1, b + n_tok(w), c + len(w))
+    return out
+
+
+def test_wordpiece_greedy_encode_vs_bruteforce(spark, tmp_path):
+    """End-to-end wordpiece_encode_source_stats (train + greedy walk +
+    per-source accounting) vs a pure-Python reference, on a fixture
+    where multi-char pieces overlap ('abc' vs 'ab') so longest-match
+    order matters."""
+    import os
+
+    from stream_processing_spark.queries.scale_ops import (
+        _WP_MAX_WORD,
+        wordpiece_encode_source_stats,
+    )
+
+    texts = [
+        ("web", "abab abc ab a qz qzqz"),
+        ("web", "abcabc qz ab ba cab"),
+        ("books", "zq qz abba cab abc abcd"),
+        ("books", "a b c q z aaaa " + "ab" * 10),  # 20 chars > cap 16
+    ]
+    df = spark.createDataFrame(
+        [(i, "en", t, s) for i, (s, t) in enumerate(texts)],
+        "doc_id long, lang string, text string, source string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    got = {
+        r["source"]: (r["n_words"], r["n_tokens"], r["n_chars"])
+        for r in wordpiece_encode_source_stats(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    words = Counter(
+        w for _s, t in texts for w in t.split(" ") if w
+    )
+    merges = _py_wordpiece(dict(words), 5)
+    want = _py_greedy_stats(texts, merges, _WP_MAX_WORD)
+    assert got == want
+
+
 def test_wordpiece_diverges_from_bpe_on_frequency_vs_likelihood(spark):
     """A pair can be the most FREQUENT without being the most
     LIKELIHOOD-lifting (its symbols are themselves frequent) — the two

@@ -300,6 +300,77 @@ def test_unigram_lm_random_vs_reference(spark, texts):
     assert got == want
 
 
+def _ulm_encode_bruteforce(
+    texts: list[str], rounds=2, max_piece=3, max_word=12
+) -> dict[str, int]:
+    """Encode reference: run the EM reference, then one more Viterbi
+    segmentation (smallest-start backtrack = longest-piece tie-break)
+    under the final vocab; return {word: n_tokens}."""
+    vocab_lp = {
+        p: int(Decimal(repr(lp)) * 1_000_000)
+        for p, (_c, lp) in _ulm_bruteforce(
+            texts, rounds=rounds, max_piece=max_piece, max_word=max_word
+        ).items()
+    }
+    words = set()
+    for t in texts:
+        for w in t.split(" "):
+            if w and len(w) <= max_word:
+                words.add(w)
+    out = {}
+    for w in words:
+        L = len(w)
+        dp = [None] * (L + 1)
+        dp[0] = 0
+        for i in range(1, L + 1):
+            best = None
+            for s in range(max(0, i - max_piece), i):
+                if dp[s] is None or w[s:i] not in vocab_lp:
+                    continue
+                c = dp[s] + vocab_lp[w[s:i]]
+                if best is None or c > best:
+                    best = c
+            dp[i] = best
+        n = 0
+        i = L
+        while i > 0:
+            for s in range(max(0, i - max_piece), i):
+                if (
+                    dp[s] is not None
+                    and w[s:i] in vocab_lp
+                    and dp[s] + vocab_lp[w[s:i]] == dp[i]
+                ):
+                    n += 1
+                    i = s
+                    break
+            else:  # pragma: no cover
+                raise AssertionError("lattice gap")
+        out[w] = n
+    return out
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=5))
+@SET
+def test_unigram_encode_random_vs_reference(spark, texts):
+    """Property: the encode E-step (tokens per word under the trained
+    vocab) matches the pure-Python Viterbi on random corpora."""
+    from stream_processing_spark.functions.unigram_lm import (
+        unigram_encode_word_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["w"]: r["n_tok"]
+        for r in unigram_encode_word_tokens(
+            df, rounds=1, max_piece=2
+        ).collect()
+    }
+    want = _ulm_encode_bruteforce(texts, rounds=1, max_piece=2)
+    assert got == want
+
+
 # ---------------------------------------- quality classifier (fastText)
 
 
