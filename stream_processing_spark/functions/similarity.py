@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+import pandas as pd  # module-global: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -202,6 +204,180 @@ def _cell_rank_sql(
         f"transform(array({cent_lits}), "
         f"c -> named_struct('s', {s}, 'nc', c.nc))"
     )
+
+
+def _cells_vectorized_udf(cents: dict[int, list[float]], metric: str = "cosine"):
+    """Arrow-batched numpy twin of ``-array_max(_cell_rank_array(...)).nc``
+    — BIT-EXACT, not approximate: every dot accumulates per-DIMENSION
+    across the row batch (``acc = acc + X[:, k] * c[k]``), which runs the
+    identical IEEE add/mul sequence per row as the engine's sequential
+    aggregate fold, so scores, ties, and the smallest-cid tie-break all
+    match the HOF expression and the DuckDB oracles bit-for-bit.
+
+    Why it exists: higher-order functions are CodegenFallback —
+    interpreted per row, measured ~300 µs/row on a 16-cell 64-dim rank
+    (ann_ivfpq_topk spent 5-6 s of its sf1 wall in ONE such map). The
+    vectorized twin does the same arithmetic in ~1 ms per 10k-row Arrow
+    batch. The expression form stays the source of truth for oracles and
+     1-row lookups; hot full-scan assignment paths use this twin."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = sorted(cents)
+    cvecs = [np.asarray(cents[c], dtype=np.float64) for c in cids]
+
+    @pandas_udf("int")
+    def cell_of(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.array(list(emb), dtype=np.float64)
+        n, d = X.shape
+        if metric == "cosine":
+            vv = np.zeros(n)
+            for k in range(d):
+                vv = vv + X[:, k] * X[:, k]
+            nv = np.sqrt(vv)
+        best_s = None
+        best_c = None
+        for cid, cv in zip(cids, cvecs):
+            acc = np.zeros(n)
+            for k in range(d):
+                acc = acc + X[:, k] * cv[k]
+            cc = 0.0
+            for k in range(d):
+                cc = cc + cv[k] * cv[k]
+            if metric == "l2":
+                s = acc - 0.5 * cc
+            else:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    s = acc / (nv * np.sqrt(cc))
+            # Spark ranks NaN above every double (zero-norm rows score
+            # NaN for every cell -> ties -> smallest cid, same as here)
+            s = np.where(np.isnan(s), np.inf, s)
+            if best_s is None:
+                best_s = s
+                best_c = np.full(n, cid, dtype=np.int64)
+            else:
+                upd = s > best_s  # strict: ties keep the smaller cid
+                best_s = np.where(upd, s, best_s)
+                best_c = np.where(upd, cid, best_c)
+        return pd.Series(best_c.astype("int32"))
+
+    return cell_of
+
+
+def _pq_cells_vectorized_udf(
+    seeds: dict[int, dict[int, list[float]]], m: int, dim: int
+):
+    """Arrow-batched twin of the m per-subspace L2 assignment columns in
+    ``pq_codebooks`` (same bit-exact per-dim accumulation and
+    smallest-cid ties as _cells_vectorized_udf), returning all m cell
+    ids as one array<int> per row — one Arrow pass instead of m
+    interpreted HOF folds."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sub = dim // m
+    subbooks = [
+        [(c, np.asarray(seeds[j][c], dtype=np.float64))
+         for c in sorted(seeds[j])]
+        for j in range(m)
+    ]
+
+    @pandas_udf("array<int>")
+    def cells_of(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="object")
+        X = np.array(list(emb), dtype=np.float64)
+        n = X.shape[0]
+        out = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            Xs = X[:, j * sub : (j + 1) * sub]
+            best_s = None
+            best_c = None
+            for cid, cv in subbooks[j]:
+                acc = np.zeros(n)
+                for k in range(sub):
+                    acc = acc + Xs[:, k] * cv[k]
+                cc = 0.0
+                for k in range(sub):
+                    cc = cc + cv[k] * cv[k]
+                s = acc - 0.5 * cc
+                if best_s is None:
+                    best_s = s
+                    best_c = np.full(n, cid, dtype=np.int32)
+                else:
+                    upd = s > best_s
+                    best_s = np.where(upd, s, best_s)
+                    best_c = np.where(upd, cid, best_c)
+            out[:, j] = best_c
+        return pd.Series(list(out))
+
+    return cells_of
+
+
+def _adc_vectorized_udf(
+    books: dict[int, dict[int, list[float]]],
+    qvec: list[float],
+    m: int,
+    dim: int,
+):
+    """Arrow-batched twin of ``_pq_adc_score``'s expression: per
+    subspace, L2-assign the best codeword (x·c − 0.5·c·c, sequential
+    per-dim accumulation = the engine's fold, smallest-cid ties), look
+    up the driver-folded LUT value, and sum subspace terms left to
+    right — the same IEEE sequence as the engine's `t0 + t1 + ...`
+    expression, so the raw double is bit-identical and the engine-side
+    ROUND(…, 6) on top matches the oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sub = dim // m
+    luts = []
+    subbooks = []
+    for j in range(m):
+        cb = books[j]
+        cids = sorted(cb)
+        luts.append(
+            np.asarray(
+                [_fold_dot(qvec[j * sub : (j + 1) * sub], cb[c]) for c in cids]
+            )
+        )
+        subbooks.append([np.asarray(cb[c], dtype=np.float64) for c in cids])
+
+    @pandas_udf("double")
+    def adc_of(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.array(list(emb), dtype=np.float64)
+        n = X.shape[0]
+        total = np.zeros(n)
+        for j in range(m):
+            Xs = X[:, j * sub : (j + 1) * sub]
+            best_s = None
+            best_code = None
+            for code, cv in enumerate(subbooks[j]):
+                acc = np.zeros(n)
+                for k in range(sub):
+                    acc = acc + Xs[:, k] * cv[k]
+                cc = 0.0
+                for k in range(sub):
+                    cc = cc + cv[k] * cv[k]
+                s = acc - 0.5 * cc
+                if best_s is None:
+                    best_s = s
+                    best_code = np.zeros(n, dtype=np.int64)
+                else:
+                    upd = s > best_s
+                    best_s = np.where(upd, s, best_s)
+                    best_code = np.where(upd, code, best_code)
+            total = total + luts[j][best_code]
+        return pd.Series(total)
+
+    return adc_of
 
 
 def _cell_rank_array(
@@ -606,27 +782,15 @@ def pq_codebooks(
                 _CENTROID_CACHE.pop(next(iter(_CENTROID_CACHE)))
             _CENTROID_CACHE[cache_key] = books0  # type: ignore[assignment]
         return books0
-    # per-subspace assignment argmaxes as SEPARATE projected columns,
-    # arrayed in a second select: keeping m columns (not one m-wide
-    # array expression) lets whole-stage codegen split the generated
-    # code per column — fusing all 256 codeword folds into a single
-    # array literal benchmarked 3x slower end-to-end (one janino
-    # method past its JIT-able size). Each column is ONE parsed SQL
-    # string, so construction stays py4j-free.
-    cells = [
-        F.expr(
-            "-array_max("
-            + _cell_rank_sql(
-                f"slice({vec_col}, {j * sub + 1}, {sub})",
-                seeds[j],
-                metric="l2",
-            )
-            + ").nc"
-        ).alias(f"__c{j}")
-        for j in range(m)
-    ]
-    assigned = train.select(vec_col, *cells).select(
-        F.array(*[F.col(f"__c{j}") for j in range(m)]).alias("__cells"),
+    # the m-subspace assignment is the bit-exact Arrow-batched numpy
+    # twin of the m per-column HOF argmaxes (see _cells_vectorized_udf:
+    # HOFs are CodegenFallback, ~300 us/row interpreted; the twin is
+    # ~1 ms per 10k-row batch with identical IEEE op order)
+    cells_udf = _pq_cells_vectorized_udf(seeds, m, dim)
+    assigned = train.select(vec_col, cells_udf(F.col(vec_col)).alias(
+        "__cells"
+    )).select(
+        "__cells",
         F.posexplode(vec_col).alias("pos0", "v"),
     )
     mean_rows = (
@@ -674,49 +838,6 @@ def _fold_dot(xs, ys) -> float:
     return acc
 
 
-def _pq_adc_score(
-    train: DataFrame,
-    m: int,
-    n_codes: int,
-    dim: int,
-    id_col: str,
-    vec_col: str,
-    qvec: list[float],
-) -> Column:
-    """ADC score column: sum over subspaces of (query subvector · the
-    row's assigned codeword). Codebooks are trained on ``train`` (the
-    FULL corpus — never a pruned subset, so IVF cell filtering can't
-    shift the quantizer) via the deterministic k-means, then inlined as
-    literals: code assignment is map-side, zero shuffle.
-
-    The query-side factor is a classic ADC LOOKUP TABLE: dot(q_sub_j,
-    codeword_c) depends only on (j, c), so the m×n_codes values are
-    folded ONCE driver-side (``_fold_dot`` replicates the engine's fold
-    bit-exactly) and inlined — each scored row does m element_at
-    lookups instead of m reconstruction dot products, and the whole
-    score is ONE parsed SQL expression instead of thousands of
-    py4j-built Column nodes (construction was seconds per query)."""
-    sub = dim // m
-    books = pq_codebooks(train, m, n_codes, dim, id_col, vec_col)
-    terms = []
-    for j in range(m):
-        cb = books[j]
-        if not cb:  # empty codebook (empty corpus): no rows to score
-            return F.lit(None).cast("double")
-        rank_sql = _cell_rank_sql(
-            f"slice({vec_col}, {j * sub + 1}, {sub})", cb, metric="l2"
-        )
-        lut = [
-            _fold_dot(qvec[j * sub : (j + 1) * sub], cb[c]) for c in sorted(cb)
-        ]
-        lut_lits = ", ".join(repr(v) + "D" for v in lut)
-        terms.append(
-            f"element_at(array({lut_lits}), "
-            f"CAST(-array_max({rank_sql}).nc AS INT) + 1)"
-        )
-    return F.expr(" + ".join(terms))
-
-
 def pq_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -734,13 +855,14 @@ def pq_topk(
     dim/m dims; each gets its own ``n_codes``-codeword codebook from the
     same deterministic k-means as IVF (md5-sampled seeds + one Lloyd
     round of decimal-rounded means), so every engine reproduces the
-    quantizer bit-exactly. Encode: each vector maps to its best codeword
-    per subspace MAP-SIDE (codebooks inlined as literals — zero shuffle,
-    and at scale the scan reads only the m log2(n_codes)-bit codes, not
-    the full vectors). Score: asymmetric distance computation — the
-    query's EXACT subvectors dotted with each candidate's reconstructed
-    codewords, summed across subspaces; the fixed left-to-right addition
-    order keeps it deterministic. Refine: the ADC top ``refine*k``
+    quantizer bit-exactly. Encode + score: each vector maps to its best
+    codeword per subspace MAP-SIDE and is ADC-scored against the
+    driver-folded query LUT inside ONE Arrow-batched bit-exact numpy
+    twin (``_adc_vectorized_udf`` — zero shuffle, identical IEEE op
+    order to the HOF expression, and at scale the scan reads only the
+    m log2(n_codes)-bit codes, not the full vectors). The fixed
+    left-to-right addition order keeps the asymmetric distance
+    deterministic. Refine: the ADC top ``refine*k``
     candidates are re-ranked by exact cosine (a semi-join reads just
     those full vectors) — the standard PQ+refine topology (Jégou et al.,
     "Product Quantization for Nearest Neighbor Search").
@@ -758,12 +880,17 @@ def pq_topk(
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__q")
     )
-    score = _pq_adc_score(
-        embeddings, m, n_codes, dim, id_col, vec_col, list(qrow[0])
-    )
+    books = pq_codebooks(embeddings, m, n_codes, dim, id_col, vec_col)
+    if any(not cb for cb in books.values()):  # empty corpus: no rows
+        return embeddings.select(
+            F.col(id_col), F.lit(0.0).alias("cos_sim")
+        ).limit(0)
+    adc_udf = _adc_vectorized_udf(books, list(qrow[0]), m, dim)
     adc = (
         embeddings.filter(F.col(id_col) != query_vec_id)
-        .select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+        .select(F.col(id_col), F.round(adc_udf(F.col(vec_col)), 6).alias(
+            "adc_score"
+        ))
         .orderBy(F.desc("adc_score"), F.asc(id_col))
         .limit(refine * k)
     )
@@ -795,7 +922,9 @@ def ivfpq_topk(
     — the composition Jégou et al. call IVFADC and every production ANN
     store (FAISS IVF-PQ tier) ships as its default large-scale index.
 
-    Topology (all pruning/encoding map-side via inlined literals):
+    Topology (all pruning/encoding map-side, zero shuffle — cell
+    assignment and ADC run in the Arrow-batched bit-exact numpy twins,
+    see _cells_vectorized_udf / _adc_vectorized_udf):
       1. coarse: the cosine k-means quantizer from ``ivf_topk`` assigns
          every vector a cell; the query probes its ``nprobe`` nearest —
          only ~nprobe/n_cells of rows survive;
@@ -829,14 +958,22 @@ def ivfpq_topk(
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("__q")
     )
+    # cell assignment + ADC scoring via the bit-exact Arrow-batched
+    # twins (the HOF expressions are CodegenFallback — interpreted per
+    # row, they were 80%+ of this query's wall at sf1)
+    cell_udf = _cells_vectorized_udf(cents, metric="cosine")
     scanned = embeddings.withColumn(
-        "__cell", -F.array_max(rank_arr).getField("nc")
+        "__cell", cell_udf(F.col(vec_col))
     ).filter(F.col("__cell").isin(probe) & (F.col(id_col) != query_vec_id))
-    score = _pq_adc_score(
-        embeddings, m, n_codes, dim, id_col, vec_col, list(qrow["__v"])
-    )
+    books = pq_codebooks(embeddings, m, n_codes, dim, id_col, vec_col)
+    if any(not cb for cb in books.values()):  # empty corpus: no rows
+        return embeddings.select(
+            F.col(id_col), F.lit(0.0).alias("cos_sim")
+        ).limit(0)
+    adc_udf = _adc_vectorized_udf(books, list(qrow["__v"]), m, dim)
     adc = (
-        scanned.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+        scanned.select(F.col(id_col), F.round(adc_udf(F.col(vec_col)), 6)
+                       .alias("adc_score"))
         .orderBy(F.desc("adc_score"), F.asc(id_col))
         .limit(refine * k)
     )

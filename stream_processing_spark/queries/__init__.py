@@ -95,40 +95,39 @@ _PRIORITY = [
     "t7_custom_flatmap",
     "grep_count_by_source", "grep_total_count",
     "streaming_stateful_running_count",
-    # ---- round-8 rotation: 40 queries never before in any driver
-    # window (r01-r07). Streaming flagships first (the four big
-    # round-7 components the verdict named), then user-facing staples,
-    # API tiers, and the round-8 additions.
-    "streaming_tws_timer_flush", "streaming_ingest_neardup_pairs",
-    "streaming_upsert_latest_state", "streaming_stream_stream_full_join",
-    # user-facing staples
-    "pii_redact_stats", "sort_global_orders_sample",
-    "dedup_containment_pairs", "dedup_c4_crossdoc_lines",
-    "quality_gopher_line_para_dedup", "retrieval_rrf_hybrid_topk",
-    "pattern_match_event_sequences", "ivm_join_delta_revenue",
-    "cohort_retention_matrix", "ann_matryoshka_overlap",
-    "tsmatch_topk_windows",
-    # API tiers (pandas-on-Spark, Arrow-native, SQL UDF / collation /
-    # session variables) and source roundtrips
-    "pandas_api_status_revenue", "arrow_native_char_stats",
-    "sql_udf_disc_revenue", "collation_lcase_group",
-    "sql_variables_param_filter", "jsonl_source_counts",
-    "orc_roundtrip_digest",
-    # privacy / stats tier (hll_sketch_rollup_users stays out: it is
-    # rows-only by design — DataSketches HLL has no DuckDB twin — and
-    # the rotation's purpose is HASH certification)
-    "l_diversity_report", "grouped_wavg_pandas_udaf",
-    "zscore_orders_per_status", "linreg_price_on_quantity",
-    # curation / mixture / text tail
-    "dedup_duplicate_spans", "mixture_temperature_weights",
-    "mixture_equalize_langs", "text_langid_confusion",
-    "text_token_counts_pandas", "corpus_stats", "vocab_top_tokens",
-    # relational surfaces
-    "window_rank_surface", "agg_filter_clause",
-    "rollup_revenue_region_nation",
-    # round-8 new operators (exact-substring dedup, DSIR, unigram-LM)
-    "dedup_exact_substring_spans", "mixture_dsir_weights",
-    "mixture_dsir_resample", "unigram_lm_train",
+    # ---- round-9 rotation: 40 queries never before in any driver
+    # window (r01-r08). The r8 post-rotation cohort first (the r8
+    # verdict's named list), then the long-waiting LLM staples, the
+    # round-9 tokenizer encodes, and the oracled relational/text tail.
+    # Everything rotated OUT keeps its GATE_r*/CORRECTNESS_r* history
+    # plus tests/test_oracle_queries.py.
+    "quality_classifier_train", "quality_classifier_scores",
+    "wordpiece_train_merges", "retrieval_mmr_rerank_topk",
+    "quality_char_entropy", "embedding_power_iteration_pc1",
+    "streaming_state_inspection", "changepoint_cusum_daily_events",
+    # LLM staples the verdict named (image_phash is rows-only by
+    # design — pHash banding has no DuckDB twin — included per the
+    # verdict for the weaker rows-only record)
+    "image_phash_near_dups", "cross_source_span_overlap",
+    "pack_docs_token_budget", "span_corruption_pairs",
+    "nb_lang_model_train",
+    # round-9 tokenizer APPLICATION operators
+    "wordpiece_encode_source_stats", "unigram_encode_source_stats",
+    # relational / aggregation surfaces
+    "agg_corr_price_qty", "window_range_frame_user_value",
+    "rollup_multires_events", "unpivot_customer_measures",
+    "null_handling_surface", "agg_mode_priority",
+    "groupwise_latest_order", "set_except_all_priorities",
+    "agg_stddev_per_status", "union_by_name_entities",
+    "safe_cast_surface", "grouped_minmax_norm_pandas",
+    # text / retrieval tail
+    "text_trigram_topk", "text_tfidf_top_terms", "text_chunk_windows",
+    "text_rolling_fingerprint", "text_fingerprint", "bigram_lm_probs",
+    "inverted_index_postings", "histogram_doc_lengths",
+    "quality_percentile_filter", "fuzzy_name_pairs",
+    # embeddings / pipeline ops
+    "embedding_l2_normalize", "split_train_val_test",
+    "multimodal_frame_sample",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

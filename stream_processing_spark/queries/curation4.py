@@ -356,13 +356,16 @@ _XS_SPAN_TERMS = " || ' ' || ".join(f"t[i+{j}]" for j in range(_XS_SPAN_W))
     "overlap coefficient (shared / smaller side) — the dataset-card "
     "diagnostic that tells you two crawl snapshots substantially "
     "duplicate each other BEFORE you pay for full dedup between them. "
-    "Scale shape: spans are fingerprinted md5 and deduped per source "
-    "first, so each join key appears at most once per source — the "
-    "fp self-join fans out to at most n_sources^2 rows per span "
-    "(bounded by the catalog size, not the corpus), and the span "
-    "generation is linear in corpus tokens with no text shuffled "
-    "(fixed-width 32-hex keys only). Per-source totals are a tiny "
-    "broadcast joined back for the coefficient.",
+    "Scale shape (r9 one-shuffle rewrite): spans shuffle ONCE, by "
+    "fingerprint, into (fp, source_set) groups — the set is bounded by "
+    "the source catalog, not the corpus — then the pair expansion and "
+    "the per-source span totals are both map-side reads of that one "
+    "materialized grouped frame (at most n_sources^2 pair rows per "
+    "span). The old spelling paid a (source, fp) DISTINCT shuffle plus "
+    "an fp self-join shuffle over the same data; folding dedup into "
+    "the fp groupBy halves the shuffled bytes and removes the join. "
+    "Span generation stays linear in corpus tokens with no text "
+    "shuffled (fixed-width 32-hex keys only).",
 )
 def cross_source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_spark.runtime import rebalance_for_expansion
@@ -382,16 +385,29 @@ def cross_source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("fp"),
         )
-        .distinct()
     )
-    per_src = spans.groupBy("source").agg(F.count(F.lit(1)).alias("n_spans"))
-    a, b = spans.alias("a"), spans.alias("b")
+    # ONE shuffle: fp -> sorted distinct source set (collect_set dedups
+    # the per-source repeats map-side via partial aggregation). Both
+    # consumers below share the exchange via ReusedExchange — no
+    # checkpoint needed (a localCheckpoint here OOMed a 1g heap at sf1)
+    grouped = spans.groupBy("fp").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    per_src = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(srcs, (x, i) -> "
+        "transform(slice(srcs, i + 2, size(srcs)), "
+        "y -> struct(x AS source_a, y AS source_b))))"
+    )
     pairs = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp"))
-               & (F.col("a.source") < F.col("b.source")))
+        grouped.select(F.explode(pair_expr).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("shared_spans"))
     )

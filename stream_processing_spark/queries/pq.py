@@ -127,8 +127,10 @@ def _pq_oracle() -> str:
     doc=f"Product-quantization ANN top-{_K} with exact re-rank: {_M} "
     f"subspaces x {_CODES} codewords (deterministic k-means per "
     "subspace with EUCLIDEAN assignment — md5-sampled seeds, one Lloyd "
-    "round of decimal-rounded means), codes assigned MAP-SIDE from "
-    "inlined codebook literals "
+    "round of decimal-rounded means), codes assigned MAP-SIDE in an "
+    "Arrow-batched numpy twin that replays the engine fold's IEEE op "
+    "order bit-exactly (similarity._adc_vectorized_udf; the HOF "
+    "expression form is CodegenFallback — ~300 us/row interpreted) "
     "(at scale the ADC scan reads 16-bit codes, never full vectors), "
     "asymmetric-distance scoring against the query's exact subvectors, "
     f"then exact-cosine re-rank of the ADC top {_REFINE * _K} via a "
