@@ -568,8 +568,12 @@ def ivf_topk(
         F.col(vec_col).alias("__q")
     )
     sim = F.round(cosine(F.col(vec_col), F.col("__q")), 6)
+    # full-scan cell assignment via the bit-exact Arrow twin (the
+    # struct-rank HOF is the pathological interpreted case); the 1-row
+    # probe ranking above stays expression-based
+    cell_udf = _cells_vectorized_udf(cents, metric="cosine")
     return (
-        embeddings.withColumn("__cell", -F.array_max(rank_arr).getField("nc"))
+        embeddings.withColumn("__cell", cell_udf(F.col(vec_col)))
         .filter(F.col("__cell").isin(probe) & (F.col(id_col) != query_vec_id))
         .crossJoin(F.broadcast(q))
         .select(F.col(id_col), sim.alias("cos_sim"))
@@ -636,7 +640,12 @@ def lsh_banded_pairs(
         for b in range(bands)
     ]
     # the signature pass is bands×rows hyperplane dots per row —
-    # compute-bound; spread a small scan's rows across cores first
+    # compute-bound; spread a small scan's rows across cores first.
+    # (An Arrow-batched numpy twin was tried and REVERTED here: plain-
+    # array aggregate folds interpret cheaply — 0.3 s for 20k x 32
+    # planes — while the UDF paid 1.3 s of Arrow transfer. The
+    # pathological interpreted case is STRUCT-typed rank arrays, which
+    # is why the PQ cell/ADC paths use _cells/_adc_vectorized_udf.)
     buckets = rebalance_for_expansion(embeddings).select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))

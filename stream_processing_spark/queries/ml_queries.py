@@ -418,12 +418,18 @@ def kmeans_cluster_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = sim.kmeans_centroids(emb, n_cells=16)
-    rank = sim._cell_rank_array("embedding", cents)
-    return (
-        emb.select(
-            "vec_id",
-            (-F.array_max(rank).getField("nc")).cast("int").alias("cluster"),
+    if not cents:  # empty corpus
+        return (
+            emb.select(
+                F.lit(0).alias("cluster"),
+                F.lit(0).cast("bigint").alias("n_vectors"),
+            ).limit(0)
         )
+    # struct-rank HOFs are the pathological interpreted case; the
+    # Arrow-batched twin replays the fold order bit-exactly
+    cell_udf = sim._cells_vectorized_udf(cents, metric="cosine")
+    return (
+        emb.select("vec_id", cell_udf(F.col("embedding")).alias("cluster"))
         .groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cluster")
@@ -518,11 +524,18 @@ def _cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan already has >= defaultParallelism partitions)
     emb = rebalance_for_expansion(load_table(spark, sf_dir, "embeddings"))
     cents = sim.kmeans_centroids(emb, n_cells=_semd_n_cells(emb.count()))
-    rank = sim._cell_rank_array("embedding", cents)
+    if not cents:  # empty corpus: typed empty assignment frame
+        return emb.select(
+            "vec_id", "embedding", F.lit(0).cast("int").alias("cluster")
+        ).limit(0)
+    # struct-rank HOFs interpret at ~300 us/row (CodegenFallback); the
+    # Arrow-batched twin is bit-exact and ~two orders cheaper at the
+    # sqrt(N)-scaled cell counts this path uses (up to 1024 cells)
+    cell_udf = sim._cells_vectorized_udf(cents, metric="cosine")
     return emb.select(
         "vec_id",
         "embedding",
-        (-F.array_max(rank).getField("nc")).cast("int").alias("cluster"),
+        cell_udf(F.col("embedding")).cast("int").alias("cluster"),
     )
 
 
@@ -990,14 +1003,22 @@ def embedding_power_iteration_pc1(
     )
 
     emb = rebalance_for_expansion(load_table(spark, sf_dir, "embeddings"))
+    # hash-partition the exploded frame by vec_id BEFORE materializing:
+    # localCheckpoint preserves outputPartitioning, so every round's
+    # score groupBy and x-join on vec_id reuse it exchange-free — the
+    # only per-round shuffle left is the tiny per-dimension aggregate
+    # (64 groups after map-side combine). Decimal sums are
+    # order-independent, so the repartition cannot change any value.
     x = materialize(
         emb.select(
             "vec_id", F.posexplode("embedding").alias("pos", "val")
-        ).select(
+        )
+        .select(
             "vec_id",
             F.col("pos").cast("bigint").alias("pos"),
             F.col("val").cast("double").alias("val"),
-        ),
+        )
+        .repartition("vec_id"),
         eager=False,
     )
     v = spark.range(_PI_DIM).select(
