@@ -189,6 +189,16 @@ BENCH_QUERIES = [
     # checkpoint state read back as a table (statestore source) after a
     # drained streaming count
     "streaming_state_inspection",
+    # --- round-9 additions (new capabilities — compare per-query
+    # against BENCH_r08, not in aggregate). Classifier note: the
+    # round-9 model cache (trained_classifier) means
+    # quality_classifier_scores above now pays ONE corpus scan over a
+    # broadcast weight table; training cost shows once per fresh JVM.
+    # Tokenizer APPLICATION twins of bpe_encode_source_stats: greedy
+    # longest-match walk / one extra Viterbi E-step over the distinct
+    # word table, then a broadcast word->token-count join
+    "wordpiece_encode_source_stats",
+    "unigram_encode_source_stats",
 ]
 
 
