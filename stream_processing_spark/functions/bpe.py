@@ -86,7 +86,29 @@ def bpe_train(
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns
     [(step, left_sym, right_sym, pair_count), ...]. Each step costs one
-    distributed pair-count aggregation plus a 1-row driver trip."""
+    distributed pair-count aggregation plus a 1-row driver trip. The
+    merge list is a constant-size trained artifact, served from the
+    in-process model cache on repeat calls over unchanged data (train
+    once, serve many — functions/model_cache.py)."""
+    from stream_processing_spark.functions.model_cache import cached_model
+
+    return cached_model(
+        docs,
+        "bpe_merges",
+        (n_merges, text_col),
+        lambda: _bpe_train_uncached(
+            docs, n_merges, text_col, reliable, checkpoint_dir
+        ),
+    )
+
+
+def _bpe_train_uncached(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str,
+    reliable: bool,
+    checkpoint_dir: str | None,
+) -> list[tuple[int, str, str, int]]:
     cur = word_frequencies(docs, text_col)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -133,7 +155,27 @@ def wordpiece_train(
     Simplification vs production WordPiece: no '##' continuation
     markers (the reference corpus is space-tokenized, so surface
     forms never collide); greedy-longest-match encoding is what
-    ``merge_pair_expr`` already implements."""
+    ``merge_pair_expr`` already implements. Served from the
+    in-process model cache like ``bpe_train``."""
+    from stream_processing_spark.functions.model_cache import cached_model
+
+    return cached_model(
+        docs,
+        "wordpiece_merges",
+        (n_merges, text_col),
+        lambda: _wordpiece_train_uncached(
+            docs, n_merges, text_col, reliable, checkpoint_dir
+        ),
+    )
+
+
+def _wordpiece_train_uncached(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str,
+    reliable: bool,
+    checkpoint_dir: str | None,
+) -> list[tuple[int, str, str, int, float]]:
     cur = word_frequencies(docs, text_col)
     merges: list[tuple[int, str, str, int, float]] = []
     for step in range(1, n_merges + 1):

@@ -175,6 +175,51 @@ def em_round(cand: DataFrame, vocab: DataFrame) -> DataFrame:
     return _normalize(counts)
 
 
+def trained_vocab_rows(
+    docs: DataFrame,
+    rounds: int = 2,
+    max_piece: int = 4,
+    max_word: int = 12,
+    text_col: str = "text",
+) -> list[tuple[str, int, str]]:
+    """Run the Viterbi-EM training and return the final vocabulary as
+    plain rows (piece, cnt, lp-decimal-string) — the constant-size
+    trained artifact, served from the in-process model cache on repeat
+    calls over unchanged data (functions/model_cache.py). The collect
+    is vocabulary-sized (bounded by distinct substrings of distinct
+    words, never by corpus size)."""
+    from stream_processing_spark.functions.model_cache import cached_model
+
+    def _train() -> list[tuple[str, int, str]]:
+        words = word_table(docs, text_col=text_col, max_word=max_word)
+        cand = materialize(
+            candidate_pieces(words, max_piece=max_piece), eager=False
+        )
+        vocab = seed_vocab(cand)
+        for _ in range(rounds):
+            vocab = materialize(em_round(cand, vocab), eager=False)
+        return sorted(
+            (r["piece"], int(r["cnt"]), str(r["lp"]))
+            for r in vocab.collect()
+        )
+
+    return cached_model(
+        docs,
+        "unigram_vocab",
+        (rounds, max_piece, max_word, text_col),
+        _train,
+    )
+
+
+def _vocab_frame(docs: DataFrame, rows: list[tuple[str, int, str]]):
+    from decimal import Decimal
+
+    return docs.sparkSession.createDataFrame(
+        [(p, c, Decimal(lp)) for p, c, lp in rows],
+        "piece string, cnt bigint, lp decimal(18,6)",
+    )
+
+
 def unigram_encode_word_tokens(
     docs: DataFrame,
     rounds: int = 2,
@@ -182,20 +227,26 @@ def unigram_encode_word_tokens(
     max_word: int = 12,
     text_col: str = "text",
 ) -> DataFrame:
-    """Tokenizer APPLICATION: train ``rounds`` of Viterbi-EM, then run
-    one more E-step (segmentation only, no recount) under the final
-    vocabulary. Returns (w, n_tok) — the Viterbi token count per
-    distinct word — the vocabulary-sized map an encode pass broadcasts
-    against the corpus. Words longer than ``max_word`` are out of the
-    tokenizer's contract (same bound as training)."""
+    """Tokenizer APPLICATION: one Viterbi E-step (segmentation only,
+    no recount) under the trained vocabulary (cache-served). Returns
+    (w, n_tok) — the Viterbi token count per distinct word — the
+    vocabulary-sized map an encode pass broadcasts against the corpus.
+    Words longer than ``max_word`` are out of the tokenizer's contract
+    (same bound as training)."""
+    vocab = _vocab_frame(
+        docs,
+        trained_vocab_rows(
+            docs,
+            rounds=rounds,
+            max_piece=max_piece,
+            max_word=max_word,
+            text_col=text_col,
+        ),
+    )
     words = word_table(docs, text_col=text_col, max_word=max_word)
-    cand = materialize(candidate_pieces(words, max_piece=max_piece),
-                       eager=False)
-    vocab = seed_vocab(cand)
-    for _ in range(rounds):
-        vocab = materialize(em_round(cand, vocab), eager=False)
+    cand = candidate_pieces(words, max_piece=max_piece)
     lpi = (F.col("lp") * _LP_SCALE).cast("long").alias("lpi")
-    scored = cand.join(vocab.select("piece", lpi), "piece")
+    scored = cand.join(F.broadcast(vocab.select("piece", lpi)), "piece")
     return (
         scored.groupBy("w")
         .agg(F.collect_list(F.struct("s", "e", "lpi")).alias("arcs"))
@@ -218,13 +269,15 @@ def unigram_lm_train(
     """Train `rounds` of Viterbi-EM; returns the final vocabulary as
     (piece, cnt, logp) with logp surfaced as DOUBLE. Each round costs
     one vocab-sized join + aggregation; frames are localCheckpoint'd
-    per round so lineage stays flat (same discipline as bpe_train)."""
-    words = word_table(docs, text_col=text_col, max_word=max_word)
-    cand = materialize(candidate_pieces(words, max_piece=max_piece),
-                       eager=False)
-    vocab = seed_vocab(cand)
-    for _ in range(rounds):
-        vocab = materialize(em_round(cand, vocab), eager=False)
-    return vocab.select(
+    per round so lineage stays flat (same discipline as bpe_train).
+    The trained vocabulary is cache-served on repeat calls."""
+    rows = trained_vocab_rows(
+        docs,
+        rounds=rounds,
+        max_piece=max_piece,
+        max_word=max_word,
+        text_col=text_col,
+    )
+    return _vocab_frame(docs, rows).select(
         "piece", "cnt", F.col("lp").cast("double").alias("logp")
     )

@@ -267,13 +267,35 @@ def mixture_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dsir_bucket_weights(docs: DataFrame) -> DataFrame:
     """Core operator over any (doc_id, lang, text) frame — see the
-    registry doc above. Separated so tests can drive fixtures."""
-    bstats, btot = _dsir_bucket_stats(docs)
-    return bstats.crossJoin(F.broadcast(btot)).select(
-        "bucket",
-        "n_target",
-        "n_raw",
-        _dsir_weight_col().alias("weight"),
+    registry doc above. Separated so tests can drive fixtures. The
+    weight table is a constant-size (<= _DSIR_B buckets) trained
+    artifact, served from the in-process model cache on repeat calls
+    over unchanged data — the resample query then pays ONE feature
+    scan instead of two (functions/model_cache.py)."""
+    from stream_processing_spark.functions.model_cache import cached_model
+
+    def _train() -> list[tuple[int, int, int, str]]:
+        bstats, btot = _dsir_bucket_stats(docs)
+        rows = (
+            bstats.crossJoin(F.broadcast(btot))
+            .select(
+                "bucket",
+                "n_target",
+                "n_raw",
+                _dsir_weight_col().alias("weight"),
+            )
+            .collect()
+        )
+        return sorted(
+            (int(r["bucket"]), int(r["n_target"]), int(r["n_raw"]),
+             repr(float(r["weight"])))
+            for r in rows
+        )
+
+    rows = cached_model(docs, "dsir_weights", (_DSIR_B,), _train)
+    return docs.sparkSession.createDataFrame(
+        [(b, t, n, float(w)) for b, t, n, w in rows],
+        "bucket bigint, n_target bigint, n_raw bigint, weight double",
     )
 
 
