@@ -1061,3 +1061,76 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "scd2_user_value_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER w AS rn,
+               LAG(value) OVER w AS prev_v
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, value FROM ordered
+        WHERE rn = 1 OR value IS DISTINCT FROM prev_v
+    ),
+    versioned AS (
+        SELECT user_id, value,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+               ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, version, value, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM versioned
+    """,
+    doc="Slowly-changing-dimension TYPE 2 history (Kimball): per user, "
+    "one VERSION row per change of the tracked attribute — "
+    "[valid_from, valid_to) interval, version number, is_current flag "
+    "— with consecutive duplicates collapsed (a new version opens only "
+    "when the value actually changes; null-safe change test). The "
+    "batch complement of streaming/upsert.py's latest-state CDC table: "
+    "upsert serves point lookups of NOW, SCD2 serves AS-OF joins over "
+    "history. Scale shape: two window passes over the same "
+    "user-partitioned shuffle (Spark reuses the exchange), no joins, "
+    "no collect; ties broken by event_id so versions are total-ordered "
+    "and engine-exact.",
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("prev_v"),
+    )
+    changes = ordered.where(
+        (F.col("rn") == 1) | ~(F.col("value").eqNullSafe(F.col("prev_v")))
+    ).select("user_id", "ts", "event_id", "value")
+    versioned = changes.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return versioned.select(
+        "user_id",
+        "version",
+        "value",
+        "valid_from",
+        "valid_to",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias(
+            "is_current"
+        ),
+    )

@@ -436,3 +436,70 @@ def test_containment_pairs_matches_bruteforce(spark, docs):
             if c >= 0.5:
                 want[(ia, ib)] = round(c, 6)
     assert got == want, (got, want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),   # user
+            st.integers(min_value=0, max_value=9999),  # ts offset s
+            st.sampled_from([1.0, 2.0, 2.0, None]),  # value (dupes+null)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SET
+def test_scd2_history_invariants(spark, rows):
+    """SCD2 properties on random change streams: per user the version
+    intervals tile the timeline (valid_to[k] == valid_from[k+1]),
+    exactly one open (is_current) version exists, versions are dense
+    from 1, and consecutive equal values (null-safe) never open a new
+    version."""
+    import datetime
+
+    from stream_processing_spark.queries.analytics_queries import (
+        scd2_user_value_history,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = [
+        (i, base + datetime.timedelta(seconds=off), u, "view", v, "{}")
+        for i, (u, off, v) in enumerate(rows)
+    ]
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="scd2_fx_")
+    spark.createDataFrame(
+        ev,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    got = scd2_user_value_history(spark, d).collect()
+
+    by_user: dict[int, list] = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # reference: collapse consecutive duplicates per user
+    want_chains: dict[int, list] = {}
+    for i, (u, off, v) in enumerate(rows):
+        want_chains.setdefault(u, []).append((off, i, v))
+    for u, chain in want_chains.items():
+        chain.sort()
+        collapsed = []
+        for off, i, v in chain:
+            if not collapsed or collapsed[-1] != v:
+                collapsed.append(v)
+        versions = sorted(by_user[u], key=lambda r: r["version"])
+        assert [r["version"] for r in versions] == list(
+            range(1, len(collapsed) + 1)
+        )
+        assert [r["value"] for r in versions] == collapsed
+        assert sum(r["is_current"] for r in versions) == 1
+        assert versions[-1]["is_current"] == 1
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert versions[-1]["valid_to"] is None
