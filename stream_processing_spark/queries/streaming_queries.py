@@ -1214,3 +1214,95 @@ def streaming_state_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").getField("event_type").alias("key"),
         F.col("value").getField("count").cast("bigint").alias("cnt"),
     )
+
+
+@register(
+    "streaming_scd2_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS uts, event_id,
+               value,
+               ROW_NUMBER() OVER w AS rn,
+               LAG(value) OVER w AS prev_v
+        FROM events WHERE user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+    ),
+    changes AS (
+        SELECT user_id, uts, event_id, value FROM ordered
+        WHERE rn = 1 OR value IS DISTINCT FROM prev_v
+    ),
+    versioned AS (
+        SELECT user_id, value,
+               CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+               uts AS valid_from_us,
+               LEAD(uts) OVER w2 AS valid_to_us
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY uts, event_id)
+    )
+    SELECT user_id, version, value, valid_from_us, valid_to_us,
+           CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM versioned
+    """,
+    doc="The exactly-once streaming SCD2 history table "
+    "(streaming/scd2.py) driven end-to-end under the driver gate: "
+    "events become CDC changes (key=user_id, tracked value, ts=event "
+    "micros, seq=event_id) arriving in two TIME-ORDERED micro-batches "
+    "split at 2024-01-25 — so batch 2 must CLOSE the open versions "
+    "batch 1 left (cross-batch interval stitching) while version "
+    "numbers continue densely and consecutive equal values collapse "
+    "across the batch boundary. Final history() must equal the batch "
+    "scd2_user_value_history operator's semantics (the oracle) — "
+    "stream/batch parity for versioned history, the same relationship "
+    "streaming_upsert_latest_state has to the CDC latest-state core. "
+    "Same storage scale shape as the upsert table: O(touched buckets) "
+    "per batch, manifests + atomic pointer, crash-window replay safe.",
+)
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.streaming.scd2 import Scd2Table
+
+    schema, norm = _events_schema_and_norm(_events_ts_layout(spark, sf_dir))
+    ev = (
+        spark.read.schema(schema)
+        .parquet(table_path(sf_dir, "events"))
+        .withColumn("ts", norm)
+    )
+    changes = ev.where(F.col("user_id").isNotNull()).select(
+        F.col("user_id").alias("uid"),
+        F.unix_micros("ts").alias("ts"),
+        F.col("event_id").alias("seq"),
+        "value",
+    )
+    split_us = 1706140800000000  # 2024-01-25 00:00:00 UTC in micros
+    d = tempfile.mkdtemp(prefix="stream_src_scd2_")
+    _stage_halves(changes, F.col("ts") < split_us, d)
+    table = Scd2Table(
+        spark,
+        tempfile.mkdtemp(prefix="scd2_table_"),
+        key_col="uid",
+        value_col="value",
+    )
+    q = (
+        spark.readStream.schema(
+            "uid bigint, ts bigint, seq bigint, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .writeStream.foreachBatch(table.writer())
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="scd2_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    _capture_plan(q)
+    if q.isActive:  # pragma: no cover
+        q.stop()
+        raise TimeoutError("scd2 stream did not drain")
+    return table.history().select(
+        F.col("uid").alias("user_id"),
+        "version",
+        "value",
+        F.col("__vf").alias("valid_from_us"),
+        F.col("__vt").alias("valid_to_us"),
+        "is_current",
+    )

@@ -212,23 +212,7 @@ class UpsertTable:
         Tombstones persist; compacting them after a retention window
         is vacuum-level policy deliberately out of scope here."""
         applied = self.version()
-        if batch_id == applied:
-            return  # Spark's crash window re-delivers the LAST batch
-        if batch_id < applied:
-            # a batch id far below the pointer is NOT normal re-delivery
-            # — it means a fresh checkpoint (new query numbering from 0)
-            # was pointed at an existing table; silently skipping would
-            # discard genuinely new change data (the Delta txn pattern
-            # keys idempotence on (appId, batchId) for this reason)
-            if not self.allow_full_replay:
-                raise RuntimeError(
-                    f"batch {batch_id} is below the applied version "
-                    f"{applied}: this table was built by another query/"
-                    "checkpoint. Re-point the new query at a fresh "
-                    "table path, or pass allow_full_replay=True if you "
-                    "are deliberately re-draining the SAME source into "
-                    "the same table (e.g. after wiping the commit log)."
-                )
+        if self._should_skip(batch_id, applied):
             return
         w = Window.partitionBy(self.key_col).orderBy(
             F.desc("ts"), F.desc("seq")
@@ -320,6 +304,40 @@ class UpsertTable:
                 .otherwise(F.coalesce("__deleted", F.lit(False)))
                 .alias("__deleted"),
             )
+        self._commit(merged, batch_id, prev, touched)
+
+    def _should_skip(self, batch_id: int, applied: int) -> bool:
+        """Exactly-once replay policy shared by every table flavor."""
+        if batch_id == applied:
+            return True  # Spark's crash window re-delivers the LAST batch
+        if batch_id < applied:
+            # a batch id far below the pointer is NOT normal re-delivery
+            # — it means a fresh checkpoint (new query numbering from 0)
+            # was pointed at an existing table; silently skipping would
+            # discard genuinely new change data (the Delta txn pattern
+            # keys idempotence on (appId, batchId) for this reason)
+            if not self.allow_full_replay:
+                raise RuntimeError(
+                    f"batch {batch_id} is below the applied version "
+                    f"{applied}: this table was built by another query/"
+                    "checkpoint. Re-point the new query at a fresh "
+                    "table path, or pass allow_full_replay=True if you "
+                    "are deliberately re-draining the SAME source into "
+                    "the same table (e.g. after wiping the commit log)."
+                )
+            return True
+        return False
+
+    def _commit(
+        self,
+        merged: DataFrame,
+        batch_id: int,
+        prev: dict[int, str],
+        touched: list[int],
+    ) -> None:
+        """Write touched-bucket leaves, the manifest, and the pointer —
+        the data/manifest/pointer commit sequence shared by every table
+        flavor (UpsertTable, Scd2Table)."""
         # write ONLY the touched buckets' new leaves; one shuffle keyed
         # by bucket so each leaf gets a compact file set
         ddir = self._data_dir(batch_id)

@@ -1,0 +1,211 @@
+"""Streaming SCD2 history table (streaming/scd2.py): cross-batch
+interval stitching, duplicate collapse across batch boundaries,
+out-of-order guards, exactly-once under replay and injected crashes."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stream_processing_spark.streaming.scd2 import Scd2Table
+
+
+def _apply_batches(spark, t, batches):
+    schema = "uid long, ts long, seq long, value double"
+    for i, rows in enumerate(batches):
+        t.apply(spark.createDataFrame(rows, schema), i)
+
+
+def _history(t):
+    return sorted(
+        (r["uid"], r["version"], r["value"], r["__vf"], r["__vt"],
+         r["is_current"])
+        for r in t.history().collect()
+    )
+
+
+def test_scd2_cross_batch_stitching(spark, tmp_path):
+    """Batch 2 must CLOSE batch 1's open versions, continue version
+    numbers densely, and collapse a repeat of the open value across
+    the batch boundary."""
+    t = Scd2Table(spark, str(tmp_path / "t"), key_col="uid",
+                  value_col="value")
+    _apply_batches(spark, t, [
+        # batch 0: uid1 a->b (two versions), uid2 one version
+        [(1, 100, 1, 1.0), (1, 200, 2, 2.0), (2, 150, 3, 5.0)],
+        # batch 1: uid1 repeats open value (collapse: no-op) then
+        # changes; uid2 repeat only (pure no-op); uid3 brand new
+        [(1, 300, 4, 2.0), (1, 400, 5, 3.0), (2, 350, 6, 5.0),
+         (3, 500, 7, 9.0)],
+    ])
+    assert _history(t) == [
+        (1, 1, 1.0, 100, 200, 0),
+        (1, 2, 2.0, 200, 400, 0),   # closed BY BATCH 1's change
+        (1, 3, 3.0, 400, None, 1),
+        (2, 1, 5.0, 150, None, 1),  # repeat collapsed, stays open
+        (3, 1, 9.0, 500, None, 1),
+    ]
+    cur = {(r["uid"], r["value"]) for r in t.current().collect()}
+    assert cur == {(1, 3.0), (2, 5.0), (3, 9.0)}
+
+
+def test_scd2_in_batch_collapse_and_nulls(spark, tmp_path):
+    """Null-safe collapse: null==null collapses, null->value and
+    value->null open versions; first-ever change may be null."""
+    t = Scd2Table(spark, str(tmp_path / "t"), key_col="uid",
+                  value_col="value")
+    _apply_batches(spark, t, [
+        [(1, 100, 1, None), (1, 200, 2, None), (1, 300, 3, 4.0),
+         (1, 400, 4, 4.0), (1, 500, 5, None)],
+    ])
+    assert _history(t) == [
+        (1, 1, None, 100, 300, 0),
+        (1, 2, 4.0, 300, 500, 0),
+        (1, 3, None, 500, None, 1),
+    ]
+
+
+def test_scd2_out_of_order_changes_ignored(spark, tmp_path):
+    """A later batch's change at or before the open version's (ts, seq)
+    is dropped (history is append-only in event time)."""
+    t = Scd2Table(spark, str(tmp_path / "t"), key_col="uid",
+                  value_col="value")
+    _apply_batches(spark, t, [
+        [(1, 100, 1, 1.0), (1, 300, 2, 2.0)],
+        [(1, 250, 3, 7.0),   # older than open (300, 2): ignored
+         (1, 300, 2, 7.0),   # equal (ts, seq): ignored
+         (1, 400, 4, 7.0)],  # fresh: applies
+    ])
+    assert _history(t) == [
+        (1, 1, 1.0, 100, 300, 0),
+        (1, 2, 2.0, 300, 400, 0),
+        (1, 3, 7.0, 400, None, 1),
+    ]
+
+
+def test_scd2_replay_skips_applied_batch(spark, tmp_path):
+    t = Scd2Table(spark, str(tmp_path / "t"), key_col="uid",
+                  value_col="value")
+    b0 = [(1, 100, 1, 1.0)]
+    b1 = [(1, 200, 2, 2.0)]
+    _apply_batches(spark, t, [b0, b1])
+    want = _history(t)
+    v = t.version()
+    # crash-window re-delivery of the LAST batch: must be a no-op
+    t.apply(spark.createDataFrame(b1, "uid long, ts long, seq long, "
+                                      "value double"), 1)
+    assert t.version() == v and _history(t) == want
+
+
+def test_scd2_untouched_buckets_not_rewritten(spark, tmp_path):
+    """A batch touching one key must not rewrite other buckets' leaves
+    (the O(touched buckets) contract inherited from UpsertTable)."""
+    t = Scd2Table(spark, str(tmp_path / "t"), key_col="uid",
+                  value_col="value", num_buckets=8)
+    _apply_batches(spark, t, [
+        [(k, 100, k, float(k)) for k in range(1, 9)],
+        [(1, 200, 100, 42.0)],  # touches uid 1's bucket only
+    ])
+    m0 = t._load_manifest(0)
+    m1 = t._load_manifest(1)
+    changed = [b for b in m0 if m1[b] != m0[b]]
+    assert len(changed) <= 2  # uid 1's bucket (hash may collide once)
+    assert {(r["uid"], r["value"]) for r in t.current().collect()} == (
+        {(k, float(k)) for k in range(2, 9)} | {(1, 42.0)}
+    )
+
+
+def test_scd2_crash_loop_matches_uninterrupted(spark, tmp_path):
+    """The upsert crash schedule against the SCD2 sink: kills before
+    apply, with the pointer rolled back post-apply, and post-apply
+    pre-commit — final history equals an uninterrupted run."""
+    import pyspark.errors
+
+    rows_by_batch = [
+        [(1, 100, 1, 1.0), (2, 100, 2, 5.0)],
+        [(1, 200, 3, 2.0), (2, 200, 4, 5.0), (3, 200, 5, 7.0)],
+        [(1, 300, 6, 2.0), (3, 300, 7, 8.0)],
+    ]
+
+    def stage(d):
+        os.makedirs(d, exist_ok=True)
+        for i, rows in enumerate(rows_by_batch):
+            import glob
+            import shutil
+            import tempfile
+            import time as _time
+
+            tmp = tempfile.mkdtemp()
+            spark.createDataFrame(
+                rows, "uid long, ts long, seq long, value double"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            dst = os.path.join(d, f"b{i}.parquet")
+            shutil.copy(glob.glob(os.path.join(tmp, "part-*"))[0], dst)
+            now = _time.time()
+            os.utime(dst, (now - 100 + i * 10, now - 100 + i * 10))
+
+    def drain(ind, ck, writer):
+        return (
+            spark.readStream.schema(
+                "uid long, ts long, seq long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(ind)
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    ref_in = str(tmp_path / "ref_in")
+    stage(ref_in)
+    ref = Scd2Table(spark, str(tmp_path / "ref_t"), key_col="uid",
+                    value_col="value")
+    q = drain(ref_in, str(tmp_path / "ref_ck"), ref.writer())
+    q.awaitTermination(120)
+    want = _history(ref)
+
+    ind = str(tmp_path / "in")
+    stage(ind)
+    t = Scd2Table(spark, str(tmp_path / "t"), key_col="uid",
+                  value_col="value")
+    inner = t.writer()
+    crash_plan = {0: ["before"], 1: ["rolled_pointer"], 2: ["after"]}
+
+    def crashy(batch_df, batch_id):
+        modes = crash_plan.get(batch_id)
+        if not modes:
+            inner(batch_df, batch_id)
+            return
+        mode = modes.pop(0)
+        if mode == "before":
+            raise RuntimeError("injected: before apply")
+        prev = open(t._pointer).read() if t.version() >= 0 else None
+        inner(batch_df, batch_id)
+        if mode == "rolled_pointer":
+            with open(t._pointer, "w") as f:
+                f.write(prev)
+        raise RuntimeError(f"injected: {mode} (pre-commit)")
+
+    ck = str(tmp_path / "ck")
+    crashes = 0
+    for _ in range(8):
+        q = drain(ind, ck, crashy)
+        try:
+            q.awaitTermination(300)
+            assert not q.isActive
+            break
+        except pyspark.errors.exceptions.captured.StreamingQueryException:
+            crashes += 1
+    else:  # pragma: no cover
+        raise AssertionError("stream never drained")
+    assert crashes == 3, crashes
+    assert not any(crash_plan.values())
+    assert _history(t) == want == [
+        (1, 1, 1.0, 100, 200, 0),
+        (1, 2, 2.0, 200, None, 1),   # batch-2 repeat collapsed
+        (2, 1, 5.0, 100, None, 1),
+        (3, 1, 7.0, 200, 300, 0),
+        (3, 2, 8.0, 300, None, 1),
+    ]
