@@ -209,3 +209,56 @@ def test_scd2_crash_loop_matches_uninterrupted(spark, tmp_path):
         (3, 1, 7.0, 200, 300, 0),
         (3, 2, 8.0, 300, None, 1),
     ]
+
+
+def test_scd2_apply_property_random_time_ordered_splits(spark, tmp_path):
+    """Property: for ANY change sequence and ANY time-ordered batch
+    partitioning (the stream contract — event time does not rewind
+    across micro-batches), the applied history equals a pure-Python
+    SCD2 reference over the whole sequence: same change points, dense
+    versions, intervals tiling per key, null-safe collapse."""
+    import random
+
+    for seed in (0, 7, 42):
+      rng = random.Random(seed)
+      for case in range(8):
+        n_keys = rng.randint(1, 3)
+        changes = []
+        for seq in range(rng.randint(1, 14)):
+            changes.append((
+                rng.randint(1, n_keys),
+                rng.randint(1, 6) * 100,
+                seq,
+                rng.choice([1.0, 2.0, 2.0, None]),
+            ))
+        changes.sort(key=lambda c: (c[1], c[2]))
+        ncuts = rng.randint(0, min(3, len(changes) - 1)) \
+            if len(changes) > 1 else 0
+        cuts = sorted(rng.sample(range(1, len(changes)), ncuts)) \
+            if ncuts else []
+        batches, prev = [], 0
+        for c in cuts + [len(changes)]:
+            if c > prev:
+                batches.append(changes[prev:c])
+                prev = c
+
+        t = Scd2Table(spark, str(tmp_path / f"p{seed}c{case}"),
+                      key_col="uid", value_col="value")
+        _apply_batches(spark, t, batches)
+
+        # pure-Python reference over the whole ordered sequence
+        want = []
+        by_key: dict[int, list] = {}
+        for uid, ts, seq, v in changes:
+            chain = by_key.setdefault(uid, [])
+            if not chain or not (
+                (chain[-1][2] is None and v is None)
+                or (chain[-1][2] == v)
+            ):
+                chain.append((ts, seq, v))
+        for uid, chain in by_key.items():
+            for i, (ts, seq, v) in enumerate(chain):
+                vt = chain[i + 1][0] if i + 1 < len(chain) else None
+                want.append((uid, i + 1, v, ts, vt,
+                             1 if vt is None else 0))
+        assert _history(t) == sorted(want), (seed, case, changes, cuts)
