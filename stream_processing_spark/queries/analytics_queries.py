@@ -1093,8 +1093,13 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one VERSION row per change of the tracked attribute — "
     "[valid_from, valid_to) interval, version number, is_current flag "
     "— with consecutive duplicates collapsed (a new version opens only "
-    "when the value actually changes; null-safe change test). The "
-    "batch complement of streaming/upsert.py's latest-state CDC table: "
+    "when the value actually changes; null-safe change test). "
+    "Distinct from scd2_user_event_type_history (curation2.py), which "
+    "labels event-type RUNS without version numbers: this one is the "
+    "exact output contract of the STREAMING history table "
+    "(streaming/scd2.py — versions, is_current, null-safe collapse) "
+    "and anchors its oracle. The batch complement of "
+    "streaming/upsert.py's latest-state CDC table: "
     "upsert serves point lookups of NOW, SCD2 serves AS-OF joins over "
     "history. Scale shape: two window passes over the same "
     "user-partitioned shuffle (Spark reuses the exchange), no joins, "
