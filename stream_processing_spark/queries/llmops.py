@@ -1743,9 +1743,11 @@ def _mmr_oracle(k: int = _MMR_K, depth: int = _MMR_DEPTH) -> str:
     "and the context window. Scale shape: the corpus-sized work is the "
     "ONE first-stage top-k scan (TakeOrderedAndProject); everything "
     "after operates on the DEPTH-bounded candidate set (candidate-"
-    "candidate sims are depth² engine-side rows, each greedy step is "
-    "one 1-row argmax driver trip — the BPE-argmax pattern, bounded by "
-    "k, never by data). All scores are 6dp-DECIMAL cosines with exact "
+    "candidate sims are depth² engine-side rows; the greedy selection "
+    "then runs driver-side over the collected pool — bounded by "
+    "depth², never by data — in exact Decimal arithmetic, replacing "
+    "k-1 sequential 1-row argmax jobs). All scores are 6dp-DECIMAL "
+    "cosines with exact "
     "decimal lambda arithmetic, so selection order and ties are "
     "engine-exact; the oracle replays the greedy loop as an unrolled "
     "MATERIALIZED-CTE ladder.",
@@ -1784,35 +1786,39 @@ def retrieval_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         eager=False,
     )
-    lam = F.lit(0.7).cast("decimal(2,1)")
-    oml = F.lit(0.3).cast("decimal(2,1)")
-    first = (
-        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(1)
-        .select("vec_id", "rel", (lam * F.col("rel")).alias("mmr"))
-        .head()
-    )
+    # the greedy loop runs DRIVER-side over the collected candidate
+    # pool: depth rel rows + depth^2 sim rows — bounded by the
+    # retrieval depth, never by data (the same bounded-collect class
+    # as codebooks). Exact Decimal arithmetic replicates the engine's
+    # DECIMAL(2,1) x DECIMAL(18,6) products bit-for-bit, so selection
+    # order and ties match the unrolled-CTE oracle; this replaces k-1
+    # sequential 1-row argmax jobs (~0.3 s each) with zero jobs.
+    from decimal import Decimal
+
+    lam, oml = Decimal("0.7"), Decimal("0.3")
     out_schema = "rank int, vec_id bigint, rel double, mmr_score double"
-    if first is None:  # no query vector / empty corpus — empty result
+    pool = {int(r["vec_id"]): r["rel"] for r in cand.collect()}
+    if not pool:  # no query vector / empty corpus — empty result
         return spark.createDataFrame([], out_schema)
-    selected = [(1, first["vec_id"], first["rel"], first["mmr"])]
+    sims = {
+        (int(r["id_a"]), int(r["id_b"])): r["s"] for r in csim.collect()
+    }
+    first_id = max(pool, key=lambda v: (pool[v], -v))
+    selected = [(1, first_id, pool[first_id], lam * pool[first_id])]
+    chosen = {first_id}
     for t in range(2, _MMR_K + 1):
-        chosen_ids = [s[1] for s in selected]
-        nxt = (
-            cand.filter(~F.col("vec_id").isin(chosen_ids))
-            .join(
-                csim.filter(F.col("id_b").isin(chosen_ids)),
-                F.col("vec_id") == F.col("id_a"),
-            )
-            .groupBy("vec_id", "rel")
-            .agg((lam * F.col("rel") - oml * F.max("s")).alias("mmr"))
-            .orderBy(F.desc("mmr"), F.asc("vec_id"))
-            .limit(1)
-            .head()
-        )
-        if nxt is None:  # candidate pool exhausted before k picks
+        best = None
+        for vid, rel in pool.items():
+            if vid in chosen:
+                continue
+            ms = max(sims[(vid, c)] for c in chosen)
+            mmr = lam * rel - oml * ms
+            if best is None or (mmr, -vid) > (best[3], -best[1]):
+                best = (t, vid, rel, mmr)
+        if best is None:  # candidate pool exhausted before k picks
             break
-        selected.append((t, nxt["vec_id"], nxt["rel"], nxt["mmr"]))
+        selected.append(best)
+        chosen.add(best[1])
     out = spark.createDataFrame(
         [(r, v, float(rel), float(mmr)) for r, v, rel, mmr in selected],
         out_schema,
