@@ -1085,7 +1085,8 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM changes
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, version, value, valid_from, valid_to,
+    SELECT user_id, version, CAST(value AS DOUBLE) AS value,
+           valid_from, valid_to,
            CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
     FROM versioned
     """,
@@ -1132,7 +1133,10 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return versioned.select(
         "user_id",
         "version",
-        "value",
+        # explicit DOUBLE output (registry determinism convention):
+        # a decimal-typed source column would otherwise normalize
+        # differently across engines' pandas bridges
+        F.col("value").cast("double").alias("value"),
         "valid_from",
         "valid_to",
         F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias(

@@ -242,8 +242,10 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         "mixture_dsir_resample", "quality_classifier_scores",
         "unigram_lm_train", "wordpiece_train_merges",
         "changepoint_cusum_daily_events", "quality_char_entropy",
-        # round 9: NULL/empty text through the encode passes
+        # round 9: NULL/empty text through the encode passes; NULL
+        # user_id/value through the SCD2 history (null-safe collapse)
         "wordpiece_encode_source_stats", "unigram_encode_source_stats",
+        "scd2_user_value_history",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
