@@ -201,3 +201,89 @@ def test_ivfpq_full_probe_full_refine_is_exact(spark):
         ).collect()
     ]
     assert full == exact
+
+
+def test_vectorized_twins_bit_exact_vs_expressions(spark):
+    """The Arrow-batched numpy twins must reproduce the HOF expression
+    forms EXACTLY — scores, smallest-cid ties, and the NaN ordering a
+    zero-norm vector produces under cosine (Spark ranks NaN above every
+    double). Random vectors + crafted ties + a zero vector."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from stream_processing_spark.functions import similarity as sim
+
+    rng = random.Random(9)
+    dim, n_cells, m = 8, 5, 2
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(40)
+    ]
+    rows.append((41, list(rows[0][1])))     # exact duplicate -> ties
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = {c: [rng.uniform(-1, 1) for _ in range(dim)]
+             for c in range(n_cells)}
+    cents[3] = list(cents[1])  # duplicate centroid -> score ties
+    # a zero-norm vector is OUT OF CONTRACT for the cosine expression
+    # path (ANSI mode raises DIVIDE_BY_ZERO); the UDF's NaN guard is a
+    # safety net only — assert it stays deterministic (smallest cid)
+    zdf = spark.createDataFrame(
+        [(0, [0.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    zudf = sim._cells_vectorized_udf(cents, metric="cosine")
+    assert zdf.select(zudf("embedding").alias("c")).head()["c"] == 0
+
+    for metric in ("cosine", "l2"):
+        rank = sim._cell_rank_array("embedding", cents, metric=metric)
+        want = {
+            r["vec_id"]: r["c"]
+            for r in df.select(
+                "vec_id",
+                (-F.array_max(rank).getField("nc")).cast("int").alias("c"),
+            ).collect()
+        }
+        udf = sim._cells_vectorized_udf(cents, metric=metric)
+        got = {
+            r["vec_id"]: r["c"]
+            for r in df.select(
+                "vec_id", udf(F.col("embedding")).alias("c")
+            ).collect()
+        }
+        assert got == want, metric
+
+    # ADC twin vs a driver-side replay of the expression semantics
+    books = {
+        j: {c: [rng.uniform(-1, 1) for _ in range(dim // m)]
+            for c in range(4)}
+        for j in range(m)
+    }
+    qvec = [rng.uniform(-1, 1) for _ in range(dim)]
+    adc = sim._adc_vectorized_udf(books, qvec, m, dim)
+    got = {
+        r["vec_id"]: r["s"]
+        for r in df.select(
+            "vec_id", adc(F.col("embedding")).alias("s")
+        ).collect()
+    }
+
+    def fold(xs, ys):
+        acc = 0.0
+        for x, y in zip(xs, ys):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    sub = dim // m
+    for vid, vec in rows:
+        total = 0.0
+        for j in range(m):
+            xs = vec[j * sub : (j + 1) * sub]
+            best_s, best_c = None, None
+            for c in sorted(books[j]):
+                cv = books[j][c]
+                s = fold(xs, cv) - 0.5 * fold(cv, cv)
+                if best_s is None or s > best_s:
+                    best_s, best_c = s, c
+            total = total + fold(
+                qvec[j * sub : (j + 1) * sub], books[j][best_c]
+            )
+        assert got[vid] == total, vid
