@@ -267,7 +267,30 @@ def main() -> None:
         "w",
     ) as f:
         json.dump(detail, f, indent=1)
-    print(json.dumps(out, separators=(",", ":")))
+    # The driver parses the LAST stdout line only if it fits entirely
+    # inside its 2000-char tail capture (BENCH_r09 at 62 headliners
+    # overflowed -> parsed: null). Keep the full per-query dict in the
+    # BENCH_DETAIL.json sidecar above, and if the one-line form would
+    # blow the window, elide the FASTEST queries from the printed line
+    # (slowest-first is what matters for grading) and say how many.
+    line = json.dumps(out, separators=(",", ":"))
+    budget = 1900
+    if len(line) > budget:
+        ranked = sorted(
+            timings.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        kept: dict[str, float] = {}
+        for k, v in ranked:
+            trial = dict(out)
+            trial["queries"] = {**kept, k: v}
+            trial["queries_elided"] = len(timings) - len(kept) - 1
+            if len(json.dumps(trial, separators=(",", ":"))) > budget:
+                break
+            kept[k] = v
+        out["queries"] = kept
+        out["queries_elided"] = len(timings) - len(kept)
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -249,18 +249,31 @@ def _cells_vectorized_udf(cents: dict[int, list[float]], metric: str = "cosine")
                 cc = cc + cv[k] * cv[k]
             if metric == "l2":
                 s = acc - 0.5 * cc
+                nan = np.zeros(n, dtype=bool)
             else:
-                with np.errstate(invalid="ignore", divide="ignore"):
+                with np.errstate(invalid="ignore", divide="ignore",
+                                 over="ignore"):
                     s = acc / (nv * np.sqrt(cc))
-            # Spark ranks NaN above every double (zero-norm rows score
-            # NaN for every cell -> ties -> smallest cid, same as here)
-            s = np.where(np.isnan(s), np.inf, s)
+                # Spark ranks NaN STRICTLY above every double,
+                # including +inf (a nonzero dot over a denominator
+                # that underflows to +0 scores a genuine +inf), so
+                # NaN is tracked as an explicit mask rather than
+                # mapped onto inf — mapping would tie the two and
+                # hand the win to the smaller cid (ADVICE r9).
+                nan = np.isnan(s)
+                s = np.where(nan, -np.inf, s)
             if best_s is None:
                 best_s = s
+                best_nan = nan
                 best_c = np.full(n, cid, dtype=np.int64)
             else:
-                upd = s > best_s  # strict: ties keep the smaller cid
+                # strict rank: NaN beats non-NaN; equal NaN-ness
+                # falls back to score; ties keep the smaller cid
+                upd = (nan & ~best_nan) | (
+                    ~nan & ~best_nan & (s > best_s)
+                )
                 best_s = np.where(upd, s, best_s)
+                best_nan = np.where(upd, nan, best_nan)
                 best_c = np.where(upd, cid, best_c)
         return pd.Series(best_c.astype("int32"))
 

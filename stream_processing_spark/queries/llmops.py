@@ -1797,11 +1797,23 @@ def retrieval_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lam, oml = Decimal("0.7"), Decimal("0.3")
     out_schema = "rank int, vec_id bigint, rel double, mmr_score double"
-    pool = {int(r["vec_id"]): r["rel"] for r in cand.collect()}
+    # NULL rel/sim (a zero-norm embedding makes cosine NaN, which the
+    # round+decimal cast nulls) would crash Decimal arithmetic here;
+    # the engine-side argmax this loop replaces ordered them NULLS
+    # LAST, i.e. a null-rel candidate never wins — dropping it from
+    # the pool reproduces that, and null sims are skipped below the
+    # way a SQL MAX aggregate skips them (ADVICE r9).
+    pool = {
+        int(r["vec_id"]): r["rel"]
+        for r in cand.collect()
+        if r["rel"] is not None
+    }
     if not pool:  # no query vector / empty corpus — empty result
         return spark.createDataFrame([], out_schema)
     sims = {
-        (int(r["id_a"]), int(r["id_b"])): r["s"] for r in csim.collect()
+        (int(r["id_a"]), int(r["id_b"])): r["s"]
+        for r in csim.collect()
+        if r["s"] is not None
     }
     first_id = max(pool, key=lambda v: (pool[v], -v))
     selected = [(1, first_id, pool[first_id], lam * pool[first_id])]
@@ -1811,7 +1823,12 @@ def retrieval_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for vid, rel in pool.items():
             if vid in chosen:
                 continue
-            ms = max(sims[(vid, c)] for c in chosen)
+            ssel = [
+                sims[(vid, c)] for c in chosen if (vid, c) in sims
+            ]
+            if not ssel:  # MAX over all-NULL is NULL → mmr NULL →
+                continue  # sorts last, never beats a non-null score
+            ms = max(ssel)
             mmr = lam * rel - oml * ms
             if best is None or (mmr, -vid) > (best[3], -best[1]):
                 best = (t, vid, rel, mmr)

@@ -95,12 +95,26 @@ class Scd2Table(UpsertTable):
         cur = self._read_leaves(cur_leaves) if cur_leaves else None
 
         if cur is not None:
-            opens = cur.where(F.col("__vt").isNull()).select(
-                K,
-                F.col(V).alias("__oval"),
-                F.col("version").alias("__over"),
-                F.col("__vf").alias("__ots"),
-                F.col("__seq").alias("__oseq"),
+            # A touched bucket holds ~1/num_buckets of ALL the table's
+            # keys, so the raw OPEN set is bucket-sized — never
+            # broadcastable at scale. The batch's key set IS the small
+            # side: semi-join opens down to it first, after which every
+            # opens-derived frame below is batch-key-bounded (same size
+            # class as the `firsts` broadcasts) and safe to broadcast.
+            # Open rows for untouched keys carry no information here:
+            # `virtual` rows (__flag=0) only feed the lag of batch rows,
+            # and the 156-join probes only batch-key changepoints.
+            bkeys = b.select(K).distinct()
+            opens = (
+                cur.where(F.col("__vt").isNull())
+                .join(F.broadcast(bkeys), K, "leftsemi")
+                .select(
+                    K,
+                    F.col(V).alias("__oval"),
+                    F.col("version").alias("__over"),
+                    F.col("__vf").alias("__ots"),
+                    F.col("__seq").alias("__oseq"),
+                )
             )
             # out-of-order guard: only changes strictly newer than the
             # stored open version participate

@@ -262,3 +262,91 @@ def test_scd2_apply_property_random_time_ordered_splits(spark, tmp_path):
                 want.append((uid, i + 1, v, ts, vt,
                              1 if vt is None else 0))
         assert _history(t) == sorted(want), (seed, case, changes, cuts)
+
+
+def test_scd2_merge_never_broadcasts_stored_bucket(spark, tmp_path):
+    """Scale-discipline lint for the SCD2 merge plan (r9 verdict item 2):
+    a touched bucket holds ~1/num_buckets of ALL the table's keys, so
+    the stored OPEN set must never be broadcast raw — it must be
+    semi-joined down to the batch's key set first. Mechanically: every
+    BroadcastExchange subtree that scans the stored parquet leaves must
+    contain the LeftSemi prune; broadcasts of purely batch-derived
+    frames (bkeys, firsts) are fine."""
+    t = Scd2Table(spark, str(tmp_path / "t"), key_col="uid",
+                  value_col="value")
+    schema = "uid long, ts long, seq long, value double"
+    t.apply(spark.createDataFrame(
+        [(1, 100, 1, 1.0), (2, 150, 2, 5.0)], schema), 0)
+
+    captured = []
+    orig_commit = Scd2Table._commit
+
+    def spy(self, merged, batch_id, prev, touched):
+        # capture the plan STRING here, while the no-AQE conf is
+        # still in force — queryExecution() materializes lazily at
+        # first access, reading the conf of THAT moment
+        captured.append(
+            merged._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig_commit(self, merged, batch_id, prev, touched)
+
+    # the changepts half of the merge (the 'out-of-order guard' join)
+    # hides behind a localCheckpoint in the merged plan — wrap
+    # materialize to capture ITS pre-checkpoint plan too
+    from stream_processing_spark import runtime as rt
+
+    orig_mat = rt.materialize
+
+    def mat_spy(df, *a, **kw):
+        captured.append(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig_mat(df, *a, **kw)
+
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        Scd2Table._commit = spy
+        rt.materialize = mat_spy
+        t.apply(spark.createDataFrame(
+            [(1, 200, 3, 2.0), (3, 250, 4, 9.0)], schema), 1)
+    finally:
+        Scd2Table._commit = orig_commit
+        rt.materialize = orig_mat
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+    assert len(captured) >= 2, "merge path not exercised (cur was None?)"
+    lines = [ln for cap in captured for ln in cap.splitlines()]
+
+    def indent(ln: str) -> int:
+        for m in ("+- ", ":- "):
+            i = ln.find(m)
+            if i >= 0:
+                return i
+        return -1  # root / section header
+
+    def subtree(i: int) -> str:
+        d = indent(lines[i])
+        out = [lines[i]]
+        for ln in lines[i + 1:]:
+            if indent(ln) <= d:
+                break
+            out.append(ln)
+        return "\n".join(out)
+
+    assert any("LeftSemi" in cap for cap in captured), (
+        "opens must be LeftSemi-pruned to the batch key set:\n"
+        + "\n----\n".join(captured)
+    )
+    leafy = [
+        subtree(i)
+        for i, ln in enumerate(lines)
+        if "BroadcastExchange" in ln
+        and "parquet" in subtree(i).lower()
+    ]
+    assert leafy, "expected at least one broadcast over the pruned opens"
+    for sub in leafy:
+        assert "LeftSemi" in sub, (
+            "bucket-sized stored-side broadcast (no LeftSemi prune):\n"
+            + sub
+        )
