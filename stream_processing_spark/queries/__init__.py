@@ -95,39 +95,41 @@ _PRIORITY = [
     "t7_custom_flatmap",
     "grep_count_by_source", "grep_total_count",
     "streaming_stateful_running_count",
-    # ---- round-9 rotation: 40 queries never before in any driver
-    # window (r01-r08). The r8 post-rotation cohort first (the r8
-    # verdict's named list), then the long-waiting LLM staples, the
-    # round-9 tokenizer encodes, and the oracled relational/text tail.
-    # Everything rotated OUT keeps its GATE_r*/CORRECTNESS_r* history
-    # plus tests/test_oracle_queries.py.
-    "quality_classifier_train", "quality_classifier_scores",
-    "wordpiece_train_merges", "retrieval_mmr_rerank_topk",
-    "quality_char_entropy", "embedding_power_iteration_pc1",
-    "streaming_state_inspection", "changepoint_cusum_daily_events",
-    # LLM staples the verdict named (image_phash is rows-only by
-    # design — pHash banding has no DuckDB twin — included per the
-    # verdict for the weaker rows-only record)
-    "image_phash_near_dups", "cross_source_span_overlap",
-    "pack_docs_token_budget", "span_corruption_pairs",
-    "nb_lang_model_train",
-    # round-9 tokenizer APPLICATION operators
-    "wordpiece_encode_source_stats", "unigram_encode_source_stats",
-    # relational / aggregation surfaces
-    "agg_corr_price_qty", "window_range_frame_user_value",
-    "rollup_multires_events", "unpivot_customer_measures",
-    "null_handling_surface", "agg_mode_priority",
-    "groupwise_latest_order", "set_except_all_priorities",
-    "agg_stddev_per_status", "union_by_name_entities",
-    "safe_cast_surface", "grouped_minmax_norm_pandas",
-    # text / retrieval tail
-    "text_trigram_topk", "text_tfidf_top_terms", "text_chunk_windows",
-    "text_rolling_fingerprint", "text_fingerprint", "bigram_lm_probs",
-    "inverted_index_postings", "histogram_doc_lengths",
-    "quality_percentile_filter", "fuzzy_name_pairs",
-    # embeddings / pipeline ops
-    "embedding_l2_normalize", "split_train_val_test",
-    "multimodal_frame_sample",
+    # ---- round-10 rotation: the FINAL backlog — every oracle-able
+    # registry query never green in any driver window (r01-r09),
+    # computed as registry minus the union of CORRECTNESS_r0*.json
+    # green rows. 37 entries; after this window every oracle-able
+    # query carries a driver CORRECTNESS row. The 4 approximate-by-
+    # design queries (agg_approx_*, hll_sketch_rollup_users,
+    # image_phash_near_dups) stay OUT per the r9 verdict — a window
+    # slot only returns `err: no_oracle` for them; their evidence is
+    # pytest bound/recall tests. Everything rotated OUT keeps its
+    # GATE_r*/CORRECTNESS_r* history plus tests/test_oracle_queries.py.
+    # The r9 SCD2 pair is certified on the r10-fixed merge plan
+    # (streaming/scd2.py LeftSemi prune — verdict item 2 before 6).
+    "scd2_user_value_history", "streaming_scd2_history",
+    # LLM-pipeline / embedding tail
+    "contrastive_triplets", "dedup_survivors",
+    "embedding_pipeline_yield", "embedding_random_projection",
+    "embedding_scalar_quantize", "sparse_cosine_pairs",
+    "user_profile_similarity", "epoch_shuffle_assignment",
+    "group_kfold_assignment", "temporal_split_embargo",
+    "sample_weighted_by_length", "length_bucketed_batches",
+    "dataset_pairing_audit",
+    # text / quality tail
+    "heavy_hitter_tokens", "token_cooccurrence_lift",
+    "top_tokens_per_lang", "text_type_token_ratio",
+    "vocab_oov_rate_per_source", "quality_bigram_repetition",
+    "quality_blocklist_filter", "quality_lm_avg_bigram_prob",
+    "corpus_quality_by_source",
+    # relational / analytics tail
+    "cumulative_new_users_daily", "daily_event_growth",
+    "decayed_user_activity", "decile_binning_orders",
+    "iqr_outlier_events", "mad_robust_scale_events",
+    "winsorized_price_stats", "user_activity_gini",
+    "rfm_user_features", "revenue_share_per_nation",
+    "ship_latency_distribution", "profile_orders_columns",
+    "k_anonymity_report",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
