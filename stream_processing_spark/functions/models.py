@@ -82,3 +82,76 @@ def load_bpe_merges(
     return [
         (int(r.step), r.left_sym, r.right_sym, int(r.pair_count)) for r in rows
     ]
+
+
+def save_wordpiece_merges(
+    spark: SparkSession,
+    merges: list[tuple[int, str, str, int, float]],
+    path: str,
+) -> None:
+    """WordPiece merge table → parquet. The likelihood-ratio score is
+    an IEEE double whose exact value participates in downstream
+    tie-breaks, so it rides as ``repr`` text (exact round-trip — the
+    same trick as the classifier's w6 strings)."""
+    rows = [
+        (int(s), a, b, int(c), repr(float(sc)))
+        for s, a, b, c, sc in merges
+    ]
+    spark.createDataFrame(
+        rows,
+        "step int, left_sym string, right_sym string, "
+        "pair_count bigint, score_repr string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_wordpiece_merges(
+    spark: SparkSession, path: str
+) -> list[tuple[int, str, str, int, float]]:
+    rows = spark.read.parquet(path).orderBy("step").collect()
+    return [
+        (int(r.step), r.left_sym, r.right_sym, int(r.pair_count),
+         float(r.score_repr))
+        for r in rows
+    ]
+
+
+def save_unigram_vocab(
+    spark: SparkSession, vocab: list[tuple[str, int, str]], path: str
+) -> None:
+    """Unigram-LM vocabulary (piece, count, 6dp-decimal log-prob
+    string) → parquet. ``lp6`` stays a decimal STRING end-to-end —
+    the Viterbi E-step consumes it as decimal(18,6), never a float."""
+    rows = [(p, int(c), str(lp)) for p, c, lp in vocab]
+    spark.createDataFrame(
+        rows, "piece string, cnt bigint, lp6 string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_unigram_vocab(
+    spark: SparkSession, path: str
+) -> list[tuple[str, int, str]]:
+    rows = spark.read.parquet(path).collect()
+    return sorted((r.piece, int(r.cnt), r.lp6) for r in rows)
+
+
+def save_dsir_weights(
+    spark: SparkSession,
+    weights: list[tuple[int, int, int, str]],
+    path: str,
+) -> None:
+    """DSIR bucket-weight table (bucket, n_target, n_raw, repr-double
+    weight string) → parquet; <= B rows, B a constant."""
+    rows = [(int(b), int(t), int(n), str(w)) for b, t, n, w in weights]
+    spark.createDataFrame(
+        rows, "bucket bigint, n_target bigint, n_raw bigint, w_repr string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_dsir_weights(
+    spark: SparkSession, path: str
+) -> list[tuple[int, int, int, str]]:
+    rows = spark.read.parquet(path).collect()
+    return sorted(
+        (int(r.bucket), int(r.n_target), int(r.n_raw), r.w_repr)
+        for r in rows
+    )
