@@ -302,16 +302,22 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(n_digits: int = 8) -> str:
+    """DuckDB twin of simhash32 (8 hex digits) / simhash60 (15)."""
+    n_bits = 4 * n_digits
     digs = ", ".join(
         f"strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1 AS d{d}"
-        for d in range(8)
+        for d in range(n_digits)
     )
     sums = ", ".join(
-        f"SUM(CASE WHEN ((d{7 - b // 4} >> {b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(32)
+        f"SUM(CASE WHEN ((d{n_digits - 1 - b // 4} >> {b % 4}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(n_bits)
     )
-    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    fp = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
     return f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -336,9 +342,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_pairs",
     f"""
-    WITH fp AS ({_simhash_sql()}),
+    WITH fp AS ({_simhash_sql(15)}),
     bands AS (
-        SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+        SELECT doc_id, simhash, b.band,
+               (simhash >> (15 * b.band)) & 32767 AS byte
         FROM fp, (SELECT unnest(range(4)) AS band) b
     ),
     cand AS (
@@ -353,16 +360,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(fa, fb)) <= 3
     """,
     doc="SimHash near-dup PAIRS (Hamming <= 3) without all-pairs: the "
-    "32-bit fingerprint is banded into 4 bytes; by pigeonhole a pair "
-    "within distance 3 matches exactly on >= 1 byte, so a (band, byte) "
-    "equi-join has recall 1 at this radius. The join ships (id, 8-byte "
-    "fp) only and the verify is one bit_count(xor) per candidate — the "
-    "tier that was fingerprint-only in round 1 now produces pairs at "
-    "scale. functions/dedup.py simhash_pairs.",
+    "60-bit fingerprint (simhash60 — widened from 32 in r10 after the "
+    "sf1 profile pinned the 4.0x decade on band-bucket saturation) is "
+    "banded into 4 15-bit blocks; by pigeonhole a pair within distance "
+    "3 matches exactly on >= 1 block, so a (band, block) equi-join has "
+    "recall 1 at this radius with 2^15 buckets per band (~17x less "
+    "measured candidate mass than 8-bit bands on the same corpus). "
+    "The join ships (id, 8-byte fp) only and the verify is one "
+    "bit_count(xor) per candidate. functions/dedup.py simhash_pairs.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    fp = dd.simhash32(load_table(spark, sf_dir, "documents"))
-    return dd.simhash_pairs(fp, max_hamming=3)
+    fp = dd.simhash60(load_table(spark, sf_dir, "documents"))
+    return dd.simhash_pairs(fp, max_hamming=3, fp_bits=60)
 
 
 # ----------------------------------------------------------- similarity

@@ -172,11 +172,14 @@ def run_stress(
     )
     recall["minhash_lsh"] = _recall(mh, doc_pairs, "doc_a", "doc_b")
 
-    # 3. SimHash pigeonhole join under fingerprint saturation
-    fp = dedup.simhash32(docs)
+    # 3. SimHash pigeonhole join under fingerprint saturation (the
+    # production 60-bit/15-bit-band shape, same as the registry query)
+    fp = dedup.simhash60(docs)
     timed(
         "simhash_capped",
-        dedup.simhash_pairs(fp, max_hamming=3, max_bucket=MAX_BUCKET_SIMHASH),
+        dedup.simhash_pairs(
+            fp, max_hamming=3, max_bucket=MAX_BUCKET_SIMHASH, fp_bits=60
+        ),
     )
 
     # 4. banded sign-LSH ANN under mode collapse

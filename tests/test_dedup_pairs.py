@@ -28,6 +28,37 @@ def test_simhash_band_join_is_exact_at_radius_3(spark):
     assert brute, "no pairs at radius 3 — testdata assumption broken"
 
 
+def test_simhash60_band_join_is_exact_at_radius_3(spark):
+    """The production pair-mining width (15-bit blocks): same
+    pigeonhole recall-1 guarantee, checked against brute force."""
+    fp_df = dd.simhash60(load_table(spark, SF_SMOKE, "documents"))
+    fps = {r.doc_id: r.simhash for r in fp_df.collect()}
+
+    assert all(0 <= v < (1 << 60) for v in fps.values())
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd.simhash_pairs(
+            fp_df, max_hamming=3, fp_bits=60
+        ).collect()
+    }
+    assert banded == brute
+
+
+def test_simhash60_deterministic_across_partitionings(spark):
+    """Bit b is the sign of an integer ±1 sum — partitioning must not
+    change any fingerprint (same invariant test_runtime checks for
+    simhash32)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = sorted(map(tuple, dd.simhash60(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, dd.simhash60(docs.repartition(7)).collect()))
+    assert a == b
+
+
 def test_containment_pairs_directional_subset(spark):
     """A short doc fully embedded in a long one: containment from the
     short side is 1.0, the reverse direction fails the threshold, and
