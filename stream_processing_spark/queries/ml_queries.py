@@ -1025,15 +1025,37 @@ def embedding_power_iteration_pc1(
         F.col("id").alias("pos"), F.lit(0.125).alias("v")
     )
     d9 = "decimal(28,9)"
+    # Exact-sum hot path, integer-scaled (r10 profile: per-row
+    # DECIMAL(28,9) creation + decimal partial sums were 3.1 s of each
+    # 5.1 s round at sf1; longs are plain codegen arithmetic). A
+    # 9dp-rounded double d is the nearest double to k/1e9 for integer
+    # k, so rint(d * 1e9) recovers k EXACTLY (|d·1e9 − k| ≪ 0.5 for
+    # |k| ≪ 2^52); long sums of k are exact for |Σk| < 2^63; the
+    # per-GROUP finish multiplies by decimal '0.000000001' (exact
+    # scale-9 decimal) and casts to double — the identical
+    # once-rounded value the old decimal-sum ladder produced, which
+    # is what the unchanged DuckDB oracle still computes. Capacity:
+    # |k| <= ~1e10 here, so a long sum holds ~1e9 rows per group
+    # (9.2e18 / 1e10) — beyond that, shard the sum into high/low
+    # words or fall back to the decimal ladder.
+    def _exact9(col):  # 9dp-rounded double -> exact integer 1e9*value
+        return F.rint(F.round(col, 9) * F.lit(1e9)).cast("long")
+
+    e9 = F.expr("CAST('0.000000001' AS DECIMAL(10,9))")
+
+    def _to_double(sum_col):  # exact long sum -> once-rounded double
+        # decimal(27,0) x decimal(10,9) -> decimal(38,9): inside the
+        # 38-digit cap, so the product is EXACT (a 38,0 operand would
+        # push precision to 49 and make Spark silently round)
+        return (sum_col.cast("decimal(27,0)") * e9).cast("double")
+
     for _ in range(_PI_ROUNDS):
         s = (
             x.join(F.broadcast(v), "pos")
             .groupBy("vec_id")
             .agg(
                 F.round(
-                    F.sum(
-                        F.round(F.col("val") * F.col("v"), 9).cast(d9)
-                    ).cast("double"),
+                    _to_double(F.sum(_exact9(F.col("val") * F.col("v")))),
                     6,
                 ).alias("s")
             )
@@ -1042,9 +1064,9 @@ def embedding_power_iteration_pc1(
             x.join(s, "vec_id")
             .groupBy("pos")
             .agg(
-                F.sum(F.round(F.col("s") * F.col("val"), 9).cast(d9))
-                .cast("double")
-                .alias("num")
+                _to_double(
+                    F.sum(_exact9(F.col("s") * F.col("val")))
+                ).alias("num")
             )
         )
         nrm = n.agg(
