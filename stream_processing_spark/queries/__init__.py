@@ -130,6 +130,10 @@ _PRIORITY = [
     "rfm_user_features", "revenue_share_per_nation",
     "ship_latency_distribution", "profile_orders_columns",
     "k_anonymity_report",
+    # r10 additions (new operators, never certified — take the three
+    # spare slots so the window is exactly 50)
+    "ngram_novelty_scores", "mixture_temperature_resample",
+    "embedding_dim_variance_topk",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

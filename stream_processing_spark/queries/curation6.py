@@ -1207,3 +1207,123 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits",
         )
     )
+
+
+# --------------------------------------- temperature mixture resampling
+
+_TEMP_HEX = "0123456789abcdef"
+
+
+def _h8_sql(expr: str) -> str:
+    """First 8 md5 hex digits of ``expr`` as an integer 0..2^32-1 —
+    the deterministic per-row uniform both engines agree on."""
+    digs = " + ".join(
+        f"(strpos('{_TEMP_HEX}', substr(md5({expr}), {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"CAST({digs} AS BIGINT)"
+
+
+@register(
+    "mixture_temperature_resample",
+    f"""
+    WITH per_lang AS (
+        SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per_lang),
+    s AS (
+        SELECT lang, n_docs,
+               CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS sl
+        FROM per_lang
+    ),
+    t2 AS (SELECT SUM(sl) AS st FROM s),
+    w AS (
+        SELECT lang, n_docs,
+               ROUND(ROUND(CAST(sl AS DOUBLE) / CAST(st AS DOUBLE), 6)
+                     * total / n_docs, 6) AS weight
+        FROM s CROSS JOIN t2 CROSS JOIN tot
+    ),
+    c AS (
+        SELECT d.lang, w.n_docs, w.weight,
+               CAST(FLOOR(w.weight) AS BIGINT)
+               + CASE WHEN {_h8_sql("CAST(d.doc_id AS VARCHAR)")}
+                      < CAST(FLOOR((w.weight - FLOOR(w.weight))
+                                   * 4294967296.0) AS BIGINT)
+                      THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN w USING (lang)
+    )
+    SELECT lang, n_docs, weight,
+           CAST(SUM(copies) AS BIGINT) AS n_resampled
+    FROM c GROUP BY lang, n_docs, weight
+    ORDER BY lang
+    """,
+    doc="Temperature-scaled language mixture (the mT5/UNIMAX "
+    "multilingual sampling scheme at alpha = 0.5): target share per "
+    "language proportional to sqrt(n_l), per-language repetition "
+    "factor weight = share * total / n_l, and a DETERMINISTIC "
+    "stochastic rounding per document — floor(weight) copies plus one "
+    "more iff the doc's md5-derived 32-bit uniform falls under "
+    "frac(weight). alpha = 0.5 is deliberate: sqrt is IEEE "
+    "correctly-rounded on both engines where pow(x, alpha) is not; "
+    "the sqrt terms are 6dp-decimal-summed so the share denominator "
+    "is order-independent. Scale shape: one lang aggregation, two "
+    "1-row broadcasts, a constant-size (distinct langs) broadcast "
+    "join back onto documents, and a map-side md5 per doc — no "
+    "data-sized shuffle beyond the lang count.",
+)
+def mixture_temperature_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.functions.dedup import _hex_digit_val
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_lang.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    s = per_lang.select(
+        "lang",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("sl"),
+    )
+    t2 = s.agg(F.sum("sl").alias("st"))
+    w = (
+        s.crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(
+                F.round(
+                    F.col("sl").cast("double") / F.col("st").cast("double"),
+                    6,
+                )
+                * F.col("total")
+                / F.col("n_docs"),
+                6,
+            ).alias("weight"),
+        )
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    h8 = None
+    for i in range(8):
+        term = _hex_digit_val(h, i + 1).cast("bigint") * F.lit(
+            16 ** (7 - i)
+        )
+        h8 = term if h8 is None else h8 + term
+    copies = F.floor("weight").cast("bigint") + F.when(
+        h8
+        < F.floor(
+            (F.col("weight") - F.floor("weight")) * F.lit(4294967296.0)
+        ).cast("bigint"),
+        1,
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(w), "lang")
+        .select("lang", "n_docs", "weight", copies.alias("copies"))
+        .groupBy("lang", "n_docs", "weight")
+        .agg(F.sum("copies").cast("bigint").alias("n_resampled"))
+        .orderBy("lang")
+    )

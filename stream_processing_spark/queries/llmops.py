@@ -1850,3 +1850,61 @@ def retrieval_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_schema,
     )
     return out
+
+
+# ------------------------------------------------------ novelty scoring
+
+
+@register(
+    "ngram_novelty_scores",
+    _SHINGLE_SQL
+    + """,
+    first AS (
+        SELECT sh, MIN(doc_id) AS first_doc FROM shingles GROUP BY sh
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM shingles s JOIN first f USING (sh)
+    GROUP BY s.doc_id
+    """,
+    doc="Per-document n-gram NOVELTY: the fraction of a doc's distinct "
+    "3-gram shingles whose corpus-wide first holder (minimum doc_id — "
+    "ingestion order) is the doc itself. The streaming-corpus curation "
+    "signal between exact dedup and near-dup pairs: boilerplate-heavy "
+    "late arrivals score ~0, genuinely new content ~1, and the score "
+    "is monotone under corpus growth. Scale shape: ONE shuffle on the "
+    "shingle key serves both the min-aggregation and the join back "
+    "(same partitioning), then a doc-keyed count — integer arithmetic "
+    "until one exact double division. Docs under 3 tokens have no "
+    "shingle set and are absent by definition (both engines).",
+)
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.runtime import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = materialize(dd.shingles(docs, n=3), eager=False)
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -1082,3 +1082,73 @@ def embedding_power_iteration_pc1(
             eager=False,
         )
     return v.select("pos", F.col("v").alias("loading"))
+
+
+_DIMVAR_K = 10
+
+
+@register(
+    "embedding_dim_variance_topk",
+    f"""
+    WITH x AS (
+        SELECT i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+    ),
+    agg AS (
+        SELECT CAST(pos AS BIGINT) AS pos,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(v, 9) AS DECIMAL(28,9))) AS s1,
+               SUM(CAST(ROUND(v * v, 9) AS DECIMAL(28,9))) AS s2
+        FROM x GROUP BY pos
+    )
+    SELECT pos, n,
+           ROUND(CAST(s1 AS DOUBLE) / n, 6) AS mean_val,
+           ROUND(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                 6) AS variance
+    FROM agg
+    ORDER BY variance DESC, pos ASC
+    LIMIT {_DIMVAR_K}
+    """,
+    doc=f"Top-{_DIMVAR_K} highest-variance embedding dimensions "
+    "(mean + population variance per dim) — the feature-selection / "
+    "whitening-prep scan run before PCA or scalar quantization. "
+    "Exact arithmetic: per-dim sums of 9dp-rounded values as "
+    "DECIMAL(28,9) (order-independent), ONE double division chain per "
+    "dim, variance = E[x²] − E[x]² with both divisions written "
+    "identically in both engines. Scale shape: explode is rebalanced "
+    "across cores, the aggregation has 64 groups with map-side "
+    "partials — no join, no broadcast, one tiny shuffle; LIMIT "
+    "carries a total (variance DESC, pos) tie-break.",
+)
+def embedding_dim_variance_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.runtime import rebalance_for_expansion
+
+    emb = rebalance_for_expansion(load_table(spark, sf_dir, "embeddings"))
+    x = emb.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("val").cast("double").alias("v"),
+    )
+    d9 = "decimal(28,9)"
+    agg = x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("v"), 9).cast(d9)).alias("s1"),
+        F.sum(F.round(F.col("v") * F.col("v"), 9).cast(d9)).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    return (
+        agg.select(
+            "pos",
+            "n",
+            F.round(mean, 6).alias("mean_val"),
+            F.round(
+                F.col("s2").cast("double") / F.col("n") - mean * mean, 6
+            ).alias("variance"),
+        )
+        .orderBy(F.desc("variance"), F.asc("pos"))
+        .limit(_DIMVAR_K)
+    )

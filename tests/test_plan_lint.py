@@ -57,6 +57,8 @@ CROSS_OK = {
     "changepoint_cusum_daily_events",  # 1-row (mu, sigma) stats broadcast
     "retrieval_mmr_rerank_topk",   # 1-row query vector broadcast; all
                                    # later joins are depth-bounded (20)
+    "mixture_temperature_resample",  # two 1-row broadcasts (decimal
+                                     # sqrt-sum + doc total)
 }
 
 _SKIP = tuple(

@@ -175,6 +175,9 @@ SF1_QUERIES = [
     "streaming_scd2_history",
     "embedding_power_iteration_pc1",
     "quality_classifier_scores",
+    # round 10: the shingle-shuffle-shaped novelty scorer (standing
+    # rule: every new pair-adjacent operator gets an sf1 row)
+    "ngram_novelty_scores",
 ]
 
 
