@@ -199,6 +199,12 @@ BENCH_QUERIES = [
     # word table, then a broadcast word->token-count join
     "wordpiece_encode_source_stats",
     "unigram_encode_source_stats",
+    # round 10: novelty scoring (shingle-shuffle shape), temperature
+    # mixture (lang agg + md5 map), dim-variance selection (64-group
+    # explode agg)
+    "ngram_novelty_scores",
+    "mixture_temperature_resample",
+    "embedding_dim_variance_topk",
 ]
 
 
