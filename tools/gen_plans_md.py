@@ -159,11 +159,34 @@ AUDITED = {
         "volume is linear in distinct shingles, not quadratic in corpus."
     ),
     "dedup_simhash_pairs": (
-        "Fingerprint pass (explode tokens → 32 conditional sums per "
-        "doc, one Exchange on doc_id) → Generate (4 band bytes) → hash "
-        "join on (band, byte) → bit_count(xor) filter → distinct. The "
-        "join ships (id, 8-byte fp); per-band buckets are bytes of "
-        "DIFFERENT positions so hot buckets don't align across bands."
+        "Fingerprint pass (explode tokens → 60 conditional sums per "
+        "doc, one Exchange on doc_id) → Generate (4 band blocks) → "
+        "hash join on (band, 15-bit block) → bit_count(xor) filter → "
+        "distinct. The join ships (id, 8-byte fp); per-band buckets "
+        "are blocks of DIFFERENT positions so hot buckets don't align "
+        "across bands, and 2^15 buckets per band keeps candidate mass "
+        "~17× below the 8-bit-band form (the r10 sf1 profile fix)."
+    ),
+    "ngram_novelty_scores": (
+        "Shingle frame (rebalanced explode → distinct) is "
+        "localCheckpointed once and feeds both branches: the "
+        "min(doc_id) aggregation and the join back run on the SAME "
+        "sh-keyed shuffle (ReusedExchange), then one doc-keyed count. "
+        "Membership-join shape — one row per (doc, shingle), never "
+        "pair expansion, so volume is linear in total shingles."
+    ),
+    "mixture_temperature_resample": (
+        "One lang aggregation (map-side partials), two 1-row "
+        "broadcasts (decimal sqrt-sum, doc total), a ≤|langs|-row "
+        "broadcast join back onto documents, and a map-side md5 per "
+        "doc — the only data-sized shuffle is the lang count's "
+        "partial-agg exchange."
+    ),
+    "embedding_dim_variance_topk": (
+        "Rebalanced posexplode → 64-group hash aggregate with "
+        "map-side partials (three exact decimal moments per dim) → "
+        "TakeOrderedAndProject(10). No join, no broadcast; shuffle "
+        "is 64 rows × partials."
     ),
     "decontaminate_ngram_overlap": (
         "Both sides explode 5-grams once (pre-rebalanced scan → "
