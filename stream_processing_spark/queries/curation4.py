@@ -1230,3 +1230,124 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("suppression_rate"),
     )
+
+
+# ---------------------------------------------------- t-closeness report
+
+_T_CLOSE = 0.25
+
+
+@register(
+    "t_closeness_report",
+    f"""
+    WITH cells AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               user_id % 10 AS sens, COUNT(*) AS n_gv
+        FROM events GROUP BY 1, 2, 3
+    ),
+    cells2 AS (
+        SELECT *, SUM(n_gv) OVER (PARTITION BY event_type, h) AS n_g
+        FROM cells
+    ),
+    gv AS (
+        SELECT user_id % 10 AS sens, COUNT(*) AS n_v FROM events
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    grp AS (
+        SELECT c.event_type, c.h, c.n_g, t.n,
+               SUM(ABS(c.n_gv * t.n - v.n_v * c.n_g)) AS present_abs,
+               SUM(v.n_v) AS sum_nv
+        FROM cells2 c JOIN gv v USING (sens) CROSS JOIN tot t
+        GROUP BY c.event_type, c.h, c.n_g, t.n
+    ),
+    tv AS (
+        SELECT event_type, n_g,
+               ROUND(0.5 * CAST(present_abs + n_g * (n - sum_nv)
+                                AS DOUBLE) / (n_g * n), 6) AS tv
+        FROM grp
+    )
+    SELECT event_type,
+           COUNT(*) AS n_groups,
+           CAST(SUM(CASE WHEN tv > {_T_CLOSE} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violating_groups,
+           CAST(SUM(CASE WHEN tv > {_T_CLOSE} THEN n_g ELSE 0 END)
+                AS BIGINT) AS events_suppressed,
+           ROUND(SUM(CASE WHEN tv > {_T_CLOSE} THEN n_g ELSE 0 END)
+                 / SUM(n_g), 6) AS suppression_rate,
+           MAX(tv) AS max_tv
+    FROM tv
+    GROUP BY event_type
+    """,
+    doc=f"t-closeness audit (t={_T_CLOSE}) — the third leg of the "
+    "anonymization trio (k_anonymity_report, l_diversity_report): a "
+    "group can be k-anonymous AND l-diverse yet still leak if its "
+    "sensitive-value DISTRIBUTION diverges from the global one "
+    "(skewness attack). Per quasi-identifier group (event_type, "
+    "hour), total-variation distance between the group's "
+    "user-cohort (user_id % 10) distribution and the corpus "
+    "distribution, computed EXACTLY: TV = Σ|n_gv·N − N_v·n_g| / "
+    "(2·n_g·N) where absent values contribute n_g·(N − Σ_present "
+    "N_v) — integer arithmetic until one double division per group "
+    "(long capacity: n_g·N < 2^63 holds to ~1e9 events/group at "
+    "1e9 rows total; shard beyond that). Scale: one QI+sens "
+    "aggregation, an intra-partition window for group totals, a "
+    "10-row broadcast + 1-row total, then the tiny per-type rollup.",
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    sens = (F.col("user_id") % 10).alias("sens")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), sens
+    ).agg(F.count(F.lit(1)).alias("n_gv"))
+    cells2 = cells.withColumn(
+        "n_g",
+        F.sum("n_gv").over(Window.partitionBy("event_type", "h")),
+    )
+    gv = ev.groupBy(sens).agg(F.count(F.lit(1)).alias("n_v"))
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grp = (
+        cells2.join(F.broadcast(gv), "sens")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("event_type", "h", "n_g", "n")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_gv") * F.col("n")
+                    - F.col("n_v") * F.col("n_g")
+                )
+            ).alias("present_abs"),
+            F.sum("n_v").alias("sum_nv"),
+        )
+    )
+    tv = F.round(
+        F.lit(0.5)
+        * (
+            F.col("present_abs")
+            + F.col("n_g") * (F.col("n") - F.col("sum_nv"))
+        ).cast("double")
+        / (F.col("n_g") * F.col("n")),
+        6,
+    )
+    viol = F.col("tv") > _T_CLOSE
+    return (
+        grp.select("event_type", "n_g", tv.alias("tv"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(viol, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_groups"),
+            F.sum(F.when(viol, F.col("n_g")).otherwise(0))
+            .cast("bigint")
+            .alias("events_suppressed"),
+            F.round(
+                F.sum(F.when(viol, F.col("n_g")).otherwise(0))
+                / F.sum("n_g"),
+                6,
+            ).alias("suppression_rate"),
+            F.max("tv").alias("max_tv"),
+        )
+    )

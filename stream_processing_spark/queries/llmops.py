@@ -1908,3 +1908,102 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ------------------------------------------- dataset-level dedup audit
+
+_SRC_MH_K = 8
+
+
+def _src_sig_sql() -> str:
+    mins = ", ".join(
+        f"MIN(md5('{s}:' || sh)) AS h{s}" for s in range(_SRC_MH_K)
+    )
+    return f"SELECT source, {mins} FROM shingles GROUP BY source"
+
+
+@register(
+    "source_similarity_minhash",
+    """
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM shingles GROUP BY source),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b
+          ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    sigs AS (""" + _src_sig_sql() + """)
+    SELECT c.source_a, c.source_b,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard,
+           ROUND(("""
+    + " + ".join(
+        f"(CASE WHEN x.h{s} = y.h{s} THEN 1 ELSE 0 END)"
+        for s in range(_SRC_MH_K)
+    )
+    + f""") / {float(_SRC_MH_K)}, 6) AS minhash_est
+    FROM common c
+    JOIN sizes sa ON sa.source = c.source_a
+    JOIN sizes sb ON sb.source = c.source_b
+    JOIN sigs x ON x.source = c.source_a
+    JOIN sigs y ON y.source = c.source_b
+    """,
+    doc="Dataset-level dedup audit: for every SOURCE pair, the exact "
+    "3-gram-set Jaccard next to its MinHash estimate (k="
+    f"{_SRC_MH_K} md5 seeds) — the overlap matrix a corpus owner "
+    "reads before mixing datasets, and a built-in calibration check "
+    "of the sketch against truth. Source-level signatures fall out "
+    "of the doc machinery free: MIN over a source's shingles equals "
+    "MIN over the union of its docs' sets, so the sketch is "
+    "mergeable (train per shard, min-combine — the 100 TB path). "
+    "The exact side reuses jaccard_pairs with id_col='source': "
+    "every shingle's df is bounded by the CATALOG-sized source "
+    "count, so the self-join needs no df cap. One shingle explode "
+    "feeds signatures, sizes, and the pair join.",
+)
+def source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.runtime import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = materialize(
+        dd.shingles(docs, n=3, id_col="source"), eager=False
+    )
+    exact = dd.jaccard_pairs(sh, threshold=0.0, id_col="source").select(
+        F.col("doc_a").alias("source_a"),
+        F.col("doc_b").alias("source_b"),
+        "jaccard",
+    )
+    sigs = dd.minhash_signatures(sh, k=_SRC_MH_K, id_col="source")
+    sa = sigs.select(
+        F.col("source").alias("source_a"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(_SRC_MH_K)],
+    )
+    sb = sigs.select(
+        F.col("source").alias("source_b"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(_SRC_MH_K)],
+    )
+    matches = None
+    for j in range(_SRC_MH_K):
+        term = F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    return (
+        exact.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "jaccard",
+            F.round(matches / F.lit(float(_SRC_MH_K)), 6).alias(
+                "minhash_est"
+            ),
+        )
+    )

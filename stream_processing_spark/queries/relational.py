@@ -482,3 +482,103 @@ def asof_next_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFram
     return joined.select(
         "event_id", "user_id", "ts", F.col("error_id").alias("next_error_id")
     )
+
+
+@register(
+    "asof_nearest_click_to_purchase",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id AS click_id, user_id, ts AS cts FROM events
+        WHERE event_type = 'click'
+    ),
+    cand AS (
+        SELECT p.event_id, c.click_id,
+               epoch_us(c.cts) - epoch_us(p.ts) AS delta_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY ABS(epoch_us(c.cts) - epoch_us(p.ts)) ASC,
+                            (epoch_us(c.cts) > epoch_us(p.ts)) ASC,
+                            CASE WHEN epoch_us(c.cts) <= epoch_us(p.ts)
+                                 THEN -c.click_id
+                                 ELSE c.click_id END ASC
+               ) AS rn
+        FROM p JOIN c USING (user_id)
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           k.click_id AS nearest_click_id,
+           k.delta_us
+    FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) k
+      USING (event_id)
+    """,
+    doc="NEAREST-direction as-of join — the third member of the "
+    "family (backward = asof_last_click_before_purchase, forward = "
+    "asof_next_error_after_purchase; pandas merge_asof's three "
+    "directions): per purchase, the same-user click closest in "
+    "event time on EITHER side, ties to the earlier click (pandas "
+    "semantics), equidistant same-side ties by the directional "
+    "operator's own tie rules (backward: greatest id, forward: "
+    "smallest). Composed from two runs of the union+running-window "
+    "operator (operators/asof.py — one shuffle + one sort each, "
+    "never a per-row range probe) merged on the purchase id; "
+    "delta_us is the signed click-minus-purchase microsecond gap. "
+    "The oracle replays it as a windowed rank over the per-user "
+    "pair set — quadratic per user, which is why it is the ORACLE "
+    "and the union trick is the engine.",
+)
+def asof_nearest_click_to_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    def leg(direction: str, pre: str) -> DataFrame:
+        return asof_join(
+            purchases,
+            clicks,
+            on="user_id",
+            left_ts="ts",
+            right_ts="ts",
+            right_tiebreak="click_id",
+            direction=direction,
+        ).select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("click_id").alias(f"{pre}_id"),
+            F.col("click_ts").alias(f"{pre}_ts"),
+        )
+
+    back = leg("backward", "b")
+    fwd = leg("forward", "f").select("event_id", "f_id", "f_ts")
+    m = back.join(fwd, "event_id")
+    db = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    df_ = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    has_b = F.col("b_id").isNotNull()
+    has_f = F.col("f_id").isNotNull()
+    pick_b = has_b & (~has_f | (db <= df_))
+    return m.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_b, F.col("b_id"))
+        .when(has_f, F.col("f_id"))
+        .alias("nearest_click_id"),
+        F.when(pick_b, -db)
+        .when(has_f, df_)
+        .cast("bigint")
+        .alias("delta_us"),
+    )

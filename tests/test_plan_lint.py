@@ -59,6 +59,7 @@ CROSS_OK = {
                                    # later joins are depth-bounded (20)
     "mixture_temperature_resample",  # two 1-row broadcasts (decimal
                                      # sqrt-sum + doc total)
+    "t_closeness_report",            # 1-row corpus-total broadcast
 }
 
 _SKIP = tuple(

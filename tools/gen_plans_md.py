@@ -188,6 +188,26 @@ AUDITED = {
         "TakeOrderedAndProject(10). No join, no broadcast; shuffle "
         "is 64 rows × partials."
     ),
+    "source_similarity_minhash": (
+        "One source-keyed shingle explode (localCheckpointed) feeds "
+        "sizes, the sh-keyed self-join, and the per-source minhash "
+        "aggregation; every shingle's document frequency is bounded "
+        "by the CATALOG-sized source count, so the self-join needs "
+        "no df cap — candidate volume ≤ sources × shingle rows, "
+        "linear. The signature joins broadcast ≤|sources| rows."
+    ),
+    "asof_nearest_click_to_purchase": (
+        "Two runs of the as-of union trick (one user_id shuffle + "
+        "one sort each; running last() window — never a range "
+        "probe), merged by an event_id equi-join over purchase-"
+        "sized frames. Three shuffles total, all key-partitioned."
+    ),
+    "t_closeness_report": (
+        "One (event_type, hour, sens) aggregation; group totals via "
+        "an intra-partition window (≤10 rows per group); a 10-row "
+        "broadcast + 1-row total; integer TV numerators with ONE "
+        "double division per group; tiny per-type rollup."
+    ),
     "decontaminate_ngram_overlap": (
         "Both sides explode 5-grams once (pre-rebalanced scan → "
         "arrays_zip slices → md5, all codegen). The train side "

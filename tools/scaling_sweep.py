@@ -178,6 +178,10 @@ SF1_QUERIES = [
     # round 10: the shingle-shuffle-shaped novelty scorer (standing
     # rule: every new pair-adjacent operator gets an sf1 row)
     "ngram_novelty_scores",
+    # round 10 second batch: source-pair audit (shingle self-join,
+    # df bounded by source count) and the two-leg nearest as-of
+    "source_similarity_minhash",
+    "asof_nearest_click_to_purchase",
 ]
 
 
