@@ -1143,3 +1143,101 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current"
         ),
     )
+
+
+# -------------------------------------------- seasonal decomposition
+
+_SD_HALF = 12  # centered 25-hour moving-average window
+
+
+@register(
+    "seasonal_decompose_hourly_events",
+    f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT h, cnt,
+               CAST(ROUND(
+                   CAST(SUM(cnt) OVER w AS DOUBLE)
+                       / COUNT(*) OVER w, 6) AS DECIMAL(18,6)) AS trend6
+        FROM hourly
+        WINDOW w AS (ORDER BY h
+                     ROWS BETWEEN {_SD_HALF} PRECEDING
+                              AND {_SD_HALF} FOLLOWING)
+    ),
+    se AS (
+        SELECT h, cnt, trend6,
+               CAST(ROUND(
+                   CAST(SUM(cnt - trend6) OVER hw AS DOUBLE)
+                       / COUNT(*) OVER hw, 6) AS DECIMAL(18,6))
+                   AS seasonal6
+        FROM tr
+        WINDOW hw AS (PARTITION BY EXTRACT(hour FROM h))
+    )
+    SELECT h, cnt,
+           CAST(trend6 AS DOUBLE) AS trend,
+           CAST(seasonal6 AS DOUBLE) AS seasonal,
+           CAST(cnt - trend6 - seasonal6 AS DOUBLE) AS remainder
+    FROM se
+    """,
+    doc="Classical additive seasonal decomposition of the hourly "
+    f"event series: trend = centered {2 * _SD_HALF + 1}-hour moving "
+    "average, seasonal = per hour-of-day mean of the detrended "
+    "series, remainder = observed − trend − seasonal (the "
+    "moving-average decomposition underlying STL, kept additive and "
+    "log-free for engine portability). Exactness: the only doubles "
+    "are two division-then-round-6dp steps; detrending and the "
+    "remainder subtract exact DECIMALs, so the per-hour-of-day mean "
+    "is an order-independent decimal sum. Scale: the corpus-sized "
+    "work is ONE hourly aggregation; both windows run over the "
+    "AGGREGATED series (rows = distinct hours, bounded by the time "
+    "range, not the event count) — a single-partition sort of a "
+    "tiny frame, the deliberate trade every time-series "
+    "decomposition makes.",
+)
+def seasonal_decompose_hourly_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.orderBy("h")
+        .rowsBetween(-_SD_HALF, _SD_HALF)
+    )
+    tr = hourly.select(
+        "h",
+        "cnt",
+        F.round(
+            F.sum("cnt").over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("trend6"),
+    )
+    hw = Window.partitionBy(F.hour("h"))
+    se = tr.select(
+        "h",
+        "cnt",
+        "trend6",
+        F.round(
+            F.sum(F.col("cnt") - F.col("trend6")).over(hw).cast("double")
+            / F.count(F.lit(1)).over(hw),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("seasonal6"),
+    )
+    return se.select(
+        "h",
+        "cnt",
+        F.col("trend6").cast("double").alias("trend"),
+        F.col("seasonal6").cast("double").alias("seasonal"),
+        (F.col("cnt") - F.col("trend6") - F.col("seasonal6"))
+        .cast("double")
+        .alias("remainder"),
+    )

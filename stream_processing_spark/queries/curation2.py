@@ -696,10 +696,10 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------- LM fluency quality score
 
-@register(
-    "quality_lm_avg_bigram_prob",
-    """
-    WITH toks AS (
+# shared CTE body: per-doc mean corpus-bigram probability (also feeds
+# quality_ccnet_buckets' oracle)
+_LM_SCORE_CTES = """
+    toks AS (
         SELECT doc_id, string_split(text, ' ') AS l FROM documents
         WHERE len(string_split(text, ' ')) >= 2
     ),
@@ -718,13 +718,23 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / CAST(SUM(cnt) OVER (PARTITION BY split_part(bg, ' ', 1))
                           AS DOUBLE) AS p
         FROM counted
+    ),
+    lmscore AS (
+        SELECT d.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(CAST(ROUND(pr.p, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS avg_bigram_p
+        FROM doc_bigrams d JOIN probs pr ON pr.bg = d.bg
+        GROUP BY d.doc_id
     )
-    SELECT d.doc_id,
-           COUNT(*) AS n_bigrams,
-           CAST(SUM(CAST(ROUND(pr.p, 6) AS DECIMAL(18,6))) AS DOUBLE)
-               / COUNT(*) AS avg_bigram_p
-    FROM doc_bigrams d JOIN probs pr ON pr.bg = d.bg
-    GROUP BY d.doc_id
+"""
+
+
+@register(
+    "quality_lm_avg_bigram_prob",
+    f"""
+    WITH {_LM_SCORE_CTES}
+    SELECT doc_id, n_bigrams, avg_bigram_p FROM lmscore
     """,
     doc="LM-based fluency quality score (the KenLM-filter analogue): "
     "each document scored by the MEAN corpus-bigram probability of its "
@@ -737,6 +747,12 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_lm_avg_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return _doc_avg_bigram_p(docs)
+
+
+def _doc_avg_bigram_p(docs: DataFrame) -> DataFrame:
+    """Per-doc mean corpus-bigram probability — see the registry doc
+    above; shared with quality_ccnet_buckets."""
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = F.split(F.col("text"), " ")
     length = F.size(toks)
@@ -767,6 +783,73 @@ def quality_lm_avg_bigram_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "avg_bigram_p"
             ),
         )
+    )
+
+
+_CCNET_BUCKETS = {1: "head", 2: "middle", 3: "tail"}
+
+
+@register(
+    "quality_ccnet_buckets",
+    f"""
+    WITH {_LM_SCORE_CTES},
+    sl AS (
+        SELECT s.doc_id, s.avg_bigram_p, d.lang
+        FROM lmscore s JOIN documents d USING (doc_id)
+    ),
+    nt AS (
+        SELECT lang, avg_bigram_p,
+               NTILE(3) OVER (PARTITION BY lang
+                              ORDER BY avg_bigram_p DESC, doc_id ASC)
+                   AS nt
+        FROM sl
+    )
+    SELECT lang,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(ROUND(avg_bigram_p, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS avg_score,
+           ROUND(MIN(avg_bigram_p), 6) AS min_score,
+           ROUND(MAX(avg_bigram_p), 6) AS max_score
+    FROM nt GROUP BY 1, 2
+    """,
+    doc="CCNet-style quality bucketing (Wenzek et al. 2020): within "
+    "each language, documents rank by LM fluency (the mean corpus-"
+    "bigram probability — quality_lm_avg_bigram_prob's score) and "
+    "split into equal HEAD / MIDDLE / TAIL terciles, the partition "
+    "CCNet uses to keep head+middle for pretraining. NTILE over a "
+    "total order (score DESC, doc_id) is engine-portable; bucket "
+    "means are exact (6dp-decimal sums / count). Scale: the score "
+    "pipeline's shapes are inherited; the tercile is one per-lang "
+    "window over doc-level rows and the report is |langs|x3 rows.",
+)
+def quality_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = _doc_avg_bigram_p(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    nt = s.withColumn(
+        "nt",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy(
+                F.desc("avg_bigram_p"), F.asc("doc_id")
+            )
+        ),
+    )
+    bucket = (
+        F.when(F.col("nt") == 1, "head")
+        .when(F.col("nt") == 2, "middle")
+        .otherwise("tail")
+    )
+    dec6 = F.round(F.col("avg_bigram_p"), 6).cast("decimal(18,6)")
+    return nt.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(dec6).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_score"),
+        F.round(F.min("avg_bigram_p"), 6).alias("min_score"),
+        F.round(F.max("avg_bigram_p"), 6).alias("max_score"),
     )
 
 

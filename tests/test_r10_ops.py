@@ -245,3 +245,85 @@ def test_asof_nearest_directions_and_ties(spark):
         6: (4, -5_000_000),
         7: (None, None),
     }
+
+
+def test_ccnet_buckets_rank_fluent_above_garbled(spark):
+    """Fluent docs (common repeated bigrams) land in the head
+    tercile, garbled docs (unique bigrams) in the tail."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from stream_processing_spark.queries.curation2 import (
+        _doc_avg_bigram_p,
+    )
+
+    # the score is an UNSMOOTHED conditional p(w2|w1): a bigram with a
+    # singleton first word scores 1.0, so garbled docs must spend
+    # their bigrams in the COMMON context ('the ...') where their
+    # continuations are rare. fluent avg = (3*0.5 + 2*1)/5 = 0.7;
+    # garbled avg = (3*(1/18) + 2*1)/5 ≈ 0.433.
+    fluent = "the cat the cat the cat"
+    rows = [(i, fluent, "en") for i in range(3)]
+    rows += [
+        (3, "the zq the xv the pl", "en"),
+        (4, "the qq the ww the ee", "en"),
+        (5, "the uu the ii the oo", "en"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lang, "s", len(t)) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    s = _doc_avg_bigram_p(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    nt = s.withColumn(
+        "nt",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy(
+                F.desc("avg_bigram_p"), F.asc("doc_id")
+            )
+        ),
+    )
+    by_bucket = {
+        r["doc_id"]: r["nt"] for r in nt.collect()
+    }
+    assert all(by_bucket[i] == 1 for i in range(2)), by_bucket
+    assert all(by_bucket[i] == 3 for i in (4, 5)), by_bucket
+
+
+def test_seasonal_decompose_constant_series_is_all_trend(spark):
+    """A constant hourly series decomposes to trend == cnt,
+    seasonal == 0, remainder == 0 — including at the edges where the
+    moving-average window is truncated."""
+    import datetime as dt
+
+    from stream_processing_spark.queries import analytics_queries as aq
+    from stream_processing_spark import catalog
+
+    rows = []
+    eid = 0
+    for h in range(48):
+        for i in range(3):  # constant: 3 events every hour
+            rows.append((
+                eid,
+                dt.datetime(2024, 1, 1) + dt.timedelta(hours=h,
+                                                       seconds=i),
+                7, "x", 1.0, "{}",
+            ))
+            eid += 1
+    ev = _events(spark, rows)
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda s, d, n: ev
+        aq.load_table = catalog.load_table
+        out = REGISTRY["seasonal_decompose_hourly_events"].spark(
+            spark, "ignored"
+        ).collect()
+    finally:
+        catalog.load_table = orig
+        aq.load_table = orig
+    assert len(out) == 48
+    for r in out:
+        assert r["cnt"] == 3
+        assert r["trend"] == 3.0
+        assert r["seasonal"] == 0.0
+        assert r["remainder"] == 0.0
