@@ -535,7 +535,14 @@ def asof_nearest_click_to_purchase(
     from stream_processing_spark.operators.asof import asof_join
 
     events = load_table(spark, sf_dir, "events")
-    clicks = events.filter(F.col("event_type") == "click").select(
+    # NULL-user clicks must match nothing: the union trick's window
+    # PARTITIONs NULL keys together (they would match NULL-user
+    # purchases), while SQL equi-join semantics drop them — filter
+    # the right side so both agree (a NULL-user purchase still rides
+    # through with a NULL match).
+    clicks = events.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         "ts",
         F.col("event_id").alias("click_id"),

@@ -179,6 +179,10 @@ def test_empty_corpus_degenerates_gracefully(spark, tmp_path):
         "wordpiece_train_merges",
         # round 9: encode passes over an empty corpus
         "wordpiece_encode_source_stats", "unigram_encode_source_stats",
+        # round 10: new doc/embedding operators over an empty corpus
+        "ngram_novelty_scores", "mixture_temperature_resample",
+        "embedding_dim_variance_topk", "source_similarity_minhash",
+        "quality_ccnet_buckets",
     ]:
         spec = REGISTRY[name]
         got = spec.spark(spark, str(tmp_path))
@@ -246,6 +250,13 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         # user_id/value through the SCD2 history (null-safe collapse)
         "wordpiece_encode_source_stats", "unigram_encode_source_stats",
         "scd2_user_value_history",
+        # round 10: NULL lang through the mixture/tercile paths, NULL
+        # user_id/event_type through t-closeness and the nearest
+        # as-of, NULL text through novelty and the source audit
+        "ngram_novelty_scores", "mixture_temperature_resample",
+        "t_closeness_report", "asof_nearest_click_to_purchase",
+        "quality_ccnet_buckets", "seasonal_decompose_hourly_events",
+        "source_similarity_minhash",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
@@ -293,6 +304,10 @@ def test_unicode_text_matches_oracle(spark, tmp_path):
         # round 9: codepoint-exact substr/length through the greedy walk
         # and the Viterbi encode
         "wordpiece_encode_source_stats", "unigram_encode_source_stats",
+        # round 10: codepoint-exact shingles/md5 through the novelty,
+        # source-audit, mixture, and tercile paths
+        "ngram_novelty_scores", "source_similarity_minhash",
+        "mixture_temperature_resample", "quality_ccnet_buckets",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
