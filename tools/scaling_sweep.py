@@ -328,6 +328,11 @@ def main() -> None:
     print("membership-shaped (one row per (doc, shingle), no pair")
     print("expansion), so its multiple is linear work over a")
     print("1.2 s fixed-overhead base — under the ~10× bound.")
+    print()
+    print("source_similarity_minhash shares the shingle-linear profile")
+    print("(one source-keyed explode; the sh self-join's candidate")
+    print("volume is bounded by sources × shingle rows), so its")
+    print("multiple is the same linear-work-over-fixed-base shape.")
     if worst1 > 12:
         print(
             f"\nWARNING: {worst1_name} grew {worst1:.1f}× over the sf1 "
