@@ -1241,3 +1241,169 @@ def seasonal_decompose_hourly_events(
         .cast("double")
         .alias("remainder"),
     )
+
+
+# ------------------------------------------- last-touch attribution
+
+_ATTR_WINDOW_SEC = 3600
+
+
+@register(
+    "funnel_attribution_last_touch",
+    f"""
+    WITH p AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS cts FROM events
+        WHERE event_type = 'click' AND user_id IS NOT NULL
+    ),
+    att AS (
+        SELECT p.*,
+               EXISTS(
+                   SELECT 1 FROM c
+                   WHERE c.user_id = p.user_id
+                     AND epoch_us(c.cts) <= epoch_us(p.ts)
+                     AND epoch_us(p.ts) - epoch_us(c.cts)
+                         <= CAST({_ATTR_WINDOW_SEC} AS BIGINT) * 1000000
+               ) AS is_att
+        FROM p
+    )
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CASE WHEN is_att THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_attributed,
+           CAST(SUM(CASE WHEN is_att
+                         THEN CAST(value AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS attributed_value,
+           CAST(SUM(CASE WHEN NOT is_att
+                         THEN CAST(value AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS unattributed_value
+    FROM att GROUP BY 1
+    """,
+    doc="Last-touch marketing attribution: a purchase's value is "
+    f"attributed iff the same user clicked within the trailing "
+    f"{_ATTR_WINDOW_SEC}-second window — the as-of join's tolerance "
+    "parameter doing its real job. Daily rollup of purchase count, "
+    "attributed count, and attributed/unattributed revenue (2dp "
+    "DECIMAL sums — exact and order-independent; NULL values skip "
+    "identically in both engines). Engine side: ONE as-of pass "
+    "(union + running window, operators/asof.py — never a range "
+    "probe); the oracle's per-purchase EXISTS probe is equivalent "
+    "because the LAST click before the purchase is in-window iff "
+    "ANY click is. Scale: one user_id shuffle + a date rollup.",
+)
+def funnel_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select("user_id", "ts", F.col("event_id").alias("click_id"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_tiebreak="click_id",
+        tolerance_sec=_ATTR_WINDOW_SEC,
+    )
+    is_att = F.col("click_id").isNotNull()
+    dec_v = F.col("value").cast("decimal(12,2)")
+    return j.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.when(is_att, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_attributed"),
+        F.sum(F.when(is_att, dec_v))
+        .cast("double")
+        .alias("attributed_value"),
+        F.sum(F.when(~is_att, dec_v))
+        .cast("double")
+        .alias("unattributed_value"),
+    )
+
+
+# --------------------------------------------- heartbeat gap report
+
+
+@register(
+    "heartbeat_gap_report",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+        FROM hourly GROUP BY 1
+    ),
+    spine AS (
+        SELECT s.event_type, u.g AS h
+        FROM span s,
+             UNNEST(generate_series(s.h0, s.h1,
+                                    INTERVAL '1 hour')) AS u(g)
+    )
+    SELECT sp.event_type,
+           COUNT(*) AS span_hours,
+           CAST(SUM(CASE WHEN o.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS active_hours,
+           CAST(SUM(CASE WHEN o.h IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS gap_hours
+    FROM spine sp
+    LEFT JOIN hourly o
+      ON o.event_type IS NOT DISTINCT FROM sp.event_type
+     AND o.h = sp.h
+    GROUP BY sp.event_type
+    """,
+    doc="Pipeline-liveness gap detection: per event type, the hour "
+    "spine from first to last activity (sequence/generate_series — "
+    "both inclusive) anti-checked against observed hours; silent "
+    "hours inside the span are exactly the heartbeat gaps an "
+    "ingest monitor alarms on. NULL event_type is a first-class "
+    "group (null-safe join on both engines). All-integer output. "
+    "Scale: the corpus-sized work is one (type, hour) aggregation; "
+    "the spine explode is bounded by the TIME RANGE x type count, "
+    "not the event count.",
+)
+def heartbeat_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.lit(1).alias("__one"))
+    span = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = span.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    # spine derives from hourly — rename the observed side to keep the
+    # self-join unambiguous
+    obs = hourly.select(
+        F.col("event_type").alias("o_et"), F.col("h").alias("o_h")
+    )
+    j = spine.join(
+        obs,
+        F.col("event_type").eqNullSafe(F.col("o_et"))
+        & (F.col("h") == F.col("o_h")),
+        "left",
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("span_hours"),
+        F.sum(F.when(F.col("o_h").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("active_hours"),
+        F.sum(F.when(F.col("o_h").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("gap_hours"),
+    )

@@ -256,7 +256,8 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         "ngram_novelty_scores", "mixture_temperature_resample",
         "t_closeness_report", "asof_nearest_click_to_purchase",
         "quality_ccnet_buckets", "seasonal_decompose_hourly_events",
-        "source_similarity_minhash",
+        "source_similarity_minhash", "funnel_attribution_last_touch",
+        "heartbeat_gap_report",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),

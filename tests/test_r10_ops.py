@@ -327,3 +327,77 @@ def test_seasonal_decompose_constant_series_is_all_trend(spark):
         assert r["trend"] == 3.0
         assert r["seasonal"] == 0.0
         assert r["remainder"] == 0.0
+
+
+def test_attribution_window_boundary(spark):
+    """Click 30 min before -> attributed; click 2 h before -> not;
+    exactly 3600 s before -> attributed (inclusive bound)."""
+    import datetime as dt
+
+    from stream_processing_spark.queries import analytics_queries as aq
+    from stream_processing_spark import catalog
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def t(sec):
+        return base + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, t(-1800), 1, "click", 0.0, "{}"),
+        (2, t(0), 1, "purchase", 10.0, "{}"),
+        (3, t(-7200), 2, "click", 0.0, "{}"),
+        (4, t(0), 2, "purchase", 20.0, "{}"),
+        (5, t(-3600), 3, "click", 0.0, "{}"),
+        (6, t(0), 3, "purchase", 40.0, "{}"),
+    ]
+    ev = _events(spark, rows)
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda s, d, n: ev
+        aq.load_table = catalog.load_table
+        out = REGISTRY["funnel_attribution_last_touch"].spark(
+            spark, "ignored"
+        ).collect()
+    finally:
+        catalog.load_table = orig
+        aq.load_table = orig
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_purchases"] == 3
+    assert r["n_attributed"] == 2
+    assert r["attributed_value"] == 50.0
+    assert r["unattributed_value"] == 20.0
+
+
+def test_heartbeat_gaps_counted_inside_span(spark):
+    """Hours 0,1,4,5 active -> span 6, active 4, gaps 2; a second
+    type with no gaps reports zero."""
+    import datetime as dt
+
+    from stream_processing_spark.queries import analytics_queries as aq
+    from stream_processing_spark import catalog
+
+    rows = []
+    eid = 0
+    for h in (0, 1, 4, 5):
+        rows.append((eid, dt.datetime(2024, 3, 1, h), 1, "a", 1.0,
+                     "{}")); eid += 1
+    for h in (2, 3):
+        rows.append((eid, dt.datetime(2024, 3, 1, h), 1, "b", 1.0,
+                     "{}")); eid += 1
+    ev = _events(spark, rows)
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda s, d, n: ev
+        aq.load_table = catalog.load_table
+        got = {
+            r["event_type"]: (r["span_hours"], r["active_hours"],
+                              r["gap_hours"])
+            for r in REGISTRY["heartbeat_gap_report"].spark(
+                spark, "ignored"
+            ).collect()
+        }
+    finally:
+        catalog.load_table = orig
+        aq.load_table = orig
+    assert got == {"a": (6, 4, 2), "b": (2, 2, 0)}
