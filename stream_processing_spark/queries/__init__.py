@@ -77,6 +77,7 @@ from stream_processing_spark.queries import ml_queries  # noqa: E402,F401
 from stream_processing_spark.queries import variantq  # noqa: E402,F401
 from stream_processing_spark.queries import rcte  # noqa: E402,F401
 from stream_processing_spark.queries import pipesql  # noqa: E402,F401
+from stream_processing_spark.queries import mlfeat  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the round driver records correctness for the

@@ -183,6 +183,10 @@ def test_empty_corpus_degenerates_gracefully(spark, tmp_path):
         "ngram_novelty_scores", "mixture_temperature_resample",
         "embedding_dim_variance_topk", "source_similarity_minhash",
         "quality_ccnet_buckets",
+        # round 10 third batch: empty corpus through the SNM blocking
+        # window and the benchmark-decontamination broadcast
+        "dedup_sorted_neighborhood_pairs",
+        "decontaminate_embedding_neighbors",
     ]:
         spec = REGISTRY[name]
         got = spec.spark(spark, str(tmp_path))
@@ -258,6 +262,10 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         "quality_ccnet_buckets", "seasonal_decompose_hourly_events",
         "source_similarity_minhash", "funnel_attribution_last_touch",
         "heartbeat_gap_report",
+        # round 10 third batch: NULL text through the SNM key
+        # (coalesce-to-'' blocking) and NULL value/user through the
+        # day-spine ACF
+        "dedup_sorted_neighborhood_pairs", "acf_daily_event_counts",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
@@ -309,6 +317,9 @@ def test_unicode_text_matches_oracle(spark, tmp_path):
         # source-audit, mixture, and tercile paths
         "ngram_novelty_scores", "source_similarity_minhash",
         "mixture_temperature_resample", "quality_ccnet_buckets",
+        # round 10 third batch: codepoint-exact lower()/substr through
+        # the SNM sort key and shingle verification
+        "dedup_sorted_neighborhood_pairs",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),

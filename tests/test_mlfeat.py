@@ -1,0 +1,308 @@
+"""Behavioral tests for the round-10 third-batch operators (mlfeat):
+semantics on crafted fixtures and numpy recomputations, complementing
+the oracle hash checks the gate runs."""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from stream_processing_spark.queries import REGISTRY
+
+
+def _copy(con, tmp_path, table: str, select: str) -> None:
+    con.execute(
+        f"COPY ({select}) TO '{tmp_path}/{table}.parquet' (FORMAT PARQUET)"
+    )
+
+
+def test_target_encoding_excludes_own_fold(spark, tmp_path):
+    """Hand-checked fixture: one nation, three folds with mean prices
+    10/20/30 — each fold's encoding is the mean of the OTHER folds."""
+    con = duckdb.connect()
+    _copy(
+        con, tmp_path, "customer",
+        "SELECT CAST(1 AS BIGINT) AS c_custkey, 'c' AS c_name, "
+        "CAST(7 AS INT) AS c_nationkey, 0.0 AS c_acctbal, "
+        "'B' AS c_mktsegment",
+    )
+    # orderkey i -> fold i % 5; use folds 0,1,2 with 2 orders each
+    _copy(
+        con, tmp_path, "orders",
+        """SELECT CAST(i AS BIGINT) AS o_orderkey,
+                  CAST(1 AS BIGINT) AS o_custkey, 'O' AS o_orderstatus,
+                  CAST((i % 5 + 1) * 10 AS DOUBLE) AS o_totalprice,
+                  TIMESTAMP '2024-01-01' AS o_orderdate,
+                  '1-URGENT' AS o_orderpriority
+           FROM UNNEST([0, 5, 1, 6, 2, 7]) t(i)""",
+    )
+    con.close()
+    got = {
+        r["fold"]: r
+        for r in REGISTRY["target_encode_nation_oof"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # fold 0 holds prices {10,10}; fold 1 {20,20}; fold 2 {30,30}
+    assert got[0]["oof_mean_price"] == 25.0   # mean of 20,20,30,30
+    assert got[1]["oof_mean_price"] == 20.0   # mean of 10,10,30,30
+    assert got[2]["oof_mean_price"] == 15.0   # mean of 10,10,20,20
+    assert all(r["n_rows"] == 2 for r in got.values())
+
+
+def test_target_encoding_single_fold_nation_is_null(spark, tmp_path):
+    """A nation entirely inside one fold has no out-of-fold rows —
+    the encoding must be NULL, not a division error."""
+    con = duckdb.connect()
+    _copy(
+        con, tmp_path, "customer",
+        "SELECT CAST(1 AS BIGINT) AS c_custkey, 'c' AS c_name, "
+        "CAST(7 AS INT) AS c_nationkey, 0.0 AS c_acctbal, "
+        "'B' AS c_mktsegment",
+    )
+    _copy(
+        con, tmp_path, "orders",
+        "SELECT CAST(5 AS BIGINT) AS o_orderkey, CAST(1 AS BIGINT) AS "
+        "o_custkey, 'O' AS o_orderstatus, CAST(42.0 AS DOUBLE) AS "
+        "o_totalprice, TIMESTAMP '2024-01-01' AS o_orderdate, "
+        "'1-URGENT' AS o_orderpriority",
+    )
+    con.close()
+    rows = (
+        REGISTRY["target_encode_nation_oof"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    assert len(rows) == 1
+    assert rows[0]["oof_mean_price"] is None
+
+
+def test_acf_alternating_series_hits_exact_extremes(spark, tmp_path):
+    """Daily counts alternating 1,3,1,3,… over 10 days: lag-2 pairs are
+    identical series (ACF exactly 1.0), lag-1 pairs are anti-phase
+    (ACF exactly −1.0). Integer sufficient statistics make both exact."""
+    con = duckdb.connect()
+    # day i gets (1 if i even else 3) events
+    _copy(
+        con, tmp_path, "events",
+        """SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-03-01' + (i || ' days')::INTERVAL AS ts,
+                  CAST(1 AS BIGINT) AS user_id, 'view' AS event_type,
+                  1.0 AS value, '{}' AS props
+           FROM range(0, 10) t(i), range(0, 3) r(j)
+           WHERE j < CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END""",
+    )
+    con.close()
+    got = {
+        r["lag"]: r
+        for r in REGISTRY["acf_daily_event_counts"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[1]["acf_r"] == -1.0 and got[1]["n_pairs"] == 9
+    assert got[2]["acf_r"] == 1.0 and got[2]["n_pairs"] == 8
+
+
+def test_acf_constant_series_is_null(spark, tmp_path):
+    """Zero variance → undefined correlation → NULL (not inf/error)."""
+    con = duckdb.connect()
+    _copy(
+        con, tmp_path, "events",
+        """SELECT CAST(i AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-03-01' + (i || ' days')::INTERVAL AS ts,
+                  CAST(1 AS BIGINT) AS user_id, 'view' AS event_type,
+                  1.0 AS value, '{}' AS props
+           FROM range(0, 9) t(i)""",
+    )
+    con.close()
+    rows = (
+        REGISTRY["acf_daily_event_counts"].spark(spark, str(tmp_path)).collect()
+    )
+    assert len(rows) == 7
+    assert all(r["acf_r"] is None for r in rows)
+
+
+def test_benford_shares_and_chi2_match_python(spark, tmp_path):
+    """Crafted digit distribution: shares and chi-square terms equal an
+    independent Python recomputation; sub-1 prices are excluded."""
+    prices = [1.5, 12.0, 199.99, 2.25, 25.0, 3.1, 9.99, 0.50]  # 0.50 dropped
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, {p})" for i, p in enumerate(prices)
+    )
+    _copy(
+        con, tmp_path, "orders",
+        f"""SELECT CAST(c0 AS BIGINT) AS o_orderkey,
+                   CAST(1 AS BIGINT) AS o_custkey, 'O' AS o_orderstatus,
+                   CAST(c1 AS DOUBLE) AS o_totalprice,
+                   TIMESTAMP '2024-01-01' AS o_orderdate,
+                   '1-URGENT' AS o_orderpriority
+            FROM (VALUES {vals}) t(c0, c1)""",
+    )
+    con.close()
+    got = {
+        r["digit"]: r
+        for r in REGISTRY["benford_first_digit_audit"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    counts = {1: 3, 2: 2, 3: 1, 9: 1}  # of the 7 kept prices
+    total = 7
+    assert set(got) == set(counts)
+    for d, n in counts.items():
+        p = math.log10(1 + 1 / d)
+        assert got[d]["n_orders"] == n
+        assert abs(got[d]["obs_share"] - n / total) < 1e-6
+        assert abs(got[d]["expected_share"] - p) < 1e-6
+        chi = (n - total * p) ** 2 / (total * p)
+        assert abs(got[d]["chi2_term"] - chi) < 1e-5
+
+
+def test_snm_pairs_typo_adjacent_but_not_window_distant(spark, tmp_path):
+    """Two near-duplicate docs whose keys differ by a typo sort adjacent
+    → paired. The same near-dup content placed > w sort positions apart
+    (4 filler docs with intervening keys, same 2-char block) → NOT
+    paired: exactly the sorted-neighborhood semantics."""
+    tail = "quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (0, f"aa alpha {tail}"),
+        (1, f"aa alphb {tail}"),          # typo'd key, same tail -> adjacent
+        (2, f"ca aaaa {tail}"),
+        (3, "ca bbbb red oak tables hold sturdy planks neatly"),
+        (4, "ca cccc blue rivers flow beneath ancient stone bridges"),
+        (5, "ca dddd green parrots mimic loud morning market chatter"),
+        (6, "ca eeee yellow lanterns light narrow winding alley steps"),
+        (7, f"ca zzzz {tail}"),           # 5 positions from doc 2 -> dropped
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in docs)
+    _copy(
+        con, tmp_path, "documents",
+        f"""SELECT CAST(c0 AS BIGINT) AS doc_id, c1 AS text, 'en' AS lang,
+                   'web' AS source, CAST(length(c1) AS BIGINT) AS n_chars
+            FROM (VALUES {vals}) t(c0, c1)""",
+    )
+    con.close()
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_sorted_neighborhood_pairs"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert (0, 1) in pairs
+    assert (2, 7) not in pairs
+    # the filler docs share no 3-gram shingles above threshold with
+    # anything — no other cross-content pair may appear
+    assert all({a, b} <= {0, 1} or {a, b} <= {2, 7} for a, b in pairs), pairs
+
+
+def test_lpa_two_cliques_converge_to_min_ids(spark, tmp_path):
+    """Two disjoint 3-cliques (parts sharing an order) converge to each
+    clique's MIN part id within 3 deterministic rounds; an isolated
+    part keeps its own label."""
+    rows = []
+    for ok, parts in [(1, [1, 2, 3]), (2, [1, 2, 3]),
+                      (3, [10, 11, 12]), (4, [99])]:
+        for ln, p in enumerate(parts, 1):
+            rows.append((ok, p, ln))
+    con = duckdb.connect()
+    vals = ", ".join(f"({o}, {p}, {ln})" for o, p, ln in rows)
+    _copy(
+        con, tmp_path, "lineitem",
+        f"""SELECT CAST(c0 AS BIGINT) AS l_orderkey,
+                   CAST(c1 AS BIGINT) AS l_partkey,
+                   CAST(1 AS BIGINT) AS l_suppkey,
+                   CAST(c2 AS INT) AS l_linenumber,
+                   1.0 AS l_quantity, 10.0 AS l_extendedprice,
+                   0.0 AS l_discount, 0.0 AS l_tax,
+                   'N' AS l_returnflag, 'O' AS l_linestatus,
+                   TIMESTAMP '2024-01-01' AS l_shipdate
+            FROM (VALUES {vals}) t(c0, c1, c2)""",
+    )
+    con.close()
+    got = {
+        r["part_id"]: r["community"]
+        for r in REGISTRY["graph_label_propagation"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_decontaminate_flags_planted_duplicate(spark, tmp_path):
+    """A train vector identical to a pinned-eval vector is contaminated;
+    an orthogonal one is clean. vec_id 0 is eval (0 % 23 == 0 and
+    ≤ the id cap); 23 would also be eval — avoided in train ids."""
+    con = duckdb.connect()
+    _copy(
+        con, tmp_path, "embeddings",
+        """SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), [1.0, 0.0, 0.0]::FLOAT[], CAST(1 AS INT)),
+            (CAST(1 AS BIGINT), [1.0, 0.0, 0.0]::FLOAT[], CAST(1 AS INT)),
+            (CAST(2 AS BIGINT), [0.0, 1.0, 0.0]::FLOAT[], CAST(2 AS INT)),
+            (CAST(3 AS BIGINT), [0.0, 0.0, 1.0]::FLOAT[], CAST(2 AS INT))
+        ) t(vec_id, embedding, label)""",
+    )
+    con.close()
+    got = {
+        r["label"]: r
+        for r in REGISTRY["decontaminate_embedding_neighbors"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got[1]["n_train"] == 1 and got[1]["n_contaminated"] == 1
+    assert got[1]["contamination_rate"] == 1.0
+    assert got[2]["n_train"] == 2 and got[2]["n_contaminated"] == 0
+    assert got[2]["contamination_rate"] == 0.0
+
+
+def test_conformal_qhat_matches_exact_recomputation(spark):
+    """qhat equals an exact-arithmetic recomputation (Fraction sums →
+    correctly-rounded doubles → same formula), and the interval covers
+    ≥ 90% of calibration residuals — the split-conformal guarantee."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice"],
+    ).to_pylist()
+    train = [r for r in t if r["l_orderkey"] % 10 != 0]
+    cal = [r for r in t if r["l_orderkey"] % 10 == 0]
+
+    def cents(v):  # 2-decimal doubles -> exact integer cents
+        return int(round(v * 100))
+
+    sx = float(Fraction(sum(cents(r["l_quantity"]) for r in train), 100))
+    sy = float(Fraction(sum(cents(r["l_extendedprice"]) for r in train), 100))
+    sxy = float(Fraction(
+        sum(cents(r["l_quantity"]) * cents(r["l_extendedprice"])
+            for r in train), 10000))
+    sxx = float(Fraction(
+        sum(cents(r["l_quantity"]) ** 2 for r in train), 10000))
+    n = len(train)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    resid_cents = sorted(
+        math.floor(
+            abs(r["l_extendedprice"] - (intercept + slope * r["l_quantity"]))
+            * 100
+        )
+        for r in cal
+    )
+    k = min((9 * (len(cal) + 1) + 9) // 10, len(cal))
+    qhat = resid_cents[k - 1] / 100
+
+    row = (
+        REGISTRY["conformal_linreg_intervals"].spark(spark, sf).collect()[0]
+    )
+    assert row["n_train"] == n and row["n_cal"] == len(cal)
+    assert abs(row["slope"] - round(slope, 6)) < 1e-9
+    assert abs(row["intercept"] - round(intercept, 6)) < 1e-9
+    assert row["qhat"] == qhat
+    covered = sum(1 for c in resid_cents if c / 100 <= qhat)
+    assert covered / len(cal) >= 0.9

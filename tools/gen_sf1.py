@@ -46,7 +46,10 @@ REPLICAS = 10
 # v2: single-FILE parquet per table (the testdata layout) — the
 # streaming _stream_dir stager symlinks the table path into a watch
 # directory, and FileStreamSource does not follow directory symlinks
-_PARAMS = {"src": SRC, "replicas": REPLICAS, "v": 2}
+# v3: adds lineitem (disjoint order/part/supp key spaces per replica —
+# ten independent co-purchase graphs, the linear-scaling profile for
+# the graph tier)
+_PARAMS = {"src": SRC, "replicas": REPLICAS, "v": 3}
 
 
 def ensure_sf1(spark) -> str:
@@ -132,6 +135,27 @@ def ensure_sf1(spark) -> str:
         )
 
     write_single_file(replicate(emb, mut_emb), "embeddings")
+
+    li = load_table(spark, SRC, "lineitem")
+
+    def mut_li(df, k):
+        if k == 0:
+            return df
+        return df.select(
+            (F.col("l_orderkey") + k * 100_000_000).alias("l_orderkey"),
+            (F.col("l_partkey") + k * 1_000_000).alias("l_partkey"),
+            (F.col("l_suppkey") + k * 100_000).alias("l_suppkey"),
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+
+    write_single_file(replicate(li, mut_li), "lineitem")
 
     with open(marker, "w") as f:
         json.dump(_PARAMS, f)

@@ -182,6 +182,12 @@ SF1_QUERIES = [
     # df bounded by source count) and the two-leg nearest as-of
     "source_similarity_minhash",
     "asof_nearest_click_to_purchase",
+    # round 10 third batch: the pair-producing / iterative additions
+    # (blocked-window self-join, 3-round vote shuffles, benchmark
+    # nested-loop scan)
+    "dedup_sorted_neighborhood_pairs",
+    "graph_label_propagation",
+    "decontaminate_embedding_neighbors",
 ]
 
 
