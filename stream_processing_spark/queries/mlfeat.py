@@ -737,3 +737,456 @@ def conformal_linreg_intervals(
         F.round("intercept", 6).alias("intercept"),
         (F.col("qhat_cents").cast("double") / 100).alias("qhat"),
     )
+
+
+# -------------------------------------------------- KS drift statistic
+
+# both drift monitors split the event stream at the midpoint of its day
+# span (a pure integer derivation — no data-dependent quantile), the
+# "compare this period against the previous one" production shape
+_SPLIT_SQL = """
+    bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0,
+               CAST(MIN(CAST(ts AS DATE))
+                    + CAST(FLOOR(date_diff('day',
+                          MIN(CAST(ts AS DATE)),
+                          MAX(CAST(ts AS DATE))) / 2) AS INT)
+                    AS DATE) AS dmid
+        FROM events WHERE value IS NOT NULL
+    ),
+    vals AS (
+        SELECT CAST(FLOOR(e.value * 100) AS BIGINT) AS cents,
+               CASE WHEN CAST(e.ts AS DATE) <= b.dmid
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events e, bounds b
+        WHERE e.value IS NOT NULL
+    )
+"""
+
+
+def _split_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cents, in_a) rows: events with FINITE value, cents-floored, split
+    at the midpoint of the day span (in_a=1 for the first half)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    ).select(
+        F.date_add(
+            F.col("d0"),
+            F.floor(F.datediff("d1", "d0") / 2).cast("int"),
+        ).alias("dmid")
+    )
+    return ev.crossJoin(F.broadcast(b)).select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.when(F.to_date("ts") <= F.col("dmid"), 1).otherwise(0).alias(
+            "in_a"
+        ),
+    )
+
+
+@register(
+    "ks_value_drift_report",
+    f"""
+    WITH {_SPLIT_SQL},
+    hist AS (
+        SELECT cents,
+               CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM vals GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents,
+               SUM(ca) OVER (ORDER BY cents) AS fa,
+               SUM(cb) OVER (ORDER BY cents) AS fb,
+               SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        FROM hist
+    ),
+    num AS (
+        SELECT cents, na, nb,
+               ABS(CAST(fa AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(19,0))
+                   - CAST(fb AS DECIMAL(18,0)) * CAST(na AS DECIMAL(19,0)))
+                   AS nm
+        FROM cum
+    ),
+    mx AS (SELECT cents, na, nb, nm, MAX(nm) OVER () AS nm_max FROM num)
+    SELECT CAST(MAX(na) AS BIGINT) AS n_first,
+           CAST(MAX(nb) AS BIGINT) AS n_second,
+           ROUND(CAST(MAX(nm_max) AS DOUBLE)
+                 / NULLIF(CAST(MAX(na) AS DOUBLE) * MAX(nb), 0), 6)
+               AS ks_d,
+           CAST(MIN(CASE WHEN nm = nm_max THEN cents END) AS DOUBLE) / 100
+               AS ks_at_value
+    FROM mx
+    """,
+    doc="Two-sample Kolmogorov–Smirnov drift statistic on the event "
+    "value distribution, first half of the day span vs the second — "
+    "the distribution-shift alarm a training-data pipeline runs before "
+    "mixing a new ingest batch. D = max |F̂_a − F̂_b| is computed as a "
+    "pure INTEGER maximization (|cumA·nB − cumB·nA| in DECIMAL — no "
+    "float CDFs), so both engines agree bit-exactly; one double "
+    "division at the end. The arg-max value uses a min-tie-break. "
+    "Scale shape: one corpus aggregation to per-cent-value counts "
+    "(bounded by the VALUE DOMAIN, not the row count); the cumulative "
+    "windows run on that histogram. Exactly one output row; an empty "
+    "half yields NULL D.",
+)
+def ks_value_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = _split_halves(spark, sf_dir)
+    hist = vals.groupBy("cents").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    wc = Window.orderBy("cents")
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "cents",
+        F.sum("ca").over(wc).alias("fa"),
+        F.sum("cb").over(wc).alias("fb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    nm = F.abs(
+        F.col("fa").cast("decimal(18,0)") * F.col("nb").cast("decimal(19,0)")
+        - F.col("fb").cast("decimal(18,0)") * F.col("na").cast("decimal(19,0)")
+    )
+    mx = cum.select(
+        "cents", "na", "nb", nm.alias("nm")
+    ).withColumn("nm_max", F.max("nm").over(wall))
+    return mx.agg(
+        F.max("na").cast("bigint").alias("n_first"),
+        F.max("nb").cast("bigint").alias("n_second"),
+        F.round(
+            F.max("nm_max").cast("double")
+            / F.nullif(
+                F.max("na").cast("double") * F.max("nb"), F.lit(0.0)
+            ),
+            6,
+        ).alias("ks_d"),
+        (
+            F.min(
+                F.when(F.col("nm") == F.col("nm_max"), F.col("cents"))
+            ).cast("double")
+            / 100
+        ).alias("ks_at_value"),
+    )
+
+
+# -------------------------------------------------- PSI drift statistic
+
+_PSI_BINS = 10
+
+
+@register(
+    "psi_value_drift",
+    f"""
+    WITH {_SPLIT_SQL},
+    hist AS (
+        SELECT cents,
+               CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM vals GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents, SUM(ca) OVER (ORDER BY cents) AS fa,
+               SUM(ca) OVER () AS na
+        FROM hist
+    ),
+    edges AS (
+        SELECT i,
+               MIN(CASE WHEN fa >= (i * na + {_PSI_BINS} - 1)
+                                   // {_PSI_BINS}
+                   THEN cents END) AS edge
+        FROM cum CROSS JOIN UNNEST(range(1, {_PSI_BINS})) AS u(i)
+        GROUP BY i
+    ),
+    bucketed AS (
+        SELECT h.cents, h.ca, h.cb,
+               CAST(SUM(CASE WHEN e.edge < h.cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM hist h CROSS JOIN edges e
+        GROUP BY h.cents, h.ca, h.cb
+    ),
+    byb AS (
+        SELECT bucket, SUM(ca) AS ba, SUM(cb) AS bb,
+               SUM(SUM(ca)) OVER () AS na, SUM(SUM(cb)) OVER () AS nb
+        FROM bucketed GROUP BY bucket
+    ),
+    terms AS (
+        SELECT bucket, ba, bb,
+               CAST(ROUND(
+                   (CAST(ba + 1 AS DOUBLE) / (na + {_PSI_BINS})
+                    - CAST(bb + 1 AS DOUBLE) / (nb + {_PSI_BINS}))
+                   * LN((CAST(ba + 1 AS DOUBLE) / (na + {_PSI_BINS}))
+                        / (CAST(bb + 1 AS DOUBLE) / (nb + {_PSI_BINS}))),
+                   9) AS DECIMAL(18,9)) AS term
+        FROM byb
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(ba) AS BIGINT) AS n_first,
+           CAST(SUM(bb) AS BIGINT) AS n_second,
+           CAST(SUM(term) AS DOUBLE) AS psi
+    FROM terms
+    """,
+    doc="Population-stability index between the two halves of the event "
+    "stream: decile bin edges are HISTOGRAM quantiles of the FIRST "
+    "half (integer rank picks over the per-cent-value counts — the "
+    "same domain-bounded histogram trick as the conformal quantile), "
+    "both halves are bucketed against those frozen edges, and "
+    "PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with +1 Laplace smoothing so empty "
+    "buckets stay finite. Each term is rounded to 9dp and summed in "
+    "DECIMAL (order-independent — the ln-term discipline the DSIR/"
+    "entropy queries use). Scale shape: one corpus aggregation to the "
+    "value histogram; edges (9 rows) and buckets (≤ 10) are "
+    "constant-size frames.",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = _split_halves(spark, sf_dir)
+    hist = vals.groupBy("cents").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    wc = Window.orderBy("cents")
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "cents",
+        F.sum("ca").over(wc).alias("fa"),
+        F.sum("ca").over(wall).alias("na"),
+    )
+    idx = F.explode(
+        F.array([F.lit(i) for i in range(1, _PSI_BINS)])
+    ).alias("i")
+    rank = F.expr(f"(i * na + {_PSI_BINS} - 1) div {_PSI_BINS}")
+    edges = (
+        cum.select("cents", "fa", "na", idx)
+        .groupBy("i")
+        .agg(
+            F.min(
+                F.when(F.col("fa") >= rank, F.col("cents"))
+            ).alias("edge")
+        )
+    )
+    bucketed = (
+        hist.crossJoin(F.broadcast(edges))
+        .groupBy("cents", "ca", "cb")
+        .agg(
+            F.sum(F.when(F.col("edge") < F.col("cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("bucket")
+        )
+    )
+    byb = bucketed.groupBy("bucket").agg(
+        F.sum("ca").alias("ba"), F.sum("cb").alias("bb")
+    )
+    byb = byb.select(
+        "bucket",
+        "ba",
+        "bb",
+        F.sum("ba").over(wall).alias("na"),
+        F.sum("bb").over(wall).alias("nb"),
+    )
+    p = (F.col("ba") + 1).cast("double") / (F.col("na") + _PSI_BINS)
+    q = (F.col("bb") + 1).cast("double") / (F.col("nb") + _PSI_BINS)
+    term = F.round((p - q) * F.log(p / q), 9).cast("decimal(18,9)")
+    return byb.select("ba", "bb", term.alias("term")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("ba").cast("bigint").alias("n_first"),
+        F.sum("bb").cast("bigint").alias("n_second"),
+        F.sum("term").cast("double").alias("psi"),
+    )
+
+
+# ---------------------------------------------- mutual information
+
+@register(
+    "mi_event_type_hour",
+    """
+    WITH g AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS h, COUNT(*) AS nxy
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, h, nxy,
+               SUM(nxy) OVER (PARTITION BY event_type) AS nx,
+               SUM(nxy) OVER (PARTITION BY h) AS ny,
+               SUM(nxy) OVER () AS n
+        FROM g
+    ),
+    t AS (
+        SELECT event_type, nxy, nx,
+               CAST(ROUND((CAST(nxy AS DOUBLE) / n) *
+                          LN((CAST(nxy AS DOUBLE) * n)
+                             / (CAST(nx AS DOUBLE) * ny)), 9)
+                    AS DECIMAL(18,9)) AS term
+        FROM m
+    )
+    SELECT event_type, CAST(MAX(nx) AS BIGINT) AS n_events,
+           CAST(SUM(term) AS DOUBLE) AS mi_contribution
+    FROM t GROUP BY event_type
+    """,
+    doc="Mutual information between event type and hour-of-day, "
+    "reported as each type's contribution Σ_h p(x,h)·ln(p(x,h)/"
+    "(p(x)p(h))) — the feature-selection signal for 'does this "
+    "categorical column carry temporal information'. All probabilities "
+    "derive from one (type, hour) count aggregation; the marginals are "
+    "windows over that ≤ |types|·24-row frame. Each ln term is rounded "
+    "to 9dp and summed in DECIMAL (order-independent); NULL event_type "
+    "is a first-class group. Scale shape: one corpus-sized aggregation, "
+    "everything after is constant-size.",
+)
+def mi_event_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("nxy"))
+    m = g.select(
+        "event_type",
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("event_type")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("h")).alias("ny"),
+        F.sum("nxy").over(Window.partitionBy()).alias("n"),
+    )
+    nxy, nx, ny, n = (
+        F.col("nxy"),
+        F.col("nx"),
+        F.col("ny"),
+        F.col("n"),
+    )
+    term = F.round(
+        (nxy.cast("double") / n)
+        * F.log((nxy.cast("double") * n) / (nx.cast("double") * ny)),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        m.select("event_type", "nx", term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            F.max("nx").cast("bigint").alias("n_events"),
+            F.sum("term").cast("double").alias("mi_contribution"),
+        )
+    )
+
+
+# ------------------------------------------------ Gini split table
+
+@register(
+    "gini_split_quantity_return",
+    """
+    WITH base AS (
+        SELECT CAST(FLOOR(l_quantity * 100) AS BIGINT) AS cents,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+        FROM lineitem
+    ),
+    hist AS (
+        SELECT cents, COUNT(*) AS cnt,
+               CAST(SUM(pos) AS BIGINT) AS np
+        FROM base GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents,
+               SUM(cnt) OVER (ORDER BY cents) AS nl,
+               SUM(np) OVER (ORDER BY cents) AS pl,
+               SUM(cnt) OVER () AS n, SUM(np) OVER () AS p
+        FROM hist
+    ),
+    g AS (
+        SELECT cents, CAST(nl AS BIGINT) AS n_left,
+               CAST(pl AS BIGINT) AS pos_left,
+               ROUND(
+                 (CAST(nl AS DOUBLE) * nl - CAST(pl AS DOUBLE) * pl
+                  - (CAST(nl AS DOUBLE) - pl) * (nl - pl))
+                     / (CAST(nl AS DOUBLE) * n)
+                 + (CAST(n - nl AS DOUBLE) * (n - nl)
+                    - CAST(p - pl AS DOUBLE) * (p - pl)
+                    - (CAST(n - nl AS DOUBLE) - (p - pl))
+                      * ((n - nl) - (p - pl)))
+                     / (CAST(n - nl AS DOUBLE) * n), 6) AS gini_weighted
+        FROM cum WHERE nl < n
+    ),
+    f AS (
+        SELECT cents, n_left, pos_left, gini_weighted,
+               MIN(gini_weighted) OVER () AS g_min
+        FROM g
+    )
+    SELECT CAST(cents AS DOUBLE) / 100 AS threshold,
+           n_left, pos_left, gini_weighted,
+           CASE WHEN gini_weighted = g_min
+                 AND cents = MIN(CASE WHEN gini_weighted = g_min
+                                      THEN cents END) OVER ()
+                THEN TRUE ELSE FALSE END AS is_best
+    FROM f
+    """,
+    doc="Decision-stump split-quality table: for every candidate "
+    "threshold on l_quantity (x ≤ t vs x > t), the weighted Gini "
+    "impurity of the returned-flag target, with the argmin flagged "
+    "(ties → smallest threshold — fully deterministic). The CART/"
+    "XGBoost split-finding primitive as one histogram pass: a corpus "
+    "aggregation to per-value (count, positives), cumulative windows "
+    "over the DOMAIN-bounded value histogram, and a fixed double "
+    "formula both engines evaluate identically (Gini via "
+    "n²−pos²−neg² products — no per-row floats). Degenerate splits "
+    "(empty right side) are excluded.",
+)
+def gini_split_quantity_return(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    hist = base.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    wc = Window.orderBy("cents")
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "cents",
+        F.sum("cnt").over(wc).alias("nl"),
+        F.sum("np").over(wc).alias("pl"),
+        F.sum("cnt").over(wall).alias("n"),
+        F.sum("np").over(wall).alias("p"),
+    )
+    nl, pl = F.col("nl"), F.col("pl")
+    n, p = F.col("n"), F.col("p")
+    nr, pr = n - nl, p - pl
+    gini = F.round(
+        (
+            nl.cast("double") * nl
+            - pl.cast("double") * pl
+            - (nl.cast("double") - pl) * (nl - pl)
+        )
+        / (nl.cast("double") * n)
+        + (
+            nr.cast("double") * nr
+            - pr.cast("double") * pr
+            - (nr.cast("double") - pr) * (nr - pr)
+        )
+        / (nr.cast("double") * n),
+        6,
+    )
+    g = cum.filter(nl < n).select(
+        "cents",
+        nl.cast("bigint").alias("n_left"),
+        pl.cast("bigint").alias("pos_left"),
+        gini.alias("gini_weighted"),
+    )
+    f = g.withColumn(
+        "g_min", F.min("gini_weighted").over(wall)
+    )
+    best_cents = F.min(
+        F.when(F.col("gini_weighted") == F.col("g_min"), F.col("cents"))
+    ).over(wall)
+    return f.select(
+        (F.col("cents").cast("double") / 100).alias("threshold"),
+        "n_left",
+        "pos_left",
+        "gini_weighted",
+        (
+            (F.col("gini_weighted") == F.col("g_min"))
+            & (F.col("cents") == best_cents)
+        ).alias("is_best"),
+    )

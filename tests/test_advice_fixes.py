@@ -266,6 +266,9 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         # (coalesce-to-'' blocking) and NULL value/user through the
         # day-spine ACF
         "dedup_sorted_neighborhood_pairs", "acf_daily_event_counts",
+        # round 10 fourth batch: NULL value through the drift splits,
+        # NULL event_type as a first-class MI group
+        "ks_value_drift_report", "psi_value_drift", "mi_event_type_hour",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),

@@ -306,3 +306,157 @@ def test_conformal_qhat_matches_exact_recomputation(spark):
     assert row["qhat"] == qhat
     covered = sum(1 for c in resid_cents if c / 100 <= qhat)
     assert covered / len(cal) >= 0.9
+
+
+# ------------------------------------------- round-10 batch 4 (drift/MI)
+
+
+def _mk_events(con, tmp_path, select: str) -> None:
+    _copy(con, tmp_path, "events", select)
+
+
+def test_ks_disjoint_halves_is_one_and_identical_is_zero(spark, tmp_path):
+    """Disjoint value supports across the two halves → D = 1.0 at the
+    first half's max value; identical distributions → D = 0.0."""
+    con = duckdb.connect()
+    # days 0..3 (midpoint day 1): first half values {1.0,2.0},
+    # second half {3.0,4.0}
+    _mk_events(
+        con, tmp_path,
+        """SELECT CAST(i AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-01-01' + ((i % 4) || ' days')::INTERVAL AS ts,
+                  CAST(1 AS BIGINT) AS user_id, 'view' AS event_type,
+                  CASE WHEN i % 4 <= 1 THEN 1.0 + i % 2
+                       ELSE 3.0 + i % 2 END AS value,
+                  '{}' AS props
+           FROM range(0, 40) t(i)""",
+    )
+    con.close()
+    row = (
+        REGISTRY["ks_value_drift_report"].spark(spark, str(tmp_path)).collect()[0]
+    )
+    assert row["ks_d"] == 1.0
+    assert row["ks_at_value"] == 2.0
+    assert row["n_first"] == 20 and row["n_second"] == 20
+
+    con = duckdb.connect()
+    _mk_events(
+        con, tmp_path,
+        """SELECT CAST(i AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-01-01' + ((i % 4) || ' days')::INTERVAL AS ts,
+                  CAST(1 AS BIGINT) AS user_id, 'view' AS event_type,
+                  CAST(1.0 + i % 2 AS DOUBLE) AS value, '{}' AS props
+           FROM range(0, 40) t(i)""",
+    )
+    con.close()
+    row = (
+        REGISTRY["ks_value_drift_report"].spark(spark, str(tmp_path)).collect()[0]
+    )
+    assert row["ks_d"] == 0.0
+
+
+def test_psi_identical_halves_is_exactly_zero(spark, tmp_path):
+    """Equal per-bucket counts make p == q in every bucket, so every
+    smoothed term is exactly 0 — PSI 0.0; a shifted second half > 0."""
+    con = duckdb.connect()
+    _mk_events(
+        con, tmp_path,
+        """SELECT CAST(i AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-01-01' + ((i % 4) || ' days')::INTERVAL AS ts,
+                  CAST(1 AS BIGINT) AS user_id, 'view' AS event_type,
+                  CAST(1.0 + (i // 4) % 10 AS DOUBLE) AS value, '{}' AS props
+           FROM range(0, 80) t(i)""",
+    )
+    con.close()
+    row = REGISTRY["psi_value_drift"].spark(spark, str(tmp_path)).collect()[0]
+    assert row["psi"] == 0.0
+    assert row["n_first"] == row["n_second"] == 40
+
+    con = duckdb.connect()
+    _mk_events(
+        con, tmp_path,
+        """SELECT CAST(i AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-01-01' + ((i % 4) || ' days')::INTERVAL AS ts,
+                  CAST(1 AS BIGINT) AS user_id, 'view' AS event_type,
+                  CASE WHEN i % 4 <= 1 THEN CAST(1.0 + (i // 4) % 10 AS DOUBLE)
+                       ELSE CAST(31.0 + (i // 4) % 10 AS DOUBLE) END AS value,
+                  '{}' AS props
+           FROM range(0, 80) t(i)""",
+    )
+    con.close()
+    row = REGISTRY["psi_value_drift"].spark(spark, str(tmp_path)).collect()[0]
+    assert row["psi"] > 1.0   # fully shifted distribution -> large PSI
+
+
+def test_mi_independent_zero_dependent_ln2(spark, tmp_path):
+    """Exactly independent type×hour counts → every term ln(1)=0;
+    a perfectly type-determines-hour fixture → 0.5·ln(2) per type."""
+    con = duckdb.connect()
+    # independent: types a,b × hours 0,1, 5 events each
+    _mk_events(
+        con, tmp_path,
+        """SELECT CAST(i AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-01-01' + ((i % 2) || ' hours')::INTERVAL AS ts,
+                  CAST(1 AS BIGINT) AS user_id,
+                  CASE WHEN (i // 2) % 2 = 0 THEN 'a' ELSE 'b' END AS event_type,
+                  1.0 AS value, '{}' AS props
+           FROM range(0, 20) t(i)""",
+    )
+    con.close()
+    got = {
+        r["event_type"]: r["mi_contribution"]
+        for r in REGISTRY["mi_event_type_hour"].spark(spark, str(tmp_path)).collect()
+    }
+    assert got == {"a": 0.0, "b": 0.0}
+
+    con = duckdb.connect()
+    # dependent: type a only hour 0, type b only hour 1
+    _mk_events(
+        con, tmp_path,
+        """SELECT CAST(i AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-01-01' + ((i % 2) || ' hours')::INTERVAL AS ts,
+                  CAST(1 AS BIGINT) AS user_id,
+                  CASE WHEN i % 2 = 0 THEN 'a' ELSE 'b' END AS event_type,
+                  1.0 AS value, '{}' AS props
+           FROM range(0, 20) t(i)""",
+    )
+    con.close()
+    got = {
+        r["event_type"]: r["mi_contribution"]
+        for r in REGISTRY["mi_event_type_hour"].spark(spark, str(tmp_path)).collect()
+    }
+    expect = round(0.5 * math.log(2.0), 9)
+    assert got == {"a": expect, "b": expect}
+
+
+def test_gini_separable_fixture_finds_zero_impurity_split(spark, tmp_path):
+    """Quantity ≤ 2 all non-returns, > 2 all returns: the stump at 2.0
+    has weighted Gini exactly 0 and carries the is_best flag; the
+    interior mixed split matches a hand computation."""
+    con = duckdb.connect()
+    _copy(
+        con, tmp_path, "lineitem",
+        """SELECT CAST(i AS BIGINT) AS l_orderkey, CAST(1 AS BIGINT) AS l_partkey,
+                  CAST(1 AS BIGINT) AS l_suppkey, CAST(1 AS INT) AS l_linenumber,
+                  CAST(1 + i % 4 AS DOUBLE) AS l_quantity,
+                  10.0 AS l_extendedprice, 0.0 AS l_discount, 0.0 AS l_tax,
+                  CASE WHEN i % 4 >= 2 THEN 'R' ELSE 'N' END AS l_returnflag,
+                  'O' AS l_linestatus, TIMESTAMP '2024-01-01' AS l_shipdate
+           FROM range(0, 40) t(i)""",
+    )
+    con.close()
+    rows = {
+        r["threshold"]: r
+        for r in REGISTRY["gini_split_quantity_return"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # thresholds 1,2,3 (4 excluded: empty right side)
+    assert set(rows) == {1.0, 2.0, 3.0}
+    assert rows[2.0]["gini_weighted"] == 0.0 and rows[2.0]["is_best"]
+    assert not rows[1.0]["is_best"] and not rows[3.0]["is_best"]
+    # threshold 1: left 10 pure neg (gini 0), right 30 with 20 pos:
+    # weighted = (30/40)·(1 − (20/30)² − (10/30)²)
+    expect = round((30 / 40) * (1 - (20 / 30) ** 2 - (10 / 30) ** 2), 6)
+    assert abs(rows[1.0]["gini_weighted"] - expect) < 1e-9
+    assert rows[1.0]["n_left"] == 10 and rows[1.0]["pos_left"] == 0

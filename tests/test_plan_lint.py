@@ -66,6 +66,8 @@ CROSS_OK = {
     "decontaminate_embedding_neighbors",
     "conformal_linreg_intervals",    # two 1-row broadcasts (fit stats,
                                      # calibration quantile row)
+    "ks_value_drift_report",         # 1-row day-span midpoint broadcast
+    "psi_value_drift",               # same 1-row midpoint broadcast
 }
 
 _SKIP = tuple(
