@@ -205,6 +205,20 @@ BENCH_QUERIES = [
     "ngram_novelty_scores",
     "mixture_temperature_resample",
     "embedding_dim_variance_topk",
+    # round-10 third/fourth/fifth batches (new capabilities — compare
+    # per-query against BENCH_r09/BENCH_r10, not in aggregate):
+    # two-level-blocked sorted-neighborhood dedup (partitioned sort +
+    # bounded neighbor equi-join + shingle verify)
+    "dedup_sorted_neighborhood_pairs",
+    # 3 synchronous vote rounds over the co-purchase graph (join+count
+    # shuffle + per-node window argmax per round)
+    "graph_label_propagation",
+    # split-conformal intervals: fit-stats agg + histogram quantile
+    "conformal_linreg_intervals",
+    # KS drift: corpus agg to a value histogram + integer CDF maximize
+    "ks_value_drift_report",
+    # Zipf fit: token explode/count + vocab-bounded rank window + OLS
+    "zipf_token_fit",
 ]
 
 

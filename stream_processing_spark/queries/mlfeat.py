@@ -1190,3 +1190,298 @@ def gini_split_quantity_return(
             & (F.col("cents") == best_cents)
         ).alias("is_best"),
     )
+
+
+# ---------------------------------------------------- Zipf's-law fit
+
+_ZIPF_TOP = 500
+
+
+@register(
+    "zipf_token_fit",
+    f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counted AS (
+        SELECT token, COUNT(*) AS cnt FROM tok
+        WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token)
+                    AS BIGINT) AS rnk, cnt
+        FROM counted
+    ),
+    pts AS (
+        SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)), 6)
+                    AS DECIMAL(12,6)) AS lx,
+               CAST(ROUND(LN(CAST(cnt AS DOUBLE)), 6)
+                    AS DECIMAL(12,6)) AS ly
+        FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    ),
+    m AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+               CAST(SUM(lx * ly) AS DOUBLE) AS sxy,
+               CAST(SUM(lx * lx) AS DOUBLE) AS sxx,
+               CAST(SUM(ly * ly) AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT n AS n_ranks,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6)
+               AS zipf_slope,
+           ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)
+                  * sx) / NULLIF(n, 0), 6) AS zipf_intercept,
+           ROUND(POW(n * sxy - sx * sy, 2) /
+                 NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+               AS r2
+    FROM m
+    """,
+    doc="Zipf's-law fit over the token frequency table: OLS of ln(freq) "
+    f"on ln(rank) for the top {_ZIPF_TOP} ranks — slope ≈ −1 for "
+    "natural language, so a corpus whose slope drifts far from −1 "
+    "(template spam flattens it, boilerplate steepens it) fails the "
+    "distributional sanity check. One corpus-sized explode+count; the "
+    "rank window runs on the vocabulary (log-of-corpus-sized) and the "
+    "regression on a fixed 500-row frame. Each ln is rounded to 6dp "
+    "and the moments are summed in DECIMAL — exact, order-independent, "
+    "engine-portable; one double formula at the end.",
+)
+def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rnk = F.row_number().over(
+        Window.orderBy(F.desc("cnt"), F.asc("token"))
+    )
+    pts = (
+        counted.select("cnt", rnk.cast("bigint").alias("rnk"))
+        .filter(F.col("rnk") <= _ZIPF_TOP)
+        .select(
+            F.round(F.log(F.col("rnk").cast("double")), 6)
+            .cast("decimal(12,6)")
+            .alias("lx"),
+            F.round(F.log(F.col("cnt").cast("double")), 6)
+            .cast("decimal(12,6)")
+            .alias("ly"),
+        )
+    )
+    lx, ly = F.col("lx"), F.col("ly")
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(lx).cast("double").alias("sx"),
+        F.sum(ly).cast("double").alias("sy"),
+        F.sum(lx * ly).cast("double").alias("sxy"),
+        F.sum(lx * lx).cast("double").alias("sxx"),
+        F.sum(ly * ly).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    dn = F.nullif(n * sxx - sx * sx, F.lit(0.0))
+    slope = (n * sxy - sx * sy) / dn
+    return m.select(
+        n.alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (sy - slope * sx) / F.nullif(n.cast("double"), F.lit(0.0)), 6
+        ).alias("zipf_intercept"),
+        F.round(
+            F.pow(n * sxy - sx * sy, F.lit(2))
+            / F.nullif(
+                (n * sxx - sx * sx) * (n * syy - sy * sy), F.lit(0.0)
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+# ------------------------------------------------------ EWMA forecast
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 14
+# alpha·(1−alpha)^j inlined as full-precision literals (identical
+# doubles on both engines, no cross-engine pow())
+_EWMA_W = [
+    _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_K)
+]
+_EWMA_WSUM = math.fsum(_EWMA_W)
+
+
+@register(
+    "ewma_daily_forecast",
+    f"""
+    WITH anchor AS (
+        SELECT MAX(CAST(ts AS DATE)) AS amax FROM events
+    ),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT d.event_type,
+               date_diff('day', d.day, a.amax) AS j, d.c
+        FROM daily d, anchor a
+        WHERE date_diff('day', d.day, a.amax) BETWEEN 0 AND {_EWMA_K - 1}
+    ),
+    t AS (
+        SELECT event_type,
+               CAST(ROUND(c * (CASE j {" ".join(
+                   f"WHEN {j} THEN CAST({w!r} AS DOUBLE)"
+                   for j, w in enumerate(_EWMA_W)
+               )} END), 6) AS DECIMAL(18,6)) AS term
+        FROM win
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days_observed,
+           ROUND(CAST(SUM(term) AS DOUBLE)
+                 / CAST({_EWMA_WSUM!r} AS DOUBLE), 6) AS ewma_forecast
+    FROM t GROUP BY event_type
+    """,
+    doc="Exponentially-weighted moving-average forecast of tomorrow's "
+    f"per-type event count: α={_EWMA_ALPHA} weights over the last "
+    f"{_EWMA_K} days before the stream's max day, normalized by the "
+    "window's total weight (missing days contribute 0 implicitly — no "
+    "spine needed). The geometric weights are precomputed as full-"
+    "precision literals so neither engine evaluates pow(); each "
+    "count·weight term is rounded to 6dp and summed in DECIMAL "
+    "(order-independent). Scale shape: one corpus aggregation to "
+    "(type, day) counts; the windowed weighting runs on ≤ types·14 "
+    "rows. NULL event_type forecasts as its own series.",
+)
+def ewma_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("amax"))
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    win = (
+        daily.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            F.datediff("amax", "day").alias("j"),
+            "c",
+        )
+        .filter(F.col("j").between(0, _EWMA_K - 1))
+    )
+    wmap = F.create_map(
+        *[
+            x
+            for j, w in enumerate(_EWMA_W)
+            for x in (F.lit(j), F.lit(w))
+        ]
+    )
+    term = F.round(
+        F.col("c") * F.element_at(wmap, F.col("j")), 6
+    ).cast("decimal(18,6)")
+    return (
+        win.select("event_type", term.alias("term"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days_observed"),
+            F.round(
+                F.sum("term").cast("double") / F.lit(_EWMA_WSUM), 6
+            ).alias("ewma_forecast"),
+        )
+    )
+
+
+# --------------------------------------------- grouped Theil–Sen slope
+
+@register(
+    "theil_sen_grouped_slope",
+    """
+    WITH g AS (
+        SELECT CAST(FLOOR(l_quantity * 100) AS BIGINT) AS cents,
+               COUNT(*) AS cnt,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy
+        FROM lineitem GROUP BY 1
+    ),
+    means AS (
+        SELECT cents, cnt, CAST(sy AS DOUBLE) / cnt AS ybar FROM g
+    ),
+    pairs AS (
+        SELECT a.cents AS ci, b.cents AS cj,
+               (b.ybar - a.ybar) / ((b.cents - a.cents) / 100.0) AS slope,
+               CAST(a.cnt AS DECIMAL(18,0)) * CAST(b.cnt AS DECIMAL(18,0))
+                   AS w
+        FROM means a JOIN means b ON a.cents < b.cents
+    ),
+    cum AS (
+        SELECT slope, w,
+               SUM(w) OVER (ORDER BY slope, ci, cj) AS cw,
+               SUM(w) OVER () AS tw,
+               COUNT(*) OVER () AS n_pairs
+        FROM pairs
+    )
+    SELECT CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+           ROUND(MIN(CASE WHEN cw * 2 >= tw THEN slope END), 6)
+               AS ts_slope
+    FROM cum
+    """,
+    doc="Grouped Theil–Sen robust slope (extendedprice ~ quantity): the "
+    "weighted median of pairwise slopes between per-value group means, "
+    "each pair weighted by its count product — the outlier-resistant "
+    "complement to linreg_price_on_quantity, collapsed from O(N²) "
+    "point pairs to DOMAIN² group pairs (≤ ~50² here) by grouping on "
+    "the discrete quantity values first. One corpus aggregation to "
+    "(value, count, Σy); means, pairs, and the weighted-median "
+    "cumulative walk all run on constant-size frames. DECIMAL weights "
+    "(count products stay exact), lower-weighted-median with a full "
+    "(slope, ci, cj) tie-break → deterministic on both engines.",
+)
+def theil_sen_grouped_slope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("cents")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sy"),
+    )
+    means = g.select(
+        "cents",
+        "cnt",
+        (F.col("sy").cast("double") / F.col("cnt")).alias("ybar"),
+    )
+    a = means.select(
+        F.col("cents").alias("ci"),
+        F.col("cnt").alias("cnt_a"),
+        F.col("ybar").alias("ybar_a"),
+    )
+    b = means.select(
+        F.col("cents").alias("cj"),
+        F.col("cnt").alias("cnt_b"),
+        F.col("ybar").alias("ybar_b"),
+    )
+    pairs = a.join(b, F.col("ci") < F.col("cj")).select(
+        "ci",
+        "cj",
+        (
+            (F.col("ybar_b") - F.col("ybar_a"))
+            / ((F.col("cj") - F.col("ci")) / 100.0)
+        ).alias("slope"),
+        (
+            F.col("cnt_a").cast("decimal(18,0)")
+            * F.col("cnt_b").cast("decimal(18,0)")
+        ).alias("w"),
+    )
+    wall = Window.partitionBy()
+    cum = pairs.select(
+        "slope",
+        F.sum("w").over(Window.orderBy("slope", "ci", "cj")).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+        F.count(F.lit(1)).over(wall).alias("n_pairs"),
+    )
+    return cum.agg(
+        F.max("n_pairs").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.min(
+                F.when(F.col("cw") * 2 >= F.col("tw"), F.col("slope"))
+            ),
+            6,
+        ).alias("ts_slope"),
+    )

@@ -187,6 +187,8 @@ def test_empty_corpus_degenerates_gracefully(spark, tmp_path):
         # window and the benchmark-decontamination broadcast
         "dedup_sorted_neighborhood_pairs",
         "decontaminate_embedding_neighbors",
+        # round 10 fifth batch: empty corpus through the Zipf ln-ln fit
+        "zipf_token_fit",
     ]:
         spec = REGISTRY[name]
         got = spec.spark(spark, str(tmp_path))
@@ -269,6 +271,9 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         # round 10 fourth batch: NULL value through the drift splits,
         # NULL event_type as a first-class MI group
         "ks_value_drift_report", "psi_value_drift", "mi_event_type_hour",
+        # round 10 fifth batch: NULL text through the Zipf token
+        # explode, NULL event_type as its own EWMA series
+        "zipf_token_fit", "ewma_daily_forecast",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
@@ -323,6 +328,9 @@ def test_unicode_text_matches_oracle(spark, tmp_path):
         # round 10 third batch: codepoint-exact lower()/substr through
         # the SNM sort key and shingle verification
         "dedup_sorted_neighborhood_pairs",
+        # round 10 fifth batch: codepoint-exact token split through the
+        # Zipf frequency table
+        "zipf_token_fit",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),

@@ -460,3 +460,92 @@ def test_gini_separable_fixture_finds_zero_impurity_split(spark, tmp_path):
     expect = round((30 / 40) * (1 - (20 / 30) ** 2 - (10 / 30) ** 2), 6)
     assert abs(rows[1.0]["gini_weighted"] - expect) < 1e-9
     assert rows[1.0]["n_left"] == 10 and rows[1.0]["pos_left"] == 0
+
+
+# --------------------------------------- round-10 batch 5 (fits/forecast)
+
+
+def test_zipf_fit_matches_python_on_crafted_powerlaw(spark, tmp_path):
+    """Token counts 8/4/2/1 → recompute the ln-ln OLS with the same
+    6dp-rounded logs; slope/intercept/r² must match exactly."""
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    con = duckdb.connect()
+    _copy(
+        con, tmp_path, "documents",
+        f"SELECT CAST(1 AS BIGINT) AS doc_id, '{text}' AS text, "
+        "'en' AS lang, 'web' AS source, "
+        f"CAST({len(text)} AS BIGINT) AS n_chars",
+    )
+    con.close()
+    row = REGISTRY["zipf_token_fit"].spark(spark, str(tmp_path)).collect()[0]
+    pts = [(math.log(r + 1), math.log(c)) for r, c in
+           enumerate([8, 4, 2, 1])]
+    pts = [(round(x, 6), round(y, 6)) for x, y in pts]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert row["n_ranks"] == 4
+    assert abs(row["zipf_slope"] - slope) < 1e-5
+    assert abs(row["zipf_intercept"] - intercept) < 1e-5
+    assert abs(row["r2"] - r2) < 1e-5
+    assert row["zipf_slope"] < 0  # frequencies decay with rank
+
+
+def test_ewma_weights_and_window_cutoff(spark, tmp_path):
+    """Hand-checked EWMA: counts 5 (anchor day), 10 (day−1), 100 (day−20,
+    OUTSIDE the 14-day window → excluded). Forecast = (5·w0 + 10·w1)/ΣW."""
+    con = duckdb.connect()
+    _mk_events(
+        con, tmp_path,
+        """SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-02-21' - (d || ' days')::INTERVAL AS ts,
+                  CAST(1 AS BIGINT) AS user_id, 'view' AS event_type,
+                  1.0 AS value, '{}' AS props
+           FROM (SELECT 0 AS d, 5 AS c UNION ALL SELECT 1, 10
+                 UNION ALL SELECT 20, 100) s,
+                range(0, 100) r(i)
+           WHERE i < s.c""",
+    )
+    con.close()
+    row = (
+        REGISTRY["ewma_daily_forecast"].spark(spark, str(tmp_path)).collect()[0]
+    )
+    a = 0.3
+    w = [a * (1 - a) ** j for j in range(14)]
+    expect = round(
+        (round(5 * w[0], 6) + round(10 * w[1], 6)) / math.fsum(w), 6
+    )
+    assert row["n_days_observed"] == 2
+    assert abs(row["ewma_forecast"] - expect) < 1e-9
+
+
+def test_theil_sen_ignores_outlier_group(spark, tmp_path):
+    """Five heavy groups on the exact line y = 2x plus one light
+    far-outlier group: the weighted median slope stays exactly 2.0
+    (the OLS estimate would be dragged far off)."""
+    con = duckdb.connect()
+    _copy(
+        con, tmp_path, "lineitem",
+        """SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS l_orderkey,
+                  CAST(1 AS BIGINT) AS l_partkey,
+                  CAST(1 AS BIGINT) AS l_suppkey, CAST(1 AS INT) AS l_linenumber,
+                  CAST(x AS DOUBLE) AS l_quantity,
+                  CAST(CASE WHEN x = 6 THEN 1000.0 ELSE 2.0 * x END
+                       AS DOUBLE) AS l_extendedprice,
+                  0.0 AS l_discount, 0.0 AS l_tax, 'N' AS l_returnflag,
+                  'O' AS l_linestatus, TIMESTAMP '2024-01-01' AS l_shipdate
+           FROM UNNEST([1, 2, 3, 4, 5]) s(x), range(0, 10) r(i)
+           UNION ALL
+           SELECT 999, 1, 1, 1, 6.0, 1000.0, 0.0, 0.0, 'N', 'O',
+                  TIMESTAMP '2024-01-01'""",
+    )
+    con.close()
+    row = (
+        REGISTRY["theil_sen_grouped_slope"].spark(spark, str(tmp_path)).collect()[0]
+    )
+    assert row["n_pairs"] == 15  # C(6,2)
+    assert row["ts_slope"] == 2.0

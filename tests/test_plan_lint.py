@@ -68,6 +68,10 @@ CROSS_OK = {
                                      # calibration quantile row)
     "ks_value_drift_report",         # 1-row day-span midpoint broadcast
     "psi_value_drift",               # same 1-row midpoint broadcast
+    "ewma_daily_forecast",           # 1-row anchor-day broadcast
+    # domain-bounded broadcast: the per-quantity-value group means
+    # (≤ value-domain rows) pairwise-joined for Theil–Sen slopes
+    "theil_sen_grouped_slope",
 }
 
 _SKIP = tuple(
