@@ -1485,3 +1485,286 @@ def theil_sen_grouped_slope(
             6,
         ).alias("ts_slope"),
     )
+
+
+# ---------------------------------------------- FK integrity audit
+
+_FK_RELS = [
+    # (name, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+     "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+@register(
+    "fk_integrity_audit",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS relationship,
+               (SELECT COUNT(*) FROM {child}) AS child_rows,
+               (SELECT COUNT(*) FROM {child} c
+                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pkey} = c.{ckey})) AS orphan_rows,
+               (SELECT COUNT(DISTINCT {ckey}) FROM {child} c
+                WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                  WHERE p.{pkey} = c.{ckey}))
+                   AS orphan_keys
+        """
+        for name, child, ckey, parent, pkey in _FK_RELS
+    ),
+    doc="Referential-integrity audit across the star schema's four "
+    "foreign keys: per relationship, total child rows plus orphan rows/"
+    "keys (children whose key has no parent) — the ingest gate that "
+    "catches partial loads and broken CDC feeds before a join silently "
+    "drops rows. Each relationship is one LEFT-ANTI join on the key "
+    "(AQE picks broadcast vs shuffle by parent size) aggregated to a "
+    "single row; the four rows union. No row ships more than the key "
+    "column.",
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, child, ckey, parent, pkey in _FK_RELS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pkey).alias("__pk")
+        )
+        orphans = c.join(
+            p, F.col(ckey) == F.col("__pk"), "left_anti"
+        ).agg(
+            F.count(F.lit(1)).alias("orphan_rows"),
+            F.countDistinct(ckey).alias("orphan_keys"),
+        )
+        row = (
+            c.agg(F.count(F.lit(1)).alias("child_rows"))
+            .crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(name).alias("relationship"),
+                "child_rows",
+                "orphan_rows",
+                "orphan_keys",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ------------------------------------------- Kaplan–Meier survival
+
+_KM_CENSOR_DAYS = 3
+
+
+@register(
+    "kaplan_meier_user_lifetime",
+    f"""
+    WITH users AS (
+        SELECT user_id,
+               date_diff('day', MIN(CAST(ts AS DATE)),
+                         MAX(CAST(ts AS DATE))) AS lt,
+               MAX(CAST(ts AS DATE)) AS last_day
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS hmax FROM events),
+    marked AS (
+        SELECT u.lt,
+               CASE WHEN date_diff('day', u.last_day, h.hmax)
+                         < {_KM_CENSOR_DAYS} THEN 1 ELSE 0 END AS censored
+        FROM users u, horizon h
+    ),
+    lev AS (
+        SELECT lt, COUNT(*) AS n_total,
+               CAST(SUM(1 - censored) AS BIGINT) AS n_deaths,
+               CAST(SUM(censored) AS BIGINT) AS n_censored
+        FROM marked GROUP BY lt
+    ),
+    risk AS (
+        SELECT lt, n_deaths, n_censored,
+               SUM(n_total) OVER (ORDER BY lt DESC) AS n_at_risk
+        FROM lev
+    ),
+    logs AS (
+        SELECT lt, n_deaths, n_censored, CAST(n_at_risk AS BIGINT)
+                   AS n_at_risk,
+               SUM(CASE WHEN n_deaths > 0 AND n_deaths < n_at_risk
+                        THEN CAST(ROUND(LN(1.0 - CAST(n_deaths AS DOUBLE)
+                                              / n_at_risk), 9)
+                                  AS DECIMAL(18,9))
+                        ELSE CAST(0 AS DECIMAL(18,9)) END)
+                   OVER (ORDER BY lt) AS cum_ln,
+               MAX(CASE WHEN n_deaths >= n_at_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY lt) AS zeroed
+        FROM risk
+    )
+    SELECT CAST(lt AS BIGINT) AS lifetime_days, n_at_risk, n_deaths,
+           n_censored,
+           CASE WHEN zeroed = 1 THEN 0.0
+                ELSE ROUND(EXP(CAST(cum_ln AS DOUBLE)), 6)
+           END AS survival
+    FROM logs
+    """,
+    doc="Kaplan–Meier survival curve over user lifetimes (days between "
+    "first and last event; users still active within "
+    f"{_KM_CENSOR_DAYS} days of the stream horizon are right-censored "
+    "— they leave the risk set without counting as churn): the "
+    "product-limit estimator S(t) = Π(1 − dᵢ/nᵢ), computed as a "
+    "cumulative DECIMAL sum of 9dp-rounded ln factors then one exp — "
+    "order-independent and engine-portable; a level where every "
+    "remaining user churns zeroes the curve exactly from there on. "
+    "Scale shape: one user_id aggregation (the only corpus shuffle); "
+    "levels, reverse-cumulative risk set, and the product walk all run "
+    "on the lifetime-DOMAIN-bounded frame.",
+)
+def kaplan_meier_user_lifetime(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+            ).alias("lt"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("hmax"))
+    marked = users.crossJoin(F.broadcast(horizon)).select(
+        "lt",
+        F.when(
+            F.datediff("hmax", "last_day") < _KM_CENSOR_DAYS, 1
+        ).otherwise(0).alias("censored"),
+    )
+    lev = marked.groupBy("lt").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(1 - F.col("censored")).cast("bigint").alias("n_deaths"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    risk = lev.select(
+        "lt",
+        "n_deaths",
+        "n_censored",
+        F.sum("n_total").over(Window.orderBy(F.desc("lt"))).alias(
+            "n_at_risk"
+        ),
+    )
+    d, n = F.col("n_deaths"), F.col("n_at_risk")
+    ln_term = F.when(
+        (d > 0) & (d < n),
+        F.round(F.log(1.0 - d.cast("double") / n), 9).cast(
+            "decimal(18,9)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    wt = Window.orderBy("lt")
+    logs = risk.select(
+        "lt",
+        "n_deaths",
+        "n_censored",
+        n.cast("bigint").alias("n_at_risk"),
+        F.sum(ln_term).over(wt).alias("cum_ln"),
+        F.max(F.when(d >= n, 1).otherwise(0)).over(wt).alias("zeroed"),
+    )
+    return logs.select(
+        F.col("lt").cast("bigint").alias("lifetime_days"),
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        F.when(F.col("zeroed") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("cum_ln").cast("double")), 6))
+        .alias("survival"),
+    )
+
+
+# ------------------------------------------- two-proportion z-test
+
+@register(
+    "ab_conversion_ztest",
+    """
+    WITH assigned AS (
+        SELECT user_id % 2 AS variant,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    g AS (
+        SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                    AS BIGINT) AS conv_b
+        FROM assigned
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           ROUND(CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0), 6) AS p_a,
+           ROUND(CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0), 6) AS p_b,
+           ROUND((CAST(conv_a AS DOUBLE) / NULLIF(n_a, 0)
+                  - CAST(conv_b AS DOUBLE) / NULLIF(n_b, 0))
+                 / NULLIF(SQRT((CAST(conv_a + conv_b AS DOUBLE)
+                                / NULLIF(n_a + n_b, 0))
+                               * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                                  / NULLIF(n_a + n_b, 0))
+                               * (1.0 / NULLIF(n_a, 0)
+                                  + 1.0 / NULLIF(n_b, 0))), 0), 6)
+               AS z_score
+    FROM g
+    """,
+    doc="Two-proportion z-test on a deterministic hash-assigned A/B "
+    "split (user_id parity): the unit is a USER-DAY, converted iff it "
+    "contains a purchase (daily conversion — the per-user-ever flag "
+    "saturates to 1 on long streams and zeroes the pooled variance); "
+    "pooled-variance z is the experimentation primitive a feature-"
+    "rollout pipeline runs on event logs. One (user, day) aggregation "
+    "to conversion flags, then a single 4-counter global aggregate; "
+    "the z formula is one fixed double expression over exact integers "
+    "on both engines. Degenerate arms (empty, or zero pooled variance) "
+    "yield NULL rather than dividing by zero. Always one output row.",
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    assigned = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("__day"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "converted")
+    )
+    g = assigned.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    na, nb = F.nullif(F.col("n_a"), F.lit(0)), F.nullif(F.col("n_b"), F.lit(0))
+    ca, cb = F.col("conv_a"), F.col("conv_b")
+    pa = ca.cast("double") / na
+    pb = cb.cast("double") / nb
+    pp = (ca + cb).cast("double") / F.nullif(F.col("n_a") + F.col("n_b"), F.lit(0))
+    z = (pa - pb) / F.nullif(
+        F.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)), F.lit(0.0)
+    )
+    return g.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(z, 6).alias("z_score"),
+    )

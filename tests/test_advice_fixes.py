@@ -274,6 +274,9 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         # round 10 fifth batch: NULL text through the Zipf token
         # explode, NULL event_type as its own EWMA series
         "zipf_token_fit", "ewma_daily_forecast",
+        # round 10 sixth batch: NULL user_id excluded from the survival
+        # risk set and the A/B assignment
+        "kaplan_meier_user_lifetime", "ab_conversion_ztest",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),

@@ -549,3 +549,149 @@ def test_theil_sen_ignores_outlier_group(spark, tmp_path):
     )
     assert row["n_pairs"] == 15  # C(6,2)
     assert row["ts_slope"] == 2.0
+
+
+# ------------------------------------- round-10 batch 6 (integrity/survival)
+
+
+def test_fk_audit_counts_planted_orphans(spark, tmp_path):
+    """One lineitem row references a missing order: exactly that
+    relationship reports the orphan; the part/supplier/customer
+    relationships stay clean."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "orders",
+          "SELECT CAST(1 AS BIGINT) AS o_orderkey, CAST(1 AS BIGINT) AS "
+          "o_custkey, 'O' AS o_orderstatus, 10.0 AS o_totalprice, "
+          "TIMESTAMP '2024-01-01' AS o_orderdate, '1-U' AS o_orderpriority")
+    _copy(con, tmp_path, "customer",
+          "SELECT CAST(1 AS BIGINT) AS c_custkey, 'c' AS c_name, "
+          "CAST(1 AS INT) AS c_nationkey, 0.0 AS c_acctbal, 'B' AS c_mktsegment")
+    _copy(con, tmp_path, "part",
+          "SELECT CAST(1 AS BIGINT) AS p_partkey, 'p' AS p_name, "
+          "'M' AS p_mfgr, 'B' AS p_brand, 't' AS p_type, CAST(1 AS INT) "
+          "AS p_size, 'c' AS p_container, 1.0 AS p_retailprice")
+    _copy(con, tmp_path, "supplier",
+          "SELECT CAST(1 AS BIGINT) AS s_suppkey, 's' AS s_name, "
+          "'a' AS s_address, CAST(1 AS INT) AS s_nationkey, 0.0 AS s_acctbal")
+    _copy(con, tmp_path, "lineitem",
+          """SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+               CAST(1 AS INT), 1.0, 10.0, 0.0, 0.0, 'N', 'O',
+               TIMESTAMP '2024-01-01'),
+              (CAST(99 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+               CAST(1 AS INT), 1.0, 10.0, 0.0, 0.0, 'N', 'O',
+               TIMESTAMP '2024-01-01')
+          ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+              l_extendedprice, l_discount, l_tax, l_returnflag,
+              l_linestatus, l_shipdate)""")
+    con.close()
+    got = {
+        r["relationship"]: r
+        for r in REGISTRY["fk_integrity_audit"].spark(spark, str(tmp_path)).collect()
+    }
+    assert got["lineitem->orders"]["orphan_rows"] == 1
+    assert got["lineitem->orders"]["orphan_keys"] == 1
+    assert got["lineitem->orders"]["child_rows"] == 2
+    for rel in ["lineitem->part", "lineitem->supplier", "orders->customer"]:
+        assert got[rel]["orphan_rows"] == 0, rel
+
+
+def test_kaplan_meier_hand_computed_curve(spark, tmp_path):
+    """Four users (deaths at lifetimes 0 and 5; two censored near the
+    horizon): S = 0.75 after t=0, 0.5 after t=5, flat thereafter —
+    censored users leave the risk set without dropping the curve."""
+    con = duckdb.connect()
+    # A: day0 only; B: day0+day5; C: day0+day10; D: day2+day8
+    _mk_events(
+        con, tmp_path,
+        """SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-01-01' + (d || ' days')::INTERVAL AS ts,
+                  CAST(u AS BIGINT) AS user_id, 'view' AS event_type,
+                  1.0 AS value, '{}' AS props
+           FROM (VALUES (1, 0), (2, 0), (2, 5), (3, 0), (3, 10),
+                        (4, 2), (4, 8)) t(u, d)""",
+    )
+    con.close()
+    got = {
+        r["lifetime_days"]: r
+        for r in REGISTRY["kaplan_meier_user_lifetime"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(got) == {0, 5, 6, 10}
+    assert got[0]["n_at_risk"] == 4 and got[0]["n_deaths"] == 1
+    assert abs(got[0]["survival"] - 0.75) < 1e-6
+    assert got[5]["n_at_risk"] == 3 and got[5]["n_deaths"] == 1
+    assert abs(got[5]["survival"] - 0.5) < 1e-6
+    assert got[6]["n_deaths"] == 0 and got[6]["n_censored"] == 1
+    assert abs(got[6]["survival"] - 0.5) < 1e-6
+    assert got[10]["n_censored"] == 1
+    assert abs(got[10]["survival"] - 0.5) < 1e-6
+
+
+def test_kaplan_meier_total_churn_zeroes_curve(spark, tmp_path):
+    """If every remaining user churns at the last level, survival is
+    exactly 0.0 there (not exp(ln(0)) noise)."""
+    con = duckdb.connect()
+    _mk_events(
+        con, tmp_path,
+        """SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-01-01' + (d || ' days')::INTERVAL AS ts,
+                  CAST(u AS BIGINT) AS user_id, 'view' AS event_type,
+                  1.0 AS value, '{}' AS props
+           FROM (VALUES (1, 0), (1, 2), (2, 0), (2, 2),
+                        (9, 0), (9, 30)) t(u, d)""",
+    )
+    con.close()
+    got = {
+        r["lifetime_days"]: r
+        for r in REGISTRY["kaplan_meier_user_lifetime"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # horizon = day30: users 1,2 die at lt=2; user 9 censored at lt=30
+    assert abs(got[2]["survival"] - (1 - 2 / 3)) < 1e-6
+    assert got[30]["survival"] == got[2]["survival"]  # censoring only
+    # now the all-churn shape: drop user 9's horizon event
+    con = duckdb.connect()
+    _mk_events(
+        con, tmp_path,
+        """SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-01-01' + (d || ' days')::INTERVAL AS ts,
+                  CAST(u AS BIGINT) AS user_id, 'view' AS event_type,
+                  1.0 AS value, '{}' AS props
+           FROM (VALUES (1, 0), (1, 2), (2, 0), (2, 2)) t(u, d)""",
+    )
+    con.close()
+    got = {
+        r["lifetime_days"]: r
+        for r in REGISTRY["kaplan_meier_user_lifetime"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # horizon = day2; both users' last day IS the horizon -> censored,
+    # zero deaths: flat curve at 1.0
+    assert got[2]["n_deaths"] == 0 and got[2]["survival"] == 1.0
+
+
+def test_ab_ztest_matches_hand_formula(spark, tmp_path):
+    """Variant A (even users): 1 of 2 converts; variant B (odd): 2 of 2.
+    z matches the pooled-variance formula computed in Python."""
+    con = duckdb.connect()
+    _mk_events(
+        con, tmp_path,
+        """SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS event_id,
+                  TIMESTAMP '2024-01-01' AS ts, CAST(u AS BIGINT) AS user_id,
+                  et AS event_type, 1.0 AS value, '{}' AS props
+           FROM (VALUES (2, 'purchase'), (4, 'view'), (1, 'purchase'),
+                        (3, 'purchase'), (3, 'view')) t(u, et)""",
+    )
+    con.close()
+    row = (
+        REGISTRY["ab_conversion_ztest"].spark(spark, str(tmp_path)).collect()[0]
+    )
+    assert (row["n_a"], row["n_b"]) == (2, 2)
+    assert (row["conv_a"], row["conv_b"]) == (1, 2)
+    pa, pb, pp = 0.5, 1.0, 0.75
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / 2 + 1 / 2))
+    assert abs(row["z_score"] - round(z, 6)) < 1e-9

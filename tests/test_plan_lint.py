@@ -69,6 +69,8 @@ CROSS_OK = {
     "ks_value_drift_report",         # 1-row day-span midpoint broadcast
     "psi_value_drift",               # same 1-row midpoint broadcast
     "ewma_daily_forecast",           # 1-row anchor-day broadcast
+    "kaplan_meier_user_lifetime",    # 1-row stream-horizon broadcast
+    "fk_integrity_audit",            # four 1-row orphan-count broadcasts
     # domain-bounded broadcast: the per-quantity-value group means
     # (≤ value-domain rows) pairwise-joined for Theil–Sen slopes
     "theil_sen_grouped_slope",
