@@ -16,12 +16,13 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd  # noqa: F401  (module-level for pandas_udf workers)
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_processing_spark.catalog import load_table
 from stream_processing_spark.functions import dedup as dd
-from stream_processing_spark.functions import similarity as sim
 from stream_processing_spark.queries import register
 from stream_processing_spark.runtime import materialize
 
@@ -473,13 +474,20 @@ def _lpa_iter_sql(prev: str, nxt: str) -> str:
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # op feeds BOTH self-join sides — materialize so the distinct runs
+    # once, and build only the u<v orientation (half the join output
+    # through the distinct), deriving the mirror by a free projection
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     a, b = op.alias("a"), op.alias("b")
-    edges = (
+    half = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
@@ -487,12 +495,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     labels = li.select(
         F.col("l_partkey").alias("part_id"), F.col("l_partkey").alias("lbl")
     ).distinct()
-    rk_w = Window.partitionBy("part_id").orderBy(
-        F.desc("cnt"), F.asc("lbl")
-    )
     for _ in range(_LPA_ITERS):
         # labels feeds two branches (votes + keep-own fallback):
         # materialize so the round's lineage is computed once
@@ -503,10 +511,21 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("part_id", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
+        # deterministic argmax as a HASH aggregation: max of the
+        # (cnt, −label) struct is exactly "most votes, ties → min
+        # label" — same result as a rank-1 window but with map-side
+        # partial aggregation and no per-partition sort
         winner = (
-            votes.withColumn("rk", F.row_number().over(rk_w))
-            .filter(F.col("rk") == 1)
-            .select("part_id", F.col("lbl").alias("w_lbl"))
+            votes.groupBy("part_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("c"),
+                        (-F.col("lbl")).alias("nl"),
+                    )
+                ).alias("w")
+            )
+            .select("part_id", (-F.col("w.nl")).alias("w_lbl"))
         )
         labels = labels.join(winner, "part_id", "left").select(
             "part_id", F.coalesce("w_lbl", "lbl").alias("lbl")
@@ -529,6 +548,58 @@ def _decon_cos_sql(a: str, b: str) -> str:
     from stream_processing_spark.queries.llmops import _COS_SQL
 
     return _COS_SQL.format(a=a, b=b)
+
+
+def _decon_flag_udf(evecs: list[list[float]], tau: float):
+    """Arrow-batched numpy twin of the eval-broadcast cosine semi-join —
+    BIT-EXACT, not approximate: each train×eval dot accumulates
+    per-DIMENSION across the row batch (``acc = acc + X[:, k] * e[k]``),
+    the identical IEEE add/mul sequence as the engine's sequential
+    aggregate fold and DuckDB's list_dot_product, so every pair's
+    cosine, its NaN-ness (zero-norm rows compare false), and the ≥ τ
+    decision match the semi-join form and the oracle bit-for-bit.
+
+    Why it exists: the HOF cosine in a BroadcastNestedLoopJoin is
+    CodegenFallback — interpreted per PAIR; at 200 pinned eval vectors
+    the sf1 row spent ~30 s in that loop. The twin runs the same
+    arithmetic vectorized per Arrow batch with an all-flagged early
+    exit. The semi-join spelling remains the oracle's source of truth."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    E = [np.asarray(e, dtype=np.float64) for e in evecs]
+    # eval norms: scalar sequential fold per vector (≤ 200 of them)
+    ENORM = []
+    for e in E:
+        acc = 0.0
+        for k in range(len(e)):
+            acc = acc + float(e[k]) * float(e[k])
+        ENORM.append(math.sqrt(acc))
+
+    @pandas_udf("boolean")
+    def flag(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="bool")
+        X = np.array(list(emb), dtype=np.float64)
+        n, d = X.shape
+        vv = np.zeros(n)
+        for k in range(d):
+            vv = vv + X[:, k] * X[:, k]
+        nv = np.sqrt(vv)
+        out = np.zeros(n, dtype=bool)
+        with np.errstate(invalid="ignore", divide="ignore",
+                         over="ignore"):
+            for e, en in zip(E, ENORM):
+                acc = np.zeros(n)
+                for k in range(d):
+                    acc = acc + X[:, k] * e[k]
+                s = acc / (nv * en)
+                out |= s >= tau  # NaN compares false, like the engine
+                if out.all():
+                    break
+        return pd.Series(out)
+
+    return flag
 
 
 @register(
@@ -559,12 +630,14 @@ def _decon_cos_sql(a: str, b: str) -> str:
     f"if ANY vector of the pinned eval slice sits within cosine ≥ "
     f"{_DECON_TAU}; report per-label train counts and contamination "
     "rate. The eval side is a FROZEN benchmark set (≤ 200 ids by "
-    "construction), so broadcasting it and nested-loop-scanning train "
-    "against it is the production shape — per-row cost is eval-sized "
+    "construction) collected once (bounded, corpus-size-independent) "
+    "and scanned against every train row — per-row cost is eval-sized "
     "and constant, total work linear in the corpus; the LSH/IVF tiers "
-    "are the path if the benchmark ever grows. Exact cosine, identical "
-    "double arithmetic on both engines; EXISTS short-circuit ≡ "
-    "left-semi join.",
+    "are the path if the benchmark ever grows. The scan runs as a "
+    "BIT-EXACT Arrow-vectorized twin of the eval-broadcast cosine "
+    "semi-join (dim-sequential accumulation = the engine's fold order; "
+    "tested equal in tests/test_mlfeat.py), so the oracle's EXISTS "
+    "spelling still describes the semantics exactly.",
 )
 def decontaminate_embedding_neighbors(
     spark: SparkSession, sf_dir: str
@@ -573,23 +646,32 @@ def decontaminate_embedding_neighbors(
     is_eval = (F.col("vec_id") % 23 == 0) & (
         F.col("vec_id") <= _DECON_EVAL_MAX_ID
     )
-    ev = emb.filter(is_eval).select(F.col("embedding").alias("qe"))
     tr = emb.filter(~is_eval)
-    cont = tr.join(
-        F.broadcast(ev),
-        sim.cosine(F.col("embedding"), F.col("qe")) >= _DECON_TAU,
-        "left_semi",
-    )
-    n_train = tr.groupBy("label").agg(F.count(F.lit(1)).alias("n_train"))
-    n_cont = cont.groupBy("label").agg(
-        F.count(F.lit(1)).alias("__nc")
-    )
-    return n_train.join(n_cont, "label", "left").select(
-        "label",
-        "n_train",
-        F.coalesce("__nc", F.lit(0)).cast("bigint").alias("n_contaminated"),
+    # the pinned benchmark slice is ≤ 200 vectors by id construction —
+    # a bounded, corpus-size-independent driver collect (the same
+    # contract as the centroid/model caches)
+    evecs = [
+        list(r["embedding"])
+        for r in emb.filter(is_eval)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    if evecs:
+        f = _decon_flag_udf(evecs, _DECON_TAU)(F.col("embedding"))
+    else:
+        f = F.lit(False)
+    flags = tr.select("label", f.alias("__f"))
+    return flags.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.when(F.col("__f"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contaminated"),
         F.round(
-            F.coalesce("__nc", F.lit(0)) * 1.0 / F.col("n_train"), 6
+            F.sum(F.when(F.col("__f"), 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1)),
+            6,
         ).alias("contamination_rate"),
     )
 

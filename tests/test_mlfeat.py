@@ -695,3 +695,39 @@ def test_ab_ztest_matches_hand_formula(spark, tmp_path):
     pa, pb, pp = 0.5, 1.0, 0.75
     z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / 2 + 1 / 2))
     assert abs(row["z_score"] - round(z, 6)) < 1e-9
+
+
+def test_decon_vectorized_twin_bit_equal_to_semijoin(spark):
+    """The Arrow twin must reproduce the eval-broadcast cosine semi-join
+    EXACTLY (same flags, hence same per-label counts) on real data —
+    the dim-sequential accumulation replicates the fold's IEEE order."""
+    from stream_processing_spark.catalog import load_table
+    from stream_processing_spark.functions import similarity as sim
+    from stream_processing_spark.queries.mlfeat import (
+        _DECON_EVAL_MAX_ID, _DECON_TAU,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf, "embeddings")
+    is_eval = (F.col("vec_id") % 23 == 0) & (
+        F.col("vec_id") <= _DECON_EVAL_MAX_ID
+    )
+    ev = emb.filter(is_eval).select(F.col("embedding").alias("qe"))
+    tr = emb.filter(~is_eval)
+    semi = tr.join(
+        F.broadcast(ev),
+        sim.cosine(F.col("embedding"), F.col("qe")) >= _DECON_TAU,
+        "left_semi",
+    )
+    expect = {
+        (r["label"], r["n"])
+        for r in semi.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        (r["label"], r["n_contaminated"])
+        for r in REGISTRY["decontaminate_embedding_neighbors"]
+        .spark(spark, sf)
+        .collect()
+        if r["n_contaminated"] > 0
+    }
+    assert got == expect

@@ -60,10 +60,6 @@ CROSS_OK = {
     "mixture_temperature_resample",  # two 1-row broadcasts (decimal
                                      # sqrt-sum + doc total)
     "t_closeness_report",            # 1-row corpus-total broadcast
-    # design-bounded broadcast: the pinned eval slice (≤ 200 vectors by
-    # id construction, corpus-size-independent) nested-loop-scanned by
-    # the train side — the frozen-benchmark decontamination shape
-    "decontaminate_embedding_neighbors",
     "conformal_linreg_intervals",    # two 1-row broadcasts (fit stats,
                                      # calibration quantile row)
     "ks_value_drift_report",         # 1-row day-span midpoint broadcast
