@@ -869,58 +869,10 @@ def _split_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ks_value_drift_report",
-    f"""
-    WITH {_SPLIT_SQL},
-    hist AS (
-        SELECT cents,
-               CAST(SUM(in_a) AS BIGINT) AS ca,
-               CAST(SUM(1 - in_a) AS BIGINT) AS cb
-        FROM vals GROUP BY cents
-    ),
-    cum AS (
-        SELECT cents,
-               SUM(ca) OVER (ORDER BY cents) AS fa,
-               SUM(cb) OVER (ORDER BY cents) AS fb,
-               SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
-        FROM hist
-    ),
-    num AS (
-        SELECT cents, na, nb,
-               ABS(CAST(fa AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(19,0))
-                   - CAST(fb AS DECIMAL(18,0)) * CAST(na AS DECIMAL(19,0)))
-                   AS nm
-        FROM cum
-    ),
-    mx AS (SELECT cents, na, nb, nm, MAX(nm) OVER () AS nm_max FROM num)
-    SELECT CAST(MAX(na) AS BIGINT) AS n_first,
-           CAST(MAX(nb) AS BIGINT) AS n_second,
-           ROUND(CAST(MAX(nm_max) AS DOUBLE)
-                 / NULLIF(CAST(MAX(na) AS DOUBLE) * MAX(nb), 0), 6)
-               AS ks_d,
-           CAST(MIN(CASE WHEN nm = nm_max THEN cents END) AS DOUBLE) / 100
-               AS ks_at_value
-    FROM mx
-    """,
-    doc="Two-sample Kolmogorov–Smirnov drift statistic on the event "
-    "value distribution, first half of the day span vs the second — "
-    "the distribution-shift alarm a training-data pipeline runs before "
-    "mixing a new ingest batch. D = max |F̂_a − F̂_b| is computed as a "
-    "pure INTEGER maximization (|cumA·nB − cumB·nA| in DECIMAL — no "
-    "float CDFs), so both engines agree bit-exactly; one double "
-    "division at the end. The arg-max value uses a min-tie-break. "
-    "Scale shape: one corpus aggregation to per-cent-value counts "
-    "(bounded by the VALUE DOMAIN, not the row count); the cumulative "
-    "windows run on that histogram. Exactly one output row; an empty "
-    "half yields NULL D.",
-)
-def ks_value_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vals = _split_halves(spark, sf_dir)
-    hist = vals.groupBy("cents").agg(
-        F.sum("in_a").cast("bigint").alias("ca"),
-        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
-    )
+def _ks_from_hist(hist: DataFrame) -> DataFrame:
+    """KS tail math over a (cents, ca, cb) histogram — shared by the
+    batch report and its streaming twin (identical expressions, so both
+    hash-match the same oracle)."""
     wc = Window.orderBy("cents")
     wall = Window.partitionBy()
     cum = hist.select(
@@ -954,6 +906,64 @@ def ks_value_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("ks_at_value"),
     )
+
+
+_KS_ORACLE_SQL = f"""
+    WITH {_SPLIT_SQL},
+    hist AS (
+        SELECT cents,
+               CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM vals GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents,
+               SUM(ca) OVER (ORDER BY cents) AS fa,
+               SUM(cb) OVER (ORDER BY cents) AS fb,
+               SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        FROM hist
+    ),
+    num AS (
+        SELECT cents, na, nb,
+               ABS(CAST(fa AS DECIMAL(18,0)) * CAST(nb AS DECIMAL(19,0))
+                   - CAST(fb AS DECIMAL(18,0)) * CAST(na AS DECIMAL(19,0)))
+                   AS nm
+        FROM cum
+    ),
+    mx AS (SELECT cents, na, nb, nm, MAX(nm) OVER () AS nm_max FROM num)
+    SELECT CAST(MAX(na) AS BIGINT) AS n_first,
+           CAST(MAX(nb) AS BIGINT) AS n_second,
+           ROUND(CAST(MAX(nm_max) AS DOUBLE)
+                 / NULLIF(CAST(MAX(na) AS DOUBLE) * MAX(nb), 0), 6)
+               AS ks_d,
+           CAST(MIN(CASE WHEN nm = nm_max THEN cents END) AS DOUBLE) / 100
+               AS ks_at_value
+    FROM mx
+    """
+
+
+@register(
+    "ks_value_drift_report",
+    _KS_ORACLE_SQL,
+    doc="Two-sample Kolmogorov–Smirnov drift statistic on the event "
+    "value distribution, first half of the day span vs the second — "
+    "the distribution-shift alarm a training-data pipeline runs before "
+    "mixing a new ingest batch. D = max |F̂_a − F̂_b| is computed as a "
+    "pure INTEGER maximization (|cumA·nB − cumB·nA| in DECIMAL — no "
+    "float CDFs), so both engines agree bit-exactly; one double "
+    "division at the end. The arg-max value uses a min-tie-break. "
+    "Scale shape: one corpus aggregation to per-cent-value counts "
+    "(bounded by the VALUE DOMAIN, not the row count); the cumulative "
+    "windows run on that histogram. Exactly one output row; an empty "
+    "half yields NULL D.",
+)
+def ks_value_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = _split_halves(spark, sf_dir)
+    hist = vals.groupBy("cents").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    )
+    return _ks_from_hist(hist)
 
 
 # -------------------------------------------------- PSI drift statistic
@@ -1850,3 +1860,72 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pb, 6).alias("p_b"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# ------------------------------------------------ streaming KS drift
+
+@register(
+    "streaming_ks_drift_monitor",
+    _KS_ORACLE_SQL,
+    doc="Streaming twin of ks_value_drift_report: the FIRST half of the "
+    "day span is the frozen reference histogram (computed batch-side, "
+    "the way a production monitor freezes its control period), the "
+    "SECOND half is ingested as a REAL file stream whose per-cent-value "
+    "counts aggregate in complete mode (availableNow drain); the merged "
+    "histograms run the identical integer KS maximization, so the final "
+    "state equals the batch answer and the batch oracle certifies the "
+    "streaming path. The stream's state is (cent-value, count) rows — "
+    "bounded by the value DOMAIN, not the event count.",
+)
+def streaming_ks_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import datetime as _dt
+
+    from stream_processing_spark.queries.streaming_queries import (
+        _drain_complete,
+        _events_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    ).collect()[0]
+    cents = F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    if bounds["d0"] is None:
+        # empty stream: the same degenerate 1-row NULL report as batch
+        return _ks_from_hist(
+            ev.select(
+                cents,
+                F.lit(0).cast("bigint").alias("ca"),
+                F.lit(0).cast("bigint").alias("cb"),
+            )
+        )
+    dmid = bounds["d0"] + _dt.timedelta(
+        days=(bounds["d1"] - bounds["d0"]).days // 2
+    )
+    ref = (
+        ev.filter(F.to_date("ts") <= F.lit(dmid))
+        .groupBy(cents)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+    )
+    live = (
+        _events_stream(spark, sf_dir)
+        .filter(
+            F.col("value").isNotNull() & (F.to_date("ts") > F.lit(dmid))
+        )
+        .groupBy(
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    )
+    drained = _drain_complete(live, spark)
+    hist = ref.join(drained, "cents", "full_outer").select(
+        "cents",
+        F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
+        F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
+    )
+    return _ks_from_hist(hist)

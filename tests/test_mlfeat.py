@@ -731,3 +731,12 @@ def test_decon_vectorized_twin_bit_equal_to_semijoin(spark):
         if r["n_contaminated"] > 0
     }
     assert got == expect
+
+
+def test_streaming_ks_twin_equals_batch_report(spark):
+    """The drained streaming monitor must reproduce the batch KS report
+    row exactly (final complete-mode state == batch aggregate)."""
+    sf = "/root/testdata/sf0.001"
+    batch = REGISTRY["ks_value_drift_report"].spark(spark, sf).collect()
+    stream = REGISTRY["streaming_ks_drift_monitor"].spark(spark, sf).collect()
+    assert [r.asDict() for r in batch] == [r.asDict() for r in stream]
