@@ -19,6 +19,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # query name -> one-line audit note (what the plan must show and why)
 AUDITED = {
+    "dedup_sorted_neighborhood_pairs": (
+        "Sorted-neighborhood ER blocking: the sort is PARTITIONED by "
+        "a 2-char block prefix (no single-partition global window), "
+        "the w-neighbor join is an EQUI-join on (block, rn+i) after a "
+        "bounded 1..w explode — candidates ≤ w·N by construction — "
+        "and the Jaccard verify ships candidate ids + shingles only; "
+        "the ranked frame and the shingle frame each materialize once "
+        "(each feeds two branches)."
+    ),
+    "graph_label_propagation": (
+        "Label propagation: the (order, part) frame materializes once "
+        "and only the u<v edge orientation goes through the self-join "
+        "+ distinct (the mirror is a projection); each of the 3 "
+        "synchronous rounds is one edges⋈labels join (AQE broadcasts "
+        "the label side while it fits), one partially-aggregated "
+        "(node, label) vote count, and a HASH-agg argmax over "
+        "(cnt, −label) structs — no per-round sort window. Fixed-"
+        "width rows throughout; round count independent of data."
+    ),
+    "decontaminate_embedding_neighbors": (
+        "Benchmark decontamination: the pinned ≤200-vector eval slice "
+        "collects once (bounded by id construction, not data) and the "
+        "train scan runs a BIT-EXACT Arrow-vectorized twin of the "
+        "cosine semi-join — dim-sequential accumulation reproduces "
+        "the fold's IEEE order, with an all-flagged early exit — so "
+        "the plan is ONE ArrowEvalPython scan + one label agg; no "
+        "nested-loop join, no corpus shuffle of vectors."
+    ),
+    "ks_value_drift_report": (
+        "KS drift: one corpus aggregation to per-cent-value counts "
+        "(bounded by the value DOMAIN), then cumulative/total windows "
+        "and the integer |cumA·nB − cumB·nA| maximization all run on "
+        "that histogram frame; the day-span midpoint is a 1-row "
+        "broadcast. The scan reads (ts, value) only with the "
+        "value-not-null filter pushed to parquet."
+    ),
     "retrieval_rrf_hybrid_topk": (
         "Hybrid RRF fusion: each arm broadcasts its 1-row query side "
         "(BM25 (N,avgdl) stats / dense query vector) and scans its "
