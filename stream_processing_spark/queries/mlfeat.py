@@ -1929,3 +1929,287 @@ def streaming_ks_drift_monitor(
         F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
     )
     return _ks_from_hist(hist)
+
+
+# ---------------------------------------------- Poisson bootstrap CI
+
+_BOOT_B = 64
+# Poisson(1) cumulative thresholds P(K ≤ k), k = 0..8 (k=9 is the
+# tail), inlined as full-precision literals on both engines
+_BOOT_CUM = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+]
+_BOOT_LO_RANK, _BOOT_HI_RANK = 2, 63  # ~2.5% / ~97.5% of 64 replicates
+
+
+def _boot_w_sql(u: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {u} < CAST({t!r} AS DOUBLE) THEN {k}"
+            for k, t in enumerate(_BOOT_CUM)
+        )
+        + " ELSE 9 END"
+    )
+
+
+@register(
+    "bootstrap_mean_ci_orders",
+    f"""
+    WITH expanded AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS price, u.b AS b,
+               CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                        || ':' || CAST(u.b AS VARCHAR)),
+                                    1, 12)) AS BIGINT)
+                   / CAST(281474976710656 AS DOUBLE) AS un
+        FROM orders CROSS JOIN UNNEST(range(0, {_BOOT_B})) AS u(b)
+    ),
+    reps AS (
+        SELECT b,
+               CAST(SUM({_boot_w_sql("un")} * price) AS DOUBLE)
+                   / NULLIF(CAST(SUM({_boot_w_sql("un")}) AS BIGINT), 0)
+                   AS mean_b
+        FROM expanded GROUP BY b
+    ),
+    ranked AS (
+        SELECT mean_b, ROW_NUMBER() OVER (ORDER BY mean_b, b) AS rn
+        FROM reps WHERE mean_b IS NOT NULL
+    ),
+    ci AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS b_replicates,
+               ROUND(MIN(CASE WHEN rn = {_BOOT_LO_RANK}
+                              THEN mean_b END), 6) AS ci_low,
+               ROUND(MIN(CASE WHEN rn = {_BOOT_HI_RANK}
+                              THEN mean_b END), 6) AS ci_high
+        FROM ranked
+    ),
+    full_stats AS (
+        SELECT COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) / NULLIF(COUNT(*), 0), 6)
+                   AS mean_price
+        FROM orders
+    )
+    SELECT f.n_orders, f.mean_price, c.b_replicates, c.ci_low, c.ci_high
+    FROM full_stats f, ci c
+    """,
+    doc=f"Distribution-free confidence interval for the mean order "
+    f"price via the DETERMINISTIC Poisson bootstrap: {_BOOT_B} "
+    "replicates where each order's replicate weight is Poisson(1), "
+    "inverse-CDF'd from a content-addressed uniform "
+    "(md5(orderkey:b) → 48-bit integer / 2^48 — stable under "
+    "repartition/rerun/engine, unlike rand(seed)). This is how "
+    "bootstrap CIs are actually computed on data too big to resample "
+    "row-wise: the explode is MAP-SIDE (partial aggregation combines "
+    "per-partition partial sums, so the shuffle carries B×partitions "
+    "rows, not B×N), replicate means are exact DECIMAL sums with one "
+    "double division, and the CI is a rank pick (2.5/97.5%) over the "
+    f"{_BOOT_B}-row replicate frame with a full tie-break.",
+)
+def bootstrap_mean_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    un = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(281474976710656.0)
+    w = None
+    for k, t in enumerate(_BOOT_CUM):
+        cond = un < F.lit(t)
+        w = F.when(cond, k) if w is None else w.when(cond, k)
+    w = w.otherwise(9)
+    expanded = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select("price", "b", w.alias("w"))
+    reps = expanded.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("price")).cast("double")
+            / F.nullif(F.sum("w").cast("bigint"), F.lit(0))
+        ).alias("mean_b")
+    )
+    ranked = (
+        reps.filter(F.col("mean_b").isNotNull())
+        .select(
+            "mean_b",
+            F.row_number()
+            .over(Window.orderBy("mean_b", "b"))
+            .alias("rn"),
+        )
+    )
+    ci = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b_replicates"),
+        F.round(
+            F.min(F.when(F.col("rn") == _BOOT_LO_RANK, F.col("mean_b"))), 6
+        ).alias("ci_low"),
+        F.round(
+            F.min(F.when(F.col("rn") == _BOOT_HI_RANK, F.col("mean_b"))), 6
+        ).alias("ci_high"),
+    )
+    full_stats = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            6,
+        ).alias("mean_price"),
+    )
+    return full_stats.crossJoin(F.broadcast(ci)).select(
+        "n_orders", "mean_price", "b_replicates", "ci_low", "ci_high"
+    )
+
+
+# ------------------------------------------------ from-scratch HLL
+
+_HLL_M = 64          # 6-bit bucket index
+_HLL_WBITS = 42      # remaining bits scored for leading zeros
+_HLL_ALPHA = 0.709   # standard alpha for m = 64
+_HLL_WMOD = 2 ** _HLL_WBITS
+_HLL_SCALE = 2 ** (_HLL_WBITS + 1)  # 2^43: integer-exact 2^-M sums
+
+
+@register(
+    "hll_manual_distinct_users",
+    f"""
+    WITH hashed AS (
+        SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) AS v
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    rho AS (
+        SELECT v // {_HLL_WMOD} AS bucket,
+               CASE WHEN v % {_HLL_WMOD} = 0 THEN {_HLL_WBITS + 1}
+                    ELSE CAST({_HLL_WBITS} - FLOOR(LOG2(v % {_HLL_WMOD}))
+                         AS INT)
+               END AS r
+        FROM hashed
+    ),
+    regs AS (SELECT bucket, MAX(r) AS mr FROM rho GROUP BY bucket),
+    spine AS (
+        SELECT u.i AS bucket FROM UNNEST(range(0, {_HLL_M})) AS u(i)
+    ),
+    filled AS (
+        SELECT s.bucket, COALESCE(r.mr, 0) AS m
+        FROM spine s LEFT JOIN regs r ON r.bucket = s.bucket
+    ),
+    agg AS (
+        SELECT CAST(SUM(CAST(POW(2, {_HLL_WBITS + 1} - m) AS BIGINT))
+                    AS BIGINT) AS s_scaled,
+               CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero
+        FROM filled
+    ),
+    est AS (
+        SELECT n_zero,
+               CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}
+                   * {_HLL_SCALE} / s_scaled AS e_raw
+        FROM agg
+    ),
+    exact AS (
+        SELECT COUNT(DISTINCT user_id) AS n_exact FROM events
+        WHERE user_id IS NOT NULL
+    )
+    SELECT {_HLL_M} AS m, e.n_zero AS n_zero_registers,
+           ROUND(CASE WHEN e.e_raw <= {2.5 * _HLL_M} AND e.n_zero > 0
+                      THEN {_HLL_M} * LN({_HLL_M}.0 / e.n_zero)
+                      ELSE e.e_raw END, 6) AS hll_estimate,
+           x.n_exact,
+           ROUND(ABS(CASE WHEN e.e_raw <= {2.5 * _HLL_M} AND e.n_zero > 0
+                          THEN {_HLL_M} * LN({_HLL_M}.0 / e.n_zero)
+                          ELSE e.e_raw END - x.n_exact)
+                 / NULLIF(x.n_exact, 0), 6) AS rel_error
+    FROM est e, exact x
+    """,
+    doc="HyperLogLog built from scratch — and fully ORACLED, unlike "
+    "library sketches: md5(user) → 48-bit integer, top 6 bits pick one "
+    f"of {_HLL_M} registers, the register keeps the max leading-zero "
+    "rank of the low 42 bits (rho via FLOOR(LOG2(w)) — exact for "
+    "w < 2^42 because the nearest double to log2(non-power) is "
+    ">3e-10 from the integer boundary while ulp is ~7e-15). The "
+    "harmonic mean is computed as an INTEGER sum of 2^(43−M) per "
+    "register (every term exact in bigint) with one double division — "
+    "no float accumulation anywhere, so both engines agree bit-for-"
+    "bit; Flajolet's linear-counting correction applies below 2.5m "
+    "when empty registers remain. Reported next to the exact distinct "
+    "so the query is a self-validating accuracy report. Scale shape: "
+    "one map-side hash + a 64-group MAX — the mergeable-register "
+    "pattern that makes HLL the 100 TB cardinality workhorse.",
+)
+def hll_manual_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    hashed = ev.filter(F.col("user_id").isNotNull()).select(v.alias("v"))
+    wlow = F.col("v") % _HLL_WMOD
+    rho = hashed.select(
+        F.expr(f"v div {_HLL_WMOD}").alias("bucket"),
+        F.when(wlow == 0, F.lit(_HLL_WBITS + 1))
+        .otherwise(
+            (F.lit(_HLL_WBITS) - F.floor(F.log2(wlow))).cast("int")
+        )
+        .alias("r"),
+    )
+    regs = rho.groupBy("bucket").agg(F.max("r").alias("mr"))
+    spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    filled = spine.join(regs, "bucket", "left").select(
+        F.coalesce("mr", F.lit(0)).alias("m")
+    )
+    agg = filled.agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(_HLL_WBITS + 1) - F.col("m")).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("s_scaled"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero"),
+    )
+    e_raw = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(_HLL_M * _HLL_M)
+        * F.lit(_HLL_SCALE)
+        / F.col("s_scaled")
+    )
+    est = agg.select(
+        "n_zero",
+        F.when(
+            (e_raw <= 2.5 * _HLL_M) & (F.col("n_zero") > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("n_zero")),
+        )
+        .otherwise(e_raw)
+        .alias("e_fix"),
+    )
+    exact = ev.filter(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HLL_M).alias("m"),
+        F.col("n_zero").alias("n_zero_registers"),
+        F.round("e_fix", 6).alias("hll_estimate"),
+        "n_exact",
+        F.round(
+            F.abs(F.col("e_fix") - F.col("n_exact"))
+            / F.nullif(F.col("n_exact"), F.lit(0)),
+            6,
+        ).alias("rel_error"),
+    )

@@ -277,6 +277,9 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         # round 10 sixth batch: NULL user_id excluded from the survival
         # risk set and the A/B assignment
         "kaplan_meier_user_lifetime", "ab_conversion_ztest",
+        # round 10 seventh batch: NULL user_id excluded from the
+        # register stream and the exact count alike
+        "hll_manual_distinct_users",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),

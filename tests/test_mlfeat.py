@@ -740,3 +740,104 @@ def test_streaming_ks_twin_equals_batch_report(spark):
     batch = REGISTRY["ks_value_drift_report"].spark(spark, sf).collect()
     stream = REGISTRY["streaming_ks_drift_monitor"].spark(spark, sf).collect()
     assert [r.asDict() for r in batch] == [r.asDict() for r in stream]
+
+
+# ---------------------------------- round-10 batch 7 (bootstrap / HLL)
+
+
+def test_bootstrap_ci_matches_exact_python_recompute(spark, tmp_path):
+    """Full pipeline recomputed exactly in Python (hashlib md5 → uniform
+    → Poisson inverse-CDF → Fraction-exact replicate sums → rank pick):
+    CI endpoints and full mean must match to the printed 6dp."""
+    import hashlib
+    from stream_processing_spark.queries.mlfeat import (
+        _BOOT_B, _BOOT_CUM, _BOOT_LO_RANK, _BOOT_HI_RANK,
+    )
+
+    prices = [(i, 100.0 + 7 * (i % 13) + 0.25 * (i % 4)) for i in range(30)]
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {p})" for i, p in prices)
+    _copy(
+        con, tmp_path, "orders",
+        f"""SELECT CAST(c0 AS BIGINT) AS o_orderkey, CAST(1 AS BIGINT) AS
+                   o_custkey, 'O' AS o_orderstatus, CAST(c1 AS DOUBLE) AS
+                   o_totalprice, TIMESTAMP '2024-01-01' AS o_orderdate,
+                   '1-U' AS o_orderpriority
+            FROM (VALUES {vals}) t(c0, c1)""",
+    )
+    con.close()
+
+    def weight(key, b):
+        h = hashlib.md5(f"{key}:{b}".encode()).hexdigest()[:12]
+        u = int(h, 16) / 2**48
+        for k, t in enumerate(_BOOT_CUM):
+            if u < t:
+                return k
+        return 9
+
+    means = []
+    for b in range(_BOOT_B):
+        sw = sp = 0
+        for key, p in prices:
+            w = weight(key, b)
+            sw += w
+            sp += w * int(round(p * 100))
+        if sw:
+            means.append((float(Fraction(sp, 100)) / sw, b))
+    means.sort()
+    lo = round(means[_BOOT_LO_RANK - 1][0], 6)
+    hi = round(means[_BOOT_HI_RANK - 1][0], 6)
+    total = sum(int(round(p * 100)) for _, p in prices)
+    mean_full = round(float(Fraction(total, 100)) / len(prices), 6)
+
+    row = (
+        REGISTRY["bootstrap_mean_ci_orders"].spark(spark, str(tmp_path)).collect()[0]
+    )
+    assert row["n_orders"] == 30 and row["b_replicates"] == _BOOT_B
+    assert row["mean_price"] == mean_full
+    assert row["ci_low"] == lo and row["ci_high"] == hi
+    assert row["ci_low"] < row["mean_price"] < row["ci_high"]
+
+
+def test_hll_estimate_matches_exact_python_recompute(spark, tmp_path):
+    """Register construction and estimator recomputed exactly in Python
+    over 400 planted distinct users; the report's exact count and
+    estimate must agree, and the estimate lands within 3σ ≈ 40%."""
+    import hashlib
+    from stream_processing_spark.queries.mlfeat import (
+        _HLL_ALPHA, _HLL_M, _HLL_SCALE, _HLL_WBITS, _HLL_WMOD,
+    )
+
+    n_users = 400
+    con = duckdb.connect()
+    _mk_events(
+        con, tmp_path,
+        f"""SELECT CAST(i AS BIGINT) AS event_id,
+                   TIMESTAMP '2024-01-01' AS ts,
+                   CAST(i % {n_users} AS BIGINT) AS user_id,
+                   'view' AS event_type, 1.0 AS value, '{{}}' AS props
+            FROM range(0, {3 * n_users}) t(i)""",
+    )
+    con.close()
+
+    regs = [0] * _HLL_M
+    for u in range(n_users):
+        v = int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+        bucket, w = v // _HLL_WMOD, v % _HLL_WMOD
+        r = _HLL_WBITS + 1 if w == 0 else _HLL_WBITS - (w.bit_length() - 1)
+        regs[bucket] = max(regs[bucket], r)
+    s_scaled = sum(2 ** (_HLL_WBITS + 1 - m) for m in regs)
+    n_zero = sum(1 for m in regs if m == 0)
+    e_raw = _HLL_ALPHA * _HLL_M * _HLL_M * _HLL_SCALE / s_scaled
+    e = (
+        _HLL_M * math.log(_HLL_M / n_zero)
+        if (e_raw <= 2.5 * _HLL_M and n_zero > 0)
+        else e_raw
+    )
+    row = (
+        REGISTRY["hll_manual_distinct_users"].spark(spark, str(tmp_path)).collect()[0]
+    )
+    assert row["n_exact"] == n_users
+    assert row["n_zero_registers"] == n_zero
+    assert row["hll_estimate"] == round(e, 6)
+    assert abs(row["hll_estimate"] - n_users) / n_users < 0.4

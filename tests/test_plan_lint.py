@@ -67,6 +67,8 @@ CROSS_OK = {
     "ewma_daily_forecast",           # 1-row anchor-day broadcast
     "kaplan_meier_user_lifetime",    # 1-row stream-horizon broadcast
     "fk_integrity_audit",            # four 1-row orphan-count broadcasts
+    "bootstrap_mean_ci_orders",      # 1-row CI-frame broadcast
+    "hll_manual_distinct_users",     # 1-row exact-distinct broadcast
     # domain-bounded broadcast: the per-quantity-value group means
     # (≤ value-domain rows) pairwise-joined for Theil–Sen slopes
     "theil_sen_grouped_slope",
