@@ -2213,3 +2213,215 @@ def hll_manual_distinct_users(
             6,
         ).alias("rel_error"),
     )
+
+
+# ----------------------------------------- Count-Min sketch report
+
+_CMS_D = 4      # hash rows
+_CMS_W = 256    # counters per row
+_CMS_TOPK = 20
+
+
+def _cms_pos_sql(row: str, token: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({row} AS VARCHAR) || ':' "
+        f"|| {token}), 1, 8)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "cms_token_frequency_report",
+    f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    toks AS (SELECT token FROM tok WHERE token <> ''),
+    counters AS (
+        SELECT u.r AS r, {_cms_pos_sql("u.r", "token")} AS pos,
+               COUNT(*) AS c
+        FROM toks CROSS JOIN UNNEST(range(0, {_CMS_D})) AS u(r)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT token, COUNT(*) AS n_exact FROM toks GROUP BY token
+    ),
+    cand AS (
+        SELECT token, n_exact FROM (
+            SELECT token, n_exact,
+                   ROW_NUMBER() OVER (ORDER BY n_exact DESC, token) AS rk
+            FROM exact
+        ) WHERE rk <= {_CMS_TOPK}
+    ),
+    probes AS (
+        SELECT c.token, c.n_exact, u.r AS r,
+               {_cms_pos_sql("u.r", "c.token")} AS pos
+        FROM cand c CROSS JOIN UNNEST(range(0, {_CMS_D})) AS u(r)
+    )
+    SELECT p.token, CAST(p.n_exact AS BIGINT) AS n_exact,
+           CAST(MIN(ct.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(ct.c) - p.n_exact AS BIGINT) AS overestimate
+    FROM probes p JOIN counters ct ON ct.r = p.r AND ct.pos = p.pos
+    GROUP BY p.token, p.n_exact
+    """,
+    doc=f"Count-Min sketch ({_CMS_D}×{_CMS_W}, md5-derived row hashes) "
+    "— fully ORACLED, like the from-scratch HLL: counters are plain "
+    "integer counts, the estimate is the min over rows, so both "
+    "engines agree exactly and the report carries the sketch's "
+    f"one-sided guarantee visibly (top-{_CMS_TOPK} exact tokens next "
+    "to their estimates; overestimate ≥ 0 always, by construction). "
+    "Scale shape: the ×d explode combines MAP-SIDE into ≤ d·w counter "
+    "keys (the shuffle carries d·w·partitions rows regardless of "
+    "corpus size — the mergeable-counter pattern that makes CMS the "
+    "streaming heavy-hitter workhorse); the exact side is the usual "
+    "vocab-bounded top-k, kept beside the sketch for self-validation.",
+)
+def cms_token_frequency_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+    def pos(r_col, tok_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            r_col.cast("string"), F.lit(":"), tok_col
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    expanded = toks.select(
+        "token",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r"),
+    )
+    counters = (
+        expanded.select("r", pos(F.col("r"), F.col("token")).alias("pos"))
+        .groupBy("r", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    cand = (
+        exact.select(
+            "token",
+            "n_exact",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_exact"), F.asc("token")))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") <= _CMS_TOPK)
+        .drop("rk")
+    )
+    probes = cand.select(
+        "token",
+        "n_exact",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r"),
+    ).select(
+        "token", "n_exact", "r", pos(F.col("r"), F.col("token")).alias("pos")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["r", "pos"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("c").alias("__est"))
+        .select(
+            "token",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("__est").cast("bigint").alias("cms_estimate"),
+            (F.col("__est") - F.col("n_exact"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+# ------------------------------------------- exact-moment skewness
+
+@register(
+    "skewness_price_by_status",
+    """
+    WITH c AS (
+        SELECT o_orderstatus,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ),
+    s AS (
+        -- DuckDB: exact HUGEINT power sums (decimal multiply overflows
+        -- its physical width here); Spark mirrors with DECIMAL factor
+        -- products — both are exact integers, identical after the
+        -- single double cast
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               SUM(cents) AS s1,
+               SUM(cents * cents) AS s2,
+               SUM(CAST(cents AS HUGEINT) * cents * cents) AS s3
+        FROM c GROUP BY o_orderstatus
+    ),
+    m AS (
+        SELECT o_orderstatus, n,
+               CAST(s1 AS DOUBLE) / n AS m1,
+               CAST(s2 AS DOUBLE) / n AS r2,
+               CAST(s3 AS DOUBLE) / n AS r3
+        FROM s
+    )
+    SELECT o_orderstatus, n,
+           ROUND(m1 / 100, 6) AS mean_price,
+           ROUND(SQRT(r2 - m1 * m1) / 100, 6) AS stddev_price,
+           ROUND((r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
+                 / NULLIF(POW(r2 - m1 * m1, 1.5), 0), 6) AS skewness
+    FROM m
+    """,
+    doc="Per-status distribution-shape audit: mean, population stddev "
+    "and Fisher skewness g₁ = m₃/m₂^1.5 from EXACT integer-cent power "
+    "sums — Σc in DECIMAL(30,0), Σc² and Σc³ as (12,0)-factor decimal "
+    "products (12+12+1 and 25+12+1 both ≤ 38, so no silent rounding; "
+    "c³ ≤ 1.25e23 per row and ~1e35 summed stays inside DECIMAL(38)). "
+    "The classical sufficient-statistics shape: ONE aggregation of 4 "
+    "numbers per status regardless of row count, then a fixed double "
+    "formula (zero variance → NULL on both engines). The 4th moment is "
+    "deliberately absent: c⁴ exceeds both bigint and DECIMAL(38) "
+    "exactness — kurtosis would need a two-level scaled-sum ladder, "
+    "documented as out of scope.",
+)
+def skewness_price_by_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # exact cents: decimal(18,2)*100 is integer-valued exactly on both
+    # engines (double*100 truncates in Spark but rounds in DuckDB)
+    c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    c12 = c.cast("decimal(12,0)")
+    s = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c.cast("decimal(20,0)")).alias("s1"),
+        F.sum(c12 * c12).alias("s2"),
+        F.sum(c12 * c12 * c12).alias("s3"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    m = s.select("o_orderstatus", "n", m1.alias("m1"), r2.alias("r2"),
+                 r3.alias("r3"))
+    m1, r2, r3 = F.col("m1"), F.col("r2"), F.col("r3")
+    var = r2 - m1 * m1
+    return m.select(
+        "o_orderstatus",
+        "n",
+        F.round(m1 / 100, 6).alias("mean_price"),
+        F.round(F.sqrt(var) / 100, 6).alias("stddev_price"),
+        F.round(
+            (r3 - 3 * m1 * r2 + 2 * m1 * m1 * m1)
+            / F.nullif(F.pow(var, F.lit(1.5)), F.lit(0.0)),
+            6,
+        ).alias("skewness"),
+    )

@@ -280,6 +280,8 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         # round 10 seventh batch: NULL user_id excluded from the
         # register stream and the exact count alike
         "hll_manual_distinct_users",
+        # round 10 eighth batch: NULL text through the CMS token explode
+        "cms_token_frequency_report",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
@@ -337,6 +339,9 @@ def test_unicode_text_matches_oracle(spark, tmp_path):
         # round 10 fifth batch: codepoint-exact token split through the
         # Zipf frequency table
         "zipf_token_fit",
+        # round 10 eighth batch: codepoint-exact md5 row hashes through
+        # the CMS counters
+        "cms_token_frequency_report",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),

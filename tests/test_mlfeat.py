@@ -841,3 +841,92 @@ def test_hll_estimate_matches_exact_python_recompute(spark, tmp_path):
     assert row["n_zero_registers"] == n_zero
     assert row["hll_estimate"] == round(e, 6)
     assert abs(row["hll_estimate"] - n_users) / n_users < 0.4
+
+
+def test_cms_exact_python_recompute_and_one_sided(spark, tmp_path):
+    """CMS counters recomputed exactly with hashlib on a crafted corpus:
+    estimates match bit-for-bit and are never below the exact counts."""
+    import hashlib
+    from collections import Counter
+    from stream_processing_spark.queries.mlfeat import (
+        _CMS_D, _CMS_TOPK, _CMS_W,
+    )
+
+    text = " ".join(
+        ["alpha"] * 30 + ["beta"] * 20 + ["gamma"] * 10 + ["delta"] * 5
+        + [f"rare{i}" for i in range(40)]
+    )
+    con = duckdb.connect()
+    _copy(
+        con, tmp_path, "documents",
+        f"SELECT CAST(1 AS BIGINT) AS doc_id, '{text}' AS text, 'en' AS "
+        f"lang, 'web' AS source, CAST({len(text)} AS BIGINT) AS n_chars",
+    )
+    con.close()
+
+    toks = text.split(" ")
+    counters = Counter()
+    for t in toks:
+        for r in range(_CMS_D):
+            h = hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:8]
+            counters[(r, int(h, 16) % _CMS_W)] += 1
+    exact = Counter(toks)
+    cand = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:_CMS_TOPK]
+    expect = {}
+    for t, n in cand:
+        est = min(
+            counters[(r, int(hashlib.md5(f"{r}:{t}".encode())
+                             .hexdigest()[:8], 16) % _CMS_W)]
+            for r in range(_CMS_D)
+        )
+        expect[t] = (n, est)
+
+    got = {
+        r["token"]: (r["n_exact"], r["cms_estimate"], r["overestimate"])
+        for r in REGISTRY["cms_token_frequency_report"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for t, (n, est, over) in got.items():
+        assert (n, est) == expect[t]
+        assert over == est - n and over >= 0
+
+
+def test_skewness_exact_zero_and_matches_numpy(spark, tmp_path):
+    """A symmetric fixture has skewness exactly 0; an asymmetric one
+    matches a numpy population-moment recomputation."""
+    import numpy as np
+
+    con = duckdb.connect()
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0]          # symmetric -> 0
+    rvals = [10.0, 10.0, 10.0, 11.0, 100.0]        # right-skewed
+    rows = ", ".join(
+        f"({i}, {v}, 'S')" for i, v in enumerate(vals)
+    ) + ", " + ", ".join(
+        f"({i + 10}, {v}, 'R')" for i, v in enumerate(rvals)
+    )
+    _copy(
+        con, tmp_path, "orders",
+        f"""SELECT CAST(c0 AS BIGINT) AS o_orderkey, CAST(1 AS BIGINT) AS
+                   o_custkey, c2 AS o_orderstatus, CAST(c1 AS DOUBLE) AS
+                   o_totalprice, TIMESTAMP '2024-01-01' AS o_orderdate,
+                   '1-U' AS o_orderpriority
+            FROM (VALUES {rows}) t(c0, c1, c2)""",
+    )
+    con.close()
+    got = {
+        r["o_orderstatus"]: r
+        for r in REGISTRY["skewness_price_by_status"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got["S"]["skewness"] == 0.0
+    assert got["S"]["mean_price"] == 30.0
+    x = np.array(rvals)
+    m = x.mean()
+    m2 = ((x - m) ** 2).mean()
+    m3 = ((x - m) ** 3).mean()
+    assert abs(got["R"]["skewness"] - m3 / m2 ** 1.5) < 1e-6
+    assert got["R"]["skewness"] > 1.0
+    assert abs(got["R"]["stddev_price"] - math.sqrt(m2)) < 1e-6
