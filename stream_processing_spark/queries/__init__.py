@@ -96,45 +96,33 @@ _PRIORITY = [
     "t7_custom_flatmap",
     "grep_count_by_source", "grep_total_count",
     "streaming_stateful_running_count",
-    # ---- round-10 rotation: the FINAL backlog — every oracle-able
-    # registry query never green in any driver window (r01-r09),
-    # computed as registry minus the union of CORRECTNESS_r0*.json
-    # green rows. 37 entries; after this window every oracle-able
-    # query carries a driver CORRECTNESS row. The 4 approximate-by-
-    # design queries (agg_approx_*, hll_sketch_rollup_users,
-    # image_phash_near_dups) stay OUT per the r9 verdict — a window
-    # slot only returns `err: no_oracle` for them; their evidence is
-    # pytest bound/recall tests. Everything rotated OUT keeps its
-    # GATE_r*/CORRECTNESS_r* history plus tests/test_oracle_queries.py.
-    # The r9 SCD2 pair is certified on the r10-fixed merge plan
-    # (streaming/scd2.py LeftSemi prune — verdict item 2 before 6).
-    "scd2_user_value_history", "streaming_scd2_history",
-    # LLM-pipeline / embedding tail
-    "contrastive_triplets", "dedup_survivors",
-    "embedding_pipeline_yield", "embedding_random_projection",
-    "embedding_scalar_quantize", "sparse_cosine_pairs",
-    "user_profile_similarity", "epoch_shuffle_assignment",
-    "group_kfold_assignment", "temporal_split_embargo",
-    "sample_weighted_by_length", "length_bucketed_batches",
-    "dataset_pairing_audit",
-    # text / quality tail
-    "heavy_hitter_tokens", "token_cooccurrence_lift",
-    "top_tokens_per_lang", "text_type_token_ratio",
-    "vocab_oov_rate_per_source", "quality_bigram_repetition",
-    "quality_blocklist_filter", "quality_lm_avg_bigram_prob",
-    "corpus_quality_by_source",
-    # relational / analytics tail
-    "cumulative_new_users_daily", "daily_event_growth",
-    "decayed_user_activity", "decile_binning_orders",
-    "iqr_outlier_events", "mad_robust_scale_events",
-    "winsorized_price_stats", "user_activity_gini",
-    "rfm_user_features", "revenue_share_per_nation",
-    "ship_latency_distribution", "profile_orders_columns",
-    "k_anonymity_report",
-    # r10 additions (new operators, never certified — take the three
-    # spare slots so the window is exactly 50)
-    "ngram_novelty_scores", "mixture_temperature_resample",
-    "embedding_dim_variance_topk",
+    # ---- round-11 rotation (VERDICT r10 item 1): the 29 oracled
+    # queries never green in any driver window (r01-r10), computed as
+    # registry minus the union of CORRECTNESS_r*.json hash-green rows.
+    # After this window, every oracled registry query carries a driver
+    # CORRECTNESS row; only the 4 rows-only approximate-by-design
+    # queries (agg_approx_*, hll_sketch_rollup_users,
+    # image_phash_near_dups) stay out, per the r9 verdict — their
+    # evidence is pytest bound/recall tests. Everything rotated OUT
+    # keeps its CORRECTNESS_r* history plus tests/test_oracle_queries.
+    "asof_nearest_click_to_purchase", "source_similarity_minhash",
+    "seasonal_decompose_hourly_events", "funnel_attribution_last_touch",
+    "heartbeat_gap_report", "quality_ccnet_buckets",
+    "t_closeness_report", "target_encode_nation_oof",
+    "acf_daily_event_counts", "benford_first_digit_audit",
+    "dedup_sorted_neighborhood_pairs", "graph_label_propagation",
+    "decontaminate_embedding_neighbors", "conformal_linreg_intervals",
+    "ks_value_drift_report", "psi_value_drift",
+    "mi_event_type_hour", "gini_split_quantity_return",
+    "zipf_token_fit", "ewma_daily_forecast",
+    "theil_sen_grouped_slope", "fk_integrity_audit",
+    "kaplan_meier_user_lifetime", "ab_conversion_ztest",
+    "streaming_ks_drift_monitor", "bootstrap_mean_ci_orders",
+    "hll_manual_distinct_users", "cms_token_frequency_report",
+    "skewness_price_by_status",
+    # ---- round-11 additions fill the remaining 11 slots (appended as
+    # they land; VERDICT r10 item 2 caps them at 11 so this window
+    # closes the whole backlog).
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
