@@ -576,11 +576,7 @@ def _decon_flag_udf(evecs: list[list[float]], tau: float):
             acc = acc + float(e[k]) * float(e[k])
         ENORM.append(math.sqrt(acc))
 
-    @pandas_udf("boolean")
-    def flag(emb: pd.Series) -> pd.Series:
-        if len(emb) == 0:
-            return pd.Series([], dtype="bool")
-        X = np.array(list(emb), dtype=np.float64)
+    def _flag_dense(X: "np.ndarray") -> "np.ndarray":
         n, d = X.shape
         vv = np.zeros(n)
         for k in range(d):
@@ -597,7 +593,27 @@ def _decon_flag_udf(evecs: list[list[float]], tau: float):
                 out |= s >= tau  # NaN compares false, like the engine
                 if out.all():
                     break
-        return pd.Series(out)
+        return out
+
+    @pandas_udf("boolean")
+    def flag(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype="bool")
+        # NULL train embeddings: the oracle's cosine evaluates to NULL,
+        # so `>= tau` is false and the row stays unflagged — mirror that
+        # here instead of letting np.array raise on a ragged batch
+        # (ADVICE r10).
+        valid = emb.apply(lambda v: v is not None).to_numpy()
+        if valid.all():
+            return pd.Series(_flag_dense(np.array(list(emb),
+                                                  dtype=np.float64)))
+        out_all = np.zeros(len(emb), dtype=bool)
+        if valid.any():
+            dense = np.array(
+                list(emb[valid]), dtype=np.float64
+            )
+            out_all[valid] = _flag_dense(dense)
+        return pd.Series(out_all)
 
     return flag
 
@@ -605,20 +621,35 @@ def _decon_flag_udf(evecs: list[list[float]], tau: float):
 @register(
     "decontaminate_embedding_neighbors",
     f"""
-    WITH ev AS (
-        SELECT embedding FROM embeddings WHERE {_DECON_EVAL_PRED}
+    WITH ev AS MATERIALIZED (
+        -- NULL eval embeddings can never flag (their cosine is NULL);
+        -- filtered explicitly because DuckDB's list_dot_product RAISES
+        -- on NULL args instead of returning NULL (ADVICE r10)
+        SELECT embedding FROM embeddings
+        WHERE {_DECON_EVAL_PRED} AND embedding IS NOT NULL
     ),
     tr AS (
         SELECT vec_id, embedding, label FROM embeddings
         WHERE NOT ({_DECON_EVAL_PRED})
     ),
+    tr_nn AS MATERIALIZED (
+        SELECT vec_id, embedding FROM tr WHERE embedding IS NOT NULL
+    ),
+    flagged AS (
+        -- cosine only ever sees non-NULL pairs; MATERIALIZED because
+        -- DuckDB otherwise inlines the null filters into the
+        -- cross-join predicate and may evaluate the cosine conjunct
+        -- first (a CASE/EXISTS guard does not survive decorrelation
+        -- either). NULL-embedding train rows are structurally
+        -- unflaggable, mirroring cosine-NULL semantics.
+        SELECT DISTINCT t.vec_id
+        FROM tr_nn t, ev e
+        WHERE {{cos}} >= {_DECON_TAU}
+    ),
     flags AS (
         SELECT t.label,
-               CASE WHEN EXISTS (
-                   SELECT 1 FROM ev e
-                   WHERE {{cos}} >= {_DECON_TAU}
-               ) THEN 1 ELSE 0 END AS f
-        FROM tr t
+               CASE WHEN fl.vec_id IS NOT NULL THEN 1 ELSE 0 END AS f
+        FROM tr t LEFT JOIN flagged fl ON t.vec_id = fl.vec_id
     )
     SELECT label, COUNT(*) AS n_train,
            CAST(SUM(f) AS BIGINT) AS n_contaminated,
@@ -650,9 +681,12 @@ def decontaminate_embedding_neighbors(
     # the pinned benchmark slice is ≤ 200 vectors by id construction —
     # a bounded, corpus-size-independent driver collect (the same
     # contract as the centroid/model caches)
+    # a NULL eval embedding can never flag anything in the oracle (its
+    # cosine is NULL, `>= tau` false), so dropping it here is exact
+    # (ADVICE r10)
     evecs = [
         list(r["embedding"])
-        for r in emb.filter(is_eval)
+        for r in emb.filter(is_eval & F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
         .orderBy("vec_id")
         .collect()
@@ -1673,7 +1707,8 @@ _KM_CENSOR_DAYS = 3
     ),
     risk AS (
         SELECT lt, n_deaths, n_censored,
-               SUM(n_total) OVER (ORDER BY lt DESC) AS n_at_risk
+               SUM(n_total) OVER (ORDER BY lt DESC NULLS FIRST)
+                   AS n_at_risk
         FROM lev
     ),
     logs AS (
@@ -1684,9 +1719,9 @@ _KM_CENSOR_DAYS = 3
                                               / n_at_risk), 9)
                                   AS DECIMAL(18,9))
                         ELSE CAST(0 AS DECIMAL(18,9)) END)
-                   OVER (ORDER BY lt) AS cum_ln,
+                   OVER (ORDER BY lt NULLS LAST) AS cum_ln,
                MAX(CASE WHEN n_deaths >= n_at_risk THEN 1 ELSE 0 END)
-                   OVER (ORDER BY lt) AS zeroed
+                   OVER (ORDER BY lt NULLS LAST) AS zeroed
         FROM risk
     )
     SELECT CAST(lt AS BIGINT) AS lifetime_days, n_at_risk, n_deaths,
@@ -1738,9 +1773,13 @@ def kaplan_meier_user_lifetime(
         "lt",
         "n_deaths",
         "n_censored",
-        F.sum("n_total").over(Window.orderBy(F.desc("lt"))).alias(
-            "n_at_risk"
-        ),
+        # lifetime can be NULL (a user whose every event has NULL ts);
+        # both cumulative walks pin NULL placement explicitly so the
+        # engines agree — NULLS LAST ascending, hence FIRST descending
+        # (ADVICE r10: Spark defaults NULLS FIRST asc, DuckDB LAST).
+        F.sum("n_total")
+        .over(Window.orderBy(F.desc_nulls_first("lt")))
+        .alias("n_at_risk"),
     )
     d, n = F.col("n_deaths"), F.col("n_at_risk")
     ln_term = F.when(
@@ -1749,7 +1788,7 @@ def kaplan_meier_user_lifetime(
             "decimal(18,9)"
         ),
     ).otherwise(F.lit(0).cast("decimal(18,9)"))
-    wt = Window.orderBy("lt")
+    wt = Window.orderBy(F.asc_nulls_last("lt"))
     logs = risk.select(
         "lt",
         "n_deaths",
@@ -1890,32 +1929,44 @@ def streaming_ks_drift_monitor(
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
-    bounds = ev.agg(
-        F.min(F.to_date("ts")).alias("d0"),
-        F.max(F.to_date("ts")).alias("d1"),
-    ).collect()[0]
-    cents = F.floor(F.col("value") * 100).cast("bigint").alias("cents")
-    if bounds["d0"] is None:
-        # empty stream: the same degenerate 1-row NULL report as batch
-        return _ks_from_hist(
-            ev.select(
-                cents,
-                F.lit(0).cast("bigint").alias("ca"),
-                F.lit(0).cast("bigint").alias("cb"),
-            )
+    # ONE batch scan of events: the control-period material is a cached
+    # (cents, day) histogram — domain-bounded, not row-count-bounded —
+    # from which both the date bounds (tiny cached-frame aggregate, no
+    # second source scan; VERDICT r10 item 5) and the frozen reference
+    # histogram derive.
+    day_hist = (
+        ev.groupBy(
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+            F.to_date("ts").alias("d"),
         )
-    dmid = bounds["d0"] + _dt.timedelta(
-        days=(bounds["d1"] - bounds["d0"]).days // 2
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist()
     )
+    bounds = day_hist.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    ).collect()[0]
+    if bounds["d0"] is None:
+        dmid = None
+    else:
+        dmid = bounds["d0"] + _dt.timedelta(
+            days=(bounds["d1"] - bounds["d0"]).days // 2
+        )
+    dmid_lit = F.lit(dmid).cast("date")
     ref = (
-        ev.filter(F.to_date("ts") <= F.lit(dmid))
-        .groupBy(cents)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+        day_hist.filter(F.col("d") <= dmid_lit)
+        .groupBy("cents")
+        .agg(F.sum("cnt").cast("bigint").alias("ca"))
     )
+    # the live filter is the EXACT complement of the reference split:
+    # the oracle's CASE sends NULL-ts (non-NULL-value) rows to the
+    # second half, so a plain `> dmid` — which drops them — would
+    # diverge on NULL timestamps (ADVICE r10). NULL dmid (all-NULL ts)
+    # degenerates correctly too: every row is live, none is reference.
     live = (
         _events_stream(spark, sf_dir)
         .filter(
-            F.col("value").isNotNull() & (F.to_date("ts") > F.lit(dmid))
+            F.col("value").isNotNull()
+            & ~F.coalesce(F.to_date("ts") <= dmid_lit, F.lit(False))
         )
         .groupBy(
             F.floor(F.col("value") * 100).cast("bigint").alias("cents")

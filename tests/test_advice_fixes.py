@@ -289,6 +289,64 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
     oracle.close()
 
 
+def test_null_ts_and_null_embedding_matches_oracle(spark, tmp_path):
+    # ADVICE r10: the null-bearing sweep above has no NULL timestamps
+    # and no NULL embeddings, leaving three divergences untested —
+    # (1) streaming_ks_drift_monitor's live filter must send NULL-ts
+    # rows to the second half like the oracle's CASE, (2) the
+    # Kaplan–Meier cumulative windows must pin NULL-lifetime placement
+    # identically in both engines, (3) decontaminate must treat NULL
+    # embeddings as cosine-NULL (unflagged) instead of crashing.
+    con = duckdb.connect()
+    con.execute(
+        f"""
+    COPY (
+      SELECT CAST(i AS BIGINT) AS event_id,
+             CASE WHEN i % 7 = 0 OR i >= 80 THEN NULL
+                  ELSE TIMESTAMP '2024-01-10 00:00:00'
+                       + (i * 3 || ' hours')::INTERVAL END AS ts,
+             CASE WHEN i % 8 = 0 THEN NULL
+                  WHEN i >= 80 THEN 77
+                  ELSE CAST(i % 5 AS BIGINT) END AS user_id,
+             CASE WHEN i % 9 = 0 THEN NULL
+                  ELSE (['view','click','purchase'])[(i % 3) + 1]
+             END AS event_type,
+             CAST(CASE WHEN i % 10 = 0 THEN NULL
+                  ELSE ROUND(0.5 + i * 0.25, 2) END AS DOUBLE) AS value,
+             '{{}}' AS props
+      FROM range(0, 85) t(i)
+    ) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"""
+    )
+    # user 77's every event has NULL ts → a NULL lifetime level in the
+    # survival curve; NULL embeddings land both inside the pinned eval
+    # slice (vec_id 0) and in the train split (multiples of 11)
+    con.execute(
+        f"""
+    COPY (
+      SELECT CAST(i AS BIGINT) AS vec_id,
+             CASE WHEN i % 11 = 0 THEN NULL
+                  ELSE [ROUND(SIN(i * 1.0), 6), ROUND(COS(i * 2.0), 6),
+                        ROUND(SIN(i * 0.5), 6), ROUND(COS(i * 0.25), 6),
+                        ROUND(SIN(i * 3.0), 6), ROUND(COS(i * 1.5), 6),
+                        ROUND(SIN(i * 0.1), 6), ROUND(COS(i * 0.7), 6)
+                       ]::DOUBLE[] END AS embedding,
+             CAST(i % 3 AS INT) AS label
+      FROM range(0, 120) t(i)
+    ) TO '{tmp_path}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.close()
+    oracle = _duck_on(str(tmp_path), ["events", "embeddings"])
+    for name in [
+        "ks_value_drift_report", "psi_value_drift",
+        "streaming_ks_drift_monitor", "kaplan_meier_user_lifetime",
+        "decontaminate_embedding_neighbors",
+    ]:
+        spec = REGISTRY[name]
+        compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
+                f"null_ts:{name}")
+    oracle.close()
+
+
 def test_unicode_text_matches_oracle(spark, tmp_path):
     # CJK / emoji / Arabic / Cyrillic / combining-char text through the
     # text-centric queries: length(), split, regexp, and md5 must agree
