@@ -78,6 +78,7 @@ from stream_processing_spark.queries import variantq  # noqa: E402,F401
 from stream_processing_spark.queries import rcte  # noqa: E402,F401
 from stream_processing_spark.queries import pipesql  # noqa: E402,F401
 from stream_processing_spark.queries import mlfeat  # noqa: E402,F401
+from stream_processing_spark.queries import expstats  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the round driver records correctness for the

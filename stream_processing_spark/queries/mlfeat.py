@@ -1004,10 +1004,7 @@ def ks_value_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PSI_BINS = 10
 
-
-@register(
-    "psi_value_drift",
-    f"""
+_PSI_ORACLE_SQL = f"""
     WITH {_SPLIT_SQL},
     hist AS (
         SELECT cents,
@@ -1055,7 +1052,12 @@ _PSI_BINS = 10
            CAST(SUM(bb) AS BIGINT) AS n_second,
            CAST(SUM(term) AS DOUBLE) AS psi
     FROM terms
-    """,
+    """
+
+
+@register(
+    "psi_value_drift",
+    _PSI_ORACLE_SQL,
     doc="Population-stability index between the two halves of the event "
     "stream: decile bin edges are HISTOGRAM quantiles of the FIRST "
     "half (integer rank picks over the per-cent-value counts — the "
@@ -1074,6 +1076,13 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").cast("bigint").alias("ca"),
         F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
     )
+    return _psi_from_hist(hist)
+
+
+def _psi_from_hist(hist: DataFrame) -> DataFrame:
+    """PSI bucket math over a (cents, ca, cb) histogram — shared by the
+    batch report and its streaming twin (identical expressions, so both
+    hash-match the same oracle)."""
     wc = Window.orderBy("cents")
     wall = Window.partitionBy()
     cum = hist.select(

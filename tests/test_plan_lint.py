@@ -72,6 +72,12 @@ CROSS_OK = {
     # domain-bounded broadcast: the per-quantity-value group means
     # (≤ value-domain rows) pairwise-joined for Theil–Sen slopes
     "theil_sen_grouped_slope",
+    # round 11: 1-row day-span midpoint / horizon / pooled-stats
+    # broadcasts in the experimentation tier
+    "mann_whitney_value_drift",       # 1-row midpoint broadcast (split)
+    "cuped_adjusted_ab_metric",       # 1-row midpoint + 1-row pooled stats
+    "chi2_event_type_drift",          # 1-row midpoint broadcast
+    "nelson_aalen_cumulative_hazard", # 1-row stream-horizon broadcast
 }
 
 _SKIP = tuple(
