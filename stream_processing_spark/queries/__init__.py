@@ -79,6 +79,7 @@ from stream_processing_spark.queries import rcte  # noqa: E402,F401
 from stream_processing_spark.queries import pipesql  # noqa: E402,F401
 from stream_processing_spark.queries import mlfeat  # noqa: E402,F401
 from stream_processing_spark.queries import expstats  # noqa: E402,F401
+from stream_processing_spark.queries import llmprep  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the round driver records correctness for the
@@ -121,9 +122,15 @@ _PRIORITY = [
     "streaming_ks_drift_monitor", "bootstrap_mean_ci_orders",
     "hll_manual_distinct_users", "cms_token_frequency_report",
     "skewness_price_by_status",
-    # ---- round-11 additions fill the remaining 11 slots (appended as
-    # they land; VERDICT r10 item 2 caps them at 11 so this window
-    # closes the whole backlog).
+    # ---- round-11 additions fill the remaining 11 slots (VERDICT r10
+    # item 2 caps them at 11 so this window closes the whole backlog):
+    # the experimentation/stats tier and the LLM-prep tier.
+    "mann_whitney_value_drift", "cuped_adjusted_ab_metric",
+    "spearman_quantity_price", "nelson_aalen_cumulative_hazard",
+    "chi2_event_type_drift", "streaming_psi_drift_monitor",
+    "context_window_packing", "rag_chunk_offsets",
+    "dpo_preference_pairs", "heaps_vocab_growth_fit",
+    "corpus_js_divergence_sources",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -78,6 +78,9 @@ CROSS_OK = {
     "cuped_adjusted_ab_metric",       # 1-row midpoint + 1-row pooled stats
     "chi2_event_type_drift",          # 1-row midpoint broadcast
     "nelson_aalen_cumulative_hazard", # 1-row stream-horizon broadcast
+    # source-DOMAIN-bounded pair construction (totals ⋈< totals, a few
+    # rows per side); all corpus-sized joins are equi-joins
+    "corpus_js_divergence_sources",
 }
 
 _SKIP = tuple(
