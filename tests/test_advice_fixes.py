@@ -189,6 +189,12 @@ def test_empty_corpus_degenerates_gracefully(spark, tmp_path):
         "decontaminate_embedding_neighbors",
         # round 10 fifth batch: empty corpus through the Zipf ln-ln fit
         "zipf_token_fit",
+        # round 11: empty corpus through the packing walk, the chunk
+        # explode, the preference-pair ranks, the Heaps fit, and the
+        # JS pair frame
+        "context_window_packing", "rag_chunk_offsets",
+        "dpo_preference_pairs", "heaps_vocab_growth_fit",
+        "corpus_js_divergence_sources",
     ]:
         spec = REGISTRY[name]
         got = spec.spark(spark, str(tmp_path))
@@ -282,6 +288,15 @@ def test_null_bearing_fixture_matches_oracle(spark, tmp_path):
         "hll_manual_distinct_users",
         # round 10 eighth batch: NULL text through the CMS token explode
         "cms_token_frequency_report",
+        # round 11: NULL text excluded from packing/chunking/pairs/fits,
+        # NULL event_type as a first-class chi2 level, NULL value/user
+        # through the rank and CUPED splits, NULL user_id out of the
+        # hazard risk set
+        "context_window_packing", "rag_chunk_offsets",
+        "dpo_preference_pairs", "heaps_vocab_growth_fit",
+        "corpus_js_divergence_sources", "mann_whitney_value_drift",
+        "cuped_adjusted_ab_metric", "chi2_event_type_drift",
+        "nelson_aalen_cumulative_hazard",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
@@ -340,6 +355,11 @@ def test_null_ts_and_null_embedding_matches_oracle(spark, tmp_path):
         "ks_value_drift_report", "psi_value_drift",
         "streaming_ks_drift_monitor", "kaplan_meier_user_lifetime",
         "decontaminate_embedding_neighbors",
+        # round 11: NULL ts through the rank/CUPED/chi2 splits, the
+        # hazard lifetime levels, and the streaming PSI live filter
+        "mann_whitney_value_drift", "cuped_adjusted_ab_metric",
+        "chi2_event_type_drift", "nelson_aalen_cumulative_hazard",
+        "streaming_psi_drift_monitor",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
@@ -400,6 +420,12 @@ def test_unicode_text_matches_oracle(spark, tmp_path):
         # round 10 eighth batch: codepoint-exact md5 row hashes through
         # the CMS counters
         "cms_token_frequency_report",
+        # round 11: codepoint-exact length/substr/md5 through the chunk
+        # offsets, token splits through packing, preference pairs, the
+        # Heaps walk, and the JS histograms
+        "context_window_packing", "rag_chunk_offsets",
+        "dpo_preference_pairs", "heaps_vocab_growth_fit",
+        "corpus_js_divergence_sources",
     ]:
         spec = REGISTRY[name]
         compare(spec.spark(spark, str(tmp_path)), oracle.sql(spec.oracle),
