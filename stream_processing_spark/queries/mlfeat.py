@@ -501,32 +501,47 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = li.select(
         F.col("l_partkey").alias("part_id"), F.col("l_partkey").alias("lbl")
     ).distinct()
-    for _ in range(_LPA_ITERS):
+    for i in range(_LPA_ITERS):
         # labels feeds two branches (votes + keep-own fallback):
         # materialize so the round's lineage is computed once
         labels = labels.localCheckpoint(eager=False)
-        votes = (
-            edges.join(labels, edges.u == labels.part_id)
-            .select(F.col("v").alias("part_id"), "lbl")
-            .groupBy("part_id", "lbl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        # deterministic argmax as a HASH aggregation: max of the
-        # (cnt, −label) struct is exactly "most votes, ties → min
-        # label" — same result as a rank-1 window but with map-side
-        # partial aggregation and no per-partition sort
-        winner = (
-            votes.groupBy("part_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("cnt").alias("c"),
-                        (-F.col("lbl")).alias("nl"),
-                    )
-                ).alias("w")
+        if i == 0:
+            # ROUND-1 SHORTCUT (r11, bit-identical by construction):
+            # labels start as the identity, and edges are DISTINCT, so
+            # every neighbor contributes exactly one distinct label
+            # with cnt=1 — argmax(cnt, −lbl) degenerates to min
+            # neighbor id. One node-sized min-aggregation replaces the
+            # edge join AND the (v,lbl) vote exchange, whose round-1
+            # partial aggregation compressed NOTHING (all labels
+            # distinct ⇒ the exchange was edge-sized). Measured sf1:
+            # 54-60 s → 24-28 s same-session (equivalence
+            # exceptAll-verified in tests/test_mlfeat.py).
+            winner = edges.groupBy(F.col("v").alias("part_id")).agg(
+                F.min("u").alias("w_lbl")
             )
-            .select("part_id", (-F.col("w.nl")).alias("w_lbl"))
-        )
+        else:
+            votes = (
+                edges.join(labels, edges.u == labels.part_id)
+                .select(F.col("v").alias("part_id"), "lbl")
+                .groupBy("part_id", "lbl")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            # deterministic argmax as a HASH aggregation: max of the
+            # (cnt, −label) struct is exactly "most votes, ties → min
+            # label" — same result as a rank-1 window but with map-side
+            # partial aggregation and no per-partition sort
+            winner = (
+                votes.groupBy("part_id")
+                .agg(
+                    F.max(
+                        F.struct(
+                            F.col("cnt").alias("c"),
+                            (-F.col("lbl")).alias("nl"),
+                        )
+                    ).alias("w")
+                )
+                .select("part_id", (-F.col("w.nl")).alias("w_lbl"))
+            )
         labels = labels.join(winner, "part_id", "left").select(
             "part_id", F.coalesce("w_lbl", "lbl").alias("lbl")
         )

@@ -233,6 +233,68 @@ def test_lpa_two_cliques_converge_to_min_ids(spark, tmp_path):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
 
 
+def test_lpa_round1_shortcut_equals_general_form(spark):
+    """The shipped round-1 min-neighbor shortcut must be bit-identical
+    to the general vote/argmax spelling it replaced (identity labels +
+    distinct edges ⇒ every vote has cnt=1 ⇒ argmax(cnt,−lbl) = min
+    neighbor) — checked on the real sf0.001 co-purchase graph."""
+    from pyspark.sql import functions as F
+
+    from stream_processing_spark.catalog import load_table
+    from stream_processing_spark.queries.mlfeat import _LPA_ITERS
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(
+        eager=False
+    )
+    a, b = op.alias("a"), op.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = li.select(
+        F.col("l_partkey").alias("part_id"), F.col("l_partkey").alias("lbl")
+    ).distinct()
+    for _ in range(_LPA_ITERS):  # general form, no shortcut
+        labels = labels.localCheckpoint(eager=False)
+        votes = (
+            edges.join(labels, edges.u == labels.part_id)
+            .select(F.col("v").alias("part_id"), "lbl")
+            .groupBy("part_id", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = (
+            votes.groupBy("part_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cnt").alias("c"), (-F.col("lbl")).alias("nl")
+                    )
+                ).alias("w")
+            )
+            .select("part_id", (-F.col("w.nl")).alias("w_lbl"))
+        )
+        labels = labels.join(winner, "part_id", "left").select(
+            "part_id", F.coalesce("w_lbl", "lbl").alias("lbl")
+        )
+    general = labels.select("part_id", F.col("lbl").alias("community"))
+    shipped = REGISTRY["graph_label_propagation"].spark(spark, sf)
+    assert shipped.exceptAll(general).count() == 0
+    assert general.exceptAll(shipped).count() == 0
+
+
 def test_decontaminate_flags_planted_duplicate(spark, tmp_path):
     """A train vector identical to a pinned-eval vector is contaminated;
     an orthogonal one is clean. vec_id 0 is eval (0 % 23 == 0 and
