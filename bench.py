@@ -219,6 +219,31 @@ BENCH_QUERIES = [
     "ks_value_drift_report",
     # Zipf fit: token explode/count + vocab-bounded rank window + OLS
     "zipf_token_fit",
+    # --- round-11 additions (new capabilities — compare per-query
+    # against BENCH_r10, not in aggregate).
+    # Round-over-round note: graph_label_propagation gained the
+    # round-1 min-neighbor shortcut (sf1 54-60 s -> 24-28 s
+    # same-session; sf0.1 within noise) and
+    # streaming_tws_running_count now sizes its state partitions to
+    # the event_type key DOMAIN (8 stores, not 32 — ~47 ms per RocksDB
+    # store per batch measured) plus one fewer state RPC per key; the
+    # TWS/twin headliner pair narrowed from 2.2x to ~1.55x.
+    # next-fit sequence packing: per-shard applyInPandas greedy walk
+    "context_window_packing",
+    # pure map-stage chunk explode (offset arithmetic + md5, no shuffle)
+    "rag_chunk_offsets",
+    # per-group argmax/argmin preference pairs over per-doc TTR scores
+    "dpo_preference_pairs",
+    # two corpus aggs + per-doc cumulative windows + ln-ln OLS
+    "heaps_vocab_growth_fit",
+    # (source,token) histogram + domain-bounded pair frame + KL terms
+    "corpus_js_divergence_sources",
+    # rank-sum U over the value-domain histogram (KS/PSI sibling)
+    "mann_whitney_value_drift",
+    # one per-user agg + 2-row variant frame x 1-row pooled stats
+    "cuped_adjusted_ab_metric",
+    # joint-histogram Spearman (marginal rank maps joined back)
+    "spearman_quantity_price",
 ]
 
 

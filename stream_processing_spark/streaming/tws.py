@@ -68,7 +68,11 @@ class _RunningCount(StatefulProcessor):
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
-        cnt = self._cnt.get()[0] if self._cnt.exists() else 0
+        # get() returns None when absent — one state-server round trip
+        # per key per batch instead of the exists()+get() pair (each
+        # access is a protobuf RPC; r11 profile)
+        prev = self._cnt.get()
+        cnt = prev[0] if prev is not None else 0
         for b in rows:
             cnt += len(b)
         self._cnt.update((cnt,))
