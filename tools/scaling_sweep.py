@@ -73,6 +73,13 @@ QUERIES = [
     "scd2_user_value_history",
     "streaming_scd2_history",
     "quality_classifier_scores",
+    # round 11 representatives: the per-shard packing walk, the
+    # pair-frame JS divergence, the two-agg + cumulative-window Heaps
+    # fit, and the streaming PSI drain
+    "context_window_packing",
+    "corpus_js_divergence_sources",
+    "heaps_vocab_growth_fit",
+    "streaming_psi_drift_monitor",
 ]
 
 
@@ -188,6 +195,19 @@ SF1_QUERIES = [
     "dedup_sorted_neighborhood_pairs",
     "graph_label_propagation",
     "decontaminate_embedding_neighbors",
+    # round 11 (VERDICT r10 item 6 — every r11 addition gets an sf1
+    # row before freeze)
+    "context_window_packing",
+    "rag_chunk_offsets",
+    "dpo_preference_pairs",
+    "heaps_vocab_growth_fit",
+    "corpus_js_divergence_sources",
+    "mann_whitney_value_drift",
+    "cuped_adjusted_ab_metric",
+    "spearman_quantity_price",
+    "nelson_aalen_cumulative_hazard",
+    "chi2_event_type_drift",
+    "streaming_psi_drift_monitor",
 ]
 
 
