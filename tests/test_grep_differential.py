@@ -57,6 +57,16 @@ def _gnu(args: list[str], path: str) -> list[tuple[int, str]]:
     for ln in r.stdout.splitlines():
         if ln == "--":
             continue
+        # GNU grep 3.8 artifact (caught by the r11 fresh-seed rotation):
+        # under `-o -x -w` together it prints each match followed by a
+        # spurious EMPTY line with no `-n` prefix (repro:
+        # `printf 'warn\n' | grep -o -x -w -E 'warn(ing)?'` → two output
+        # lines). With -x, -w is semantically redundant (a whole-line
+        # match always sits on word boundaries), so the artifact line is
+        # dropped rather than emulated; every pattern in the pool needs
+        # ≥1 char, so a real -o match is never empty.
+        if ln == "" and "-o" in args:
+            continue
         m = _LINE_RE.match(ln)
         assert m, ln
         out.append((int(m.group(1)), m.group(2)))
@@ -80,7 +90,7 @@ def _corpus(tmp_path, rng):
 
 
 def test_differential_vs_gnu_grep(spark, tmp_path):
-    rng = random.Random(20260814)
+    rng = random.Random(20260816)
     glob, files = _corpus(tmp_path, rng)
     ran = Counter()
     for case in range(N_CASES):
