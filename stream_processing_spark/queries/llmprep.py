@@ -59,6 +59,11 @@ _PACK_SHARDS = 8    # parallel packing shards (doc_id hash)
     f"doc_id order into {_PACK_BUDGET}-token context windows with the "
     "NEXT-FIT rule (a doc that would overflow the open window closes "
     "it and starts the next; oversized docs get their own window). "
+    "Complements pack_docs_token_budget (curation2.py), the one-pass "
+    "OFFSET approximation whose bins can overflow: next-fit is the "
+    "exact never-overflow contract a fixed context length needs, and "
+    "its running state is why the oracle is a recursive CTE rather "
+    "than a window sum. "
     f"Packing is partition-local by design — {_PACK_SHARDS} doc_id "
     "hash shards each packed independently — because a global "
     "sequential pack is the one thing a cluster cannot do; this is "

@@ -31,12 +31,52 @@ AUDITED = {
     "graph_label_propagation": (
         "Label propagation: the (order, part) frame materializes once "
         "and only the u<v edge orientation goes through the self-join "
-        "+ distinct (the mirror is a projection); each of the 3 "
-        "synchronous rounds is one edges⋈labels join (AQE broadcasts "
-        "the label side while it fits), one partially-aggregated "
-        "(node, label) vote count, and a HASH-agg argmax over "
-        "(cnt, −label) structs — no per-round sort window. Fixed-"
-        "width rows throughout; round count independent of data."
+        "+ distinct (the mirror is a projection); round 1 degenerates "
+        "to a node-sized min-neighbor aggregation (identity labels + "
+        "distinct edges ⇒ every vote has cnt=1 — the r11 shortcut "
+        "that removed the one uncompressible edge-sized exchange, sf1 "
+        "54-60 s → 24-28 s); rounds 2-3 are one edges⋈labels join "
+        "each (AQE broadcasts the label side while it fits), one "
+        "partially-aggregated (node, label) vote count, and a "
+        "HASH-agg argmax over (cnt, −label) structs — no per-round "
+        "sort window. Fixed-width rows; round count data-independent."
+    ),
+    "context_window_packing": (
+        "Next-fit sequence packing: ONE FlatMapGroupsInPandas over the "
+        "doc_id hash shard key — the greedy walk is per-shard "
+        "sequential BY DESIGN (that is how packing parallelizes at "
+        "100 TB: one pack per input shard, shard count scaling with "
+        "the cluster), and the only shuffle is the shard partition. "
+        "No collect, no iteration, no window."
+    ),
+    "rag_chunk_offsets": (
+        "RAG chunking: a pure MAP stage — length filter pushed to the "
+        "scan, explode(sequence(...)) for stride starts, offset "
+        "arithmetic + substring + md5 inside whole-stage codegen. "
+        "ZERO exchanges in the plan; scan parallelism is the plan."
+    ),
+    "corpus_js_divergence_sources": (
+        "JS divergence: one corpus aggregation to the (source, token) "
+        "histogram; the pair frame is built by TWO EQUI-joins against "
+        "a broadcast source-pair list (never an OR-join that would "
+        "plan as a nested loop), the marginal totals broadcast, and "
+        "the 9dp-decimal KL terms aggregate per pair. All corpus-"
+        "sized exchanges key on token."
+    ),
+    "mann_whitney_value_drift": (
+        "Mann-Whitney U: the corpus collapses to the per-cent-value "
+        "histogram in one aggregation (domain-bounded, same frame as "
+        "KS/PSI); midrank arithmetic, DECIMAL(38) rank sums and the "
+        "tie correction all run on that histogram; the z is one fixed "
+        "double expression in a 1-row aggregate."
+    ),
+    "spearman_quantity_price": (
+        "Spearman ρ: one aggregation to the JOINT (quantity, "
+        "price-cent) histogram; the two marginal rank maps are "
+        "domain-bounded cumulative windows joined back (quantity side "
+        "broadcast); the five moment sums are DECIMAL(38)-exact and "
+        "the correlation is one double expression — no row-level rank "
+        "window over the corpus."
     ),
     "decontaminate_embedding_neighbors": (
         "Benchmark decontamination: the pinned ≤200-vector eval slice "
