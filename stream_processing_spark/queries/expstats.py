@@ -539,12 +539,20 @@ def nelson_aalen_cumulative_hazard(
         FROM events e, bounds b
         GROUP BY 1, 2
     ),
+    rm AS (SELECT etype, SUM(o) AS rx FROM cells GROUP BY etype),
+    cm AS (SELECT in_a, SUM(o) AS cy FROM cells GROUP BY in_a),
+    dense AS (
+        -- ABSENT cells contribute (0-e)^2/e too: densify to the full
+        -- marginal grid (types x halves, domain-bounded) before the
+        -- term walk — observed-cells-only understates chi2 on sparse
+        -- tables (caught by the perfect-association fixture test)
+        SELECT rm.etype, cm.in_a, rm.rx, cm.cy, COALESCE(x.o, 0) AS o
+        FROM rm CROSS JOIN cm
+        LEFT JOIN cells x ON x.etype = rm.etype AND x.in_a = cm.in_a
+    ),
     m AS (
-        SELECT etype, in_a, o,
-               SUM(o) OVER (PARTITION BY etype) AS rx,
-               SUM(o) OVER (PARTITION BY in_a) AS cy,
-               SUM(o) OVER () AS n
-        FROM cells
+        SELECT etype, in_a, o, rx, cy, SUM(o) OVER () AS n
+        FROM dense
     ),
     t AS (
         SELECT etype, in_a, o, n,
@@ -604,12 +612,25 @@ def chi2_event_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("o"))
     )
-    m = cells.select(
+    # densify to the full marginal grid: ABSENT cells contribute
+    # (0-e)^2/e too — observed-cells-only understates chi2 on sparse
+    # tables (caught by the perfect-association fixture test)
+    rm = cells.groupBy("etype").agg(F.sum("o").alias("rx"))
+    cm = cells.groupBy("in_a").agg(F.sum("o").alias("cy"))
+    dense = (
+        rm.crossJoin(cm)
+        .join(cells, ["etype", "in_a"], "left")
+        .select(
+            "etype", "in_a", "rx", "cy",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    m = dense.select(
         "etype",
         "in_a",
         "o",
-        F.sum("o").over(Window.partitionBy("etype")).alias("rx"),
-        F.sum("o").over(Window.partitionBy("in_a")).alias("cy"),
+        "rx",
+        "cy",
         F.sum("o").over(Window.partitionBy()).alias("n"),
     )
     e = F.col("rx").cast("double") * F.col("cy") / F.col("n")
