@@ -332,6 +332,13 @@ def main() -> None:
         print(f"| {name} | {base:.2f}s | {best:.2f}s | {ratio:.1f}× |")
         if ratio > worst1:
             worst1_name, worst1 = name, ratio
+        # the sweep keeps ONE JVM for ~90 min; queries that persist()
+        # or localCheckpoint() (drift monitors, LPA, model caches)
+        # accumulate heap across ~60 sf1 measurements — drop caches
+        # between QUERIES (never between the two reps) so no row pays
+        # for its predecessors' state. r11: the sf1 leg OOM'd an 8g
+        # driver without this.
+        spark.catalog.clearCache()
     print()
     print(
         f"Worst sf0.1→sf1 growth: {worst1:.1f}× ({worst1_name}) — "
@@ -359,6 +366,25 @@ def main() -> None:
     print("(one source-keyed explode; the sh self-join's candidate")
     print("volume is bounded by sources × shingle rows), so its")
     print("multiple is the same linear-work-over-fixed-base shape.")
+    print()
+    print("graph_label_propagation stays the worst row and stays")
+    print("DATA-BOUND: rounds 2-3 each move an edge-sized vote frame")
+    print("(2.39M→23.9M edges, exactly 10×) through a broadcast join +")
+    print("partially-aggregated exchange; the r11 round-1 min-neighbor")
+    print("shortcut removed the worst round's uncompressible exchange")
+    print("(54-60s → 24-28s at sf1 measured same-session). Cross-RUN")
+    print("sf1 walls on this box drift up to ~2× with host load (the")
+    print("NOTES_r10 receipt pattern) — trust same-session pairs, and")
+    print("the ×/dec bound rather than absolute walls.")
+    print()
+    print("r11 additions: every row ≤~4.7×/dec. The pair-shaped ones")
+    print("(dpo, js-divergence, sorted-neighborhood) are linear work")
+    print("over sub-second fixed-overhead bases (group/pair frames are")
+    print("domain-bounded); spearman's single-partition rank window")
+    print("runs on the price-cents DOMAIN histogram (~1.3-1.5× per")
+    print("decade observed); the streaming monitors are ~flat (state")
+    print("bounded by the value domain, drain cost dominated by")
+    print("micro-batch overhead).")
     if worst1 > 12:
         print(
             f"\nWARNING: {worst1_name} grew {worst1:.1f}× over the sf1 "
