@@ -267,6 +267,23 @@ def main() -> None:
     # warm the JVM/JIT and the file-listing cache off the clock
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # machine-speed canary (r11): a fixed, data-independent JVM job so
+    # round-over-round comparisons can NORMALIZE host drift (r10/r11
+    # both measured 1.1-2.9x cross-round wall drift on identical code;
+    # shuffle-heavy queries drift the most). Compare per-query walls
+    # as (wall / canary) across rounds, not raw seconds.
+    def _canary() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spark.range(200_000_000).selectExpr(
+                "sum((id * 37) % 1000003) AS s"  # bounded: no overflow
+            ).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    canary_pre = _canary()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         spec = REGISTRY[name]
@@ -295,6 +312,11 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # fixed JVM job timed BEFORE and AFTER the query loop: compare
+        # per-query walls across rounds as wall/canary, and treat a
+        # pre/post gap as mid-run host noise (r11 saw a 2x swing)
+        "canary_pre_sec": canary_pre,
+        "canary_post_sec": _canary(),
         "queries": timings,
         "sf": sf,
     }
