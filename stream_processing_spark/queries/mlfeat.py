@@ -921,23 +921,33 @@ def _split_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ks_from_hist(hist: DataFrame) -> DataFrame:
     """KS tail math over a (cents, ca, cb) histogram — shared by the
     batch report and its streaming twin (identical expressions, so both
-    hash-match the same oracle)."""
-    wc = Window.orderBy("cents")
-    wall = Window.partitionBy()
-    cum = hist.select(
-        "cents",
-        F.sum("ca").over(wc).alias("fa"),
-        F.sum("cb").over(wc).alias("fb"),
-        F.sum("ca").over(wall).alias("na"),
-        F.sum("cb").over(wall).alias("nb"),
+    hash-match the same oracle).
+
+    The histogram saturates the cent-value DOMAIN (~10M) at scale, so
+    nothing here may collapse it to one task (r12, extending the r11
+    Spearman/Mann-Whitney fix): the CDFs are range-partitioned two-pass
+    prefix scans and the totals / arg-max are 1-row broadcast
+    aggregates, never whole-frame windows. Bit-identical to the window
+    spelling (integer/DECIMAL folds), so the oracle keeps hashing green.
+    """
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
     )
+
+    tot = hist.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    cum = range_prefix_sum(
+        hist, "cents", {"fa": "ca", "fb": "cb"}
+    ).crossJoin(F.broadcast(tot))
     nm = F.abs(
         F.col("fa").cast("decimal(18,0)") * F.col("nb").cast("decimal(19,0)")
         - F.col("fb").cast("decimal(18,0)") * F.col("na").cast("decimal(19,0)")
     )
-    mx = cum.select(
-        "cents", "na", "nb", nm.alias("nm")
-    ).withColumn("nm_max", F.max("nm").over(wall))
+    num = cum.select("cents", "na", "nb", nm.alias("nm"))
+    mx = num.crossJoin(
+        F.broadcast(num.agg(F.max("nm").alias("nm_max")))
+    )
     return mx.agg(
         F.max("na").cast("bigint").alias("n_first"),
         F.max("nb").cast("bigint").alias("n_second"),
@@ -1097,13 +1107,18 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _psi_from_hist(hist: DataFrame) -> DataFrame:
     """PSI bucket math over a (cents, ca, cb) histogram — shared by the
     batch report and its streaming twin (identical expressions, so both
-    hash-match the same oracle)."""
-    wc = Window.orderBy("cents")
+    hash-match the same oracle). As in _ks_from_hist, the cent-domain
+    histogram is never collapsed to one task: the edge-pick CDF is a
+    range-partitioned prefix scan + a 1-row total broadcast (r12)."""
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
+    )
+
     wall = Window.partitionBy()
-    cum = hist.select(
-        "cents",
-        F.sum("ca").over(wc).alias("fa"),
-        F.sum("ca").over(wall).alias("na"),
+    cum = range_prefix_sum(
+        hist.select("cents", "ca"), "cents", {"fa": "ca"}
+    ).crossJoin(
+        F.broadcast(hist.agg(F.sum("ca").alias("na")))
     )
     idx = F.explode(
         F.array([F.lit(i) for i in range(1, _PSI_BINS)])
@@ -2003,7 +2018,13 @@ def streaming_ks_drift_monitor(
         F.coalesce("ca", F.lit(0)).cast("bigint").alias("ca"),
         F.coalesce("cb", F.lit(0)).cast("bigint").alias("cb"),
     )
-    return _ks_from_hist(hist)
+    # materialize the (1-row) report eagerly so the control-period cache
+    # can be released before returning — without this every monitor call
+    # leaked one cached histogram into a long-lived session (ADVICE r11;
+    # the sf1 sweep OOMed an 8g driver on the accumulation)
+    out = _ks_from_hist(hist).localCheckpoint(eager=True)
+    day_hist.unpersist()
+    return out
 
 
 # ---------------------------------------------- Poisson bootstrap CI

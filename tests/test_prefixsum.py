@@ -1,0 +1,90 @@
+"""range_prefix_sum: the two-pass range-partitioned scan must be
+bit-identical to the single-partition ORDER BY window spelling it
+replaces (VERDICT r11 weak #1), across partition counts, NULL keys,
+NULL values, and duplicate keys — and its plan must contain NO
+non-partitioned window over the data-sized frame."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from stream_processing_spark.operators.prefixsum import range_prefix_sum
+
+
+def _window_truth(df, key, vals):
+    w = Window.orderBy(F.col(key).asc_nulls_first())
+    return df.select(
+        "*", *[F.sum(v).over(w).alias(f"cum_{v}") for v in vals]
+    )
+
+
+def _rows(seed, n, dup_keys=False, with_nulls=True):
+    rng = random.Random(seed)
+    keyspace = range(n // 3 + 1) if dup_keys else range(n * 10)
+    keys = rng.sample(list(keyspace), k=min(n, len(list(keyspace)))) \
+        if not dup_keys else [rng.choice(list(keyspace)) for _ in range(n)]
+    out = []
+    for k in keys:
+        key = None if with_nulls and rng.random() < 0.05 else k
+        val = None if with_nulls and rng.random() < 0.05 else rng.randint(-50, 50)
+        out.append(Row(k=key, v=val, w=rng.randint(0, 9)))
+    return out
+
+
+@pytest.mark.parametrize("parts", [1, 3, 8])
+@pytest.mark.parametrize("dup_keys", [False, True])
+def test_matches_window_spelling(spark, parts, dup_keys):
+    rows = _rows(seed=parts * 7 + dup_keys, n=400, dup_keys=dup_keys)
+    df = spark.createDataFrame(rows, "k bigint, v bigint, w bigint")
+    got = range_prefix_sum(
+        df, "k", {"cum_v": "v", "cum_w": F.col("w")}, num_partitions=parts
+    )
+    want = _window_truth(df, "k", ["v", "w"])
+    # duplicate keys: both spellings use ties-INCLUSIVE (RANGE-frame)
+    # semantics — every row of a tied key group carries the full group
+    # sum — so sorted-row comparison is exact
+    nsort = lambda rows: sorted(  # noqa: E731 — None-safe row sort
+        (tuple((x is None, x) for x in r) for r in map(tuple, rows))
+    )
+    assert nsort(got.collect()) == nsort(want.collect())
+
+
+def test_empty_frame(spark):
+    df = spark.createDataFrame([], "k bigint, v bigint")
+    assert range_prefix_sum(df, "k", {"cum_v": "v"}).count() == 0
+
+
+def test_rejects_existing_output_column(spark):
+    df = spark.createDataFrame([Row(k=1, v=2)])
+    with pytest.raises(ValueError):
+        range_prefix_sum(df, "k", {"v": "v"})
+
+
+def test_plan_has_no_global_window(spark):
+    """The scan's plan must show only PARTITIONED windows (the local
+    per-range scans) — the single-partition collapse this operator
+    exists to remove must not reappear."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    out = range_prefix_sum(df, "k", {"cum_v": "v"}, num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" not in line:
+            continue
+        # a partitioned spec lists partition cols BEFORE the order spec:
+        # windowspecdefinition(_psum_pid#…, k#… ASC NULLS FIRST, …).
+        # The ONLY permitted non-partitioned running window is the
+        # exclusive scan over the P-row subtotals frame (ordered by
+        # _psum_pid — bounded by the partition COUNT, not the data).
+        spec = line.split("windowspecdefinition(", 1)[1]
+        first_arg = spec.split(",", 1)[0]
+        if "ASC" in first_arg or "DESC" in first_arg:
+            assert first_arg.lstrip().startswith("_psum_pid"), (
+                "non-partitioned running window over a data-sized frame "
+                "in prefix-sum plan:\n" + plan
+            )
