@@ -285,16 +285,36 @@ def main() -> None:
     canary_pre = _canary()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        spec = REGISTRY[name]
-        # best of 2: the first run pays whole-stage-codegen compilation
-        # and JIT; steady-state is what a long-running cluster sees
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+
+    def _measure_pass(runs: int) -> None:
+        for name in BENCH_QUERIES:
+            spec = REGISTRY[name]
+            best = timings.get(name, float("inf"))
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                spec.spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+
+    # best of 2: the first run pays whole-stage-codegen compilation
+    # and JIT; steady-state is what a long-running cluster sees
+    _measure_pass(2)
+    canary_post = _canary()
+
+    # act on the canary (VERDICT r11 item 1): if the host speed swung
+    # >1.5x between the pre and post probes, the measurement window is
+    # drift-contaminated — take one more min-merged pass and re-probe;
+    # if it STILL swings, stamp the JSON noisy so round-over-round
+    # comparisons know to normalize instead of trusting raw walls
+    def _swing(a: float, b: float) -> float:
+        return max(a, b) / max(min(a, b), 1e-9)
+
+    if _swing(canary_pre, canary_post) > 1.5:
+        _measure_pass(1)
+        canary_post = _canary()
+    noisy = _swing(canary_pre, canary_post) > 1.5
 
     # adversarial skew/scale stress section (VERDICT r2 #1): hostile
     # fixtures (~10x sf0.1: Zipf-hot keys, stop-shingle saturation, LSH
@@ -314,9 +334,13 @@ def main() -> None:
         "unit": "sec",
         # fixed JVM job timed BEFORE and AFTER the query loop: compare
         # per-query walls across rounds as wall/canary, and treat a
-        # pre/post gap as mid-run host noise (r11 saw a 2x swing)
+        # pre/post gap as mid-run host noise (r11 saw a 2x swing).
+        # noisy=true means even a drift-triggered extra pass could not
+        # get the swing under 1.5x — normalize, don't trust raw walls.
         "canary_pre_sec": canary_pre,
-        "canary_post_sec": _canary(),
+        "canary_post_sec": canary_post,
+        "canary_swing": round(_swing(canary_pre, canary_post), 3),
+        "noisy": noisy,
         "queries": timings,
         "sf": sf,
     }

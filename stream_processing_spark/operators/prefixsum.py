@@ -10,27 +10,49 @@ so one executor walks a 10M-row histogram while 999 idle).
 This operator computes the same cumulative sums with the classic
 two-pass parallel-scan decomposition (Blelloch 1990):
 
-1. ``repartitionByRange(P, k)`` so partition *i* holds a contiguous,
-   ascending key range (Spark's RangePartitioner guarantees partition
-   ordinals follow key order);
-2. pass 1 — a PER-PARTITION running sum (``Window.partitionBy(pid)
-   .orderBy(k)``: P parallel tasks, no global collapse) plus each
-   partition's subtotal;
-3. the P subtotals (a P-row frame, bounded by the partition count, not
-   the data) get their own exclusive running sum — the per-partition
-   OFFSET each local scan must add;
-4. pass 2 — broadcast the P-row offset map back and add.
+1. assign each row a contiguous-range BUCKET that is a pure,
+   deterministic function of the key value (details below);
+2. pass 1 — a PER-BUCKET running sum (``Window.partitionBy(bucket)
+   .orderBy(k)``: parallel tasks, no global collapse) plus each
+   bucket's subtotal;
+3. the bucket subtotals (≤ 3·P rows, bounded by the requested
+   parallelism constant, never the data) get their own exclusive
+   running sum — the per-bucket OFFSET each local scan must add;
+4. pass 2 — broadcast the subtotal-offset map back and add.
 
 The result is BIT-IDENTICAL to the single-partition window for the
-integer/DECIMAL sums the registry uses (addition is reassociated, which
-exact types don't care about), so oracles keep hashing green while the
-plan gains P-way parallelism.
+integer/DECIMAL sums the registry uses (addition is reassociated,
+which exact types don't care about), so oracles keep hashing green
+while the plan gains bucket-count-way parallelism.
+
+Why not ``repartitionByRange`` + ``spark_partition_id()``: Spark's
+RangePartitioner derives its boundaries from a reservoir SAMPLE whose
+seed includes the RDD id — a fresh id per evaluation — so the two
+branches that pass 1 and pass 3 read can disagree on where the ranges
+fall whenever the optimizer fails to reuse the exchange (observed on
+the streaming monitors' memory-sink histograms: offsets keyed by one
+evaluation's partition ids joined onto another's local scans produced
+silently wrong CDFs). Physical partition ids must never cross an
+evaluation boundary; a value-derived bucket is stable by construction.
+
+The bucket function: a 1-row (min, max) aggregate of the key is
+broadcast-joined back (constant-key equi-join, so it stays a
+BroadcastHashJoin, not a nested-loop cross), and the bucket is "how
+many cut points are ≤ key" over a cut array built from (min, max):
+a LINEAR grid (uniform-dense domains — cent histograms), plus
+GEOMETRIC grids anchored at both ends (heavy-tailed domains — token
+count levels cluster near the min; negated counts near the max).
+Cut comparisons are plain predicates, so the bucket is monotone in
+the key no matter what the cuts are; a pathological density between
+two adjacent cuts degrades parallelism, never correctness. NULL keys
+compare NULL to every cut and land in bucket 0 — the same
+nulls-first placement both engines give an ascending scan.
 
 Reference analogue: the reference engine has no scan operator at all —
 its aggregations are single-process dict walks (src/Streaming/
-worker.py:255-262 hash-partitions, then each worker folds sequentially).
-This is the Spark-shaped answer to the same "global order-dependent
-fold" problem at 1000-executor scale.
+worker.py:255-262 hash-partitions, then each worker folds
+sequentially). This is the Spark-shaped answer to the same "global
+order-dependent fold" problem at 1000-executor scale.
 """
 
 from __future__ import annotations
@@ -50,10 +72,11 @@ def range_prefix_sum(
     """Add INCLUSIVE running-sum columns ordered by ``key``.
 
     ``sums`` maps each output column name to the value expression it
-    accumulates (a Column or an existing column name). Keys must be
-    orderable; NULL keys sort FIRST (matching both engines' default
-    ``ORDER BY`` window placement for ascending scans, and matching
-    where repartitionByRange places them). Every input column is
+    accumulates (a Column or an existing column name). The key must be
+    numeric and orderable; NULL keys sort FIRST (matching both
+    engines' default ascending-scan placement). Duplicate keys get
+    ties-INCLUSIVE (RANGE-frame) semantics, same as
+    ``F.sum(v).over(Window.orderBy(k))``. Every input column is
     preserved; the output adds one running-sum column per entry.
 
     The fold is exact for integer/DECIMAL inputs — use those (registry
@@ -72,58 +95,112 @@ def range_prefix_sum(
     for out in exprs:
         if out in df.columns:
             raise ValueError(f"output column {out!r} already exists")
+    keep = df.columns
 
-    # Pass 1: contiguous key ranges → per-range local scans in parallel.
-    # spark_partition_id() is stable here because RangePartitioner's
-    # boundary sampling is deterministically seeded by partition ordinal
-    # over a deterministic input.
-    ranged = df.repartitionByRange(
-        num_partitions, F.col(key).asc_nulls_first()
-    ).withColumn("_psum_pid", F.spark_partition_id())
-    w_local = Window.partitionBy("_psum_pid").orderBy(
+    # 1-row key-extent frame, attached via a constant-key equi-join so
+    # it broadcasts as a hash join (never a nested-loop cross product).
+    stats = df.agg(
+        F.min(F.col(key)).cast("double").alias("_psum_lo"),
+        F.max(F.col(key)).cast("double").alias("_psum_hi"),
+    ).withColumn("_psum_one", F.lit(1))
+    seq = F.sequence(F.lit(1), F.lit(max(1, num_partitions - 1)))
+    lo, hi = F.col("_psum_lo"), F.col("_psum_hi")
+    span = hi - lo
+    p = float(num_partitions)
+    cuts = F.concat(
+        # linear grid: uniform-dense key domains
+        F.transform(seq, lambda i: lo + span * i / F.lit(p)),
+        # geometric grids from both ends: heavy-tailed domains
+        F.transform(
+            seq,
+            lambda i: lo + F.pow(span + 1, i.cast("double") / F.lit(p)),
+        ),
+        F.transform(
+            seq,
+            lambda i: hi - F.pow(span + 1, i.cast("double") / F.lit(p)),
+        ),
+    )
+    # monotone in the key by construction (each cut comparison is a
+    # plain predicate; bigint→double casts are monotone); NULL keys
+    # drop every comparison and land in bucket 0 (nulls-first).
+    bucket = F.size(
+        F.filter(cuts, lambda c: c <= F.col(key).cast("double"))
+    )
+    based = (
+        df.withColumn("_psum_one", F.lit(1))
+        .join(F.broadcast(stats), "_psum_one")
+        .withColumn("_psum_bucket", bucket)
+    )
+
+    # Pass 1: per-bucket local scans, parallel across buckets. Non-null
+    # COUNTS ride along so the NULL semantics of the global window are
+    # reproduced exactly: SUM skips NULLs but yields NULL when the
+    # whole prefix is NULL — and "the whole prefix" is global, not
+    # bucket-local.
+    w_local = Window.partitionBy("_psum_bucket").orderBy(
         F.col(key).asc_nulls_first()
     )
-    local = ranged.select(
-        "*",
+    local = based.select(
+        *keep,
+        "_psum_bucket",
         *[
-            F.sum(expr).over(w_local).alias(f"_psum_local_{out}")
+            c
             for out, expr in exprs.items()
+            for c in (
+                F.sum(expr).over(w_local).alias(f"_psum_local_{out}"),
+                F.count(expr).over(w_local).alias(f"_psum_lc_{out}"),
+            )
         ],
     )
 
-    # Subtotals: one row per partition — bounded by the partition COUNT
-    # (a config constant), never the data. The exclusive scan over this
-    # P-row frame is the only non-partitioned window, by construction
-    # tiny.
-    subtotals = local.groupBy("_psum_pid").agg(
+    # Subtotals: one row per bucket — bounded by the bucket-count
+    # constant (≤ 3·num_partitions), never the data. The exclusive
+    # scan over this frame is the only non-partitioned window, tiny by
+    # construction. Sums are 0-coalesced here so the offset scan never
+    # turns NULL on an all-NULL bucket.
+    subtotals = local.groupBy("_psum_bucket").agg(
         *[
-            F.sum(expr).alias(f"_psum_sub_{out}")
+            c
             for out, expr in exprs.items()
+            for c in (
+                F.coalesce(F.sum(expr), F.lit(0)).alias(
+                    f"_psum_sub_{out}"
+                ),
+                F.count(expr).alias(f"_psum_sc_{out}"),
+            )
         ]
     )
-    w_off = Window.orderBy("_psum_pid")
+    w_off = Window.orderBy("_psum_bucket")
     offsets = subtotals.select(
-        "_psum_pid",
+        "_psum_bucket",
         *[
-            (
-                F.coalesce(
-                    F.sum(f"_psum_sub_{out}").over(w_off)
-                    - F.col(f"_psum_sub_{out}"),
-                    F.lit(0),
-                )
-            ).alias(f"_psum_off_{out}")
+            c
             for out in exprs
+            for c in (
+                (
+                    F.sum(f"_psum_sub_{out}").over(w_off)
+                    - F.col(f"_psum_sub_{out}")
+                ).alias(f"_psum_off_{out}"),
+                (
+                    F.sum(f"_psum_sc_{out}").over(w_off)
+                    - F.col(f"_psum_sc_{out}")
+                ).alias(f"_psum_oc_{out}"),
+            )
         ],
     )
 
-    # Pass 2: broadcast the P-row offset map back onto the local scans.
-    keep = df.columns
+    # Pass 2: broadcast the offset map back onto the local scans. Both
+    # sides derive _psum_bucket from the key VALUE, so the join is
+    # consistent no matter how many times each branch is evaluated.
+    # NULL iff no non-null value exists anywhere in the global prefix.
     out_cols = [
-        (
-            F.col(f"_psum_local_{out}") + F.col(f"_psum_off_{out}")
+        F.when(
+            F.col(f"_psum_lc_{out}") + F.col(f"_psum_oc_{out}") > 0,
+            F.coalesce(F.col(f"_psum_local_{out}"), F.lit(0))
+            + F.col(f"_psum_off_{out}"),
         ).alias(out)
         for out in exprs
     ]
-    return local.join(F.broadcast(offsets), "_psum_pid").select(
+    return local.join(F.broadcast(offsets), "_psum_bucket").select(
         *keep, *out_cols
     )

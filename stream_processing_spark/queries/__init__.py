@@ -80,6 +80,8 @@ from stream_processing_spark.queries import pipesql  # noqa: E402,F401
 from stream_processing_spark.queries import mlfeat  # noqa: E402,F401
 from stream_processing_spark.queries import expstats  # noqa: E402,F401
 from stream_processing_spark.queries import llmprep  # noqa: E402,F401
+from stream_processing_spark.queries import expstats2  # noqa: E402,F401
+from stream_processing_spark.queries import curation7  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the round driver records correctness for the

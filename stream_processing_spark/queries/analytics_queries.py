@@ -150,12 +150,21 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Vocabulary build (tokenizer-training step 1): token "
     "frequencies with a min-count cutoff, then contiguous ids assigned "
     "by (count desc, token) — a total order, so ids are deterministic. "
-    "The heavy work (explode + count) is fully parallel; the global "
-    "row_number runs on the post-cutoff vocabulary, which is tiny "
-    "relative to the corpus (vocabularies grow ~log of corpus size), "
-    "so the single-partition window is a non-issue at 100 TB.",
+    "The heavy work (explode + count) is fully parallel; the id "
+    "assignment avoids a vocab-sized single-partition row_number "
+    "(r12): each count LEVEL's starting id comes from a range-prefix "
+    "scan over the count histogram (distinct frequency values — far "
+    "fewer than the vocabulary, by Zipf), and within a level ids are "
+    "numbered by a PARTITIONED window ordered by token — the same "
+    "(cnt DESC, token) total order, so ids are bit-identical. The "
+    "min-count tie level is the largest single partition; the cutoff "
+    "keeps it a fraction of the vocabulary.",
 )
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     counted = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
@@ -164,9 +173,19 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 5)
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    return counted.select(
-        F.row_number().over(w).cast("bigint").alias("token_id"), "token", "cnt"
+    levels = counted.groupBy("cnt").agg(
+        F.count(F.lit(1)).alias("k")
+    ).withColumn("negcnt", -F.col("cnt"))
+    lev = range_prefix_sum(levels, "negcnt", {"cumk": "k"}).select(
+        "cnt", (F.col("cumk") - F.col("k")).alias("start")
+    )
+    w = Window.partitionBy("cnt").orderBy("token")
+    return counted.join(F.broadcast(lev), "cnt").select(
+        (F.col("start") + F.row_number().over(w))
+        .cast("bigint")
+        .alias("token_id"),
+        "token",
+        "cnt",
     )
 
 

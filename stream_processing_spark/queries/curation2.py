@@ -490,16 +490,21 @@ def retrieval_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # sparse arm: BM25 over term-matching docs only (a small frame —
     # the global rank window is bounded by matches, not the corpus)
+    # keep top-depth FIRST via TakeOrderedAndProject (per-partition
+    # top-k merge — the term-matching set grows with the corpus, so no
+    # global rank window may walk it); ranks then number the ≤ depth
+    # kept rows only (r12)
     sparse = (
         _bm25_scored(docs)
         .filter(F.col("doc_id") != 0)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
         .withColumn(
             "rank_s",
             F.row_number().over(
                 Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
             ),
         )
-        .filter(F.col("rank_s") <= _RRF_DEPTH)
         .select("doc_id", "rank_s")
     )
     # dense arm: exact cosine top-depth (broadcast query, one scan,
@@ -1154,27 +1159,42 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Gini coefficient of per-user event activity — the inequality "
     "summary behind skew planning (a high Gini predicts hot keys that "
     "need salting) and engagement dashboards. Closed-form sorted "
-    "formula sum((2i-n-1)x_i)/(n*sum x): integer arithmetic until ONE "
-    "final division. The global rank is a single |users|-row sort — "
-    "fine for a per-dataset scalar; counts partial-aggregate first.",
+    "formula sum((2i-n-1)x_i)/(n*sum x), evaluated WITHOUT a "
+    "|users|-row global sort (r12): group users into activity LEVELS "
+    "(count-of-counts — bounded by the activity-value domain, which "
+    "saturates far below the user count), range-prefix-scan the level "
+    "histogram for each level's exclusive rank offset s, and fold the "
+    "per-level closed form n·k·(2s+k−nu) — algebraically identical "
+    "because every user in a tie level contributes the same n, so the "
+    "within-level rank order cancels. Integer/DECIMAL(38) arithmetic "
+    "until ONE final division; same oracle as the row_number spelling.",
 )
 def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
+    )
 
     events = load_table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    wr = W.orderBy("n", "user_id")
-    ranked = per_user.select(
-        "n",
-        F.row_number().over(wr).alias("i"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("nu"),
-        F.sum("n").over(W.partitionBy()).alias("total"),
+    levels = per_user.groupBy("n").agg(F.count(F.lit(1)).alias("k"))
+    tot = levels.agg(
+        F.sum("k").alias("nu"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("k")).alias(
+            "total"
+        ),
     )
-    return ranked.agg(
+    lev = range_prefix_sum(levels, "n", {"cumk": "k"}).crossJoin(
+        F.broadcast(tot)
+    )
+    s = F.col("cumk") - F.col("k")
+    contrib = (
+        F.col("n").cast("decimal(38,0)")
+        * F.col("k")
+        * (2 * s + F.col("k") - F.col("nu"))
+    )
+    return lev.agg(
         F.round(
-            F.sum((2 * F.col("i") - F.col("nu") - 1) * F.col("n")).cast(
-                "double"
-            )
+            F.sum(contrib).cast("double")
             / (F.max("nu") * F.max("total").cast("double")),
             6,
         ).alias("gini")

@@ -845,10 +845,15 @@ def conformal_linreg_intervals(
         )
     )
     hist = cents.groupBy("cc").agg(F.count(F.lit(1)).alias("cnt"))
-    cum = hist.select(
-        "cc",
-        F.sum("cnt").over(Window.orderBy("cc")).alias("c_le"),
-        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    # the residual-cents histogram is price-DOMAIN-sized (~10M at
+    # scale): the quantile rank walk uses the range-partitioned prefix
+    # scan + a 1-row total broadcast, never a whole-frame window (r12)
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
+    )
+
+    cum = range_prefix_sum(hist, "cc", {"c_le": "cnt"}).crossJoin(
+        F.broadcast(hist.agg(F.sum("cnt").alias("total")))
     )
     k = F.least(
         F.expr(
@@ -1420,12 +1425,15 @@ def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # top-500 selection via TakeOrderedAndProject (per-partition top-k,
+    # no vocab-sized window); the rank numbering then runs over the
+    # kept ≤500 rows only — bounded by the _ZIPF_TOP constant (r12)
+    top = counted.orderBy(F.desc("cnt"), F.asc("token")).limit(_ZIPF_TOP)
     rnk = F.row_number().over(
         Window.orderBy(F.desc("cnt"), F.asc("token"))
     )
     pts = (
-        counted.select("cnt", rnk.cast("bigint").alias("rnk"))
-        .filter(F.col("rnk") <= _ZIPF_TOP)
+        top.select("cnt", rnk.cast("bigint").alias("rnk"))
         .select(
             F.round(F.log(F.col("rnk").cast("double")), 6)
             .cast("decimal(12,6)")
@@ -2407,16 +2415,11 @@ def cms_token_frequency_report(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
-    cand = (
-        exact.select(
-            "token",
-            "n_exact",
-            F.row_number()
-            .over(Window.orderBy(F.desc("n_exact"), F.asc("token")))
-            .alias("rk"),
-        )
-        .filter(F.col("rk") <= _CMS_TOPK)
-        .drop("rk")
+    # top-k selection WITHOUT a vocab-sized row_number window: orderBy +
+    # limit compiles to TakeOrderedAndProject (per-partition top-k +
+    # driver merge of k·P rows) — same total order, same kept set (r12)
+    cand = exact.orderBy(F.desc("n_exact"), F.asc("token")).limit(
+        _CMS_TOPK
     )
     probes = cand.select(
         "token",

@@ -1,0 +1,231 @@
+"""Behavioral tests for the round-12 operators (expstats2 + curation7):
+semantics on crafted, hand-computed fixtures — complementing the oracle
+hash checks the gate runs (the r11 chi² lesson: both engines can agree
+while both are wrong; only a fixture with a known answer catches it)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from stream_processing_spark.queries import REGISTRY
+
+
+def _copy(con, tmp_path, table: str, select: str) -> None:
+    con.execute(
+        f"COPY ({select}) TO '{tmp_path}/{table}.parquet' (FORMAT PARQUET)"
+    )
+
+
+# ------------------------------------------------------ Kendall tau-b
+
+
+def test_kendall_tau_hand_computed(spark, tmp_path):
+    """(q,d) rows (1,1),(1,1),(2,3),(3,2) [d in cents]: concordant cell
+    pairs P = 4, discordant Q = 1, tie terms T1 = T2 = 2 over
+    n(n−1) = 12 ⇒ tau_b = 2·3/√(10·10) = 0.6 exactly."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "lineitem", """
+        SELECT CAST(i AS BIGINT) l_orderkey, CAST(i AS BIGINT) l_partkey,
+               CAST(i AS BIGINT) l_suppkey, CAST(1 AS INT) l_linenumber,
+               CAST(q AS DOUBLE) l_quantity,
+               CAST(10.0 AS DOUBLE) l_extendedprice,
+               CAST(d AS DOUBLE) l_discount, CAST(0.0 AS DOUBLE) l_tax,
+               'N' l_returnflag, 'O' l_linestatus,
+               TIMESTAMP '2024-01-01' l_shipdate
+        FROM (VALUES (0, 1, 0.01), (1, 1, 0.01),
+                     (2, 2, 0.03), (3, 3, 0.02)) t(i, q, d)""")
+    con.close()
+    r = (
+        REGISTRY["kendall_tau_quantity_discount"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert r["n_rows"] == 4
+    assert r["conc_pairs"] == 4.0 and r["disc_pairs"] == 1.0
+    assert r["tau_b"] == 0.6
+
+
+# ------------------------------------------- rolling exact median
+
+
+def test_rolling_median_hand_computed(spark, tmp_path):
+    """Daily revenues 100/300/200/500/400 dollars: ramp-up medians in
+    cents are 10000, 20000 (even: midpoint), 20000, 25000 (even),
+    30000."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "orders", """
+        SELECT CAST(i AS BIGINT) o_orderkey, CAST(i AS BIGINT) o_custkey,
+               'O' o_orderstatus, CAST(p AS DOUBLE) o_totalprice,
+               TIMESTAMP '2024-03-01' + (i || ' days')::INTERVAL
+                   AS o_orderdate,
+               '1-URGENT' o_orderpriority
+        FROM (VALUES (0, 100.0), (1, 300.0), (2, 200.0),
+                     (3, 500.0), (4, 400.0)) t(i, p)""")
+    con.close()
+    rows = sorted(
+        REGISTRY["rolling_median_daily_revenue"]
+        .spark(spark, str(tmp_path))
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    assert [r["rev_cents"] for r in rows] == [
+        10000, 30000, 20000, 50000, 40000
+    ]
+    assert [r["n_win"] for r in rows] == [1, 2, 3, 4, 5]
+    assert [r["med_cents"] for r in rows] == [
+        10000.0, 20000.0, 20000.0, 25000.0, 30000.0
+    ]
+
+
+# ------------------------------------------------ IPW Hájek estimator
+
+
+def test_ipw_hand_computed(spark, tmp_path):
+    """Stratum b=0 (1 event each): users 0-3, treated {1,3} both
+    convert, control {0,2} don't. Stratum b=1 (2 events each): users
+    4-7, treated {5,7} one converts, control {4,6} both convert.
+    Hájek: mean_t = (2·4/2 + 1·4/2)/8 = 0.75,
+    mean_c = (0 + 2·4/2)/8 = 0.5, ate = 0.25."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01' ts, CAST(u AS BIGINT) user_id,
+               et AS event_type, CAST(1.0 AS DOUBLE) AS value,
+               '{}' AS props
+        FROM (VALUES
+            (0, 'view'), (1, 'purchase'), (2, 'view'), (3, 'purchase'),
+            (4, 'purchase'), (4, 'view'),
+            (5, 'purchase'), (5, 'view'),
+            (6, 'purchase'), (6, 'view'),
+            (7, 'view'), (7, 'view')) t(u, et)""")
+    con.close()
+    r = (
+        REGISTRY["ipw_conversion_effect"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert (r["n_users"], r["n_treated"]) == (8, 4)
+    assert r["mean_treated"] == 0.75
+    assert r["mean_control"] == 0.5
+    assert r["ate_ipw"] == 0.25
+
+
+# ------------------------------------------------------ Page-Hinkley
+
+
+def test_page_hinkley_hand_computed(spark, tmp_path):
+    """Daily means 100/100/400 cents, δ=5: steps −5/−5/+195 ⇒
+    m = −5/−10/185, running min −5/−10/−10 ⇒ ph = 0/0/195; no alarm
+    under λ=500."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(i AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01' + (i || ' days')::INTERVAL AS ts,
+               CAST(i AS BIGINT) user_id, 'view' event_type,
+               CAST(v AS DOUBLE) AS value, '{}' AS props
+        FROM (VALUES (0, 1.00), (1, 1.00), (2, 4.00)) t(i, v)""")
+    con.close()
+    rows = sorted(
+        REGISTRY["page_hinkley_value_drift"]
+        .spark(spark, str(tmp_path))
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    assert [r["m_t"] for r in rows] == [-5.0, -10.0, 185.0]
+    assert [r["ph_t"] for r in rows] == [0.0, 0.0, 195.0]
+    assert [r["alarm"] for r in rows] == [False, False, False]
+
+
+# ------------------------------------------------- cohort LTV matrix
+
+
+def test_cohort_ltv_hand_computed(spark, tmp_path):
+    """User 1 joins 2024-01 (10 in Jan, 20 in Feb), user 2 joins
+    2024-02 (5 in Feb): cohort 202401 ages 0/1 carry ltv 10 then 30;
+    cohort 202402 age 0 carries 5."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               CAST(d AS TIMESTAMP) ts, CAST(u AS BIGINT) user_id,
+               'purchase' event_type, CAST(v AS DOUBLE) AS value,
+               '{}' AS props
+        FROM (VALUES (1, DATE '2024-01-15', 10.0),
+                     (1, DATE '2024-02-10', 20.0),
+                     (2, DATE '2024-02-20', 5.0)) t(u, d, v)""")
+    con.close()
+    got = {
+        (r["cohort_ym"], r["age_months"]): (
+            r["n_users"], r["rev"], r["ltv_per_user"]
+        )
+        for r in REGISTRY["cohort_ltv_matrix"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        (202401, 0): (1, 10.0, 10.0),
+        (202401, 1): (1, 20.0, 30.0),
+        (202402, 0): (1, 5.0, 5.0),
+    }
+
+
+# ------------------------------------------------ BM25F field weights
+
+
+def test_bm25f_title_beats_body(spark, tmp_path):
+    """Equal-length docs, same single query-term tf: the doc with the
+    term in the TITLE field (weight 2, gentler b) must outscore the
+    doc with it in the body; a doc without any query term is absent."""
+    a = "scan f1 f2 f3 f4 b1 b2 b3 b4 b5"  # term at pos 0 → title
+    b = "f1 f2 f3 f4 f5 scan b2 b3 b4 b5"  # term at pos 5 → body
+    c = "f1 f2 f3 f4 f5 b1 b2 b3 b4 b5"    # no query term
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '{t}')" for i, t in enumerate([a, b, c])
+    )
+    _copy(con, tmp_path, "documents", f"""
+        SELECT CAST(c0 AS BIGINT) doc_id, c1 AS text, 'en' lang,
+               's' source, CAST(length(c1) AS BIGINT) n_chars
+        FROM (VALUES {vals}) t(c0, c1)""")
+    con.close()
+    got = {
+        r["doc_id"]: r["bm25f"]
+        for r in REGISTRY["bm25f_topk_docs"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0] > got[1] > 0
+
+
+# ------------------------------------- survivor canonicalization map
+
+
+def test_survivor_map_longest_wins_and_singletons(spark, tmp_path):
+    """Docs 0 and 1 share 8 of doc 1's 10 shingles (J = 0.8): one
+    cluster, survivor = doc 1 (more chars). Doc 5 is a singleton and
+    survives itself."""
+    d0 = "a b c d e f g h i j"
+    d1 = d0 + " k l"  # superset text: longer, J = 8/10 = 0.8
+    d5 = "q w e1 r t y u i1 o p"
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '{t}')" for i, t in [(0, d0), (1, d1), (5, d5)]
+    )
+    _copy(con, tmp_path, "documents", f"""
+        SELECT CAST(c0 AS BIGINT) doc_id, c1 AS text, 'en' lang,
+               's' source, CAST(length(c1) AS BIGINT) n_chars
+        FROM (VALUES {vals}) t(c0, c1)""")
+    con.close()
+    got = {
+        r["doc_id"]: (
+            r["cluster_id"], r["canonical_doc_id"], r["is_survivor"]
+        )
+        for r in REGISTRY["dedup_cc_survivor_map"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        0: (0, 1, False),
+        1: (0, 1, True),
+        5: (5, 5, True),
+    }
