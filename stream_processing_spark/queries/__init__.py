@@ -100,39 +100,31 @@ _PRIORITY = [
     "t7_custom_flatmap",
     "grep_count_by_source", "grep_total_count",
     "streaming_stateful_running_count",
-    # ---- round-11 rotation (VERDICT r10 item 1): the 29 oracled
-    # queries never green in any driver window (r01-r10), computed as
-    # registry minus the union of CORRECTNESS_r*.json hash-green rows.
-    # After this window, every oracled registry query carries a driver
-    # CORRECTNESS row; only the 4 rows-only approximate-by-design
-    # queries (agg_approx_*, hll_sketch_rollup_users,
-    # image_phash_near_dups) stay out, per the r9 verdict — their
-    # evidence is pytest bound/recall tests. Everything rotated OUT
-    # keeps its CORRECTNESS_r* history plus tests/test_oracle_queries.
-    "asof_nearest_click_to_purchase", "source_similarity_minhash",
-    "seasonal_decompose_hourly_events", "funnel_attribution_last_touch",
-    "heartbeat_gap_report", "quality_ccnet_buckets",
-    "t_closeness_report", "target_encode_nation_oof",
-    "acf_daily_event_counts", "benford_first_digit_audit",
-    "dedup_sorted_neighborhood_pairs", "graph_label_propagation",
-    "decontaminate_embedding_neighbors", "conformal_linreg_intervals",
+    # ---- round-12 rotation (VERDICT r11 item 3). The certification
+    # backlog closed in r11 (union of CORRECTNESS_r01-r11 green rows =
+    # all 317 oracled queries), so this window = anchors + every query
+    # whose SPARK CODE materially changed this round (the prefix-sum
+    # migration — re-certification is mandatory after a rewrite even
+    # though pytest stayed green) + every round-12 addition (standing
+    # invariant: additions get a driver row in their own round).
+    # Everything rotated OUT keeps its CORRECTNESS_r* history plus
+    # tests/test_oracle_queries.py.
+    # -- re-certifications: rank/CDF walks moved onto
+    # operators/prefixsum + top-k/level-offset rewrites
+    "spearman_quantity_price", "mann_whitney_value_drift",
     "ks_value_drift_report", "psi_value_drift",
-    "mi_event_type_hour", "gini_split_quantity_return",
-    "zipf_token_fit", "ewma_daily_forecast",
-    "theil_sen_grouped_slope", "fk_integrity_audit",
-    "kaplan_meier_user_lifetime", "ab_conversion_ztest",
-    "streaming_ks_drift_monitor", "bootstrap_mean_ci_orders",
-    "hll_manual_distinct_users", "cms_token_frequency_report",
-    "skewness_price_by_status",
-    # ---- round-11 additions fill the remaining 11 slots (VERDICT r10
-    # item 2 caps them at 11 so this window closes the whole backlog):
-    # the experimentation/stats tier and the LLM-prep tier.
-    "mann_whitney_value_drift", "cuped_adjusted_ab_metric",
-    "spearman_quantity_price", "nelson_aalen_cumulative_hazard",
-    "chi2_event_type_drift", "streaming_psi_drift_monitor",
-    "context_window_packing", "rag_chunk_offsets",
-    "dpo_preference_pairs", "heaps_vocab_growth_fit",
-    "corpus_js_divergence_sources",
+    "streaming_ks_drift_monitor", "streaming_psi_drift_monitor",
+    "conformal_linreg_intervals", "cms_token_frequency_report",
+    "zipf_token_fit", "retrieval_rrf_hybrid_topk",
+    "user_activity_gini", "vocab_top_tokens",
+    # -- round-12 additions: experimentation/stats tier II + curation
+    "kendall_tau_quantity_discount", "rolling_median_daily_revenue",
+    "ipw_conversion_effect", "page_hinkley_value_drift",
+    "cohort_ltv_matrix", "mann_kendall_daily_trend",
+    "winsorized_mean_price", "user_longest_streak",
+    "cohort_retention_triangle", "grouped_value_percentiles",
+    "hhi_source_concentration", "bm25f_topk_docs",
+    "dedup_cc_survivor_map",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

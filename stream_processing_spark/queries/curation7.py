@@ -273,3 +273,56 @@ def dedup_cc_survivor_map(
             "is_survivor"
         ),
     )
+
+
+# --------------------------------------- source concentration (HHI)
+
+
+@register(
+    "hhi_source_concentration",
+    """
+    WITH s AS (
+        SELECT COALESCE(source, '(null)') AS source,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * cnt) AS DOUBLE)
+                 * 10000
+                 / (CAST(SUM(cnt) AS DOUBLE) * SUM(cnt)), 6) AS hhi,
+           ROUND((CAST(SUM(cnt) AS DOUBLE) * SUM(cnt))
+                 / CAST(SUM(CAST(cnt AS DECIMAL(19,0)) * cnt)
+                        AS DOUBLE), 6) AS effective_sources
+    FROM s
+    """,
+    doc="Herfindahl-Hirschman concentration of the corpus over sources "
+    "(HHI = 10000·Σ share², plus the effective-source count 1/Σ "
+    "share²) — the one-number audit of whether a training mix is "
+    "dominated by a single crawl/source, the summary sibling of "
+    "corpus_js_divergence_sources. Count sums are exact integers "
+    "(Σcnt² in DECIMAL(19) products so petabyte corpus counts "
+    "survive), ONE double expression per output. NULL source is a "
+    "first-class '(null)' level. Scale shape: one source-domain "
+    "aggregation; the HHI walk is a single source-domain fold — no "
+    "windows, no joins. Exactly one output row.",
+)
+def hhi_source_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy(
+        F.coalesce("source", F.lit("(null)")).alias("source")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    sq = F.sum(F.col("cnt").cast("decimal(19,0)") * F.col("cnt")).cast(
+        "double"
+    )
+    tot = F.sum("cnt").cast("double")
+    return s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.round(sq * 10000 / (tot * F.sum("cnt")), 6).alias("hhi"),
+        F.round((tot * F.sum("cnt")) / sq, 6).alias(
+            "effective_sources"
+        ),
+    )

@@ -553,3 +553,422 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_rev").cast("double") / F.col("n_users"), 6
         ).alias("ltv_per_user"),
     )
+
+
+# ------------------------------------------------ Mann-Kendall trend
+
+
+@register(
+    "mann_kendall_daily_trend",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    pairs AS (
+        SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(CAST(t AS DECIMAL(19,0)) * (t - 1)
+                                 * (2 * t + 5)), 0)
+                    AS DECIMAL(38,0)) AS tcorr
+        FROM (SELECT x, COUNT(*) AS t FROM daily GROUP BY x)
+        WHERE t > 1
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+    SELECT n AS n_days, s AS s_stat,
+           ROUND((CASE WHEN s > 0 THEN s - 1
+                       WHEN s < 0 THEN s + 1
+                       ELSE 0 END)
+                 / NULLIF(SQRT((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                                - CAST(tcorr AS DOUBLE)) / 18), 0), 6)
+               AS z_mk
+    FROM pairs, ties, nn
+    """,
+    doc="Mann-Kendall nonparametric trend test on daily event counts: "
+    "S = Σ_{i<j} sign(x_j − x_i) folded EXACTLY over the day-pair "
+    "frame (day-DOMAIN-bounded — ~n_days², constant in the row "
+    "count), tie-corrected variance n(n−1)(2n+5)−Σt(t−1)(2t+5) held "
+    "in DECIMAL(38), the continuity-corrected z as one double "
+    "expression — the monotone-trend alarm that complements the "
+    "Theil–Sen slope estimate (theil_sen_grouped_slope) and needs no "
+    "distributional assumptions. The pair join is a broadcast nested "
+    "loop over the daily frame by design. NULL-ts events have no day "
+    "and are excluded.",
+)
+def mann_kendall_daily_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.day") < F.col("b.day")
+    ).agg(
+        F.sum(
+            F.when(F.col("b.x") > F.col("a.x"), 1)
+            .when(F.col("b.x") < F.col("a.x"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    t = F.col("t")
+    ties = (
+        daily.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(
+                F.sum(t.cast("decimal(19,0)") * (t - 1) * (2 * t + 5)),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("tcorr")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    m = pairs.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(nn))
+    s, n = F.col("s"), F.col("n")
+    num = (
+        F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(0)
+    ).cast("double")
+    var = (
+        n.cast("double") * (n - 1) * (2 * n + 5)
+        - F.col("tcorr").cast("double")
+    ) / 18
+    return m.select(
+        n.alias("n_days"),
+        s.alias("s_stat"),
+        F.round(
+            num / F.nullif(F.sqrt(var), F.lit(0.0)), 6
+        ).alias("z_mk"),
+    )
+
+
+# ------------------------------------------------- winsorized mean
+
+_WINSOR_PCT_NUM, _WINSOR_PCT_DEN = 1, 20  # clamp at P5 / P95
+
+
+@register(
+    "winsorized_mean_price",
+    f"""
+    WITH hist AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT c, cnt, SUM(cnt) OVER (ORDER BY c ASC) AS cumn
+        FROM hist
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+    bounds AS (
+        SELECT MIN(CASE WHEN cumn >= ({_WINSOR_PCT_NUM} * n
+                                      + {_WINSOR_PCT_DEN} - 1)
+                                     // {_WINSOR_PCT_DEN}
+                   THEN c END) AS lo,
+               MIN(CASE WHEN cumn >= (({_WINSOR_PCT_DEN}
+                                       - {_WINSOR_PCT_NUM}) * n
+                                      + {_WINSOR_PCT_DEN} - 1)
+                                     // {_WINSOR_PCT_DEN}
+                   THEN c END) AS hi
+        FROM cum CROSS JOIN nn
+    )
+    SELECT n.n AS n_rows,
+           b.lo AS lo_cents, b.hi AS hi_cents,
+           ROUND(CAST(SUM(h.cnt * LEAST(GREATEST(h.c, b.lo), b.hi))
+                      AS DOUBLE) / n.n / 100, 6) AS winsorized_mean
+    FROM hist h CROSS JOIN bounds b CROSS JOIN nn n
+    GROUP BY n.n, b.lo, b.hi
+    """,
+    doc="5%-winsorized mean of order totals: P5/P95 cut points are "
+    "HISTOGRAM-rank picks over the price-cents histogram (pure "
+    "integer ceil arithmetic — the conformal-quantile trick), every "
+    "cent value is clamped into [lo, hi] and the mean folds exactly "
+    "in integers with ONE double division — the outlier-robust "
+    "location estimate a metrics pipeline reports beside the raw "
+    "mean. Scale shape: one corpus aggregation to the price-DOMAIN "
+    "histogram; the rank walk is the range-partitioned prefix scan "
+    "(operators/prefixsum — the histogram saturates ~10M cents at "
+    "scale, nothing walks it single-task), cut points and n are "
+    "1-row broadcasts. Exactly one output row.",
+)
+def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = orders.groupBy(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    nn = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    cum = range_prefix_sum(hist, "c", {"cumn": "cnt"}).crossJoin(
+        F.broadcast(nn)
+    )
+    pn, pd = _WINSOR_PCT_NUM, _WINSOR_PCT_DEN
+    k_lo = F.expr(f"(CAST({pn} AS BIGINT) * n + {pd} - 1) div {pd}")
+    k_hi = F.expr(
+        f"(CAST({pd - pn} AS BIGINT) * n + {pd} - 1) div {pd}"
+    )
+    bounds = cum.agg(
+        F.min(F.when(F.col("cumn") >= k_lo, F.col("c"))).alias("lo"),
+        F.min(F.when(F.col("cumn") >= k_hi, F.col("c"))).alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("c"), F.col("lo")), F.col("hi")
+    )
+    return (
+        hist.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(nn))
+        .groupBy("n", "lo", "hi")
+        .agg(
+            F.round(
+                F.sum(F.col("cnt") * clamped).cast("double")
+                / F.col("n")
+                / 100,
+                6,
+            ).alias("winsorized_mean")
+        )
+        .select(
+            F.col("n").alias("n_rows"),
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+            "winsorized_mean",
+        )
+    )
+
+
+# ------------------------------------------------ longest user streak
+
+
+@register(
+    "user_longest_streak",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    grp AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day ASC) AS INT)
+                   AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+        FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak_days
+    FROM streaks GROUP BY user_id
+    """,
+    doc="Longest consecutive-day activity streak per user — the classic "
+    "gaps-and-islands derivation engagement systems run for streak "
+    "badges and churn features: distinct (user, day) rows, island id "
+    "= day − row_number (constant within a consecutive run; the "
+    "window is PARTITIONED per user, ordered by day), then one "
+    "per-island count and a per-user max. All integer date "
+    "arithmetic — no cross-engine interval math. Scale shape: one "
+    "distinct-day aggregation (the only corpus shuffle), then "
+    "user-keyed partitioned windows; output is one row per user. "
+    "NULL users/timestamps are excluded.",
+)
+def user_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.asc("day"))
+    grp = days.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("island"),
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak_days"),
+    )
+
+
+# -------------------------------------------- cohort retention matrix
+
+
+@register(
+    "cohort_retention_triangle",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               EXTRACT(year FROM MIN(ts)) * 12
+                   + EXTRACT(month FROM MIN(ts)) AS cm
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        FROM firsts GROUP BY cm
+    ),
+    active AS (
+        SELECT f.cm,
+               CAST(EXTRACT(year FROM e.ts) * 12
+                    + EXTRACT(month FROM e.ts) - f.cm AS BIGINT)
+                   AS age_months,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.ts IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT CAST((a.cm - 1) // 12 AS BIGINT) * 100
+               + ((a.cm - 1) % 12 + 1) AS cohort_ym,
+           a.age_months, s.n_cohort, a.n_active,
+           ROUND(CAST(a.n_active AS DOUBLE) / s.n_cohort, 6)
+               AS retention
+    FROM active a JOIN sizes s ON s.cm = a.cm
+    """,
+    doc="Cohort retention triangle — the activity-side sibling of "
+    "cohort_ltv_matrix (same first-event-month cohorts, same integer "
+    "month arithmetic): distinct active users per (cohort, "
+    "months-since-cohort) over cohort size, the retention curve "
+    "every growth dashboard draws. Age-0 retention is 1.0 by "
+    "construction — a cheap self-check. Scale shape: one per-user "
+    "first-event aggregation + one user-keyed equi-join, then a "
+    "(cohort × age) distinct-count aggregation; everything after is "
+    "month-domain-bounded. NULL users/timestamps are excluded.",
+)
+def cohort_retention_triangle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dated = ev.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    firsts = dated.groupBy("user_id").agg(
+        (F.year(F.min("ts")) * 12 + F.month(F.min("ts"))).alias("cm")
+    )
+    sizes = firsts.groupBy("cm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cohort")
+    )
+    active = (
+        dated.join(firsts, "user_id")
+        .groupBy(
+            "cm",
+            (F.year("ts") * 12 + F.month("ts") - F.col("cm"))
+            .cast("bigint")
+            .alias("age_months"),
+        )
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_active")
+        )
+    )
+    ym = (
+        F.floor((F.col("cm") - 1) / 12).cast("bigint") * 100
+        + ((F.col("cm") - 1) % 12 + 1)
+    )
+    return active.join(F.broadcast(sizes), "cm").select(
+        ym.alias("cohort_ym"),
+        "age_months",
+        "n_cohort",
+        "n_active",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort"), 6
+        ).alias("retention"),
+    )
+
+
+# -------------------------------------- grouped value percentiles
+
+
+@register(
+    "grouped_value_percentiles",
+    """
+    WITH hist AS (
+        SELECT COALESCE(event_type, '(null)') AS etype,
+               CAST(FLOOR(value * 100) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT etype, c, cnt,
+               SUM(cnt) OVER (PARTITION BY etype ORDER BY c ASC)
+                   AS cumn,
+               SUM(cnt) OVER (PARTITION BY etype) AS n
+        FROM hist
+    )
+    SELECT etype, CAST(MAX(n) AS BIGINT) AS n_values,
+           CAST(MIN(CASE WHEN cumn >= (n + 1) // 2 THEN c END)
+                AS DOUBLE) / 100 AS p50,
+           CAST(MIN(CASE WHEN cumn >= (9 * n + 9) // 10 THEN c END)
+                AS DOUBLE) / 100 AS p90,
+           CAST(MIN(CASE WHEN cumn >= (99 * n + 99) // 100 THEN c END)
+                AS DOUBLE) / 100 AS p99
+    FROM cum GROUP BY etype
+    """,
+    doc="Exact per-event-type value percentiles (P50/P90/P99) as "
+    "HISTOGRAM-rank picks: one aggregation to the (type × cent-value) "
+    "histogram, then PARTITIONED cumulative windows per type pick the "
+    "ceil(p·n)-th value with pure integer arithmetic — no float "
+    "percentile interpolation, so both engines agree bit-exactly. "
+    "This is the grouped (lower order-statistic) convention: p50 of "
+    "an even count is the lower middle, documented, deterministic. "
+    "NULL event_type is a first-class '(null)' group; NULL values "
+    "carry no signal and are excluded. Scale shape: the windows are "
+    "partitioned BY TYPE, so parallelism is the type domain; each "
+    "type's histogram is value-domain-bounded.",
+)
+def grouped_value_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    hist = ev.groupBy(
+        F.coalesce("event_type", F.lit("(null)")).alias("etype"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wc = Window.partitionBy("etype").orderBy(F.asc("c"))
+    wt = Window.partitionBy("etype")
+    cum = hist.select(
+        "etype",
+        "c",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cumn"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+
+    def pick(num: int, den: int):
+        k = F.expr(f"({num} * n + {den - 1}) div {den}")
+        return (
+            F.min(F.when(F.col("cumn") >= k, F.col("c"))).cast(
+                "double"
+            )
+            / 100
+        )
+
+    return cum.groupBy("etype").agg(
+        F.max("n").cast("bigint").alias("n_values"),
+        pick(1, 2).alias("p50"),
+        pick(9, 10).alias("p90"),
+        pick(99, 100).alias("p99"),
+    )

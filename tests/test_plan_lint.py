@@ -86,6 +86,10 @@ CROSS_OK = {
     # join key away, leaving a 1-row-build nested loop by design
     "spearman_quantity_price",
     "vocab_top_tokens",
+    # day-DOMAIN-bounded daily pair join (~n_days²) + 1-row broadcasts
+    "mann_kendall_daily_trend",
+    # prefix-sum key-extent broadcast + 1-row (n, lo, hi) broadcasts
+    "winsorized_mean_price",
     # domain-bounded broadcast: the per-quantity-value group means
     # (≤ value-domain rows) pairwise-joined for Theil–Sen slopes
     "theil_sen_grouped_slope",

@@ -229,3 +229,153 @@ def test_survivor_map_longest_wins_and_singletons(spark, tmp_path):
         1: (0, 1, True),
         5: (5, 5, True),
     }
+
+
+# ------------------------------------------------ Mann-Kendall trend
+
+
+def test_mann_kendall_strict_increase(spark, tmp_path):
+    """Daily counts 1,2,3,4 (strictly increasing, no ties): S = 6,
+    var = 4·3·13/18, z = (6−1)/√var."""
+    import math
+
+    con = duckdb.connect()
+    # day i gets i+1 events (i = 0..3)
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01' + (i || ' days')::INTERVAL AS ts,
+               CAST(1 AS BIGINT) user_id, 'view' event_type,
+               CAST(1.0 AS DOUBLE) AS value, '{}' AS props
+        FROM range(0, 4) t(i), range(0, 10) s(j) WHERE j <= i""")
+    con.close()
+    r = (
+        REGISTRY["mann_kendall_daily_trend"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert (r["n_days"], r["s_stat"]) == (4, 6)
+    assert r["z_mk"] == round(5 / math.sqrt(4 * 3 * 13 / 18), 6)
+
+
+# ------------------------------------------------- winsorized mean
+
+
+def test_winsorized_mean_hand_computed(spark, tmp_path):
+    """Prices 1..40 dollars: P5 rank 2 → lo 200¢, P95 rank 38 → hi
+    3800¢; clamped sum 81800¢ over 40 rows ⇒ mean 20.45."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "orders", """
+        SELECT CAST(i AS BIGINT) o_orderkey, CAST(i AS BIGINT) o_custkey,
+               'O' o_orderstatus, CAST(i AS DOUBLE) o_totalprice,
+               TIMESTAMP '2024-01-01' o_orderdate, 'x' o_orderpriority
+        FROM range(1, 41) t(i)""")
+    con.close()
+    r = (
+        REGISTRY["winsorized_mean_price"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert (r["n_rows"], r["lo_cents"], r["hi_cents"]) == (40, 200, 3800)
+    assert r["winsorized_mean"] == 20.45
+
+
+# ------------------------------------------------ longest user streak
+
+
+def test_longest_streak_gaps_and_islands(spark, tmp_path):
+    """User 1 active days {0,1,2,4,5} → longest 3 of 5; user 2 active
+    one day → 1 of 1."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01' + (d || ' days')::INTERVAL AS ts,
+               CAST(u AS BIGINT) user_id, 'view' event_type,
+               CAST(1.0 AS DOUBLE) AS value, '{}' AS props
+        FROM (VALUES (1, 0), (1, 1), (1, 2), (1, 4), (1, 5),
+                     (1, 5), (2, 9)) t(u, d)""")
+    con.close()
+    got = {
+        r["user_id"]: (r["n_active_days"], r["longest_streak_days"])
+        for r in REGISTRY["user_longest_streak"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {1: (5, 3), 2: (1, 1)}
+
+
+# --------------------------------------------- cohort retention
+
+
+def test_retention_triangle_hand_computed(spark, tmp_path):
+    """Cohort 2024-01 = {u1, u2}: both active at age 0, only u1 at
+    age 1 → retention 1.0 then 0.5; cohort 2024-02 = {u3} at 1.0."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               CAST(d AS TIMESTAMP) ts, CAST(u AS BIGINT) user_id,
+               'view' event_type, CAST(1.0 AS DOUBLE) AS value,
+               '{}' AS props
+        FROM (VALUES (1, DATE '2024-01-05'), (1, DATE '2024-02-05'),
+                     (2, DATE '2024-01-20'),
+                     (3, DATE '2024-02-11')) t(u, d)""")
+    con.close()
+    got = {
+        (r["cohort_ym"], r["age_months"]): (r["n_cohort"], r["n_active"],
+                                            r["retention"])
+        for r in REGISTRY["cohort_retention_triangle"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        (202401, 0): (2, 2, 1.0),
+        (202401, 1): (2, 1, 0.5),
+        (202402, 0): (1, 1, 1.0),
+    }
+
+
+# ------------------------------------- grouped value percentiles
+
+
+def test_grouped_percentiles_rank_picks(spark, tmp_path):
+    """Type 'view' with values 1..10 dollars: lower-order-statistic
+    picks are p50 = 5.0 (rank 5), p90 = 9.0, p99 = 10.0."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(i AS BIGINT) event_id, TIMESTAMP '2024-01-01' ts,
+               CAST(i AS BIGINT) user_id, 'view' event_type,
+               CAST(i AS DOUBLE) AS value, '{}' AS props
+        FROM range(1, 11) t(i)""")
+    con.close()
+    r = (
+        REGISTRY["grouped_value_percentiles"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    assert len(r) == 1 and r[0]["etype"] == "view"
+    assert (r[0]["n_values"], r[0]["p50"], r[0]["p90"], r[0]["p99"]) == (
+        10, 5.0, 9.0, 10.0,
+    )
+
+
+# ---------------------------------------------- HHI concentration
+
+
+def test_hhi_hand_computed(spark, tmp_path):
+    """Sources 3:1 → Σshare² = 0.625 ⇒ HHI 6250, effective 1.6."""
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(["a", "a", "a", "b"])
+    )
+    _copy(con, tmp_path, "documents", f"""
+        SELECT CAST(c0 AS BIGINT) doc_id, 'w x y z' AS text,
+               'en' AS lang, c1 AS source, CAST(7 AS BIGINT) n_chars
+        FROM (VALUES {vals}) t(c0, c1)""")
+    con.close()
+    r = (
+        REGISTRY["hhi_source_concentration"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert (r["n_sources"], r["n_docs"]) == (2, 4)
+    assert r["hhi"] == 6250.0
+    assert r["effective_sources"] == 1.6
