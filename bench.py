@@ -244,6 +244,24 @@ BENCH_QUERIES = [
     "cuped_adjusted_ab_metric",
     # joint-histogram Spearman (marginal rank maps joined back)
     "spearman_quantity_price",
+    # --- round-12 additions (new capabilities — compare per-query
+    # against BENCH_r11, not in aggregate). Round-over-round note:
+    # spearman/mann_whitney/ks/psi/conformal/cms/zipf/rrf/gini/vocab
+    # moved their rank/CDF walks onto the range-partitioned prefix
+    # scan this round (operators/prefixsum) — identical values, plans
+    # with no data-sized single-partition window.
+    # domain-bounded cell-pair concordance fold
+    "kendall_tau_quantity_discount",
+    # histogram-rank P5/P95 cut points + clamped integer fold
+    "winsorized_mean_price",
+    # jaccard edges → CC closure → per-cluster survivor election
+    "dedup_cc_survivor_map",
+    # field-tagged explode + weighted-tf saturation + top-k
+    "bm25f_topk_docs",
+    # distinct-day shuffle + per-user gaps-and-islands windows
+    "user_longest_streak",
+    # per-user first-event agg + month-domain cohort rollup
+    "cohort_ltv_matrix",
 ]
 
 

@@ -65,18 +65,22 @@ AUDITED = {
     ),
     "mann_whitney_value_drift": (
         "Mann-Whitney U: the corpus collapses to the per-cent-value "
-        "histogram in one aggregation (domain-bounded, same frame as "
-        "KS/PSI); midrank arithmetic, DECIMAL(38) rank sums and the "
-        "tie correction all run on that histogram; the z is one fixed "
-        "double expression in a 1-row aggregate."
+        "histogram in one aggregation; the rank walk's cumulative is "
+        "the range-partitioned prefix scan (r12 — PARTITIONED local "
+        "windows + a bucket-count-bounded offset broadcast, no "
+        "single-partition window over the histogram); DECIMAL(38) "
+        "rank sums and the tie correction run on that frame; the z "
+        "is one fixed double expression in a 1-row aggregate."
     ),
     "spearman_quantity_price": (
         "Spearman ρ: one aggregation to the JOINT (quantity, "
-        "price-cent) histogram; the two marginal rank maps are "
-        "domain-bounded cumulative windows joined back (quantity side "
-        "broadcast); the five moment sums are DECIMAL(38)-exact and "
-        "the correlation is one double expression — no row-level rank "
-        "window over the corpus."
+        "price-cent) histogram; each marginal's rank map is the "
+        "range-partitioned prefix scan (r12 — the price-cents "
+        "marginal grows to a ~10M domain, so no single-partition "
+        "window walks it) joined back (quantity side broadcast); the "
+        "five moment sums are DECIMAL(38)-exact and the correlation "
+        "is one double expression — no row-level rank window over "
+        "the corpus."
     ),
     "decontaminate_embedding_neighbors": (
         "Benchmark decontamination: the pinned ≤200-vector eval slice "
@@ -89,9 +93,10 @@ AUDITED = {
     ),
     "ks_value_drift_report": (
         "KS drift: one corpus aggregation to per-cent-value counts "
-        "(bounded by the value DOMAIN), then cumulative/total windows "
-        "and the integer |cumA·nB − cumB·nA| maximization all run on "
-        "that histogram frame; the day-span midpoint is a 1-row "
+        "(bounded by the value DOMAIN); the CDFs are range-partitioned "
+        "prefix scans and the totals / |cumA·nB − cumB·nA| arg-max "
+        "are 1-row broadcast aggregates (r12 — nothing collapses the "
+        "histogram to one task); the day-span midpoint is a 1-row "
         "broadcast. The scan reads (ts, value) only with the "
         "value-not-null filter pushed to parquet."
     ),
@@ -402,6 +407,68 @@ AUDITED = {
         "Regex scrub is pure map-side codegen (Project over the scan, "
         "no UDF, no pre-aggregate shuffle); only the per-source "
         "summary exchanges."
+    ),
+    "dedup_cc_survivor_map": (
+        "Cluster canonicalization (r12): df-capped Jaccard edges feed "
+        "the hybrid CC closure (propagation rounds + star contraction "
+        "— O(log n) worst case, localCheckpoint lineage cuts); the "
+        "survivor election is a PARTITIONED row_number per cluster "
+        "(desc n_chars, asc doc_id — no global window) and the final "
+        "member→canonical map is an equi-join on cluster_id."
+    ),
+    "bm25f_topk_docs": (
+        "BM25F (r12): fields are tagged map-side from ONE corpus scan "
+        "(title = leading-token slice, body = remainder — a union of "
+        "two projections of the same scan, no second read); tf "
+        "shuffles on (doc, field, term), per-field avg lengths and "
+        "df broadcast, the weighted-tf saturation is map-side "
+        "arithmetic, and TakeOrderedAndProject keeps the top-k — no "
+        "vocab-sized window anywhere."
+    ),
+    "kendall_tau_quantity_discount": (
+        "Kendall τ-b (r12): one aggregation to the (quantity × "
+        "discount) joint cells — BOTH domains bounded, ≤ ~550 cells — "
+        "then a broadcast nested-loop cell-pair fold (≤ 550² "
+        "products, constant in the row count) with DECIMAL(38) "
+        "concordance sums; tie terms come from the two marginal "
+        "aggregates as 1-row broadcasts."
+    ),
+    "winsorized_mean_price": (
+        "Winsorized mean (r12): one aggregation to the price-cents "
+        "histogram; the rank walk is the range-partitioned prefix "
+        "scan and the P5/P95 cut points + n are 1-row broadcasts; "
+        "the clamped mean folds exactly in integers over the "
+        "histogram with one double division."
+    ),
+    "user_longest_streak": (
+        "Gaps-and-islands streaks (r12): one distinct (user, day) "
+        "aggregation is the only corpus shuffle; the island "
+        "derivation is a PARTITIONED per-user window (day − "
+        "row_number), then two hash aggregations — parallelism is "
+        "the user key space, no global window."
+    ),
+    "vocab_top_tokens": (
+        "Vocabulary ids (r12 rewrite): explode+count is fully "
+        "parallel; each count LEVEL's starting id comes from the "
+        "range-partitioned prefix scan over the count histogram "
+        "(distinct frequencies — far fewer than the vocabulary), and "
+        "within-level ids are a PARTITIONED window ordered by token; "
+        "same (cnt DESC, token) total order as the old global "
+        "row_number, bit-identical ids, no vocab-sized single task."
+    ),
+    "user_activity_gini": (
+        "Activity Gini (r12 rewrite): per-user counts collapse to the "
+        "count-of-counts LEVEL histogram (activity-domain-bounded); "
+        "the level offsets are the range-partitioned prefix scan and "
+        "the closed form n·k·(2s+k−nu) folds in DECIMAL(38) — the "
+        "|users|-row global sort is gone."
+    ),
+    "grouped_value_percentiles": (
+        "Grouped percentiles (r12): one aggregation to the (type × "
+        "cent-value) histogram; cumulative windows are PARTITIONED by "
+        "type (parallelism = type domain) and the P50/P90/P99 picks "
+        "are integer ceil-rank CASE folds — no float interpolation, "
+        "no global window."
     ),
     "cross_source_span_overlap": (
         "Span fingerprints dedup per source BEFORE the fp equi-join, "

@@ -49,7 +49,10 @@ REPLICAS = 10
 # v3: adds lineitem (disjoint order/part/supp key spaces per replica —
 # ten independent co-purchase graphs, the linear-scaling profile for
 # the graph tier)
-_PARAMS = {"src": SRC, "replicas": REPLICAS, "v": 3}
+# v4: adds orders (disjoint order/cust key spaces; dates unchanged so
+# the day-domain frames SATURATE rather than grow — the real 100 TB
+# shape for the rolling-median/winsorized r12 rows)
+_PARAMS = {"src": SRC, "replicas": REPLICAS, "v": 4}
 
 
 def ensure_sf1(spark) -> str:
@@ -156,6 +159,22 @@ def ensure_sf1(spark) -> str:
         )
 
     write_single_file(replicate(li, mut_li), "lineitem")
+
+    orders = load_table(spark, SRC, "orders")
+
+    def mut_orders(df, k):
+        if k == 0:
+            return df
+        return df.select(
+            (F.col("o_orderkey") + k * 100_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + k * 1_000_000).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+
+    write_single_file(replicate(orders, mut_orders), "orders")
 
     with open(marker, "w") as f:
         json.dump(_PARAMS, f)

@@ -208,6 +208,27 @@ SF1_QUERIES = [
     "nelson_aalen_cumulative_hazard",
     "chi2_event_type_drift",
     "streaming_psi_drift_monitor",
+    # round 12 (standing rule: every addition gets an sf1 row before
+    # freeze). Expected shapes: cc_survivor is pair-adjacent (jaccard
+    # join + CC closure — the quadratic-risk row); bm25f is one
+    # field-tagged explode + bounded joins; kendall/winsorized/
+    # percentiles/hhi are histogram folds (data-bound scans, bounded
+    # tails); streak/retention/ltv/ipw are one user-keyed shuffle;
+    # mann_kendall is a day-pair fold; rolling median and
+    # page_hinkley run on day-domain frames (scan-bound).
+    "dedup_cc_survivor_map",
+    "bm25f_topk_docs",
+    "kendall_tau_quantity_discount",
+    "rolling_median_daily_revenue",
+    "ipw_conversion_effect",
+    "page_hinkley_value_drift",
+    "cohort_ltv_matrix",
+    "mann_kendall_daily_trend",
+    "winsorized_mean_price",
+    "user_longest_streak",
+    "cohort_retention_triangle",
+    "grouped_value_percentiles",
+    "hhi_source_concentration",
 ]
 
 
