@@ -124,7 +124,8 @@ _PRIORITY = [
     "winsorized_mean_price", "user_longest_streak",
     "cohort_retention_triangle", "grouped_value_percentiles",
     "hhi_source_concentration", "bm25f_topk_docs",
-    "dedup_cc_survivor_map",
+    "dedup_cc_survivor_map", "streaming_page_hinkley_monitor",
+    "holt_linear_daily_trend",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

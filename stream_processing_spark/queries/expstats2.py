@@ -352,10 +352,7 @@ def ipw_conversion_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PH_DELTA_CENTS = 5.0  # drift slack per step, in cents
 _PH_LAMBDA_CENTS = 500.0  # alarm threshold, in cents
 
-
-@register(
-    "page_hinkley_value_drift",
-    f"""
+_PH_ORACLE_SQL = f"""
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS day,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
@@ -391,33 +388,14 @@ _PH_LAMBDA_CENTS = 500.0  # alarm threshold, in cents
            CAST(m - m_min AS DOUBLE) AS ph_t,
            (m - m_min) > {_PH_LAMBDA_CENTS} AS alarm
     FROM ph
-    """,
-    doc="Page-Hinkley sequential upward-drift test on the daily mean "
-    "event value (cents): m_t = Σ (x̄_day − running-mean − δ), "
-    f"PH_t = m_t − min m, alarm when PH_t > λ ({_PH_LAMBDA_CENTS:g} "
-    "cents) — the classic sequential changepoint monitor beside the "
-    "CUSUM query (changepoint_cusum_daily_events), but against the "
-    "RUNNING mean instead of a frozen baseline, so it needs no "
-    "training period. Each day's increment is one fixed double "
-    "expression rounded to 9dp and DECIMAL-cumulated; the running "
-    "min runs on the same day frame. Scale shape: one corpus "
-    "aggregation to the day-DOMAIN-bounded daily frame; every window "
-    "walks that frame only (WINDOW_OK: day domain). NULL-value and "
-    "NULL-ts rows are excluded — an undated point has no place in a "
-    "sequential test.",
-)
-def page_hinkley_value_drift(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & F.col("ts").isNotNull()
-    )
-    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
-        .cast("bigint")
-        .alias("sc"),
-        F.count(F.lit(1)).cast("bigint").alias("cnt"),
-    )
+    """
+
+
+def _ph_from_daily(daily: DataFrame) -> DataFrame:
+    """Page-Hinkley walk over a (day, sc, cnt) daily frame — shared by
+    the batch report and its streaming twin (identical expressions, so
+    both hash-match the same oracle). Every window is day-domain-
+    bounded (WINDOW_OK)."""
     wd = Window.orderBy(F.asc("day"))
     cum = daily.select(
         "day",
@@ -446,6 +424,75 @@ def page_hinkley_value_drift(
             "alarm"
         ),
     )
+
+
+@register(
+    "page_hinkley_value_drift",
+    _PH_ORACLE_SQL,
+    doc="Page-Hinkley sequential upward-drift test on the daily mean "
+    "event value (cents): m_t = Σ (x̄_day − running-mean − δ), "
+    f"PH_t = m_t − min m, alarm when PH_t > λ ({_PH_LAMBDA_CENTS:g} "
+    "cents) — the classic sequential changepoint monitor beside the "
+    "CUSUM query (changepoint_cusum_daily_events), but against the "
+    "RUNNING mean instead of a frozen baseline, so it needs no "
+    "training period. Each day's increment is one fixed double "
+    "expression rounded to 9dp and DECIMAL-cumulated; the running "
+    "min runs on the same day frame. Scale shape: one corpus "
+    "aggregation to the day-DOMAIN-bounded daily frame; every window "
+    "walks that frame only (WINDOW_OK: day domain). NULL-value and "
+    "NULL-ts rows are excluded — an undated point has no place in a "
+    "sequential test.",
+)
+def page_hinkley_value_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .alias("sc"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    return _ph_from_daily(daily)
+
+
+@register(
+    "streaming_page_hinkley_monitor",
+    _PH_ORACLE_SQL,
+    doc="Streaming twin of page_hinkley_value_drift (the drained-"
+    "stream pattern of the KS/PSI monitors, but with NO batch-side "
+    "reference at all — the ENTIRE daily series is ingested as a REAL "
+    "file stream whose (day, value-sum, count) aggregates run in "
+    "complete mode, availableNow drain): the identical day-domain PH "
+    "walk then runs on the drained frame, so the final state equals "
+    "the batch answer and the batch oracle certifies the streaming "
+    "path. Stream state is one row per day — bounded by the day "
+    "DOMAIN, not the event count. This is the deployment shape of a "
+    "sequential drift monitor: the alarm column recomputes per "
+    "micro-batch from sufficient statistics.",
+)
+def streaming_page_hinkley_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.queries.streaming_queries import (
+        _drain_complete,
+        _events_stream,
+    )
+
+    live = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("sc"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    return _ph_from_daily(_drain_complete(live, spark))
 
 
 # ------------------------------------------------ cohort LTV matrix
@@ -971,4 +1018,111 @@ def grouped_value_percentiles(
         pick(1, 2).alias("p50"),
         pick(9, 10).alias("p90"),
         pick(99, 100).alias("p99"),
+    )
+
+
+# ---------------------------------------------- Holt linear smoothing
+
+_HOLT_ALPHA, _HOLT_BETA = 0.2, 0.1
+
+
+@register(
+    "holt_linear_daily_trend",
+    f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100
+                    AS BIGINT) AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1
+    ),
+    seq AS (
+        SELECT day, x,
+               CAST(ROW_NUMBER() OVER (ORDER BY day ASC) AS BIGINT) AS i
+        FROM daily
+    ),
+    rec(i, l, b) AS (
+        SELECT i, x, CAST(0 AS DOUBLE) FROM seq WHERE i = 1
+        UNION ALL
+        SELECT s.i,
+               {_HOLT_ALPHA} * s.x
+                   + {1 - _HOLT_ALPHA} * (r.l + r.b),
+               {_HOLT_BETA} * (({_HOLT_ALPHA} * s.x
+                   + {1 - _HOLT_ALPHA} * (r.l + r.b)) - r.l)
+                   + {1 - _HOLT_BETA} * r.b
+        FROM rec r JOIN seq s ON s.i = r.i + 1
+    )
+    SELECT s.day, s.x AS x_cents,
+           ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+           ROUND(r.l + 7 * r.b, 6) AS forecast_7d
+    FROM rec r JOIN seq s ON s.i = r.i
+    """,
+    doc="Holt double-exponential (level+trend) smoothing of daily "
+    f"event value totals (α={_HOLT_ALPHA}, β={_HOLT_BETA}, init "
+    "l₁=x₁, b₁=0), with the 7-day-ahead linear forecast — the "
+    "trend-aware sibling of ewma_daily_forecast. A coupled linear "
+    "recurrence is inherently sequential, so it runs as ONE "
+    "applyInPandas fold over the day-DOMAIN-bounded daily frame "
+    "(constant in the row count — the same bounded-sequential shape "
+    "as the MMR greedy walk), with the numpy fold evaluating the "
+    "recurrence in EXACTLY the oracle's operation order so the "
+    "doubles match bit-for-bit (the fold-order-twin discipline of "
+    "the vectorized cosine paths); the oracle is a recursive CTE. "
+    "One corpus aggregation feeds it; NULL-value/NULL-ts rows are "
+    "excluded.",
+)
+def holt_linear_daily_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+        .cast("bigint")
+        .cast("double")
+        .alias("x")
+    )
+    a, ia = _HOLT_ALPHA, 1 - _HOLT_ALPHA
+    bb, ib = _HOLT_BETA, 1 - _HOLT_BETA
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        if pdf.empty:
+            return pd.DataFrame(
+                {"day": [], "x_cents": [], "level": [], "trend": []}
+            )
+        xs = [float(v) for v in pdf["x"]]
+        # identical op order to the rCTE: l' = a*x + ia*(l+b);
+        # b' = bb*(l'-l) + ib*b — plain float64, no reassociation
+        level, trend = [xs[0]], [0.0]
+        l, b = xs[0], 0.0
+        for xv in xs[1:]:
+            l_new = a * xv + ia * (l + b)
+            b = bb * (l_new - l) + ib * b
+            l = l_new
+            level.append(l)
+            trend.append(b)
+        return pd.DataFrame(
+            {
+                "day": pdf["day"],
+                "x_cents": xs,
+                "level": level,
+                "trend": trend,
+            }
+        )
+
+    out = daily.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        fold, "day date, x_cents double, level double, trend double"
+    )
+    return out.select(
+        "day",
+        "x_cents",
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round(
+            F.col("level") + 7 * F.col("trend"), 6
+        ).alias("forecast_7d"),
     )

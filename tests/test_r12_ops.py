@@ -379,3 +379,62 @@ def test_hhi_hand_computed(spark, tmp_path):
     assert (r["n_sources"], r["n_docs"]) == (2, 4)
     assert r["hhi"] == 6250.0
     assert r["effective_sources"] == 1.6
+
+
+# ------------------------------------------------ Holt linear trend
+
+
+def test_holt_recurrence_hand_computed(spark, tmp_path):
+    """Two days with totals 100¢ then 200¢ (α=0.2, β=0.1, l₁=x₁,
+    b₁=0): l₂ = 0.2·200 + 0.8·100 = 120, b₂ = 0.1·20 = 2,
+    forecast = 120 + 7·2 = 134."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(i AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01' + (i || ' days')::INTERVAL AS ts,
+               CAST(i AS BIGINT) user_id, 'view' event_type,
+               CAST(v AS DOUBLE) AS value, '{}' AS props
+        FROM (VALUES (0, 1.00), (1, 2.00)) t(i, v)""")
+    con.close()
+    rows = sorted(
+        REGISTRY["holt_linear_daily_trend"]
+        .spark(spark, str(tmp_path))
+        .collect(),
+        key=lambda r: r["day"],
+    )
+    assert [(r["x_cents"], r["level"], r["trend"]) for r in rows] == [
+        (100.0, 100.0, 0.0),
+        (200.0, 120.0, 2.0),
+    ]
+    assert rows[1]["forecast_7d"] == 134.0
+
+
+def test_streaming_page_hinkley_equals_batch(spark, tmp_path):
+    """The drained streaming twin must reproduce the batch PH walk
+    row-for-row on the same fixture."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(i AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01' + ((i % 5) || ' days')::INTERVAL
+                   AS ts,
+               CAST(i AS BIGINT) user_id, 'view' event_type,
+               CAST((i % 7) + 0.25 AS DOUBLE) AS value, '{}' AS props
+        FROM range(0, 40) t(i)""")
+    con.close()
+    batch = sorted(
+        map(
+            tuple,
+            REGISTRY["page_hinkley_value_drift"]
+            .spark(spark, str(tmp_path))
+            .collect(),
+        )
+    )
+    streamed = sorted(
+        map(
+            tuple,
+            REGISTRY["streaming_page_hinkley_monitor"]
+            .spark(spark, str(tmp_path))
+            .collect(),
+        )
+    )
+    assert batch == streamed and len(batch) == 5

@@ -229,6 +229,10 @@ SF1_QUERIES = [
     "cohort_retention_triangle",
     "grouped_value_percentiles",
     "hhi_source_concentration",
+    # streaming twin (day-keyed complete-mode state) and the bounded
+    # sequential Holt fold (expected ~flat — day-domain constant)
+    "streaming_page_hinkley_monitor",
+    "holt_linear_daily_trend",
 ]
 
 
