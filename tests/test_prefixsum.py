@@ -133,3 +133,40 @@ def test_plan_has_no_global_window(spark):
                 "non-partitioned running window over a data-sized frame "
                 "in prefix-sum plan:\n" + plan
             )
+
+
+# ------------------------------------------------ hypothesis property
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_rows_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-1000, 1000)),  # key
+        st.one_of(st.none(), st.integers(-100, 100)),    # value
+    ),
+    min_size=0,
+    max_size=120,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rows_strategy, parts=st.sampled_from([1, 2, 5]))
+def test_property_matches_window(spark, rows, parts):
+    """Any keyed integer frame (NULL keys, NULL values, duplicate
+    keys, negatives, empty): the two-pass scan equals the global
+    window spelling row-for-row."""
+    df = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in rows] or [],
+        "k bigint, v bigint",
+    )
+    got = range_prefix_sum(df, "k", {"cum_v": "v"}, num_partitions=parts)
+    want = _window_truth(df, "k", ["v"])
+    nsort = lambda r: sorted(  # noqa: E731
+        (tuple((x is None, x) for x in t) for t in map(tuple, r))
+    )
+    assert nsort(got.collect()) == nsort(want.collect())
