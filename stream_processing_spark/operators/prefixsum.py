@@ -68,6 +68,7 @@ def range_prefix_sum(
     key: str,
     sums: dict[str, Column | str],
     num_partitions: int | None = None,
+    group_by: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Add INCLUSIVE running-sum columns ordered by ``key``.
 
@@ -79,6 +80,15 @@ def range_prefix_sum(
     ``F.sum(v).over(Window.orderBy(k))``. Every input column is
     preserved; the output adds one running-sum column per entry.
 
+    ``group_by`` makes the scan PER GROUP — the equivalent of
+    ``Window.partitionBy(*group_by).orderBy(key)`` — with each group's
+    key extent computed separately, so a group whose histogram
+    saturates a large key domain still fans out over buckets instead
+    of walking one task per group. Group columns must be NULL-free
+    (coalesce a sentinel first — the extent/offset joins are plain
+    equi-joins) and the (groups × buckets) offset frame must stay
+    broadcast-small, i.e. the group domain is bounded.
+
     The fold is exact for integer/DECIMAL inputs — use those (registry
     determinism rule: never accumulate raw doubles).
     """
@@ -88,6 +98,7 @@ def range_prefix_sum(
         )
         num_partitions = max(1, int(num_partitions))
 
+    gb = list(group_by)
     exprs = {
         out: (F.col(v) if isinstance(v, str) else v)
         for out, v in sums.items()
@@ -97,9 +108,10 @@ def range_prefix_sum(
             raise ValueError(f"output column {out!r} already exists")
     keep = df.columns
 
-    # 1-row key-extent frame, attached via a constant-key equi-join so
-    # it broadcasts as a hash join (never a nested-loop cross product).
-    stats = df.agg(
+    # Per-group key-extent frame (1 row when ungrouped), attached via
+    # a constant-key / group-key equi-join so it broadcasts as a hash
+    # join (never a nested-loop cross product on the grouped path).
+    stats = (df.groupBy(*gb) if gb else df.groupBy()).agg(
         F.min(F.col(key)).cast("double").alias("_psum_lo"),
         F.max(F.col(key)).cast("double").alias("_psum_hi"),
     ).withColumn("_psum_one", F.lit(1))
@@ -128,7 +140,7 @@ def range_prefix_sum(
     )
     based = (
         df.withColumn("_psum_one", F.lit(1))
-        .join(F.broadcast(stats), "_psum_one")
+        .join(F.broadcast(stats), [*gb, "_psum_one"])
         .withColumn("_psum_bucket", bucket)
     )
 
@@ -137,7 +149,7 @@ def range_prefix_sum(
     # reproduced exactly: SUM skips NULLs but yields NULL when the
     # whole prefix is NULL — and "the whole prefix" is global, not
     # bucket-local.
-    w_local = Window.partitionBy("_psum_bucket").orderBy(
+    w_local = Window.partitionBy(*gb, "_psum_bucket").orderBy(
         F.col(key).asc_nulls_first()
     )
     local = based.select(
@@ -158,7 +170,7 @@ def range_prefix_sum(
     # scan over this frame is the only non-partitioned window, tiny by
     # construction. Sums are 0-coalesced here so the offset scan never
     # turns NULL on an all-NULL bucket.
-    subtotals = local.groupBy("_psum_bucket").agg(
+    subtotals = local.groupBy(*gb, "_psum_bucket").agg(
         *[
             c
             for out, expr in exprs.items()
@@ -170,8 +182,13 @@ def range_prefix_sum(
             )
         ]
     )
-    w_off = Window.orderBy("_psum_bucket")
+    w_off = (
+        Window.partitionBy(*gb).orderBy("_psum_bucket")
+        if gb
+        else Window.orderBy("_psum_bucket")
+    )
     offsets = subtotals.select(
+        *gb,
         "_psum_bucket",
         *[
             c
@@ -201,6 +218,6 @@ def range_prefix_sum(
         ).alias(out)
         for out in exprs
     ]
-    return local.join(F.broadcast(offsets), "_psum_bucket").select(
-        *keep, *out_cols
-    )
+    return local.join(
+        F.broadcast(offsets), [*gb, "_psum_bucket"]
+    ).select(*keep, *out_cols)

@@ -994,15 +994,18 @@ def grouped_value_percentiles(
         F.coalesce("event_type", F.lit("(null)")).alias("etype"),
         F.floor(F.col("value") * 100).cast("bigint").alias("c"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    wc = Window.partitionBy("etype").orderBy(F.asc("c"))
-    wt = Window.partitionBy("etype")
-    cum = hist.select(
-        "etype",
-        "c",
-        "cnt",
-        F.sum("cnt").over(wc).alias("cumn"),
-        F.sum("cnt").over(wt).alias("n"),
+    # each type's cents histogram saturates the value domain at scale,
+    # so the per-type cumulative uses the GROUPED prefix scan (buckets
+    # within each type — parallelism beyond the 5-type domain) and the
+    # per-type totals broadcast from a type-domain aggregate (r12)
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
     )
+
+    totals = hist.groupBy("etype").agg(F.sum("cnt").alias("n"))
+    cum = range_prefix_sum(
+        hist, "c", {"cumn": "cnt"}, group_by=["etype"]
+    ).join(F.broadcast(totals), "etype")
 
     def pick(num: int, den: int):
         k = F.expr(f"({num} * n + {den - 1}) div {den}")

@@ -476,11 +476,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # op feeds BOTH self-join sides — materialize so the distinct runs
     # once, and build only the u<v orientation (half the join output
-    # through the distinct), deriving the mirror by a free projection
+    # through the distinct), deriving the mirror by a free projection.
+    # Checkpoints here are EAGER (r12): the r12 stage profile
+    # (tools/profile_lpa.py) showed lazy checkpoints never materialize
+    # before the single final action, so each round re-derived the
+    # edge frame from the 2 GB base scan (two extra full-input stages
+    # at sf1); eager materialization runs each frame exactly once —
+    # sf1 36.1 s → 24.9 s same-session, identical results.
     op = (
         li.select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     a, b = op.alias("a"), op.alias("b")
     half = (
@@ -493,18 +499,21 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     edges = half.unionByName(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    labels = li.select(
+    # identity labels from the CHECKPOINTED pair frame, not a second
+    # full source scan (r12 profile: the init distinct re-read the
+    # whole input; distinct partkeys of op == distinct partkeys of li)
+    labels = op.select(
         F.col("l_partkey").alias("part_id"), F.col("l_partkey").alias("lbl")
     ).distinct()
     for i in range(_LPA_ITERS):
         # labels feeds two branches (votes + keep-own fallback):
         # materialize so the round's lineage is computed once
-        labels = labels.localCheckpoint(eager=False)
+        labels = labels.localCheckpoint(eager=True)
         if i == 0:
             # ROUND-1 SHORTCUT (r11, bit-identical by construction):
             # labels start as the identity, and edges are DISTINCT, so

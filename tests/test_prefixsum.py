@@ -170,3 +170,27 @@ def test_property_matches_window(spark, rows, parts):
         (tuple((x is None, x) for x in t) for t in map(tuple, r))
     )
     assert nsort(got.collect()) == nsort(want.collect())
+
+
+def test_grouped_scan_matches_partitioned_window(spark):
+    """group_by: the scan must equal Window.partitionBy(g).orderBy(k)
+    per group, including groups with disjoint key extents."""
+    rows = []
+    rng = random.Random(99)
+    for g in ["a", "b", "c"]:
+        base = {"a": 0, "b": 10_000, "c": -500}[g]
+        for _ in range(200):
+            rows.append(
+                Row(g=g, k=base + rng.randint(0, 400),
+                    v=rng.randint(-9, 9))
+            )
+    df = spark.createDataFrame(rows, "g string, k bigint, v bigint")
+    got = range_prefix_sum(
+        df, "k", {"cum_v": "v"}, num_partitions=4, group_by=["g"]
+    )
+    w = Window.partitionBy("g").orderBy(F.col("k").asc_nulls_first())
+    want = df.select("*", F.sum("v").over(w).alias("cum_v"))
+    nsort = lambda r: sorted(  # noqa: E731
+        (tuple((x is None, x) for x in t) for t in map(tuple, r))
+    )
+    assert nsort(got.collect()) == nsort(want.collect())

@@ -28,8 +28,17 @@ def main() -> int:
     from stream_processing_spark.session import get_spark
     from stream_processing_spark.queries import REGISTRY
 
-    spark = get_spark(app_name="lpa-profile")
+    spark = get_spark(
+        app_name="lpa-profile",
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    if spark.sparkContext.uiWebUrl is None:
+        print(
+            "Spark UI disabled (session reused?) — run standalone",
+            file=sys.stderr,
+        )
+        return 1
 
     if len(sys.argv) > 1:
         sf_dir = sys.argv[1]
