@@ -300,11 +300,25 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    # r12: the canary's OWN codegen/C2 path needs warming — every
+    # recorded run showed pre ≈ 2× post on an otherwise idle box (the
+    # parquet warmup above compiles a different code path), which made
+    # the pre/post swing read as permanent host noise. Warm it off the
+    # clock until two consecutive probes agree within 20% (≤6 tries).
+    prev = _canary()
+    for _ in range(5):
+        cur = _canary()
+        if max(prev, cur) / max(min(prev, cur), 1e-9) < 1.2:
+            break
+        prev = cur
+
     canary_pre = _canary()
 
     timings: dict[str, float] = {}
 
     def _measure_pass(runs: int) -> None:
+        import gc
+
         for name in BENCH_QUERIES:
             spec = REGISTRY[name]
             best = timings.get(name, float("inf"))
@@ -315,6 +329,14 @@ def main() -> None:
                 ).save()
                 best = min(best, time.perf_counter() - t0)
             timings[name] = round(best, 3)
+            # release checkpoint/cache blocks between queries: the
+            # eager localCheckpoints (LPA, spearman, the drift
+            # monitors) are reclaimed by ContextCleaner only after
+            # both the Python refs and the JVM weak refs clear — left
+            # alone, ~80 queries of accumulated blocks degraded the
+            # shared session ~4x for late-positioned queries (r12)
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
 
     # best of 2: the first run pays whole-stage-codegen compilation
     # and JIT; steady-state is what a long-running cluster sees

@@ -111,10 +111,9 @@ def range_prefix_sum(
     # Per-group key-extent frame (1 row when ungrouped), attached via
     # a constant-key / group-key equi-join so it broadcasts as a hash
     # join (never a nested-loop cross product on the grouped path).
-    stats = (df.groupBy(*gb) if gb else df.groupBy()).agg(
-        F.min(F.col(key)).cast("double").alias("_psum_lo"),
-        F.max(F.col(key)).cast("double").alias("_psum_hi"),
-    ).withColumn("_psum_one", F.lit(1))
+    # The CUT ARRAY is materialized HERE, on the 1-row-per-group stats
+    # frame — building ~3P cuts (with 2P pow() calls) per DATA row
+    # cost ~5 s on a 600k-row histogram before this was hoisted (r12).
     seq = F.sequence(F.lit(1), F.lit(max(1, num_partitions - 1)))
     lo, hi = F.col("_psum_lo"), F.col("_psum_hi")
     span = hi - lo
@@ -132,11 +131,24 @@ def range_prefix_sum(
             lambda i: hi - F.pow(span + 1, i.cast("double") / F.lit(p)),
         ),
     )
+    stats = (
+        (df.groupBy(*gb) if gb else df.groupBy())
+        .agg(
+            F.min(F.col(key)).cast("double").alias("_psum_lo"),
+            F.max(F.col(key)).cast("double").alias("_psum_hi"),
+        )
+        .withColumn("_psum_cuts", cuts)
+        .drop("_psum_lo", "_psum_hi")
+        .withColumn("_psum_one", F.lit(1))
+    )
     # monotone in the key by construction (each cut comparison is a
     # plain predicate; bigint→double casts are monotone); NULL keys
     # drop every comparison and land in bucket 0 (nulls-first).
     bucket = F.size(
-        F.filter(cuts, lambda c: c <= F.col(key).cast("double"))
+        F.filter(
+            F.col("_psum_cuts"),
+            lambda c: c <= F.col(key).cast("double"),
+        )
     )
     based = (
         df.withColumn("_psum_one", F.lit(1))
@@ -169,8 +181,12 @@ def range_prefix_sum(
     # constant (≤ 3·num_partitions), never the data. The exclusive
     # scan over this frame is the only non-partitioned window, tiny by
     # construction. Sums are 0-coalesced here so the offset scan never
-    # turns NULL on an all-NULL bucket.
-    subtotals = local.groupBy(*gb, "_psum_bucket").agg(
+    # turns NULL on an all-NULL bucket. Aggregated from `based`, NOT
+    # from `local`: subtotals need only the raw values, and keeping
+    # the window single-referenced stops Spark recomputing it for the
+    # subtotal branch (r12 — halved the scan's wall on a 600k-row
+    # histogram).
+    subtotals = based.groupBy(*gb, "_psum_bucket").agg(
         *[
             c
             for out, expr in exprs.items()

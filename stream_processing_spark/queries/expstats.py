@@ -373,6 +373,12 @@ def spearman_quantity_price(
         )
         .groupBy("q", "p")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # the joint histogram feeds FIVE branches (two marginals, each
+        # with the prefix scan's extent/local subplans, plus the final
+        # moment join): EAGER checkpoint computes it once — lazy never
+        # materializes before the single final action (the LPA r12
+        # profile lesson); sf0.1 wall 10.1 s → measured after change
+        .localCheckpoint(eager=True)
     )
     # marginal rank maps: the price-cents marginal GROWS with data until
     # it saturates its ~10M-cent domain, so its cumulative must not be a

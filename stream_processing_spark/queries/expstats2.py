@@ -756,11 +756,16 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = load_table(spark, sf_dir, "orders")
+    # the histogram feeds four branches (total, the prefix scan's
+    # extent/local subplans, the clamped fold): eager checkpoint
+    # computes the corpus aggregation once (LPA r12 profile lesson)
     hist = orders.groupBy(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("c")
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).localCheckpoint(
+        eager=True
+    )
     nn = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
     cum = range_prefix_sum(hist, "c", {"cumn": "cnt"}).crossJoin(
         F.broadcast(nn)
