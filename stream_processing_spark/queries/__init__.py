@@ -125,7 +125,8 @@ _PRIORITY = [
     "cohort_retention_triangle", "grouped_value_percentiles",
     "hhi_source_concentration", "bm25f_topk_docs",
     "dedup_cc_survivor_map", "streaming_page_hinkley_monitor",
-    "holt_linear_daily_trend",
+    "holt_linear_daily_trend", "stratified_dr_ate",
+    "bh_fdr_type_drift",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1134,3 +1134,284 @@ def holt_linear_daily_trend(
             F.col("level") + 7 * F.col("trend"), 6
         ).alias("forecast_7d"),
     )
+
+
+# ------------------------------------- doubly-robust / stratified ATE
+
+
+@register(
+    "stratified_dr_ate",
+    f"""
+    WITH per_user AS (
+        SELECT user_id % 2 AS t,
+               LEAST(CAST(FLOOR(LOG2(COUNT(*))) AS BIGINT),
+                     {_IPW_MAX_BUCKET}) AS b,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS y
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ),
+    strata AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n_x,
+               CAST(SUM(t) AS BIGINT) AS t_x,
+               CAST(SUM(t * y) AS BIGINT) AS c1_x,
+               CAST(SUM((1 - t) * y) AS BIGINT) AS c0_x
+        FROM per_user GROUP BY b
+    ),
+    terms AS (
+        SELECT CASE WHEN t_x > 0 AND t_x < n_x THEN n_x ELSE 0 END
+                   AS den,
+               CAST(ROUND(CASE WHEN t_x > 0 AND t_x < n_x
+                   THEN n_x * (CAST(c1_x AS DOUBLE) / t_x
+                               - CAST(c0_x AS DOUBLE) / (n_x - t_x))
+                   ELSE 0 END, 9) AS DECIMAL(28,9)) AS num
+        FROM strata
+    )
+    SELECT CAST((SELECT COUNT(*) FROM per_user) AS BIGINT) AS n_users,
+           CAST(SUM(den) AS BIGINT) AS n_overlap,
+           ROUND(CAST(SUM(num) AS DOUBLE) / NULLIF(SUM(den), 0), 6)
+               AS ate_dr
+    FROM terms
+    """,
+    doc="Doubly-robust ATE on the hash-assigned treatment with "
+    "SATURATED per-stratum models — the causal sibling of "
+    "ipw_conversion_effect (same log2-activity strata, propensity "
+    "e=t_x/n_x, outcome models m1=c1_x/t_x, m0=c0_x/(n_x−t_x)). With "
+    "stratum-constant m and e the augmentation terms vanish "
+    "ALGEBRAICALLY — Σ_treated(y−m1) = c1_x − t_x·(c1_x/t_x) = 0 — so "
+    "the AIPW estimator collapses exactly to the stratified "
+    "difference Σ n_x·(m1−m0)/Σ n_x over strata with BOTH arms "
+    "present (the overlap population; the classic saturated-model DR "
+    "identity, worked in this docstring so the estimator's "
+    "simplicity is a derivation, not an omission). Each stratum term "
+    "is one fixed double expression rounded to 9dp and DECIMAL-"
+    "summed. Scale shape: ONE per-user aggregation, then ≤ 8 strata "
+    "rows. Exactly one output row.",
+)
+def stratified_dr_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.least(
+            F.floor(F.log2(F.count(F.lit(1)))).cast("bigint"),
+            F.lit(_IPW_MAX_BUCKET).cast("bigint"),
+        ).alias("b"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("y"),
+    ).select((F.col("user_id") % 2).alias("t"), "b", "y")
+    strata = per_user.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_x"),
+        F.sum("t").cast("bigint").alias("t_x"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("c1_x"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("bigint").alias("c0_x"),
+    )
+    nx, tx = F.col("n_x"), F.col("t_x")
+    both = (tx > 0) & (tx < nx)
+    terms = strata.select(
+        F.when(both, nx).otherwise(0).alias("den"),
+        F.round(
+            F.when(
+                both,
+                nx
+                * (
+                    F.col("c1_x").cast("double") / tx
+                    - F.col("c0_x").cast("double") / (nx - tx)
+                ),
+            ).otherwise(0.0),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("num"),
+    )
+    n_users = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    return terms.agg(
+        F.sum("den").cast("bigint").alias("n_overlap"),
+        F.round(
+            F.sum("num").cast("double")
+            / F.nullif(F.sum("den").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("ate_dr"),
+    ).crossJoin(F.broadcast(n_users)).select(
+        "n_users", "n_overlap", "ate_dr"
+    )
+
+
+# ------------------------------- Benjamini-Hochberg FDR over drift z
+
+_BH_Q = 0.10
+# Zelen & Severo 26.2.17 tail approximation of the standard normal —
+# identical literals on both engines, Horner form so the float op
+# ORDER is identical too (|err| < 7.5e-8, far inside the 9dp round)
+_PHI_K = 0.2316419
+_PHI_INV_SQRT_2PI = 0.3989422804014327
+_PHI_B = (0.319381530, -0.356563782, 1.781477937,
+          -1.821255978, 1.330274429)
+
+
+def _norm_tail_sql(az: str) -> str:
+    b1, b2, b3, b4, b5 = _PHI_B
+    k = f"(1.0 / (1.0 + {_PHI_K} * {az}))"
+    horner = (f"({k} * ({b1} + {k} * ({b2} + {k} * ({b3} + {k} * "
+              f"({b4} + {k} * {b5})))))")
+    return (f"({_PHI_INV_SQRT_2PI} * EXP(-({az}) * ({az}) / 2.0) "
+            f"* {horner})")
+
+
+@register(
+    "bh_fdr_type_drift",
+    f"""
+    WITH bounds AS (
+        SELECT CAST(MIN(CAST(ts AS DATE))
+                    + CAST(FLOOR(date_diff('day',
+                          MIN(CAST(ts AS DATE)),
+                          MAX(CAST(ts AS DATE))) / 2) AS INT)
+                    AS DATE) AS dmid
+        FROM events
+    ),
+    per AS (
+        SELECT COALESCE(e.event_type, '(null)') AS etype,
+               CAST(SUM(CASE WHEN CAST(e.ts AS DATE) <= b.dmid
+                    THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN CAST(e.ts AS DATE) <= b.dmid
+                    THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        FROM events e, bounds b GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(a) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb
+        FROM per
+    ),
+    zt AS (
+        SELECT etype, a, cb, na, nb,
+               (CAST(a AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+               / NULLIF(SQRT((CAST(a + cb AS DOUBLE) / (na + nb))
+                    * (1.0 - CAST(a + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 0) AS z
+        FROM per, tot
+    ),
+    pv AS (
+        SELECT etype, z,
+               CAST(ROUND(LEAST(
+                   2.0 * {_norm_tail_sql("ABS(z)")}, 1.0), 9)
+                    AS DECIMAL(18,9)) AS p
+        FROM zt
+    ),
+    ranked AS (
+        SELECT etype, z, p,
+               CAST(ROW_NUMBER() OVER (ORDER BY p ASC, etype ASC)
+                    AS BIGINT) AS p_rank,
+               COUNT(*) OVER () AS m
+        FROM pv
+    ),
+    thr AS (
+        SELECT COALESCE(MAX(CASE WHEN CAST(p AS DOUBLE)
+                    <= {_BH_Q} * p_rank / m THEN p_rank END), 0) AS k
+        FROM ranked
+    )
+    SELECT r.etype, ROUND(r.z, 6) AS z_drift,
+           CAST(r.p AS DOUBLE) AS p_value, r.p_rank,
+           r.p_rank <= t.k AS reject
+    FROM ranked r, thr t
+    """,
+    doc="Benjamini-Hochberg FDR control over the per-event-type "
+    "composition-drift z-tests (first half of the day span vs the "
+    "second, each type's share vs the pooled two-proportion z — the "
+    "multiple-testing layer a drift-alarm dashboard needs before "
+    f"paging anyone; q = {_BH_Q}). The normal tail is the Zelen-"
+    "Severo polynomial approximation written in HORNER form with "
+    "identical literals on both engines, so the doubles match "
+    "bit-for-bit before the 9dp p-value round (the fold-order-twin "
+    "discipline applied to a special function — neither engine has a "
+    "portable erf). BH: rank p ascending (etype tie-break), reject "
+    "ranks ≤ max{{i : p_i ≤ q·i/m}}. Scale shape: one corpus "
+    "aggregation to the (type × half) counts; ranking windows run on "
+    "the ≤ type-domain frame (WINDOW_OK). NULL event_type is a "
+    "first-class '(null)' level; NULL-ts rows fall in the second "
+    "half via the CASE's ELSE, as everywhere in the drift tier.",
+)
+def bh_fdr_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    ).select(
+        F.date_add(
+            F.col("d0"),
+            F.floor(F.datediff("d1", "d0") / 2).cast("int"),
+        ).alias("dmid")
+    )
+    in_a = F.to_date("ts") <= F.col("dmid")
+    per = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            F.coalesce("event_type", F.lit("(null)")).alias("etype")
+        )
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(in_a, 0).otherwise(1))
+            .cast("bigint")
+            .alias("cb"),
+        )
+    )
+    tot = per.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    pool = (F.col("a") + F.col("cb")).cast("double") / (na + nb)
+    z = (
+        F.col("a").cast("double") / na - F.col("cb").cast("double") / nb
+    ) / F.nullif(
+        F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)), F.lit(0.0)
+    )
+    zt = per.crossJoin(F.broadcast(tot)).select(
+        "etype", z.alias("z")
+    )
+    az = F.abs(F.col("z"))
+    b1, b2, b3, b4, b5 = _PHI_B
+    k = 1.0 / (1.0 + _PHI_K * az)
+    horner = k * (b1 + k * (b2 + k * (b3 + k * (b4 + k * b5))))
+    tail = (
+        _PHI_INV_SQRT_2PI * F.exp(-az * az / 2.0) * horner
+    )
+    pv = zt.select(
+        "etype",
+        "z",
+        F.round(F.least(2.0 * tail, F.lit(1.0)), 9)
+        .cast("decimal(18,9)")
+        .alias("p"),
+    )
+    wr = Window.orderBy(F.asc("p"), F.asc("etype"))
+    wall = Window.partitionBy()
+    ranked = pv.select(
+        "etype",
+        "z",
+        "p",
+        F.row_number().over(wr).cast("bigint").alias("p_rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    thr = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p").cast("double")
+                    <= _BH_Q * F.col("p_rank") / F.col("m"),
+                    F.col("p_rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(thr)).select(
+        "etype",
+        F.round("z", 6).alias("z_drift"),
+        F.col("p").cast("double").alias("p_value"),
+        "p_rank",
+        (F.col("p_rank") <= F.col("k")).alias("reject"),
+    )

@@ -88,6 +88,8 @@ CROSS_OK = {
     "vocab_top_tokens",
     # day-DOMAIN-bounded daily pair join (~n_days²) + 1-row broadcasts
     "mann_kendall_daily_trend",
+    "stratified_dr_ate",             # 1-row n_users broadcast
+    "bh_fdr_type_drift",             # 1-row totals + 1-row BH threshold
     # prefix-sum key-extent broadcast + 1-row (n, lo, hi) broadcasts
     "winsorized_mean_price",
     # domain-bounded broadcast: the per-quantity-value group means
@@ -124,6 +126,7 @@ WINDOW_OK = {
     "mi_event_type_hour",          # event-type × 24-hour grid
     "mixture_temperature_weights",  # language-domain frame
     "nelson_aalen_cumulative_hazard",  # lifetime-days domain
+    "bh_fdr_type_drift",           # BH rank windows over ≤ type-domain
     "page_hinkley_value_drift",    # day-domain daily frame (r12)
     "rolling_median_daily_revenue",  # day-domain daily frame (r12)
     "psi_value_drift",             # ≤ 10-bucket PSI frame (post-scan)

@@ -438,3 +438,67 @@ def test_streaming_page_hinkley_equals_batch(spark, tmp_path):
         )
     )
     assert batch == streamed and len(batch) == 5
+
+
+# ------------------------------------------- stratified / DR ATE
+
+
+def test_stratified_dr_equals_hand_strata(spark, tmp_path):
+    """Same fixture as the IPW test: stratum diffs are +1 and −0.5
+    with equal weights ⇒ ATE = 0.25 over all 8 users (every stratum
+    has both arms)."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01' ts, CAST(u AS BIGINT) user_id,
+               et AS event_type, CAST(1.0 AS DOUBLE) AS value,
+               '{}' AS props
+        FROM (VALUES
+            (0, 'view'), (1, 'purchase'), (2, 'view'), (3, 'purchase'),
+            (4, 'purchase'), (4, 'view'),
+            (5, 'purchase'), (5, 'view'),
+            (6, 'purchase'), (6, 'view'),
+            (7, 'view'), (7, 'view')) t(u, et)""")
+    con.close()
+    r = (
+        REGISTRY["stratified_dr_ate"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert (r["n_users"], r["n_overlap"]) == (8, 8)
+    assert r["ate_dr"] == 0.25
+
+
+# ----------------------------------------------- BH FDR drift gate
+
+
+def test_bh_fdr_rejects_drifters_only(spark, tmp_path):
+    """Types x and y swap dominance across the halves (strong drift);
+    type z0 is balanced: BH at q=0.1 must reject x and y and keep z0
+    (whose p ranks last)."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01'
+                   + (CASE WHEN h = 0 THEN 1 ELSE 9 END
+                      || ' days')::INTERVAL AS ts,
+               CAST(ROW_NUMBER() OVER () AS BIGINT) user_id,
+               et AS event_type, CAST(1.0 AS DOUBLE) AS value,
+               '{}' AS props
+        FROM (
+            SELECT 0 AS h, 'x' AS et FROM range(40)
+            UNION ALL SELECT 0, 'y' FROM range(10)
+            UNION ALL SELECT 0, 'z0' FROM range(25)
+            UNION ALL SELECT 1, 'x' FROM range(10)
+            UNION ALL SELECT 1, 'y' FROM range(40)
+            UNION ALL SELECT 1, 'z0' FROM range(25)
+        ) t""")
+    con.close()
+    got = {
+        r["etype"]: (r["reject"], r["p_rank"])
+        for r in REGISTRY["bh_fdr_type_drift"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got["x"][0] and got["y"][0]
+    assert not got["z0"][0] and got["z0"][1] == 3

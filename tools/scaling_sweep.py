@@ -233,6 +233,10 @@ SF1_QUERIES = [
     # sequential Holt fold (expected ~flat — day-domain constant)
     "streaming_page_hinkley_monitor",
     "holt_linear_daily_trend",
+    # causal/multiple-testing pair: one per-user shuffle (DR) and a
+    # type-domain z/p frame (BH) — both expected near-flat
+    "stratified_dr_ate",
+    "bh_fdr_type_drift",
 ]
 
 
