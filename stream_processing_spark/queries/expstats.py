@@ -296,10 +296,13 @@ def cuped_adjusted_ab_metric(
         -- FLOOR before the bigint cast: DuckDB rounds double->bigint to
         -- nearest while Spark truncates toward zero; FLOOR makes the
         -- two engines agree by construction on fractional quantities
-        -- (ADVICE r11)
+        -- (ADVICE r11). Pairwise deletion: a rank statistic is only
+        -- defined on complete (q, p) pairs, and NULL keys would sort
+        -- to different ends of the two engines' cumulatives (r12).
         SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
                CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS p
         FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ),
     joint AS (
         SELECT q, p, COUNT(*) AS cnt FROM rows_kv GROUP BY q, p
@@ -365,7 +368,11 @@ def spearman_quantity_price(
 ) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     joint = (
-        li.select(
+        li.filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_extendedprice").isNotNull()
+        )
+        .select(
             F.floor(F.col("l_quantity")).cast("bigint").alias("q"),
             F.floor(F.col("l_extendedprice") * 100)
             .cast("bigint")

@@ -26,10 +26,14 @@ from stream_processing_spark.queries import register
     "kendall_tau_quantity_discount",
     """
     WITH cells AS (
+        -- pairwise deletion: rank concordance is only defined on
+        -- complete (q, d) pairs (r12, matching spearman)
         SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS q,
                CAST(FLOOR(l_discount * 100) AS BIGINT) AS d,
                COUNT(*) AS cnt
-        FROM lineitem GROUP BY 1, 2
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        GROUP BY 1, 2
     ),
     pairs AS (
         SELECT CAST(SUM(CASE WHEN b.d > a.d
@@ -82,7 +86,11 @@ def kendall_tau_quantity_discount(
 ) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cells = (
-        li.select(
+        li.filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_discount").isNotNull()
+        )
+        .select(
             F.floor("l_quantity").cast("bigint").alias("q"),
             F.floor(F.col("l_discount") * 100).cast("bigint").alias("d"),
         )
@@ -220,11 +228,15 @@ def rolling_median_daily_revenue(
     n = F.size(arr)
     lo = F.element_at(arr, (F.floor((n - 1) / 2) + 1).cast("int"))
     hi = F.element_at(arr, (F.floor(n / 2) + 1).cast("int"))
+    # n counts NON-NULL values (collect_list drops NULLs — the same
+    # ignore-nulls semantics as DuckDB's MEDIAN); guard n = 0 (an
+    # all-NULL-revenue window) since element_at rejects index 0
+    med = F.when(n > 0, ((lo + hi) / 2.0).cast("double"))
     return daily.select(
         "day",
         "rev_cents",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_win"),
-        ((lo + hi) / 2.0).cast("double").alias("med_cents"),
+        med.alias("med_cents"),
     )
 
 
@@ -709,10 +721,13 @@ _WINSOR_PCT_NUM, _WINSOR_PCT_DEN = 1, 20  # clamp at P5 / P95
     "winsorized_mean_price",
     f"""
     WITH hist AS (
+        -- NULL prices carry no location information and their NULL
+        -- cents bucket would sort to different ends of the engines'
+        -- cumulatives (r12)
         SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                    AS c,
                CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM orders GROUP BY 1
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
     ),
     cum AS (
         SELECT c, cnt, SUM(cnt) OVER (ORDER BY c ASC) AS cumn
@@ -759,7 +774,7 @@ def winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the histogram feeds four branches (total, the prefix scan's
     # extent/local subplans, the clamped fold): eager checkpoint
     # computes the corpus aggregation once (LPA r12 profile lesson)
-    hist = orders.groupBy(
+    hist = orders.filter(F.col("o_totalprice").isNotNull()).groupBy(
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("bigint")
         .alias("c")

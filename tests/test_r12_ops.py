@@ -502,3 +502,152 @@ def test_bh_fdr_rejects_drifters_only(spark, tmp_path):
     }
     assert got["x"][0] and got["y"][0]
     assert not got["z0"][0] and got["z0"][1] == 3
+
+
+# ---------------------------------------- degenerate-input sweeps
+
+R12_BATCH = [
+    "kendall_tau_quantity_discount", "rolling_median_daily_revenue",
+    "ipw_conversion_effect", "page_hinkley_value_drift",
+    "cohort_ltv_matrix", "mann_kendall_daily_trend",
+    "winsorized_mean_price", "user_longest_streak",
+    "cohort_retention_triangle", "grouped_value_percentiles",
+    "hhi_source_concentration", "bm25f_topk_docs",
+    "dedup_cc_survivor_map", "holt_linear_daily_trend",
+    "stratified_dr_ate", "bh_fdr_type_drift",
+]
+
+
+def _empty_tables(con, tmp_path):
+    con.execute(f"""COPY (SELECT CAST(1 AS BIGINT) event_id,
+        TIMESTAMP '2024-01-01' ts, CAST(1 AS BIGINT) user_id,
+        'view' event_type, CAST(1.0 AS DOUBLE) AS value, '' AS props
+        WHERE false) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT CAST(1 AS BIGINT) o_orderkey,
+        CAST(1 AS BIGINT) o_custkey, 'O' o_orderstatus,
+        CAST(1.0 AS DOUBLE) o_totalprice,
+        TIMESTAMP '2024-01-01' o_orderdate, 'x' o_orderpriority
+        WHERE false) TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT CAST(1 AS BIGINT) l_orderkey,
+        CAST(1 AS BIGINT) l_partkey, CAST(1 AS BIGINT) l_suppkey,
+        CAST(1 AS INT) l_linenumber, CAST(1.0 AS DOUBLE) l_quantity,
+        CAST(1.0 AS DOUBLE) l_extendedprice,
+        CAST(0.0 AS DOUBLE) l_discount, CAST(0.0 AS DOUBLE) l_tax,
+        'N' l_returnflag, 'O' l_linestatus,
+        TIMESTAMP '2024-01-01' l_shipdate
+        WHERE false) TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT CAST(1 AS BIGINT) doc_id, '' AS text,
+        'en' AS lang, 's' AS source, CAST(0 AS BIGINT) n_chars
+        WHERE false) TO '{tmp_path}/documents.parquet'
+        (FORMAT PARQUET)""")
+
+
+def _oracle_on(tmp_path, tables):
+    ora = duckdb.connect()
+    for t in tables:
+        ora.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    return ora
+
+
+def test_r12_empty_tables_match_oracle(spark, tmp_path):
+    """An empty day-slice must yield the oracle's (usually empty or
+    NULL-carrying 1-row) answer, never a compile/driver error."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_util import compare
+
+    con = duckdb.connect()
+    _empty_tables(con, tmp_path)
+    con.close()
+    ora = _oracle_on(tmp_path, ["events", "orders", "lineitem",
+                                "documents"])
+    for name in R12_BATCH:
+        spec = REGISTRY[name]
+        compare(
+            spec.spark(spark, str(tmp_path)),
+            ora.sql(spec.oracle),
+            f"empty:{name}",
+        )
+    ora.close()
+
+
+def test_r12_null_bearing_rows_match_oracle(spark, tmp_path):
+    """NULL ts/value/user_id/event_type/price/quantity/discount/text
+    rows mixed with real ones: every r12 query must agree with its
+    oracle exactly (pairwise deletion and documented exclusions are
+    pinned on BOTH engines)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle_util import compare
+
+    con = duckdb.connect()
+    con.execute(f"""COPY (
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               CASE WHEN i % 5 = 0 THEN NULL
+                    ELSE TIMESTAMP '2024-01-01'
+                         + ((i % 9) || ' days')::INTERVAL END AS ts,
+               CASE WHEN i % 7 = 0 THEN NULL
+                    ELSE CAST(i % 6 AS BIGINT) END AS user_id,
+               CASE WHEN i % 11 = 0 THEN NULL
+                    WHEN i % 2 = 0 THEN 'view' ELSE 'purchase' END
+                   AS event_type,
+               CASE WHEN i % 3 = 0 THEN NULL
+                    ELSE CAST((i % 13) + 0.25 AS DOUBLE) END AS value,
+               '' AS props
+        FROM range(0, 120) t(i))
+        TO '{tmp_path}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (
+        SELECT CAST(i AS BIGINT) o_orderkey, CAST(i AS BIGINT) o_custkey,
+               'O' o_orderstatus,
+               CASE WHEN i % 4 = 0 THEN NULL
+                    ELSE CAST((i % 17) + 10.5 AS DOUBLE) END
+                   AS o_totalprice,
+               CASE WHEN i % 6 = 0 THEN NULL
+                    ELSE TIMESTAMP '2024-02-01'
+                         + ((i % 8) || ' days')::INTERVAL END
+                   AS o_orderdate,
+               'x' o_orderpriority
+        FROM range(0, 80) t(i))
+        TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (
+        SELECT CAST(i AS BIGINT) l_orderkey,
+               CAST(i % 9 AS BIGINT) l_partkey,
+               CAST(i AS BIGINT) l_suppkey, CAST(1 AS INT) l_linenumber,
+               CASE WHEN i % 5 = 0 THEN NULL
+                    ELSE CAST((i % 7) + 1.0 AS DOUBLE) END AS l_quantity,
+               CASE WHEN i % 8 = 0 THEN NULL
+                    ELSE CAST((i % 11) * 3.5 + 1 AS DOUBLE) END
+                   AS l_extendedprice,
+               CASE WHEN i % 6 = 0 THEN NULL
+                    ELSE CAST((i % 4) * 0.01 AS DOUBLE) END
+                   AS l_discount,
+               CAST(0.0 AS DOUBLE) l_tax, 'N' l_returnflag,
+               'O' l_linestatus, TIMESTAMP '2024-01-01' l_shipdate
+        FROM range(0, 90) t(i))
+        TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (
+        SELECT CAST(i AS BIGINT) doc_id,
+               CASE WHEN i % 6 = 0 THEN NULL
+                    WHEN i % 6 = 1 THEN ''
+                    ELSE 'merge scan w' || (i % 4) || ' x y z a b c'
+                    END AS text,
+               'en' AS lang,
+               CASE WHEN i % 9 = 0 THEN NULL
+                    ELSE 's' || (i % 3) END AS source,
+               CAST(i % 40 AS BIGINT) n_chars
+        FROM range(0, 60) t(i))
+        TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)""")
+    con.close()
+    ora = _oracle_on(tmp_path, ["events", "orders", "lineitem",
+                                "documents"])
+    for name in R12_BATCH:
+        spec = REGISTRY[name]
+        compare(
+            spec.spark(spark, str(tmp_path)),
+            ora.sql(spec.oracle),
+            f"nulls:{name}",
+        )
+    ora.close()
