@@ -126,7 +126,8 @@ _PRIORITY = [
     "hhi_source_concentration", "bm25f_topk_docs",
     "dedup_cc_survivor_map", "streaming_page_hinkley_monitor",
     "holt_linear_daily_trend", "stratified_dr_ate",
-    "bh_fdr_type_drift",
+    "bh_fdr_type_drift", "median_ci_orders",
+    "lorenz_user_activity_deciles",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -1430,3 +1430,217 @@ def bh_fdr_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_rank",
         (F.col("p_rank") <= F.col("k")).alias("reject"),
     )
+
+
+# ------------------------------------- median CI by order statistics
+
+_MEDCI_Z = 1.959963984540054  # two-sided 95% normal quantile literal
+
+
+@register(
+    "median_ci_orders",
+    f"""
+    WITH hist AS (
+        SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+        SELECT c, cnt, SUM(cnt) OVER (ORDER BY c ASC) AS cumn FROM hist
+    ),
+    nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+    ranks AS (
+        SELECT n,
+               (n + 1) // 2 AS k_med,
+               GREATEST(CAST(FLOOR((n - {_MEDCI_Z} * SQRT(n)) / 2)
+                             AS BIGINT), 1) AS k_lo,
+               LEAST(CAST(CEIL(1 + (n + {_MEDCI_Z} * SQRT(n)) / 2)
+                          AS BIGINT), n) AS k_hi
+        FROM nn
+    )
+    SELECT r.n AS n_rows,
+           CAST(MIN(CASE WHEN cumn >= r.k_med THEN c END) AS DOUBLE)
+               / 100 AS median,
+           CAST(MIN(CASE WHEN cumn >= r.k_lo THEN c END) AS DOUBLE)
+               / 100 AS ci_lo,
+           CAST(MIN(CASE WHEN cumn >= r.k_hi THEN c END) AS DOUBLE)
+               / 100 AS ci_hi
+    FROM cum CROSS JOIN ranks r
+    GROUP BY r.n
+    """,
+    doc="Exact median of order totals with a 95% distribution-free "
+    "confidence interval by ORDER STATISTICS: the binomial(n, ½) "
+    "normal approximation gives integer ranks k_lo = ⌊(n−z√n)/2⌋ and "
+    "k_hi = ⌈1+(n+z√n)/2⌉ (clamped to [1, n]; z inlined as the same "
+    "full-precision literal on both engines), and all three picks are "
+    "histogram-rank CASE folds — no bootstrap, no float percentile "
+    "interpolation, the classic nonparametric CI every metrics "
+    "platform should ship beside bootstrap_mean_ci_orders. Scale "
+    "shape: one corpus aggregation to the price-cents histogram; the "
+    "rank walk is the range-partitioned prefix scan, ranks are a "
+    "1-row broadcast. Lower-median convention as in "
+    "grouped_value_percentiles. NULL prices are excluded. Exactly one "
+    "output row (zero rows on an empty table).",
+)
+def median_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    hist = orders.filter(F.col("o_totalprice").isNotNull()).groupBy(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    nn = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    n = F.col("n")
+    ranks = nn.select(
+        "n",
+        F.expr("(n + 1) div 2").alias("k_med"),
+        F.greatest(
+            F.floor((n - _MEDCI_Z * F.sqrt(n)) / 2).cast("bigint"),
+            F.lit(1),
+        ).alias("k_lo"),
+        F.least(
+            F.ceil(1 + (n + _MEDCI_Z * F.sqrt(n)) / 2).cast("bigint"),
+            n,
+        ).alias("k_hi"),
+    )
+    cum = range_prefix_sum(hist, "c", {"cumn": "cnt"}).crossJoin(
+        F.broadcast(ranks)
+    )
+
+    def pick(k):
+        return (
+            F.min(F.when(F.col("cumn") >= F.col(k), F.col("c"))).cast(
+                "double"
+            )
+            / 100
+        )
+
+    return cum.groupBy("n").agg(
+        pick("k_med").alias("median"),
+        pick("k_lo").alias("ci_lo"),
+        pick("k_hi").alias("ci_hi"),
+    ).select(
+        F.col("n").alias("n_rows"), "median", "ci_lo", "ci_hi"
+    )
+
+
+# ---------------------------------------------- Lorenz curve deciles
+
+
+@register(
+    "lorenz_user_activity_deciles",
+    """
+    WITH per_user AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    levels AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS k
+        FROM per_user GROUP BY n
+    ),
+    cum AS (
+        SELECT n, k,
+               SUM(k) OVER (ORDER BY n ASC) AS cumk,
+               SUM(n * k) OVER (ORDER BY n ASC) AS cumev
+        FROM levels
+    ),
+    tot AS (
+        SELECT CAST(SUM(k) AS BIGINT) AS nu,
+               CAST(SUM(n * k) AS BIGINT) AS ne
+        FROM levels
+    ),
+    g AS (SELECT UNNEST(range(1, 11)) AS decile),
+    pick AS (
+        SELECT g.decile, t.nu, t.ne,
+               (g.decile * t.nu + 9) // 10 AS kg,
+               MIN(CASE WHEN c.cumk >= (g.decile * t.nu + 9) // 10
+                   THEN c.cumk END) AS cumk_l,
+               MIN(CASE WHEN c.cumk >= (g.decile * t.nu + 9) // 10
+                   THEN c.k END) AS k_l,
+               MIN(CASE WHEN c.cumk >= (g.decile * t.nu + 9) // 10
+                   THEN c.n END) AS n_l,
+               MIN(CASE WHEN c.cumk >= (g.decile * t.nu + 9) // 10
+                   THEN c.cumev END) AS cumev_l
+        FROM g CROSS JOIN tot t CROSS JOIN cum c
+        GROUP BY 1, 2, 3
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(kg AS BIGINT) AS n_users_in,
+           ROUND(CAST(cumev_l - n_l * k_l
+                      + (kg - (cumk_l - k_l)) * n_l AS DOUBLE)
+                 / NULLIF(ne, 0), 6) AS cum_event_share
+    FROM pick WHERE nu > 0
+    """,
+    doc="Lorenz curve of per-user event activity at decile resolution "
+    "— the inequality CURVE whose area complement user_activity_gini "
+    "summarizes: point g = share of all events owned by the least-"
+    "active ⌈g·nu/10⌉ users. Computed EXACTLY on the count-of-counts "
+    "LEVEL histogram (activity-domain-bounded): two prefix scans give "
+    "each level's cumulative users and events, the decile boundary "
+    "lands inside its level by pure integer arithmetic (cumev_l − "
+    "n_l·k_l + (kg − (cumk_l − k_l))·n_l — users within a tie level "
+    "are interchangeable, so partial-level attribution is exact), one "
+    "double division per point. Scale shape: one per-user aggregation, "
+    "then everything runs on the level histogram × a 10-row decile "
+    "frame. 10 output rows; decile 10 is 1.0 by construction (a "
+    "built-in self-check); empty/NULL-user corpora yield zero rows.",
+)
+def lorenz_user_activity_deciles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    levels = per_user.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    cum = range_prefix_sum(
+        levels.withColumn("ev", F.col("n") * F.col("k")),
+        "n",
+        {"cumk": "k", "cumev": "ev"},
+    )
+    tot = levels.agg(
+        F.sum("k").cast("bigint").alias("nu"),
+        F.sum(F.col("n") * F.col("k")).cast("bigint").alias("ne"),
+    )
+    g = spark.range(1, 11).select(F.col("id").alias("decile"))
+    kg = F.expr("(decile * nu + 9) div 10")
+    struck = F.when(
+        F.col("cumk") >= kg,
+        F.struct(
+            F.col("cumk").alias("cumk_l"),
+            F.col("k").alias("k_l"),
+            F.col("n").alias("n_l"),
+            F.col("cumev").alias("cumev_l"),
+        ),
+    )
+    pick = (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(cum)
+        .groupBy("decile", "nu", "ne")
+        .agg(F.min(struck).alias("s"))
+        .filter(F.col("nu") > 0)
+    )
+    kg2 = F.expr("(decile * nu + 9) div 10")
+    share = (
+        F.col("s.cumev_l")
+        - F.col("s.n_l") * F.col("s.k_l")
+        + (kg2 - (F.col("s.cumk_l") - F.col("s.k_l"))) * F.col("s.n_l")
+    ).cast("double") / F.nullif(F.col("ne").cast("double"), F.lit(0.0))
+    return pick.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        kg2.cast("bigint").alias("n_users_in"),
+        F.round(share, 6).alias("cum_event_share"),
+    )

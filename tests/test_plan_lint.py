@@ -90,6 +90,9 @@ CROSS_OK = {
     "mann_kendall_daily_trend",
     "stratified_dr_ate",             # 1-row n_users broadcast
     "bh_fdr_type_drift",             # 1-row totals + 1-row BH threshold
+    "median_ci_orders",              # 1-row (n, rank) broadcast
+    # 10-row decile frame × activity-LEVEL histogram (domain-bounded)
+    "lorenz_user_activity_deciles",
     # prefix-sum key-extent broadcast + 1-row (n, lo, hi) broadcasts
     "winsorized_mean_price",
     # domain-bounded broadcast: the per-quantity-value group means

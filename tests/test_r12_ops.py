@@ -515,6 +515,7 @@ R12_BATCH = [
     "hhi_source_concentration", "bm25f_topk_docs",
     "dedup_cc_survivor_map", "holt_linear_daily_trend",
     "stratified_dr_ate", "bh_fdr_type_drift",
+    "median_ci_orders", "lorenz_user_activity_deciles",
 ]
 
 
@@ -651,3 +652,58 @@ def test_r12_null_bearing_rows_match_oracle(spark, tmp_path):
             f"nulls:{name}",
         )
     ora.close()
+
+
+# -------------------------------------------- median order-stat CI
+
+
+def test_median_ci_hand_computed(spark, tmp_path):
+    """Prices 1..25: k_med = 13 → 13.0; z√n = 9.7998 ⇒ k_lo = ⌊7.60⌋ =
+    7 → 7.0 and k_hi = ⌈18.40⌉ = 19 → 19.0."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "orders", """
+        SELECT CAST(i AS BIGINT) o_orderkey, CAST(i AS BIGINT) o_custkey,
+               'O' o_orderstatus, CAST(i AS DOUBLE) o_totalprice,
+               TIMESTAMP '2024-01-01' o_orderdate, 'x' o_orderpriority
+        FROM range(1, 26) t(i)""")
+    con.close()
+    r = (
+        REGISTRY["median_ci_orders"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert (r["n_rows"], r["median"], r["ci_lo"], r["ci_hi"]) == (
+        25, 13.0, 7.0, 19.0,
+    )
+
+
+# ------------------------------------------------ Lorenz deciles
+
+
+def test_lorenz_deciles_hand_computed(spark, tmp_path):
+    """Activities [1,1,1,1,6] (nu=5, ne=10): the bottom 4 users carry
+    1/10 each; the top user carries 6/10 — deciles step 0.1/0.2/0.3/
+    0.4 then jump to 1.0 when the heavy user enters at kg=5."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01' ts, CAST(u AS BIGINT) user_id,
+               'view' event_type, CAST(1.0 AS DOUBLE) AS value,
+               '' AS props
+        FROM (
+            SELECT 1 AS u UNION ALL SELECT 2 UNION ALL SELECT 3
+            UNION ALL SELECT 4
+            UNION ALL SELECT 5 FROM range(6)
+        ) t""")
+    con.close()
+    got = {
+        r["decile"]: (r["n_users_in"], r["cum_event_share"])
+        for r in REGISTRY["lorenz_user_activity_deciles"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {
+        1: (1, 0.1), 2: (1, 0.1), 3: (2, 0.2), 4: (2, 0.2),
+        5: (3, 0.3), 6: (3, 0.3), 7: (4, 0.4), 8: (4, 0.4),
+        9: (5, 1.0), 10: (5, 1.0),
+    }

@@ -237,6 +237,10 @@ SF1_QUERIES = [
     # type-domain z/p frame (BH) — both expected near-flat
     "stratified_dr_ate",
     "bh_fdr_type_drift",
+    # order-statistic CI (price-histogram prefix scan) and the
+    # Lorenz level walk (activity-level histogram) — near-flat
+    "median_ci_orders",
+    "lorenz_user_activity_deciles",
 ]
 
 
