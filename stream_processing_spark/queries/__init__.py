@@ -128,6 +128,7 @@ _PRIORITY = [
     "holt_linear_daily_trend", "stratified_dr_ate",
     "bh_fdr_type_drift", "median_ci_orders",
     "lorenz_user_activity_deciles",
+    "markov_steady_state_event_types",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

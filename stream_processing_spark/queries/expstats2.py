@@ -1644,3 +1644,146 @@ def lorenz_user_activity_deciles(
         kg2.cast("bigint").alias("n_users_in"),
         F.round(share, 6).alias("cum_event_share"),
     )
+
+
+# ---------------------------------------- Markov chain steady state
+
+_MARKOV_ITERS = 3
+
+
+def _markov_iter_sql(prev: str, nxt: str) -> str:
+    return f"""{nxt} AS (
+        SELECT p.j AS etype,
+               CAST(SUM(CAST(ROUND(pi.pi * p.pr, 12)
+                             AS DECIMAL(18,12))) AS DECIMAL(18,12))
+                   AS pi
+        FROM {prev} pi JOIN pmat p ON p.i = pi.etype
+        GROUP BY p.j
+    )"""
+
+
+@register(
+    "markov_steady_state_event_types",
+    f"""
+    WITH seq AS (
+        SELECT user_id,
+               COALESCE(event_type, '(null)') AS etype,
+               LAG(COALESCE(event_type, '(null)')) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   AS prev_type
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    trans AS (
+        SELECT prev_type AS i, etype AS j,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    states AS (
+        SELECT DISTINCT i AS s FROM trans
+        UNION SELECT DISTINCT j FROM trans
+    ),
+    outdeg AS (SELECT i, SUM(cnt) AS tot FROM trans GROUP BY i),
+    pmat AS (
+        SELECT i, j, CAST(cnt AS DOUBLE) / tot AS pr
+        FROM trans JOIN outdeg USING (i)
+        UNION ALL
+        -- stochastic completion: a state with no observed outgoing
+        -- transition self-loops (keeps the chain mass-preserving)
+        SELECT s, s, 1.0 FROM states
+        WHERE s NOT IN (SELECT i FROM trans)
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM states),
+    pi0 AS (
+        SELECT s AS etype,
+               CAST(ROUND(1.0 / m.m, 12) AS DECIMAL(18,12)) AS pi
+        FROM states, m
+    ),
+    {_markov_iter_sql("pi0", "pi1")},
+    {_markov_iter_sql("pi1", "pi2")},
+    {_markov_iter_sql("pi2", "pi3")}
+    -- densify: a state nothing transitions INTO drops out of the
+    -- grouped step with zero mass — keep it as an explicit 0 row
+    SELECT s.s AS etype,
+           ROUND(COALESCE(CAST(p.pi AS DOUBLE), 0.0), 6) AS steady_p
+    FROM states s LEFT JOIN pi3 p ON p.etype = s.s
+    """,
+    doc="Power-iteration estimate of the event-type Markov chain's "
+    f"stationary distribution ({_MARKOV_ITERS} unrolled steps from "
+    "uniform) — the long-run where-do-users-end-up summary on top of "
+    "event_transition_matrix's one-step view. Per-user transitions "
+    "come from a PARTITIONED lag window (ts, event_id order pinned); "
+    "the chain is stochastically completed (a state with no observed "
+    "outgoing transition self-loops) so mass is preserved; each "
+    "power step multiplies a ≤ type-domain π vector against the "
+    "≤ domain² transition frame with every product rounded to 12dp "
+    "and summed in DECIMAL — order-independent, so both engines "
+    "agree exactly (the graph_retrieval pagerank discipline). Scale "
+    "shape: one per-user lag pass (the only corpus shuffle), then "
+    "everything is type-domain-bounded. NULL event_type is a "
+    "first-class '(null)' state; NULL-ts/NULL-user rows have no "
+    "place in a sequence and are excluded.",
+)
+def markov_steady_state_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    et = F.coalesce("event_type", F.lit("(null)"))
+    seq = ev.select(
+        et.alias("etype"), F.lag(et).over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("i"), F.col("etype").alias("j"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    states = (
+        trans.select(F.col("i").alias("s"))
+        .union(trans.select(F.col("j").alias("s")))
+        .distinct()
+    )
+    outdeg = trans.groupBy("i").agg(F.sum("cnt").alias("tot"))
+    observed = trans.join(outdeg, "i").select(
+        "i", "j", (F.col("cnt").cast("double") / F.col("tot")).alias("pr")
+    )
+    sinks = states.join(
+        trans.select("i").distinct(),
+        states.s == F.col("i"),
+        "left_anti",
+    ).select(
+        F.col("s").alias("i"), F.col("s").alias("j"),
+        F.lit(1.0).alias("pr"),
+    )
+    pmat = observed.unionByName(sinks)
+    m = states.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    pi = states.crossJoin(F.broadcast(m)).select(
+        F.col("s").alias("etype"),
+        F.round(1.0 / F.col("m"), 12).cast("decimal(18,12)").alias("pi"),
+    )
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            pi.join(pmat, pi.etype == pmat.i)
+            .select(
+                F.col("j"),
+                F.round(F.col("pi") * F.col("pr"), 12)
+                .cast("decimal(18,12)")
+                .alias("term"),
+            )
+            .groupBy("j")
+            .agg(F.sum("term").cast("decimal(18,12)").alias("pi"))
+            .select(F.col("j").alias("etype"), "pi")
+        )
+    # densify: zero-mass states (nothing transitions into them) drop
+    # out of the grouped power step — keep them as explicit 0 rows
+    return states.join(
+        pi, states.s == pi.etype, "left"
+    ).select(
+        F.col("s").alias("etype"),
+        F.round(
+            F.coalesce(F.col("pi").cast("double"), F.lit(0.0)), 6
+        ).alias("steady_p"),
+    )

@@ -91,6 +91,7 @@ CROSS_OK = {
     "stratified_dr_ate",             # 1-row n_users broadcast
     "bh_fdr_type_drift",             # 1-row totals + 1-row BH threshold
     "median_ci_orders",              # 1-row (n, rank) broadcast
+    "markov_steady_state_event_types",  # 1-row state-count broadcast
     # 10-row decile frame × activity-LEVEL histogram (domain-bounded)
     "lorenz_user_activity_deciles",
     # prefix-sum key-extent broadcast + 1-row (n, lo, hi) broadcasts

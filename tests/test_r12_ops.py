@@ -516,6 +516,7 @@ R12_BATCH = [
     "dedup_cc_survivor_map", "holt_linear_daily_trend",
     "stratified_dr_ate", "bh_fdr_type_drift",
     "median_ci_orders", "lorenz_user_activity_deciles",
+    "markov_steady_state_event_types",
 ]
 
 
@@ -707,3 +708,51 @@ def test_lorenz_deciles_hand_computed(spark, tmp_path):
         5: (3, 0.3), 6: (3, 0.3), 7: (4, 0.4), 8: (4, 0.4),
         9: (5, 1.0), 10: (5, 1.0),
     }
+
+
+# --------------------------------------------- Markov steady state
+
+
+def test_markov_power_steps_hand_computed(spark, tmp_path):
+    """Transitions A→B, B→A (user 1: A,B,A) and A→A (user 2: A,A) give
+    P[A]=(.5,.5), P[B]=(1,0); three power steps from uniform:
+    (.75,.25) → (.625,.375) → (.6875,.3125)."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01' + (k || ' hours')::INTERVAL AS ts,
+               CAST(u AS BIGINT) user_id, et AS event_type,
+               CAST(1.0 AS DOUBLE) AS value, '' AS props
+        FROM (VALUES (1, 0, 'A'), (1, 1, 'B'), (1, 2, 'A'),
+                     (2, 0, 'A'), (2, 1, 'A')) t(u, k, et)""")
+    con.close()
+    got = {
+        r["etype"]: r["steady_p"]
+        for r in REGISTRY["markov_steady_state_event_types"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == {"A": 0.6875, "B": 0.3125}
+
+
+def test_markov_sink_state_self_loops(spark, tmp_path):
+    """A type that only ever appears as a FINAL event (no outgoing
+    transitions) must self-loop, preserving probability mass: with
+    A→Z only, all mass drains into Z."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01' + (k || ' hours')::INTERVAL AS ts,
+               CAST(u AS BIGINT) user_id, et AS event_type,
+               CAST(1.0 AS DOUBLE) AS value, '' AS props
+        FROM (VALUES (1, 0, 'A'), (1, 1, 'Z'),
+                     (2, 0, 'A'), (2, 1, 'Z')) t(u, k, et)""")
+    con.close()
+    got = {
+        r["etype"]: r["steady_p"]
+        for r in REGISTRY["markov_steady_state_event_types"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # pi0 = (.5, .5); A's mass moves to Z in one step and stays
+    assert got == {"A": 0.0, "Z": 1.0}

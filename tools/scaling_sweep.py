@@ -241,6 +241,8 @@ SF1_QUERIES = [
     # Lorenz level walk (activity-level histogram) — near-flat
     "median_ci_orders",
     "lorenz_user_activity_deciles",
+    # per-user lag pass + type-domain power steps — near-flat
+    "markov_steady_state_event_types",
 ]
 
 
