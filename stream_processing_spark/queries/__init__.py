@@ -82,6 +82,7 @@ from stream_processing_spark.queries import expstats  # noqa: E402,F401
 from stream_processing_spark.queries import llmprep  # noqa: E402,F401
 from stream_processing_spark.queries import expstats2  # noqa: E402,F401
 from stream_processing_spark.queries import curation7  # noqa: E402,F401
+from stream_processing_spark.queries import expstats3  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-snapshot ordering: the round driver records correctness for the
@@ -100,35 +101,29 @@ _PRIORITY = [
     "t7_custom_flatmap",
     "grep_count_by_source", "grep_total_count",
     "streaming_stateful_running_count",
-    # ---- round-12 rotation (VERDICT r11 item 3). The certification
-    # backlog closed in r11 (union of CORRECTNESS_r01-r11 green rows =
-    # all 317 oracled queries), so this window = anchors + every query
-    # whose SPARK CODE materially changed this round (the prefix-sum
-    # migration — re-certification is mandatory after a rewrite even
-    # though pytest stayed green) + every round-12 addition (standing
-    # invariant: additions get a driver row in their own round).
+    # ---- round-13 rotation (standing invariant, VERDICT r12 item 2):
+    # window = anchors + every query whose SPARK CODE materially
+    # changed this round (the range_prefix_sum materialization +
+    # adaptive small-frame path touch every scan caller; the KS helper
+    # also swapped its arg-max to a one-pass struct fold; BM25F moved
+    # to the single-scan posexplode shape) + every round-13 addition.
     # Everything rotated OUT keeps its CORRECTNESS_r* history plus
     # tests/test_oracle_queries.py.
-    # -- re-certifications: rank/CDF walks moved onto
-    # operators/prefixsum + top-k/level-offset rewrites
+    # -- re-certifications: range_prefix_sum callers (r13 one-scan
+    # materialization + adaptive small-frame path)
     "spearman_quantity_price", "mann_whitney_value_drift",
     "ks_value_drift_report", "psi_value_drift",
     "streaming_ks_drift_monitor", "streaming_psi_drift_monitor",
-    "conformal_linreg_intervals", "cms_token_frequency_report",
-    "zipf_token_fit", "retrieval_rrf_hybrid_topk",
-    "user_activity_gini", "vocab_top_tokens",
-    # -- round-12 additions: experimentation/stats tier II + curation
-    "kendall_tau_quantity_discount", "rolling_median_daily_revenue",
-    "ipw_conversion_effect", "page_hinkley_value_drift",
-    "cohort_ltv_matrix", "mann_kendall_daily_trend",
-    "winsorized_mean_price", "user_longest_streak",
-    "cohort_retention_triangle", "grouped_value_percentiles",
-    "hhi_source_concentration", "bm25f_topk_docs",
-    "dedup_cc_survivor_map", "streaming_page_hinkley_monitor",
-    "holt_linear_daily_trend", "stratified_dr_ate",
-    "bh_fdr_type_drift", "median_ci_orders",
-    "lorenz_user_activity_deciles",
-    "markov_steady_state_event_types",
+    "conformal_linreg_intervals", "winsorized_mean_price",
+    "grouped_value_percentiles", "median_ci_orders",
+    "lorenz_user_activity_deciles", "user_activity_gini",
+    "vocab_top_tokens",
+    # -- re-certification: single-scan field tagging (ADVICE r12)
+    "bm25f_topk_docs",
+    # -- round-13 additions: stats tier III + curation
+    "tdigest_value_quantiles", "seasonal_mann_kendall_weekday",
+    "quantile_regression_pinball", "hllpp_sparse_distinct_users",
+    "sessionized_funnel_timeout", "langid_trigram_cosine_mix",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

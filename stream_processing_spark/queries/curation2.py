@@ -1176,16 +1176,20 @@ def user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    levels = per_user.groupBy("n").agg(F.count(F.lit(1)).alias("k"))
+    # the level histogram feeds the scan AND the totals: eager
+    # checkpoint runs the per-user aggregation once (r13 one-scan rule)
+    levels = per_user.groupBy("n").agg(
+        F.count(F.lit(1)).alias("k")
+    ).localCheckpoint(eager=True)
     tot = levels.agg(
         F.sum("k").alias("nu"),
         F.sum(F.col("n").cast("decimal(38,0)") * F.col("k")).alias(
             "total"
         ),
     )
-    lev = range_prefix_sum(levels, "n", {"cumk": "k"}).crossJoin(
-        F.broadcast(tot)
-    )
+    lev = range_prefix_sum(
+        levels, "n", {"cumk": "k"}, materialize=False
+    ).crossJoin(F.broadcast(tot))
     s = F.col("cumk") - F.col("k")
     contrib = (
         F.col("n").cast("decimal(38,0)")

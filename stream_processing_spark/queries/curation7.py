@@ -104,9 +104,12 @@ _BM25F_B = {"title": 0.5, "body": 0.8}
     "from naively summing per-field BM25 scores. idf stays the exact "
     "rational (N−df+0.5)/(df+0.5) with df counted over docs matching "
     "in ANY field; each term's score is one fixed double expression "
-    "rounded to 6dp then DECIMAL-summed. Plan: posexplode tags fields "
-    "map-side (no second corpus scan), tf shuffles on (doc, field, "
-    "term), the per-field (avgl, N) stats and df broadcast, "
+    "rounded to 6dp then DECIMAL-summed. Plan: ONE corpus scan — an "
+    "explode over the (title, body) slice structs tags fields "
+    "map-side, and the tagged frame is eager-checkpointed before "
+    "fanning into stats/tf/N (r13); field length L rides the tf group "
+    "key (functionally dependent on doc+field), so no lens join; the "
+    "per-field (avgl, N) stats and df broadcast; "
     "TakeOrderedAndProject keeps the top-k. NULL-text docs have no "
     "fields and are excluded.",
 )
@@ -117,35 +120,60 @@ def bm25f_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("t"))
     )
     tl = _BM25F_TITLE_LEN
-    fields = docs.select(
-        "doc_id",
-        F.lit("title").alias("fld"),
-        F.slice("t", 1, tl).alias("toks"),
-    ).unionByName(
+    # ONE corpus scan: posexplode-style field tagging — each doc row
+    # expands map-side into its (title, body) slices in a single
+    # projection (r13, ADVICE r12: the previous two-projection union
+    # read the source twice and contradicted this docstring). The
+    # tagged frame is eager-checkpointed because it feeds the per-field
+    # stats, the term frequencies, AND the doc count (one-scan rule).
+    fields = (
         docs.select(
             "doc_id",
-            F.lit("body").alias("fld"),
-            F.slice(
-                "t", tl + 1, F.greatest(F.size("t") - tl, F.lit(0))
-            ).alias("toks"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("title").alias("fld"),
+                        F.slice("t", 1, tl).alias("toks"),
+                    ),
+                    F.struct(
+                        F.lit("body").alias("fld"),
+                        F.slice(
+                            "t",
+                            tl + 1,
+                            F.greatest(F.size("t") - tl, F.lit(0)),
+                        ).alias("toks"),
+                    ),
+                )
+            ).alias("f"),
         )
+        .select(
+            "doc_id",
+            F.col("f.fld").alias("fld"),
+            F.col("f.toks").alias("toks"),
+        )
+        .withColumn("L", F.size("toks"))
+        .localCheckpoint(eager=True)
     )
-    lens = fields.select("doc_id", "fld", F.size("toks").alias("L"))
-    avglens = lens.groupBy("fld").agg(
+    avglens = fields.groupBy("fld").agg(
         (F.sum("L").cast("double") / F.count(F.lit(1))).alias("avgl")
     )
+    # L is functionally dependent on (doc_id, fld), so carrying it in
+    # the group key replaces the old lens equi-join (one shuffle less)
     tf = (
         fields.select(
-            "doc_id", "fld", F.explode("toks").alias("token")
+            "doc_id", "fld", "L", F.explode("toks").alias("token")
         )
         .filter(F.col("token").isin(*_BM25F_TERMS))
-        .groupBy("doc_id", "fld", "token")
+        .groupBy("doc_id", "fld", "L", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("N"))
+    # every non-NULL-text doc contributes exactly one title row
+    n_docs = fields.filter(F.col("fld") == "title").agg(
+        F.count(F.lit(1)).alias("N")
+    )
     wt = F.when(
         F.col("fld") == "title",
         _BM25F_W["title"]
@@ -165,8 +193,7 @@ def bm25f_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wtf = (
-        tf.join(lens, ["doc_id", "fld"])
-        .join(F.broadcast(avglens), "fld")
+        tf.join(F.broadcast(avglens), "fld")
         .groupBy("doc_id", "token")
         .agg(F.sum(wt).alias("tfw"))
     )
@@ -325,4 +352,180 @@ def hhi_source_concentration(
         F.round((tot * F.sum("cnt")) / sq, 6).alias(
             "effective_sources"
         ),
+    )
+
+
+# --------------------------------------- char-trigram cosine lang-ID
+
+# Fixed per-language character-trigram profiles (top trigrams with
+# descending integer weights) — the standard Cavnar-Trenkle-style
+# n-gram profile method upgraded from the rank-heuristic langid
+# (llmops.text_langid_confusion) to COSINE similarity against the
+# profiles. Profiles are literal VALUES on both engines, so the
+# profile norms fold identically; trigram coverage matters more than
+# linguistic fidelity here (the synthetic corpus is English-shaped —
+# the query's value is the exactly-certified plumbing).
+_LANGID3_PROFILES: list[tuple[int, str, str, int]] = []
+for _lid, _lang, _tris in [
+    (1, "en", ["the", "he ", "nd ", "ing", " th", "er ", "ion",
+               "ed ", "and", " an", " of", "ent"]),
+    (2, "de", ["en ", "der", "ein", " de", "ich", "sch", "die",
+               "und", "ch ", "ung", "cht", "das"]),
+    (3, "es", [" de", "os ", "de ", "la ", "ar ", "que", "el ",
+               " la", "ado", "con", "ent", "cio"]),
+    (4, "fr", [" de", "es ", "le ", "de ", "ont", " le", "la ",
+               "ais", "eur", "que", "ion", "ent"]),
+]:
+    for _rank, _tri in enumerate(_tris):
+        _LANGID3_PROFILES.append((_lid, _lang, _tri, 12 - _rank))
+
+_LANGID3_VALUES = ", ".join(
+    f"({lid}, '{lang}', '{tri}', {w})"
+    for lid, lang, tri, w in _LANGID3_PROFILES
+)
+
+
+@register(
+    "langid_trigram_cosine_mix",
+    f"""
+    WITH prof(lang_id, lang, tri, w) AS (
+        SELECT * FROM (VALUES {_LANGID3_VALUES})
+    ),
+    pnorm AS (
+        SELECT lang_id, lang,
+               SQRT(CAST(SUM(w * w) AS DOUBLE)) AS pn
+        FROM prof GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT doc_id, LOWER(text) AS t FROM documents
+        WHERE text IS NOT NULL AND LENGTH(text) >= 3
+    ),
+    tf AS (
+        SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri,
+               CAST(COUNT(*) AS BIGINT) AS tf
+        FROM d, UNNEST(generate_series(1, LENGTH(t) - 2)) AS u(i)
+        GROUP BY 1, 2
+    ),
+    dnorm AS (
+        SELECT doc_id, SQRT(CAST(SUM(tf * tf) AS DOUBLE)) AS dn
+        FROM tf GROUP BY 1
+    ),
+    dot AS (
+        SELECT f.doc_id, p.lang_id, p.lang,
+               CAST(SUM(f.tf * p.w) AS BIGINT) AS dp
+        FROM tf f JOIN prof p ON p.tri = f.tri
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT o.doc_id, o.lang_id, o.lang,
+               ROUND(CAST(o.dp AS DOUBLE) / (n.dn * q.pn), 6) AS cos_r
+        FROM dot o
+        JOIN dnorm n ON n.doc_id = o.doc_id
+        JOIN pnorm q ON q.lang_id = o.lang_id
+    ),
+    assigned AS (
+        SELECT doc_id, lang, cos_r,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cos_r DESC, lang_id ASC)
+                   AS rn
+        FROM scored
+    )
+    SELECT lang AS language, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(CAST(cos_r AS DECIMAL(9,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_cos
+    FROM assigned WHERE rn = 1 GROUP BY lang
+    """,
+    doc="Language identification by char-trigram COSINE against fixed "
+    "per-language profiles (Cavnar-Trenkle n-gram profiles upgraded "
+    "from the rank heuristic of text_langid_confusion): each doc's "
+    "trigram counts dot the 12-trigram weighted profile of 4 "
+    "languages, normalized by exact-integer norms (one sqrt each "
+    "side), cosine rounded to 6dp, argmax per doc with ties broken "
+    "by profile id — then the corpus mix (docs, mean confidence) per "
+    "winning language. Docs sharing no trigram with ANY profile get "
+    "no score row and are excluded (documented; they'd need a "
+    "smoothed model). Scale shape: the trigram explode is map-side "
+    "(corpus × ~300-char docs), the (doc, trigram) count frame is "
+    "eager-checkpointed once for its dot/norm consumers, profiles "
+    "and their norms are literal broadcasts, the per-doc argmax is a "
+    "max-struct fold (no second corpus shuffle), and the final "
+    "rollup is language-domain-bounded (≤ 4 rows).",
+)
+def langid_trigram_cosine_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prof = spark.createDataFrame(
+        _LANGID3_PROFILES, "lang_id int, lang string, tri string, w int"
+    )
+    pnorm = prof.groupBy("lang_id", "lang").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias(
+            "pn"
+        )
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 3))
+        .select("doc_id", F.lower("text").alias("t"))
+    )
+    # the (doc, trigram) counts feed the doc norms AND the profile
+    # dot products: eager checkpoint runs the explode+count once
+    # (r13 one-scan rule)
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - 2)
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.expr("substr(t, CAST(i AS INT), 3)").alias("tri"),
+        )
+        .groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dnorm = tf.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(F.col("tf") * F.col("tf")).cast("double")
+        ).alias("dn")
+    )
+    dot = (
+        tf.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "lang_id", "lang")
+        .agg(F.sum(F.col("tf") * F.col("w")).cast("bigint").alias("dp"))
+    )
+    scored = (
+        dot.join(dnorm, "doc_id")
+        .join(F.broadcast(pnorm), ["lang_id", "lang"])
+        .select(
+            "doc_id",
+            "lang_id",
+            "lang",
+            F.round(
+                F.col("dp").cast("double")
+                / (F.col("dn") * F.col("pn")),
+                6,
+            ).alias("cos_r"),
+        )
+    )
+    assigned = scored.groupBy("doc_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos_r"),
+                (-F.col("lang_id")).alias("neg_id"),
+                F.col("lang"),
+            )
+        ).alias("b")
+    ).select(
+        F.col("b.lang").alias("lang"), F.col("b.cos_r").alias("cos_r")
+    )
+    return assigned.groupBy(F.col("lang").alias("language")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("cos_r").cast("decimal(9,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cos"),
     )

@@ -384,7 +384,9 @@ def spearman_quantity_price(
         # with the prefix scan's extent/local subplans, plus the final
         # moment join): EAGER checkpoint computes it once — lazy never
         # materializes before the single final action (the LPA r12
-        # profile lesson); sf0.1 wall 10.1 s → measured after change
+        # profile lesson); sf0.1 wall 10.1 s → 4.8 s when this landed
+        # (r12 d65e9ff); the marginal frames qh/ph below materialize
+        # inside range_prefix_sum (r13 default)
         .localCheckpoint(eager=True)
     )
     # marginal rank maps: the price-cents marginal GROWS with data until

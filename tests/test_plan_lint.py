@@ -9,7 +9,8 @@ a query into a plan that cannot survive 100 TB:
   JVM-side or Arrow-batched;
 - NON-PARTITIONED windows (empty PARTITION BY — Spark moves the whole
   frame to ONE task), except (a) the prefix-sum operator's own P-row
-  offset scan (ordered by _psum_pid, bounded by the partition count)
+  offset scan (ordered by _psum_bucket, bounded by the cut-count
+  constant ≤ 3·P)
   and (b) queries whose windowed frame has a DOCUMENTED domain bound
   (WINDOW_OK below). Anything data-sized must use
   operators/prefixsum.range_prefix_sum or a TakeOrderedAndProject
@@ -108,6 +109,15 @@ CROSS_OK = {
     # source-DOMAIN-bounded pair construction (totals ⋈< totals, a few
     # rows per side); all corpus-sized joins are equi-joins
     "corpus_js_divergence_sources",
+    # round 13: 1-row broadcasts only (n totals, fit stats, HLL exact
+    # count, funnel step counters); every corpus-sized join is equi
+    "tdigest_value_quantiles",        # 1-row n broadcast (+ scan extent)
+    "seasonal_mann_kendall_weekday",  # 1-row varn/ties broadcasts; the
+                                      # day-pair join is EQUI on weekday
+    "quantile_regression_pinball",    # 11-row candidate-grid broadcast
+                                      # + 1-row fit broadcast
+    "hllpp_sparse_distinct_users",    # 1-row exact-distinct broadcast
+    "sessionized_funnel_timeout",     # three 1-row step-count broadcasts
 }
 
 _SKIP = tuple(
@@ -140,6 +150,8 @@ WINDOW_OK = {
     "theil_sen_grouped_slope",     # pairwise slopes of ≤ value-domain
                                    # group means (≤ ~1.2k rows)
     "zipf_token_fit",              # rank over ≤ 500 kept rows
+    "tdigest_value_quantiles",     # δ-bounded centroid frame (≤ 52
+                                   # rows at δ=100) cumulative
 }
 
 
