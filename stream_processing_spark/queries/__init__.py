@@ -124,6 +124,8 @@ _PRIORITY = [
     "tdigest_value_quantiles", "seasonal_mann_kendall_weekday",
     "quantile_regression_pinball", "hllpp_sparse_distinct_users",
     "sessionized_funnel_timeout", "langid_trigram_cosine_mix",
+    "kmv_distinct_users", "weighted_sample_docs_aes",
+    "cramer_von_mises_drift",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -790,3 +790,286 @@ def sessionized_funnel_timeout(
             6,
         ).alias("overall"),
     )
+
+
+# -------------------------------------- KMV distinct-count sketch
+
+_KMV_K = 256
+_KMV_2P48 = 281474976710656  # 2^48, the md5-prefix hash space
+
+
+@register(
+    "kmv_distinct_users",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                    1, 12)) AS BIGINT) AS v
+        FROM events WHERE user_id IS NOT NULL
+    ),
+    topk AS (SELECT v FROM h ORDER BY v LIMIT {_KMV_K}),
+    sk AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS kk,
+               MAX(v) AS vk
+        FROM topk
+    ),
+    ex AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT {_KMV_K} AS k, sk.kk AS k_kept, sk.vk AS theta_hash,
+           ROUND(CASE WHEN sk.kk < {_KMV_K}
+                      THEN CAST(sk.kk AS DOUBLE)
+                      ELSE ({_KMV_K - 1}.0 * {_KMV_2P48}) / sk.vk END,
+                 6) AS estimate,
+           ex.n_exact,
+           ROUND(CASE WHEN ex.n_exact = 0 THEN 0.0
+                      ELSE ABS(CASE WHEN sk.kk < {_KMV_K}
+                                    THEN CAST(sk.kk AS DOUBLE)
+                                    ELSE ({_KMV_K - 1}.0 * {_KMV_2P48})
+                                         / sk.vk END
+                               - ex.n_exact) / ex.n_exact END, 6)
+               AS rel_error
+    FROM sk CROSS JOIN ex
+    """,
+    doc="K-Minimum-Values (KMV / bottom-k theta sketch) distinct-user "
+    f"estimate: keep the k={_KMV_K} smallest distinct 48-bit "
+    "content-addressed hashes; the k-th smallest normalized to [0,1) "
+    "estimates density, est = (k−1)/θ. MERGEABLE by construction — "
+    "the k smallest of a union is a pure set-function of the per-"
+    "partition k-smallest lists (tests/test_r13_ops.py asserts the "
+    "two-half merge is IDENTICAL to the direct sketch, not just "
+    "close), which is what makes bottom-k the rollup-friendly "
+    "alternative to exact COUNT(DISTINCT) at 100 TB. Below k the "
+    "sketch holds every hash and reports it exactly. Same md5 hash "
+    "discipline as the HLL twins (stable under "
+    "repartition/rerun/engine); the estimate is exact integer "
+    "arithmetic until one double division, rounded to 6dp. Scale "
+    "shape: one distinct-aggregate shuffle, then TakeOrderedAndProject "
+    "keeps k rows; the exact count the report compares against is its "
+    "own single aggregate; 1-row broadcasts only. Exactly one output "
+    "row (zero estimate on an empty table).",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    v48 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    topk = (
+        ev.select(v48.alias("v"))
+        .distinct()
+        .orderBy("v")
+        .limit(_KMV_K)
+    )
+    sk = topk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("kk"),
+        F.max("v").alias("vk"),
+    )
+    exact = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    est = F.when(
+        F.col("kk") < _KMV_K, F.col("kk").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1) * _KMV_2P48) / F.col("vk")
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        F.lit(_KMV_K).alias("k"),
+        F.col("kk").alias("k_kept"),
+        F.col("vk").alias("theta_hash"),
+        F.round(est, 6).alias("estimate"),
+        "n_exact",
+        F.round(
+            F.when(F.col("n_exact") == 0, F.lit(0.0)).otherwise(
+                F.abs(est - F.col("n_exact")) / F.col("n_exact")
+            ),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+# ----------------------- weighted sample without replacement (A-ES)
+
+_AES_TOPK = 20
+
+
+@register(
+    "weighted_sample_docs_aes",
+    f"""
+    SELECT doc_id, n_chars,
+           ROUND(LN(CAST(GREATEST(
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                          1, 12)) AS BIGINT),
+                     1) AS DOUBLE) / {_KMV_2P48}) / n_chars, 9)
+               AS aes_key
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+    ORDER BY aes_key DESC, doc_id
+    LIMIT {_AES_TOPK}
+    """,
+    doc=f"Fixed-size ({_AES_TOPK}) WEIGHTED sample without replacement "
+    "via the Efraimidis-Spirakis A-ES scheme: each doc draws the "
+    "content-addressed uniform u = md5₄₈(doc_id)/2^48 and the top-k "
+    "by u^(1/w) are kept — spelled as the monotone-equivalent "
+    "ln(u)/w to keep one libm call, rounded to 9dp with a doc_id "
+    "tie-break (the cross-engine ln discipline). Weight = n_chars, "
+    "so longer docs are proportionally more likely to make the "
+    "sample, but the size is EXACTLY k — the fixed-budget complement "
+    "of the Bernoulli sample_weighted_by_length. Content-addressed ⇒ "
+    "stable under rerun/repartition/engine, and distributed-friendly: "
+    "per-partition top-k merge, i.e. TakeOrderedAndProject, no global "
+    "sort. GREATEST(v,1) guards the measure-zero u=0 hash. Scale "
+    "shape: map-side key computation, one top-k reduction; no "
+    "shuffle, no joins.",
+)
+def weighted_sample_docs_aes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    )
+    v48 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    key = F.round(
+        F.log(
+            F.greatest(v48, F.lit(1)).cast("double")
+            / F.lit(float(_KMV_2P48))
+        )
+        / F.col("n_chars"),
+        9,
+    )
+    return (
+        docs.select("doc_id", "n_chars", key.alias("aes_key"))
+        .orderBy(F.desc("aes_key"), F.asc("doc_id"))
+        .limit(_AES_TOPK)
+    )
+
+
+# ----------------------------------- Cramér-von Mises drift statistic
+
+
+@register(
+    "cramer_von_mises_drift",
+    """
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0,
+               CAST(MIN(CAST(ts AS DATE))
+                    + CAST(FLOOR(date_diff('day',
+                          MIN(CAST(ts AS DATE)),
+                          MAX(CAST(ts AS DATE))) / 2) AS INT)
+                    AS DATE) AS dmid
+        FROM events WHERE value IS NOT NULL
+    ),
+    vals AS (
+        SELECT CAST(FLOOR(e.value * 100) AS BIGINT) AS cents,
+               CASE WHEN CAST(e.ts AS DATE) <= b.dmid
+                    THEN 1 ELSE 0 END AS in_a
+        FROM events e, bounds b
+        WHERE e.value IS NOT NULL
+    ),
+    hist AS (
+        SELECT cents, CAST(SUM(in_a) AS BIGINT) AS ca,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cb
+        FROM vals GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents, ca, cb,
+               SUM(ca) OVER (ORDER BY cents) AS fa,
+               SUM(cb) OVER (ORDER BY cents) AS fb
+        FROM hist
+    ),
+    tot AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS na,
+               CAST(SUM(cb) AS BIGINT) AS nb
+        FROM hist
+    ),
+    terms AS (
+        SELECT c.ca + c.cb AS w,
+               CAST(ROUND((CAST(c.fa AS DOUBLE) / t.na
+                           - CAST(c.fb AS DOUBLE) / t.nb)
+                          * (CAST(c.fa AS DOUBLE) / t.na
+                             - CAST(c.fb AS DOUBLE) / t.nb), 9)
+                    AS DECIMAL(18,9)) AS d2
+        FROM cum c CROSS JOIN tot t
+        WHERE t.na > 0 AND t.nb > 0
+    )
+    SELECT t.na AS n_first, t.nb AS n_second,
+           ROUND(CAST(t.na AS DOUBLE) * t.nb
+                 / ((t.na + t.nb) * CAST(t.na + t.nb AS DOUBLE))
+                 * CAST(SUM(CAST(w AS DECIMAL(28,9)) * d2) AS DOUBLE),
+                 6) AS cvm_t
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.na, t.nb
+    """,
+    doc="Two-sample Cramér-von Mises drift statistic between the two "
+    "halves of the event stream: T = n₁n₂/(n₁+n₂)² · Σ_j w_j·(F₁−F₂)² "
+    "summed over the pooled value histogram — the L²-distance "
+    "complement of the KS sup-distance (ks_value_drift_report): KS "
+    "sees the single worst gap, CvM accumulates ALL of it, so a "
+    "persistent small shift that never produces one large gap still "
+    "alarms. Each squared CDF gap is rounded to 9dp then weighted and "
+    "summed in DECIMAL (order-independent, the ln-term discipline); "
+    "CDFs are exact-integer cumulatives over the cent histogram. "
+    "Scale shape: same as the KS report — one corpus aggregation to "
+    "the value-DOMAIN histogram (eager-checkpointed for the "
+    "totals + scan branches), range-partitioned prefix scans for both "
+    "CDFs, 1-row total broadcasts. Zero rows when either half is "
+    "empty (no CDF to compare).",
+)
+def cramer_von_mises_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
+    )
+    from stream_processing_spark.queries.mlfeat import _split_halves
+
+    vals = _split_halves(spark, sf_dir)
+    hist = vals.groupBy("cents").agg(
+        F.sum("in_a").cast("bigint").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("bigint").alias("cb"),
+    ).localCheckpoint(eager=True)
+    tot = hist.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    cum = range_prefix_sum(
+        hist, "cents", {"fa": "ca", "fb": "cb"}, materialize=False
+    ).crossJoin(F.broadcast(tot)).filter(
+        (F.col("na") > 0) & (F.col("nb") > 0)
+    )
+    gap = (
+        F.col("fa").cast("double") / F.col("na")
+        - F.col("fb").cast("double") / F.col("nb")
+    )
+    d2 = F.round(gap * gap, 9).cast("decimal(18,9)")
+    terms = cum.select(
+        "na",
+        "nb",
+        (F.col("ca") + F.col("cb")).alias("w"),
+        d2.alias("d2"),
+    )
+    return terms.groupBy("na", "nb").agg(
+        F.round(
+            F.col("na").cast("double")
+            * F.col("nb")
+            / (
+                (F.col("na") + F.col("nb"))
+                * (F.col("na") + F.col("nb")).cast("double")
+            )
+            * F.sum(F.col("w").cast("decimal(28,9)") * F.col("d2"))
+            .cast("double"),
+            6,
+        ).alias("cvm_t")
+    ).select(
+        F.col("na").alias("n_first"),
+        F.col("nb").alias("n_second"),
+        "cvm_t",
+    )

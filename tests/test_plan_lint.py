@@ -118,6 +118,8 @@ CROSS_OK = {
                                       # + 1-row fit broadcast
     "hllpp_sparse_distinct_users",    # 1-row exact-distinct broadcast
     "sessionized_funnel_timeout",     # three 1-row step-count broadcasts
+    "kmv_distinct_users",             # 1-row exact-distinct broadcast
+    "cramer_von_mises_drift",         # 1-row midpoint + totals broadcasts
 }
 
 _SKIP = tuple(

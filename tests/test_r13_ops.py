@@ -491,6 +491,9 @@ def test_langid_no_match_docs_excluded(spark, tmp_path):
 # ------------------------------------------------ oracle edge sweeps
 
 R13_BATCH = [
+    "kmv_distinct_users",
+    "weighted_sample_docs_aes",
+    "cramer_von_mises_drift",
     "tdigest_value_quantiles",
     "seasonal_mann_kendall_weekday",
     "quantile_regression_pinball",
@@ -592,3 +595,151 @@ def test_r13_null_bearing_rows_match_oracle(spark, tmp_path):
             f"nulls:{name}",
         )
     ora.close()
+
+
+# ------------------------------------------ KMV bottom-k sketch
+
+
+def _md5_48(s) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:12], 16)
+
+
+def test_kmv_matches_python_twin(spark, tmp_path):
+    """Independent hashlib twin below k: with 150 distinct users the
+    sketch holds every hash and reports the count exactly."""
+    con = duckdb.connect()
+    users = [i * 11 + 3 for i in range(150)]
+    rows = ", ".join(f"({i}, {u})" for i, u in enumerate(users * 3))
+    _copy(con, tmp_path, "events", f"""
+        SELECT CAST(i AS BIGINT) event_id, TIMESTAMP '2024-01-01' ts,
+               CAST(u AS BIGINT) user_id, 'view' event_type,
+               CAST(1.0 AS DOUBLE) AS value, '' AS props
+        FROM (VALUES {rows}) t(i, u)""")
+    con.close()
+    r = (
+        REGISTRY["kmv_distinct_users"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    hashes = {_md5_48(u) for u in users}
+    assert r["k_kept"] == len(hashes) == 150
+    assert r["theta_hash"] == max(hashes)
+    assert r["estimate"] == 150.0
+    assert r["rel_error"] == 0.0
+
+
+def test_kmv_above_k_formula_and_merge_identity(spark, tmp_path):
+    """400 distinct users > k=256: estimate = 255·2^48/v_256 from the
+    python twin; and the bottom-k of the union of two halves' bottom-k
+    lists is IDENTICAL to the direct bottom-k (the mergeability set
+    identity the docstring claims)."""
+    con = duckdb.connect()
+    users = [i * 7 + 1 for i in range(400)]
+    rows = ", ".join(f"({i}, {u})" for i, u in enumerate(users))
+    _copy(con, tmp_path, "events", f"""
+        SELECT CAST(i AS BIGINT) event_id, TIMESTAMP '2024-01-01' ts,
+               CAST(u AS BIGINT) user_id, 'view' event_type,
+               CAST(1.0 AS DOUBLE) AS value, '' AS props
+        FROM (VALUES {rows}) t(i, u)""")
+    con.close()
+    r = (
+        REGISTRY["kmv_distinct_users"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    ordered = sorted(_md5_48(u) for u in users)
+    vk = ordered[255]
+    assert r["k_kept"] == 256
+    assert r["theta_hash"] == vk
+    assert r["estimate"] == round(255.0 * 281474976710656 / vk, 6)
+    # merge identity: bottom-256 of (bottom-256(A) ∪ bottom-256(B))
+    a = sorted(_md5_48(u) for u in users[:200])[:256]
+    b = sorted(_md5_48(u) for u in users[200:])[:256]
+    assert sorted(a + b)[:256] == ordered[:256]
+
+
+# ---------------------- A-ES weighted sample without replacement
+
+
+def test_aes_sample_matches_python_twin(spark, tmp_path):
+    """The exact top-20 rows (keys AND order) must match an
+    independent hashlib/math twin of ln(u)/w with the documented
+    9dp round and doc_id tie-break."""
+    con = duckdb.connect()
+    rows = ", ".join(
+        f"({i}, {(i % 37) + 1})" for i in range(1, 101)
+    )
+    _copy(con, tmp_path, "documents", f"""
+        SELECT CAST(i AS BIGINT) doc_id, 'txt' AS text, 'en' AS lang,
+               's1' AS source, CAST(c AS BIGINT) n_chars
+        FROM (VALUES {rows}) t(i, c)""")
+    con.close()
+    got = [
+        (r["doc_id"], r["n_chars"], r["aes_key"])
+        for r in REGISTRY["weighted_sample_docs_aes"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    ]
+    want = []
+    for i in range(1, 101):
+        w = (i % 37) + 1
+        u = max(_md5_48(i), 1) / 281474976710656
+        want.append((i, w, round(math.log(u) / w, 9)))
+    want.sort(key=lambda t: (-t[2], t[0]))
+    assert got == want[:20]
+    # heavier docs dominate: well over half the kept docs carry
+    # above-median weight (the exact-match assertion above is the
+    # correctness check; this pins the weighting DIRECTION)
+    assert sum(1 for _, w, _ in got if w > 18) >= 12
+
+
+# ------------------------------------- Cramér-von Mises drift
+
+
+def test_cvm_hand_computed(spark, tmp_path):
+    """Half A = {1.00, 2.00}, half B = {2.00, 3.00} (midpoint split
+    puts day-1 rows in A): pooled cents levels 100/200/300 carry
+    F₁ = .5, 1, 1 and F₂ = 0, .5, 1 → squared gaps .25, .25, 0 with
+    weights 1, 2, 1 ⇒ Σw·d² = .75, T = (2·2/4²)·.75 = 0.1875."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01',
+             CAST(1 AS BIGINT), 'view', CAST(1.0 AS DOUBLE), ''),
+            (CAST(2 AS BIGINT), TIMESTAMP '2024-01-01',
+             CAST(1 AS BIGINT), 'view', CAST(2.0 AS DOUBLE), ''),
+            (CAST(3 AS BIGINT), TIMESTAMP '2024-01-03',
+             CAST(1 AS BIGINT), 'view', CAST(2.0 AS DOUBLE), ''),
+            (CAST(4 AS BIGINT), TIMESTAMP '2024-01-03',
+             CAST(1 AS BIGINT), 'view', CAST(3.0 AS DOUBLE), '')
+        ) t(event_id, ts, user_id, event_type, value, props)""")
+    con.close()
+    r = (
+        REGISTRY["cramer_von_mises_drift"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert r["n_first"] == 2 and r["n_second"] == 2
+    assert r["cvm_t"] == 0.1875
+
+
+def test_cvm_identical_halves_zero(spark, tmp_path):
+    """Identical value multisets in both halves ⇒ every CDF gap is 0
+    ⇒ T = 0 exactly."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(i AS BIGINT) event_id,
+               CASE WHEN i < 3 THEN TIMESTAMP '2024-01-01'
+                    ELSE TIMESTAMP '2024-01-03' END ts,
+               CAST(1 AS BIGINT) user_id, 'view' event_type,
+               CAST((i % 3) + 1.5 AS DOUBLE) AS value, '' AS props
+        FROM range(0, 6) t(i)""")
+    con.close()
+    r = (
+        REGISTRY["cramer_von_mises_drift"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert r["cvm_t"] == 0.0
