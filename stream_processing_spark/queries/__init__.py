@@ -125,7 +125,8 @@ _PRIORITY = [
     "quantile_regression_pinball", "hllpp_sparse_distinct_users",
     "sessionized_funnel_timeout", "langid_trigram_cosine_mix",
     "kmv_distinct_users", "weighted_sample_docs_aes",
-    "cramer_von_mises_drift",
+    "cramer_von_mises_drift", "funnel_time_to_convert",
+    "dau_wau_mau_daily", "did_value_estimate",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

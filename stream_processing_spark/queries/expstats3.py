@@ -707,17 +707,16 @@ _FUNNEL_DOC = (
 )
 
 
-@register("sessionized_funnel_timeout", _FUNNEL_SQL, doc=_FUNNEL_DOC)
-def sessionized_funnel_timeout(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _funnel_frames(spark: SparkSession, sf_dir: str):
+    """(sessionized frame, key, s1, s2, s3) shared by the funnel
+    report and the time-to-convert rollup. Sessions are the timeout
+    windows: a step only counts when it happens within the same
+    30-min-inactivity session. The sessionized projection feeds the
+    session count and all three step aggregations: eager checkpoint
+    runs the window pass once (r13 one-scan rule)."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
-    # sessions are the timeout windows: a step only counts when it
-    # happens within the same 30-min-inactivity session. The
-    # sessionized projection feeds the session count and all three
-    # step aggregations: eager checkpoint runs the window pass once.
     s = (
         with_sessions(
             ev,
@@ -730,11 +729,6 @@ def sessionized_funnel_timeout(
         .localCheckpoint(eager=True)
     )
     key = ["user_id", "session_seq"]
-    n_sessions = (
-        s.select(*key)
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
-    )
     s1 = (
         s.filter(F.col("event_type") == _FUNNEL_STEPS[0])
         .groupBy(*key)
@@ -753,6 +747,19 @@ def sessionized_funnel_timeout(
         .filter(F.col("ts") >= F.col("t2"))
         .groupBy(*key)
         .agg(F.min("ts").alias("t3"))
+    )
+    return s, key, s1, s2, s3
+
+
+@register("sessionized_funnel_timeout", _FUNNEL_SQL, doc=_FUNNEL_DOC)
+def sessionized_funnel_timeout(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    s, key, s1, s2, s3 = _funnel_frames(spark, sf_dir)
+    n_sessions = (
+        s.select(*key)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
     )
     c1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("step_view"))
     c2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("step_click"))
@@ -1072,4 +1079,342 @@ def cramer_von_mises_drift(
         F.col("na").alias("n_first"),
         F.col("nb").alias("n_second"),
         "cvm_t",
+    )
+
+
+# ------------------------------------ funnel time-to-convert rollup
+
+
+@register(
+    "funnel_time_to_convert",
+    f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts, event_type
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                         > {_FUNNEL_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+                   AS session_seq
+        FROM flagged
+    ),
+    s1 AS (
+        SELECT user_id, session_seq, MIN(ts) AS t1 FROM sess
+        WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1, 2
+    ),
+    s2 AS (
+        SELECT s.user_id, s.session_seq, MIN(s.ts) AS t2
+        FROM sess s JOIN s1 USING (user_id, session_seq)
+        WHERE s.event_type = '{_FUNNEL_STEPS[1]}' AND s.ts >= s1.t1
+        GROUP BY 1, 2
+    ),
+    s3 AS (
+        SELECT s.user_id, s.session_seq, MIN(s.ts) AS t3
+        FROM sess s JOIN s2 USING (user_id, session_seq)
+        WHERE s.event_type = '{_FUNNEL_STEPS[2]}' AND s.ts >= s2.t2
+        GROUP BY 1, 2
+    ),
+    conv AS (
+        SELECT date_diff('microsecond', s1.t1, s3.t3) // 1000000
+                   AS sec
+        FROM s3 JOIN s1 USING (user_id, session_seq)
+    ),
+    hist AS (
+        SELECT sec, CAST(COUNT(*) AS BIGINT) AS cnt FROM conv
+        GROUP BY sec
+    ),
+    nn AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n FROM hist),
+    cum AS (
+        SELECT sec, cnt, SUM(cnt) OVER (ORDER BY sec) AS cumn FROM hist
+    ),
+    picks AS (
+        SELECT MIN(CASE WHEN cumn >= (50 * n + 99) // 100
+                   THEN sec END) AS p50_sec,
+               MIN(CASE WHEN cumn >= (90 * n + 99) // 100
+                   THEN sec END) AS p90_sec,
+               ROUND(CAST(SUM(CAST(sec AS DECIMAL(38,0)) * cnt)
+                          AS DOUBLE) / NULLIF(n, 0), 6) AS avg_sec
+        FROM cum CROSS JOIN nn GROUP BY n
+    )
+    SELECT nn.n AS n_converting, p.p50_sec, p.p90_sec, p.avg_sec
+    FROM nn LEFT JOIN picks p ON TRUE
+    """,
+    doc="Time-to-convert over the sessionized funnel: for every "
+    "session that completes the ordered "
+    f"{'→'.join(_FUNNEL_STEPS)} chain, the whole seconds from the "
+    "first step's first touch to the completing step, rolled up to "
+    "p50/p90 rank picks and an exact-DECIMAL mean — the latency "
+    "companion of sessionized_funnel_timeout's conversion rates "
+    "(same session frames, same first-touch MIN semantics). "
+    "Durations are exact integer microseconds floored to seconds. "
+    "Scale shape: the shared one-window-pass session frames, "
+    "equi-joins on (user, session), then a duration-DOMAIN-bounded "
+    "histogram (eager-checkpointed) whose rank walk is the prefix "
+    "scan; 1-row broadcasts. Exactly one output row; zero "
+    "conversions give 0 / NULLs.",
+)
+def funnel_time_to_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from stream_processing_spark.operators.prefixsum import (
+        range_prefix_sum,
+    )
+
+    s, key, s1, s2, s3 = _funnel_frames(spark, sf_dir)
+    conv = s3.join(s1, key).select(
+        F.floor(
+            (F.unix_micros("t3") - F.unix_micros("t1")) / 1_000_000
+        ).cast("bigint").alias("sec")
+    )
+    # duration-domain-bounded histogram feeds the total AND the rank
+    # walk: eager checkpoint (r13 one-scan rule)
+    hist = conv.groupBy("sec").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).localCheckpoint(eager=True)
+    nn = hist.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("n")
+    )
+    cum = range_prefix_sum(
+        hist, "sec", {"cumn": "cnt"}, materialize=False
+    ).crossJoin(F.broadcast(nn))
+
+    def pick(p: int):
+        k = F.expr(f"({p} * n + 99) div 100")
+        return F.min(F.when(F.col("cumn") >= k, F.col("sec")))
+
+    picks = cum.groupBy("n").agg(
+        pick(50).alias("p50_sec"),
+        pick(90).alias("p90_sec"),
+        F.round(
+            F.sum(F.col("sec").cast("decimal(38,0)") * F.col("cnt"))
+            .cast("double")
+            / F.nullif(F.col("n"), F.lit(0)),
+            6,
+        ).alias("avg_sec"),
+    ).drop("n")
+    return nn.join(F.broadcast(picks), how="left").select(
+        F.col("n").alias("n_converting"),
+        "p50_sec",
+        "p90_sec",
+        "avg_sec",
+    )
+
+
+# ----------------------------------------- DAU / WAU / MAU rollup
+
+
+@register(
+    "dau_wau_mau_daily",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    x AS (
+        SELECT d + CAST(u.i AS INT) AS day, user_id, u.i AS i
+        FROM du, UNNEST(generate_series(0, 29)) AS u(i)
+    )
+    SELECT day,
+           CAST(COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END)
+                AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT CASE WHEN i <= 6 THEN user_id END)
+                AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau,
+           ROUND(CAST(COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END)
+                      AS DOUBLE)
+                 / COUNT(DISTINCT user_id), 6) AS stickiness
+    FROM x
+    GROUP BY day
+    HAVING COUNT(DISTINCT CASE WHEN i = 0 THEN user_id END) > 0
+    """,
+    doc="DAU / WAU / MAU / stickiness per day — the engagement "
+    "triptych every product dashboard opens with: distinct users "
+    "whose last activity was 0, ≤6, or ≤29 days before each reported "
+    "day, with stickiness = DAU/MAU. Spelled as a 30-way MAP-SIDE "
+    "expansion of the distinct (day, user) frame — each activity day "
+    "contributes to the 30 report days it can influence — so the "
+    "trailing windows become ONE distinct-aggregate shuffle instead "
+    "of a per-day range join (COUNT(DISTINCT) cannot ride a window "
+    "frame on either engine). Only days with ≥1 active user are "
+    "reported (a fully-idle calendar day has no row — the grid "
+    "convention of the resample queries covers gap-filling). Scale "
+    "shape: one corpus distinct to (day × user), a 30× constant "
+    "fan-out of that bounded frame, one aggregation keyed by the "
+    "day domain; no joins at all.",
+)
+def dau_wau_mau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    du = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    x = du.select(
+        "d", "user_id", F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i")
+    ).select(
+        F.date_add("d", F.col("i")).alias("day"), "user_id", "i"
+    )
+    dau = F.countDistinct(
+        F.when(F.col("i") == 0, F.col("user_id"))
+    ).cast("bigint")
+    wau = F.countDistinct(
+        F.when(F.col("i") <= 6, F.col("user_id"))
+    ).cast("bigint")
+    mau = F.countDistinct("user_id").cast("bigint")
+    return (
+        x.groupBy("day")
+        .agg(
+            dau.alias("dau"),
+            wau.alias("wau"),
+            mau.alias("mau"),
+            F.round(
+                dau.cast("double") / mau, 6
+            ).alias("stickiness"),
+        )
+        .filter(F.col("dau") > 0)
+    )
+
+
+# --------------------------------- difference-in-differences (DiD)
+
+
+@register(
+    "did_value_estimate",
+    """
+    WITH bounds AS (
+        SELECT CAST(MIN(CAST(ts AS DATE))
+                    + CAST(FLOOR(date_diff('day',
+                          MIN(CAST(ts AS DATE)),
+                          MAX(CAST(ts AS DATE))) / 2) AS INT)
+                    AS DATE) AS dmid
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+              AND user_id IS NOT NULL
+    ),
+    cells AS (
+        SELECT CAST(e.user_id % 2 AS BIGINT) AS treat,
+               CASE WHEN CAST(e.ts AS DATE) <= b.dmid
+                    THEN 0 ELSE 1 END AS post,
+               CAST(e.value AS DECIMAL(18,2)) AS y
+        FROM events e CROSS JOIN bounds b
+        WHERE e.value IS NOT NULL AND e.ts IS NOT NULL
+              AND e.user_id IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST(SUM(CASE WHEN treat = 1 AND post = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+               CAST(SUM(CASE WHEN treat = 1 AND post = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+               CAST(SUM(CASE WHEN treat = 0 AND post = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+               CAST(SUM(CASE WHEN treat = 0 AND post = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+               CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN y END)
+                    AS DOUBLE) AS s_t0,
+               CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN y END)
+                    AS DOUBLE) AS s_t1,
+               CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN y END)
+                    AS DOUBLE) AS s_c0,
+               CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN y END)
+                    AS DOUBLE) AS s_c1
+        FROM cells
+    )
+    SELECT n_t0 AS n_treat_pre, n_t1 AS n_treat_post,
+           n_c0 AS n_ctrl_pre, n_c1 AS n_ctrl_post,
+           ROUND((s_t1 / NULLIF(n_t1, 0) - s_t0 / NULLIF(n_t0, 0))
+                 - (s_c1 / NULLIF(n_c1, 0) - s_c0 / NULLIF(n_c0, 0)),
+                 6) AS did_estimate
+    FROM m
+    """,
+    doc="Difference-in-differences estimate of the treatment effect "
+    "on event value: cohorts = user parity (the deterministic "
+    "assignment hash of the A/B tier), periods split at the day-span "
+    "midpoint (the drift monitors' split), DiD = (treat-post − "
+    "treat-pre) − (ctrl-post − ctrl-pre) over exact DECIMAL cell "
+    "sums with four double divisions at the end — the "
+    "parallel-trends companion to cuped_adjusted_ab_metric (CUPED "
+    "adjusts variance within one period; DiD differences OUT a "
+    "level shift common to both cohorts). Scale shape: one 1-row "
+    "midpoint broadcast, then a SINGLE conditional-aggregation "
+    "corpus pass to the 2×2 cell frame; no joins, no windows. "
+    "Exactly one output row; an empty cell NULLs the estimate.",
+)
+def did_value_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    b = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    ).select(
+        F.date_add(
+            F.col("d0"),
+            F.floor(F.datediff("d1", "d0") / 2).cast("int"),
+        ).alias("dmid")
+    )
+    treat = (F.col("user_id") % 2).cast("bigint")
+    post = F.when(F.to_date("ts") <= F.col("dmid"), 0).otherwise(1)
+    cells = ev.crossJoin(F.broadcast(b)).select(
+        treat.alias("treat"),
+        post.alias("post"),
+        F.col("value").cast("decimal(18,2)").alias("y"),
+    )
+
+    def n_of(t: int, p: int):
+        return (
+            F.sum(
+                F.when(
+                    (F.col("treat") == t) & (F.col("post") == p), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+        )
+
+    def s_of(t: int, p: int):
+        return F.sum(
+            F.when(
+                (F.col("treat") == t) & (F.col("post") == p),
+                F.col("y"),
+            )
+        ).cast("double")
+
+    m = cells.agg(
+        n_of(1, 0).alias("n_t0"),
+        n_of(1, 1).alias("n_t1"),
+        n_of(0, 0).alias("n_c0"),
+        n_of(0, 1).alias("n_c1"),
+        s_of(1, 0).alias("s_t0"),
+        s_of(1, 1).alias("s_t1"),
+        s_of(0, 0).alias("s_c0"),
+        s_of(0, 1).alias("s_c1"),
+    )
+    return m.select(
+        F.col("n_t0").alias("n_treat_pre"),
+        F.col("n_t1").alias("n_treat_post"),
+        F.col("n_c0").alias("n_ctrl_pre"),
+        F.col("n_c1").alias("n_ctrl_post"),
+        F.round(
+            (
+                F.col("s_t1") / F.nullif(F.col("n_t1"), F.lit(0))
+                - F.col("s_t0") / F.nullif(F.col("n_t0"), F.lit(0))
+            )
+            - (
+                F.col("s_c1") / F.nullif(F.col("n_c1"), F.lit(0))
+                - F.col("s_c0") / F.nullif(F.col("n_c0"), F.lit(0))
+            ),
+            6,
+        ).alias("did_estimate"),
     )

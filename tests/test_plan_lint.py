@@ -120,6 +120,8 @@ CROSS_OK = {
     "sessionized_funnel_timeout",     # three 1-row step-count broadcasts
     "kmv_distinct_users",             # 1-row exact-distinct broadcast
     "cramer_von_mises_drift",         # 1-row midpoint + totals broadcasts
+    "funnel_time_to_convert",         # 1-row total + picks broadcasts
+    "did_value_estimate",             # 1-row midpoint broadcast
 }
 
 _SKIP = tuple(

@@ -491,6 +491,9 @@ def test_langid_no_match_docs_excluded(spark, tmp_path):
 # ------------------------------------------------ oracle edge sweeps
 
 R13_BATCH = [
+    "funnel_time_to_convert",
+    "dau_wau_mau_daily",
+    "did_value_estimate",
     "kmv_distinct_users",
     "weighted_sample_docs_aes",
     "cramer_von_mises_drift",
@@ -743,3 +746,149 @@ def test_cvm_identical_halves_zero(spark, tmp_path):
         .collect()[0]
     )
     assert r["cvm_t"] == 0.0
+
+
+# ------------------------------------ funnel time-to-convert
+
+
+def test_funnel_ttc_hand_computed(spark, tmp_path):
+    """u1 converts in 1200s, u2 in 600s: p50 rank pick (ceil(n/2)=1)
+    lands on 600, p90 (ceil(1.8)=2) on 1200, mean 900."""
+    con = duckdb.connect()
+    _events_funnel(con, tmp_path, [
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:10:00", "click"),
+        (1, "2024-01-01 10:20:00", "purchase"),
+        (2, "2024-01-01 09:00:00", "view"),
+        (2, "2024-01-01 09:05:00", "click"),
+        (2, "2024-01-01 09:10:00", "purchase"),
+        (3, "2024-01-01 08:00:00", "view"),
+    ])
+    con.close()
+    r = (
+        REGISTRY["funnel_time_to_convert"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert r["n_converting"] == 2
+    assert r["p50_sec"] == 600
+    assert r["p90_sec"] == 1200
+    assert r["avg_sec"] == 900.0
+
+
+def test_funnel_ttc_no_conversions(spark, tmp_path):
+    """Views only: one row, zero conversions, NULL picks."""
+    con = duckdb.connect()
+    _events_funnel(con, tmp_path, [
+        (1, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 11:00:00", "view"),
+    ])
+    con.close()
+    r = (
+        REGISTRY["funnel_time_to_convert"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert r["n_converting"] == 0
+    assert r["p50_sec"] is None and r["avg_sec"] is None
+
+
+# ------------------------------------------- DAU / WAU / MAU
+
+
+def test_dau_wau_mau_hand_computed(spark, tmp_path):
+    """Users 1,2 active day 0; user 1 again day 3. Day 0: 2/2/2.
+    Day 3: DAU 1 (u1), WAU 2 (both day-0 users still inside the
+    7-day window), MAU 2, stickiness 0.5. Idle days emit no row."""
+    con = duckdb.connect()
+    _events_funnel(con, tmp_path, [
+        (1, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-04 10:00:00", "view"),
+    ])
+    con.close()
+    rows = {
+        str(r["day"]): r
+        for r in REGISTRY["dau_wau_mau_daily"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(rows) == {"2024-01-01", "2024-01-04"}
+    d0 = rows["2024-01-01"]
+    assert (d0["dau"], d0["wau"], d0["mau"]) == (2, 2, 2)
+    assert d0["stickiness"] == 1.0
+    d3 = rows["2024-01-04"]
+    assert (d3["dau"], d3["wau"], d3["mau"]) == (1, 2, 2)
+    assert d3["stickiness"] == 0.5
+
+
+def test_dau_wau_window_expiry(spark, tmp_path):
+    """Activity 10 days apart: the second day's WAU no longer sees
+    the first (7-day window), but its MAU still does (30-day)."""
+    con = duckdb.connect()
+    _events_funnel(con, tmp_path, [
+        (1, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-11 10:00:00", "view"),
+    ])
+    con.close()
+    rows = {
+        str(r["day"]): r
+        for r in REGISTRY["dau_wau_mau_daily"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    d10 = rows["2024-01-11"]
+    assert (d10["dau"], d10["wau"], d10["mau"]) == (1, 1, 2)
+
+
+# --------------------------------- difference-in-differences
+
+
+def test_did_hand_computed(spark, tmp_path):
+    """treat (odd user 1): pre 10 → post 30 (+20); ctrl (even user
+    2): pre 10 → post 20 (+10) ⇒ DiD = +10. Midpoint of the 2-day
+    span puts day-1 rows in pre."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01',
+             CAST(1 AS BIGINT), 'view', CAST(10.0 AS DOUBLE), ''),
+            (CAST(2 AS BIGINT), TIMESTAMP '2024-01-03',
+             CAST(1 AS BIGINT), 'view', CAST(30.0 AS DOUBLE), ''),
+            (CAST(3 AS BIGINT), TIMESTAMP '2024-01-01',
+             CAST(2 AS BIGINT), 'view', CAST(10.0 AS DOUBLE), ''),
+            (CAST(4 AS BIGINT), TIMESTAMP '2024-01-03',
+             CAST(2 AS BIGINT), 'view', CAST(20.0 AS DOUBLE), '')
+        ) t(event_id, ts, user_id, event_type, value, props)""")
+    con.close()
+    r = (
+        REGISTRY["did_value_estimate"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert (
+        r["n_treat_pre"], r["n_treat_post"],
+        r["n_ctrl_pre"], r["n_ctrl_post"],
+    ) == (1, 1, 1, 1)
+    assert r["did_estimate"] == 10.0
+
+
+def test_did_parallel_shift_cancels(spark, tmp_path):
+    """Both cohorts shift by the same +15: DiD must be exactly 0 —
+    the level-shift immunity that motivates the design."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(i AS BIGINT) event_id,
+               CASE WHEN i < 4 THEN TIMESTAMP '2024-01-01'
+                    ELSE TIMESTAMP '2024-01-03' END ts,
+               CAST(i % 4 AS BIGINT) user_id, 'view' event_type,
+               CAST(CASE WHEN i < 4 THEN 10.0 ELSE 25.0 END
+                    AS DOUBLE) AS value, '' AS props
+        FROM range(0, 8) t(i)""")
+    con.close()
+    r = (
+        REGISTRY["did_value_estimate"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    assert r["did_estimate"] == 0.0
