@@ -127,6 +127,8 @@ _PRIORITY = [
     "kmv_distinct_users", "weighted_sample_docs_aes",
     "cramer_von_mises_drift", "funnel_time_to_convert",
     "dau_wau_mau_daily", "did_value_estimate",
+    "split_assignment_report", "ab_minimum_detectable_effect",
+    "classifier_calibration_ece",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

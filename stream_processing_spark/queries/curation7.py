@@ -454,22 +454,48 @@ _LANGID3_VALUES = ", ".join(
 def langid_trigram_cosine_mix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    prof = spark.createDataFrame(
-        _LANGID3_PROFILES, "lang_id int, lang string, tri string, w int"
+    import math as _math
+    from collections import defaultdict
+
+    # PIVOTED profile: one row per trigram carrying every language's
+    # weight (a trigram can sit in several profiles). This keeps the
+    # whole scoring pipeline at TWO shuffles — (doc, trigram) counts,
+    # then one per-doc fold producing the norm AND all four dots as
+    # columns — where the row-per-(lang, tri) shape needed a third
+    # (doc, lang)-keyed exchange, a 12M-row checkpoint of the trigram
+    # frame, and a norms join (r13: sf1 wall 40 s → measured after
+    # rewrite; values bit-identical, the oracle is unchanged).
+    piv: dict[str, dict[int, int]] = defaultdict(dict)
+    langs: dict[int, str] = {}
+    for lid, lang, tri, w in _LANGID3_PROFILES:
+        piv[tri][lid] = w
+        langs[lid] = lang
+    lids = sorted(langs)
+    profp = spark.createDataFrame(
+        [
+            (tri,) + tuple(d.get(lid, 0) for lid in lids)
+            for tri, d in sorted(piv.items())
+        ],
+        "tri string, " + ", ".join(f"w{lid} int" for lid in lids),
     )
-    pnorm = prof.groupBy("lang_id", "lang").agg(
-        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias(
-            "pn"
+    # per-language norms are constants of the literal profiles; sqrt
+    # is IEEE-exact (unlike ln/exp), so the python value equals both
+    # engines' SQRT bit-for-bit
+    pn = {
+        lid: _math.sqrt(
+            sum(
+                w * w
+                for (l2, _, _, w) in _LANGID3_PROFILES
+                if l2 == lid
+            )
         )
-    )
+        for lid in lids
+    }
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & (F.length("text") >= 3))
         .select("doc_id", F.lower("text").alias("t"))
     )
-    # the (doc, trigram) counts feed the doc norms AND the profile
-    # dot products: eager checkpoint runs the explode+count once
-    # (r13 one-scan rule)
     tf = (
         d.select(
             "doc_id",
@@ -484,42 +510,57 @@ def langid_trigram_cosine_mix(
         )
         .groupBy("doc_id", "tri")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint(eager=True)
     )
-    dnorm = tf.groupBy("doc_id").agg(
-        F.sqrt(
-            F.sum(F.col("tf") * F.col("tf")).cast("double")
-        ).alias("dn")
-    )
-    dot = (
-        tf.join(F.broadcast(prof), "tri")
-        .groupBy("doc_id", "lang_id", "lang")
-        .agg(F.sum(F.col("tf") * F.col("w")).cast("bigint").alias("dp"))
-    )
-    scored = (
-        dot.join(dnorm, "doc_id")
-        .join(F.broadcast(pnorm), ["lang_id", "lang"])
-        .select(
-            "doc_id",
-            "lang_id",
-            "lang",
-            F.round(
-                F.col("dp").cast("double")
-                / (F.col("dn") * F.col("pn")),
-                6,
-            ).alias("cos_r"),
+    per_doc = (
+        tf.join(F.broadcast(profp), "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sqrt(
+                F.sum(F.col("tf") * F.col("tf")).cast("double")
+            ).alias("dn"),
+            *[
+                F.sum(
+                    F.coalesce(F.col(f"w{lid}"), F.lit(0)) * F.col("tf")
+                )
+                .cast("bigint")
+                .alias(f"d{lid}")
+                for lid in lids
+            ],
         )
     )
-    assigned = scored.groupBy("doc_id").agg(
-        F.max(
-            F.struct(
-                F.col("cos_r"),
-                (-F.col("lang_id")).alias("neg_id"),
-                F.col("lang"),
-            )
-        ).alias("b")
+    cols = {
+        lid: F.round(
+            F.col(f"d{lid}").cast("double")
+            / (F.col("dn") * F.lit(pn[lid])),
+            6,
+        )
+        for lid in lids
+    }
+    # argmax with ties → smallest lang_id, exactly max(struct(cos,
+    # −id)): the first lid (ascending) that is ≥ every other wins
+    winner_lang = None
+    winner_cos = None
+    for lid in lids:
+        cond = None
+        for other in lids:
+            if other == lid:
+                continue
+            c = cols[lid] >= cols[other]
+            cond = c if cond is None else (cond & c)
+        winner_lang = (
+            F.when(cond, langs[lid])
+            if winner_lang is None
+            else winner_lang.when(cond, langs[lid])
+        )
+        winner_cos = (
+            F.when(cond, cols[lid])
+            if winner_cos is None
+            else winner_cos.when(cond, cols[lid])
+        )
+    assigned = per_doc.filter(
+        F.greatest(*[F.col(f"d{lid}") for lid in lids]) > 0
     ).select(
-        F.col("b.lang").alias("lang"), F.col("b.cos_r").alias("cos_r")
+        winner_lang.alias("lang"), winner_cos.alias("cos_r")
     )
     return assigned.groupBy(F.col("lang").alias("language")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -406,12 +406,15 @@ _QR_GRID = 10  # slope candidates b = OLS·(5+j)/10, j = 0..10
     "broken toward the smaller grid index — the outlier-robust trend "
     "line to report beside linreg_price_on_quantity. floor(b·x) is "
     "deterministic cross-engine (both sides compute the identical "
-    "IEEE double product). Scale shape: one corpus aggregation for "
-    "the OLS stats, one corpus pass expanded by the 21-row candidate "
-    "broadcast into per-candidate residual histograms (map-side "
-    "combine keeps the shuffle ≈ 21× the residual DOMAIN), the "
-    "per-candidate median walk is the GROUPED range-partitioned "
-    "prefix scan, and the 21-row loss frame folds to one output row. "
+    "IEEE double product). Scale shape: ONE corpus aggregation to "
+    "the (quantity, price-cents) JOINT histogram — quantity is "
+    "domain-bounded and prices are per-part, so the pair frame "
+    "compresses ~10× at sf1 — from which the OLS moments fold "
+    "EXACTLY (integer-multiple identity) and the 11-row candidate "
+    "broadcast expands into per-candidate residual histograms "
+    "(≈ 11× the dollar-residual DOMAIN), the per-candidate median "
+    "walk is the GROUPED range-partitioned prefix scan, and the "
+    "11-row loss frame folds to one output row. "
     "Zero rows on an empty/degenerate (constant-x) input, like "
     "conformal_linreg_intervals.",
 )
@@ -426,25 +429,51 @@ def quantile_regression_pinball(
         F.col("l_quantity").isNotNull()
         & F.col("l_extendedprice").isNotNull()
     )
-    base = li.select(
-        F.col("l_quantity").cast("double").alias("xq"),
-        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("yc"),
+    # ONE corpus scan to the (quantity, price-cents) JOINT histogram:
+    # quantity is domain-bounded (1-50) and each part carries one base
+    # price, so the pair frame compresses ~10× at sf1 (6M rows →
+    # 600k pairs, measured) — and every downstream quantity folds
+    # EXACTLY from it: the OLS moments are integer multiples
+    # (Σ_rows f(x,y) ≡ Σ_pairs f(x,y)·cnt in DECIMAL), and the
+    # residual expansion multiplies 11 × |pairs| instead of
+    # 11 × |corpus| (this cut the sf1 wall ~2×; the r13 sweep's
+    # pre-rewrite 6.2×/dec was the 11× row expansion, not a hidden
+    # quadratic). Eager checkpoint: the histogram feeds the moments
+    # AND the residual expansion.
+    hist0 = (
+        li.select(
+            F.col("l_quantity").cast("double").alias("xq"),
+            (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("yc"),
+        )
+        .groupBy("xq", "yc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     xd = F.col("xq").cast("decimal(12,2)")
-    st = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(xd).cast("double").alias("sx"),
-        F.sum("yc").cast("double").alias("sy"),
-        F.sum((xd * F.col("yc")).cast("decimal(38,2)"))
+    st = hist0.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum((xd * F.col("cnt")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.col("yc") * F.col("cnt")).cast("double").alias("sy"),
+        F.sum(
+            ((xd * F.col("yc")).cast("decimal(38,2)") * F.col("cnt"))
+            .cast("decimal(38,2)")
+        )
         .cast("double")
         .alias("sxy"),
-        F.sum((xd * xd).cast("decimal(38,4)")).cast("double").alias("sxx"),
+        F.sum(
+            ((xd * xd).cast("decimal(38,4)") * F.col("cnt"))
+            .cast("decimal(38,4)")
+        )
+        .cast("double")
+        .alias("sxx"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     # the 1-row fit feeds the candidate grid, the median ranks AND the
-    # final output row: eager checkpoint runs the stats scan once
+    # final output row: eager checkpoint runs the moment fold once
     fit = st.select(
         "n",
         F.round(
@@ -463,19 +492,20 @@ def quantile_regression_pinball(
             "j", ((F.col("rs") * (5 + F.col("j"))) / 10).alias("b")
         )
     )
-    # per-candidate residual histogram: feeds the grouped scan AND the
-    # loss fold — eager checkpoint (one-scan rule); the 21-row grid is
-    # broadcast so the corpus expansion is map-side
+    # per-candidate residual histogram from the pair histogram: feeds
+    # the grouped scan AND the loss fold — eager checkpoint (one-scan
+    # rule); the 11-row grid is broadcast so the expansion is map-side
     rh = (
-        base.crossJoin(F.broadcast(cand))
+        hist0.crossJoin(F.broadcast(cand))
         .select(
             "j",
             F.floor(
                 (F.col("yc") - F.col("b") * F.col("xq")) / 100
             ).cast("bigint").alias("r"),
+            "cnt",
         )
         .groupBy("j", "r")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
         .localCheckpoint(eager=True)
     )
     cum = range_prefix_sum(
@@ -1417,4 +1447,299 @@ def did_value_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("did_estimate"),
+    )
+
+
+# --------------------------------- content-addressed split manifest
+
+_SPLIT_TRAIN_PCT, _SPLIT_VAL_PCT = 90, 5  # train/val/test 90/5/5
+
+
+@register(
+    "split_assignment_report",
+    f"""
+    WITH a AS (
+        SELECT doc_id,
+               COALESCE(source, '(null)') AS source,
+               CASE WHEN u < {_SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN u < {_SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT}
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, source,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 12)) AS BIGINT)
+                       * 100 // {_KMV_2P48} AS u
+            FROM documents
+        )
+    ),
+    per AS (
+        SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM a GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT split, CAST(SUM(n_docs) AS BIGINT) AS split_total
+        FROM per GROUP BY split
+    )
+    SELECT p.split, p.source, p.n_docs, t.split_total,
+           ROUND(CAST(p.n_docs AS DOUBLE) / t.split_total, 6)
+               AS share_in_split
+    FROM per p JOIN tot t USING (split)
+    """,
+    doc="Content-addressed train/val/test split manifest "
+    f"({_SPLIT_TRAIN_PCT}/{_SPLIT_VAL_PCT}/"
+    f"{100 - _SPLIT_TRAIN_PCT - _SPLIT_VAL_PCT}): each doc's split is "
+    "a pure function of md5₄₈(doc_id) scaled to an integer percent "
+    "(exact integer multiply-divide — no float boundary), so the "
+    "assignment is stable under rerun/repartition/engine and "
+    "DISJOINT by construction (one hash, one CASE — the leakage "
+    "check a file-based splitter needs is a no-op here). Reported "
+    "per (split, source) with each source's share WITHIN its split — "
+    "the stratification drift a curation pipeline monitors (a split "
+    "whose source mix diverges from the corpus biases eval). NULL "
+    "source is a first-class '(null)' stratum. Scale shape: one "
+    "map-side hash + CASE, one (split × source)-domain aggregation, "
+    "a 3-row totals join; no corpus joins.",
+)
+def split_assignment_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = F.floor(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        * 100
+        / F.lit(_KMV_2P48)
+    )
+    split = (
+        F.when(u < _SPLIT_TRAIN_PCT, "train")
+        .when(u < _SPLIT_TRAIN_PCT + _SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    per = (
+        docs.select(
+            split.alias("split"),
+            F.coalesce("source", F.lit("(null)")).alias("source"),
+        )
+        .groupBy("split", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = per.groupBy("split").agg(
+        F.sum("n_docs").cast("bigint").alias("split_total")
+    )
+    return per.join(F.broadcast(tot), "split").select(
+        "split",
+        "source",
+        "n_docs",
+        "split_total",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("split_total"), 6
+        ).alias("share_in_split"),
+    )
+
+
+# ------------------------------- minimum detectable effect (power)
+
+# z_{alpha/2} + z_beta for alpha = 0.05, power = 0.80, folded to one
+# double literal so both engines evaluate the identical constant
+_MDE_Z_SUM = 2.8015852181129683
+
+
+@register(
+    "ab_minimum_detectable_effect",
+    f"""
+    WITH c AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+               CAST(value AS DECIMAL(18,2)) AS y
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    m AS (
+        SELECT CAST(SUM(CASE WHEN treat = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN treat = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS s2
+        FROM c
+    )
+    SELECT na AS n_treat, nb AS n_ctrl,
+           ROUND(SQRT((s2 - s1 * s1 / n) / NULLIF(n - 1, 0)), 6)
+               AS pooled_sd,
+           ROUND({_MDE_Z_SUM!r}
+                 * SQRT((s2 - s1 * s1 / n) / NULLIF(n - 1, 0))
+                 * SQRT(1.0 / NULLIF(na, 0) + 1.0 / NULLIF(nb, 0)),
+                 6) AS mde_abs,
+           ROUND({_MDE_Z_SUM!r}
+                 * SQRT((s2 - s1 * s1 / n) / NULLIF(n - 1, 0))
+                 * SQRT(1.0 / NULLIF(na, 0) + 1.0 / NULLIF(nb, 0))
+                 / NULLIF(s1 / n, 0), 6) AS mde_rel
+    FROM m
+    """,
+    doc="Minimum detectable effect for the parity-cohort A/B design "
+    "at α=0.05 / power 0.80: MDE = (z_{α/2}+z_β)·s·√(1/n₁+1/n₂) with "
+    "the z-sum folded to one cross-engine literal and the pooled SD "
+    "from exact DECIMAL moments (Σy, Σy² — one corpus pass) — the "
+    "pre-experiment sizing answer ('how small an effect could this "
+    "traffic even see?') that belongs next to "
+    "cuped_adjusted_ab_metric and did_value_estimate. Reported "
+    "absolute and relative to the pooled mean. Scale shape: ONE "
+    "conditional-aggregation corpus pass to a 1-row moment frame; no "
+    "joins, no windows. Exactly one output row; degenerate inputs "
+    "(n ≤ 1, empty cohort) yield NULLs.",
+)
+def ab_minimum_detectable_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    y = F.col("value").cast("decimal(18,2)")
+    treat = (F.col("user_id") % 2).cast("bigint")
+    m = ev.select(treat.alias("treat"), y.alias("y")).agg(
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("double").alias("s1"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / F.nullif(F.col("n") - 1, F.lit(0))
+    )
+    se = sd * F.sqrt(
+        1.0 / F.nullif(F.col("na"), F.lit(0))
+        + 1.0 / F.nullif(F.col("nb"), F.lit(0))
+    )
+    return m.select(
+        F.col("na").alias("n_treat"),
+        F.col("nb").alias("n_ctrl"),
+        F.round(sd, 6).alias("pooled_sd"),
+        F.round(F.lit(_MDE_Z_SUM) * se, 6).alias("mde_abs"),
+        F.round(
+            F.lit(_MDE_Z_SUM)
+            * se
+            / F.nullif(F.col("s1") / F.col("n"), F.lit(0.0)),
+            6,
+        ).alias("mde_rel"),
+    )
+
+
+# --------------------------------- classifier calibration (ECE)
+
+from stream_processing_spark.queries.curation6 import (  # noqa: E402
+    _CLF_LADDER,
+    _CLF_R,
+    _clf_features,
+    _clf_scores,
+    trained_classifier,
+)
+
+_ECE_SQL = (
+    _CLF_LADDER
+    + f""",
+    sc AS (
+        SELECT f.doc_id, f.y,
+               ROUND(CAST(MAX(b.b) AS DOUBLE)
+                     + CAST(SUM(w.w) AS DOUBLE) / COUNT(*), 6) AS score
+        FROM feats f
+        JOIN w{_CLF_R} w USING (bucket)
+        CROSS JOIN b{_CLF_R} b
+        GROUP BY f.doc_id, f.y
+    ),
+    pr AS (
+        SELECT y, ROUND(1.0 / (1.0 + EXP(-score)), 9) AS p FROM sc
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(p AS DECIMAL(12,9))) AS DOUBLE)
+                   / COUNT(*) AS conf,
+               CAST(SUM(y) AS DOUBLE) / COUNT(*) AS acc
+        FROM pr GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nn FROM binned),
+    e AS (
+        SELECT ROUND(CAST(SUM(CAST(ROUND(ABS(acc - conf), 9)
+                                   AS DECIMAL(12,9)) * n_docs)
+                          AS DOUBLE) / MAX(t.nn), 6) AS ece
+        FROM binned CROSS JOIN tot t
+    )
+    SELECT b.bin, b.n_docs, ROUND(b.conf, 6) AS avg_conf,
+           ROUND(b.acc, 6) AS frac_pos, e.ece
+    FROM binned b CROSS JOIN e
+    """
+)
+
+
+@register(
+    "classifier_calibration_ece",
+    _ECE_SQL,
+    doc="Calibration report for the quality classifier: scores map "
+    "through the sigmoid to probabilities (rounded to 9dp — the "
+    "cross-engine exp discipline), bucket into 10 confidence bins, "
+    "and each bin reports its size, mean predicted confidence "
+    "(DECIMAL-summed), and observed positive rate — plus the "
+    "Expected Calibration Error Σ nᵢ/N·|accᵢ−confᵢ| every MLOps "
+    "dashboard tracks before trusting scores as probabilities "
+    "(a classifier can rank well yet be badly calibrated; "
+    "quality_classifier_scores only shows the ranking). Rides the "
+    "same trained artifact (constant-size weight table, model "
+    "cache) as the inference query — ONE corpus scoring scan, a "
+    "10-bin aggregation, 1-row ECE broadcast. ≤ 10 output rows.",
+)
+def classifier_calibration_ece(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weights, bias, _ = trained_classifier(spark, docs)
+    feats = _clf_features(docs)
+    sc = _clf_scores(feats, weights, bias)
+    p = F.round(
+        1.0 / (1.0 + F.exp(-F.col("score"))), 9
+    )
+    pr = sc.select(F.col("y"), p.alias("p"))
+    binned = pr.groupBy(
+        F.least(
+            F.floor(F.col("p") * 10).cast("bigint"), F.lit(9)
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.col("p").cast("decimal(12,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("conf"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("acc"),
+    )
+    # the 10-bin frame feeds the ECE fold AND the per-bin report:
+    # eager checkpoint runs the corpus scoring scan once (r13 rule)
+    binned = binned.localCheckpoint(eager=True)
+    tot = binned.agg(F.sum("n_docs").cast("bigint").alias("nn"))
+    e = binned.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.sum(
+                F.round(F.abs(F.col("acc") - F.col("conf")), 9).cast(
+                    "decimal(12,9)"
+                )
+                * F.col("n_docs")
+            ).cast("double")
+            / F.max("nn"),
+            6,
+        ).alias("ece")
+    )
+    return binned.crossJoin(F.broadcast(e)).select(
+        "bin",
+        "n_docs",
+        F.round("conf", 6).alias("avg_conf"),
+        F.round("acc", 6).alias("frac_pos"),
+        "ece",
     )

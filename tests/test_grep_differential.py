@@ -90,7 +90,7 @@ def _corpus(tmp_path, rng):
 
 
 def test_differential_vs_gnu_grep(spark, tmp_path):
-    rng = random.Random(20260817)
+    rng = random.Random(20260913)
     glob, files = _corpus(tmp_path, rng)
     ran = Counter()
     for case in range(N_CASES):

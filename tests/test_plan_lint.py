@@ -122,6 +122,9 @@ CROSS_OK = {
     "cramer_von_mises_drift",         # 1-row midpoint + totals broadcasts
     "funnel_time_to_convert",         # 1-row total + picks broadcasts
     "did_value_estimate",             # 1-row midpoint broadcast
+    "ab_minimum_detectable_effect",   # (none expected — single agg)
+    "classifier_calibration_ece",     # 1-row total + ECE broadcasts;
+                                      # inherits the clf weight join
 }
 
 _SKIP = tuple(

@@ -491,6 +491,9 @@ def test_langid_no_match_docs_excluded(spark, tmp_path):
 # ------------------------------------------------ oracle edge sweeps
 
 R13_BATCH = [
+    "split_assignment_report",
+    "ab_minimum_detectable_effect",
+    "classifier_calibration_ece",
     "funnel_time_to_convert",
     "dau_wau_mau_daily",
     "did_value_estimate",
@@ -892,3 +895,84 @@ def test_did_parallel_shift_cancels(spark, tmp_path):
         .collect()[0]
     )
     assert r["did_estimate"] == 0.0
+
+
+# --------------------------------- split manifest / MDE / ECE
+
+
+def test_split_assignment_python_twin(spark, tmp_path):
+    """The split of every doc matches the hashlib twin of
+    md5₄₈(doc_id)·100 // 2^48, and splits are disjoint by
+    construction (counts sum to the corpus)."""
+    con = duckdb.connect()
+    rows = ", ".join(f"({i})" for i in range(1, 201))
+    _copy(con, tmp_path, "documents", f"""
+        SELECT CAST(i AS BIGINT) doc_id, 'txt' AS text, 'en' AS lang,
+               's' || (i % 3) AS source, CAST(10 AS BIGINT) n_chars
+        FROM (VALUES {rows}) t(i)""")
+    con.close()
+    got = (
+        REGISTRY["split_assignment_report"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    )
+    want: dict[tuple, int] = {}
+    for i in range(1, 201):
+        u = _md5_48(i) * 100 // 281474976710656
+        split = "train" if u < 90 else ("val" if u < 95 else "test")
+        key = (split, f"s{i % 3}")
+        want[key] = want.get(key, 0) + 1
+    assert {(r["split"], r["source"]): r["n_docs"] for r in got} == want
+    assert sum(r["n_docs"] for r in got) == 200
+    # shares within each split sum to ~1
+    by_split: dict[str, float] = {}
+    for r in got:
+        by_split[r["split"]] = by_split.get(r["split"], 0.0) + r[
+            "share_in_split"
+        ]
+    for s, tot in by_split.items():
+        assert abs(tot - 1.0) < 1e-4, (s, tot)
+
+
+def test_mde_hand_computed(spark, tmp_path):
+    """Four rows, values 1,2,3,4, users 1,2,3,4 (two per cohort):
+    pooled sd = sqrt(5/3), MDE = 2.80158...·sd·sqrt(1/2+1/2),
+    relative to mean 2.5."""
+    con = duckdb.connect()
+    _copy(con, tmp_path, "events", """
+        SELECT CAST(i AS BIGINT) event_id, TIMESTAMP '2024-01-01' ts,
+               CAST(i AS BIGINT) user_id, 'view' event_type,
+               CAST(i AS DOUBLE) AS value, '' AS props
+        FROM range(1, 5) t(i)""")
+    con.close()
+    r = (
+        REGISTRY["ab_minimum_detectable_effect"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    sd = math.sqrt(5 / 3)
+    assert r["n_treat"] == 2 and r["n_ctrl"] == 2
+    assert r["pooled_sd"] == round(sd, 6)
+    assert r["mde_abs"] == round(2.8015852181129683 * sd, 6)
+    assert r["mde_rel"] == round(2.8015852181129683 * sd / 2.5, 6)
+
+
+def test_ece_bins_and_bound(spark, tmp_path):
+    """ECE structural properties on the real fixture corpus: bins in
+    [0, 9], counts sum to the scored corpus, every avg_conf inside
+    its bin's confidence range (±rounding), 0 ≤ ece ≤ 1, and ece is
+    identical on every row."""
+    rows = (
+        REGISTRY["classifier_calibration_ece"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows, "fixture corpus must produce at least one bin"
+    eces = {r["ece"] for r in rows}
+    assert len(eces) == 1
+    assert 0.0 <= rows[0]["ece"] <= 1.0
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        lo, hi = r["bin"] / 10, (r["bin"] + 1) / 10 + 1e-6
+        assert lo - 1e-6 <= r["avg_conf"] <= hi
+        assert 0.0 <= r["frac_pos"] <= 1.0

@@ -393,7 +393,7 @@ def duck_sf():
 
 def test_sql_fuzz_spark_matches_duckdb(spark, duck_sf):
     register_views(spark, SF)
-    rng = random.Random(20260817)
+    rng = random.Random(20260913)
     n_nonempty = 0
     for case in range(N_CASES):
         sql = _gen_query(rng)

@@ -46,7 +46,7 @@ def _leaf_paths(val, prefix="$"):
 
 
 def test_variant_extraction_matches_duckdb_on_random_docs(spark, duck):
-    rng = random.Random(12)
+    rng = random.Random(13)
     docs, cases = [], []  # cases: (doc_id, path, expected_py_value)
     for i in range(60):
         root = {
