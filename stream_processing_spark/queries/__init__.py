@@ -128,7 +128,8 @@ _PRIORITY = [
     "cramer_von_mises_drift", "funnel_time_to_convert",
     "dau_wau_mau_daily", "did_value_estimate",
     "split_assignment_report", "ab_minimum_detectable_effect",
-    "classifier_calibration_ece",
+    "classifier_calibration_ece", "james_stein_type_means",
+    "logrank_lifetime_by_cohort",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

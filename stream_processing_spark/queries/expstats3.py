@@ -1743,3 +1743,307 @@ def classifier_calibration_ece(
         F.round("acc", 6).alias("frac_pos"),
         "ece",
     )
+
+
+# ------------------------------ James-Stein shrinkage of type means
+
+
+@register(
+    "james_stein_type_means",
+    """
+    WITH g AS (
+        SELECT COALESCE(event_type, '(null)') AS event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                             * CAST(value AS DECIMAL(18,2))
+                             AS DECIMAL(38,4))) AS DOUBLE) AS s2
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    m AS (
+        SELECT event_type, n,
+               ROUND(s1 / n, 9) AS mean_r,
+               CASE WHEN n > 1
+                    THEN ((s2 - s1 * s1 / n) / (n - 1)) / n
+                    END AS se2
+        FROM g
+    ),
+    gr AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(CAST(mean_r AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*) AS grand
+        FROM m
+    ),
+    ssb AS (
+        SELECT CAST(SUM(CAST(ROUND((mean_r - g.grand)
+                                   * (mean_r - g.grand), 9)
+                             AS DECIMAL(18,9))) AS DOUBLE) AS ssb
+        FROM m CROSS JOIN gr g
+    )
+    SELECT m.event_type, m.n, ROUND(m.mean_r, 6) AS raw_mean,
+           ROUND(GREATEST(0.0,
+                 1.0 - (g.k - 3) * m.se2 / NULLIF(s.ssb, 0)), 6)
+               AS shrink_weight,
+           ROUND(g.grand
+                 + GREATEST(0.0,
+                       1.0 - (g.k - 3) * m.se2 / NULLIF(s.ssb, 0))
+                   * (m.mean_r - g.grand), 6) AS shrunk_mean
+    FROM m CROSS JOIN gr g CROSS JOIN ssb s
+    """,
+    doc="Positive-part James-Stein shrinkage of per-event-type mean "
+    "values toward the unweighted grand mean of type means — the "
+    "empirical-Bayes estimate a metrics platform serves for "
+    "small-sample segments (a type with few/noisy observations gets "
+    "pulled toward the pool; a precise one barely moves): "
+    "c_t = max(0, 1 − (k−3)·se²_t/SSB) with per-type standard errors "
+    "(the unequal-variance positive-part variant). Type means round "
+    "to 9dp before the grand/SSB folds so every cross-type sum is "
+    "DECIMAL order-independent. Scale shape: ONE conditional-"
+    "aggregation corpus pass to the type-domain moment frame, then "
+    "1-row grand/SSB broadcasts over ≤ |types| rows. NULL type is a "
+    "first-class '(null)' segment; NULL values carry no signal. "
+    "k ≤ 3 degenerates to zero shrinkage weights NULLed by SSB "
+    "guards, documented.",
+)
+def james_stein_type_means(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    y = F.col("value").cast("decimal(18,2)")
+    g = ev.groupBy(
+        F.coalesce("event_type", F.lit("(null)")).alias("event_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(y).cast("double").alias("s1"),
+        F.sum((y * y).cast("decimal(38,4)")).cast("double").alias("s2"),
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        F.round(F.col("s1") / F.col("n"), 9).alias("mean_r"),
+        F.when(
+            F.col("n") > 1,
+            (
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            )
+            / F.col("n"),
+        ).alias("se2"),
+    ).localCheckpoint(eager=True)
+    gr = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            F.sum(F.col("mean_r").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("grand"),
+    )
+    ssb = m.crossJoin(F.broadcast(gr)).agg(
+        F.sum(
+            F.round(
+                (F.col("mean_r") - F.col("grand"))
+                * (F.col("mean_r") - F.col("grand")),
+                9,
+            ).cast("decimal(18,9)")
+        )
+        .cast("double")
+        .alias("ssb")
+    )
+    out = m.crossJoin(F.broadcast(gr)).crossJoin(F.broadcast(ssb))
+    c = F.greatest(
+        F.lit(0.0),
+        1.0
+        - (F.col("k") - 3)
+        * F.col("se2")
+        / F.nullif(F.col("ssb"), F.lit(0.0)),
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("mean_r", 6).alias("raw_mean"),
+        F.round(c, 6).alias("shrink_weight"),
+        F.round(
+            F.col("grand") + c * (F.col("mean_r") - F.col("grand")), 6
+        ).alias("shrunk_mean"),
+    )
+
+
+# ------------------------------------------ log-rank survival test
+
+_LR_CENSOR_DAYS = 3  # same horizon rule as kaplan_meier_user_lifetime
+
+
+@register(
+    "logrank_lifetime_by_cohort",
+    f"""
+    WITH users AS (
+        SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+               date_diff('day', MIN(CAST(ts AS DATE)),
+                         MAX(CAST(ts AS DATE))) AS lt,
+               MAX(CAST(ts AS DATE)) AS last_day
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS hmax FROM events),
+    marked AS (
+        SELECT u.grp, u.lt,
+               CASE WHEN date_diff('day', u.last_day, h.hmax)
+                         < {_LR_CENSOR_DAYS} THEN 1 ELSE 0 END
+                   AS censored
+        FROM users u, horizon h
+    ),
+    lev AS (
+        SELECT lt,
+               CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e1,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS e0,
+               CAST(SUM(CASE WHEN grp = 1 AND censored = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+               CAST(SUM(CASE WHEN grp = 0 AND censored = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d0
+        FROM marked GROUP BY lt
+    ),
+    risk AS (
+        SELECT lt, d1, d0,
+               CAST(SUM(e1) OVER (ORDER BY lt DESC NULLS FIRST)
+                    AS BIGINT) AS r1,
+               CAST(SUM(e0) OVER (ORDER BY lt DESC NULLS FIRST)
+                    AS BIGINT) AS r0
+        FROM lev
+    ),
+    terms AS (
+        SELECT CAST(ROUND(d1 - CAST(r1 AS DOUBLE) * (d1 + d0)
+                               / (r1 + r0), 9)
+                    AS DECIMAL(18,9)) AS oe,
+               CAST(ROUND((d1 + d0)
+                          * (CAST(r1 AS DOUBLE) / (r1 + r0))
+                          * (1.0 - CAST(r1 AS DOUBLE) / (r1 + r0))
+                          * (r1 + r0 - d1 - d0)
+                          / NULLIF(r1 + r0 - 1, 0), 9)
+                    AS DECIMAL(18,9)) AS v
+        FROM risk
+        WHERE d1 + d0 > 0 AND r1 + r0 > 1
+    ),
+    agg AS (
+        SELECT CAST(SUM(oe) AS DOUBLE) AS oe,
+               CAST(SUM(v) AS DOUBLE) AS v
+        FROM terms
+    ),
+    nn AS (
+        SELECT CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_treat,
+               CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ctrl
+        FROM marked
+    )
+    SELECT nn.n_treat, nn.n_ctrl,
+           ROUND(a.oe, 6) AS o_minus_e,
+           ROUND(a.v, 6) AS lr_var,
+           ROUND(a.oe / NULLIF(SQRT(a.v), 0), 6) AS z_logrank
+    FROM nn CROSS JOIN agg a
+    """,
+    doc="Log-rank (Mantel-Cox) test comparing the user-lifetime "
+    "survival curves of the two parity cohorts — the hypothesis-test "
+    "companion to kaplan_meier_user_lifetime (same lifetime and "
+    f"{_LR_CENSOR_DAYS}-day horizon-censoring conventions): at each "
+    "distinct lifetime level, observed group-1 deaths minus the "
+    "hypergeometric expectation r₁·d/r, variance "
+    "d·(r₁/r)(1−r₁/r)(r−d)/(r−1), each term rounded to 9dp and "
+    "DECIMAL-summed (order-independent), z = ΣOE/√ΣV. At-risk counts "
+    "are suffix cumulatives over the lifetime-DAY domain (bounded — "
+    "the WINDOW_OK class KM established). Scale shape: one per-user "
+    "aggregation shuffle, then everything is day-domain-bounded; "
+    "1-row broadcasts. Exactly one output row; no deaths or a "
+    "degenerate risk set yield NULL z.",
+)
+def logrank_lifetime_by_cohort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    users = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.to_date("ts")), F.min(F.to_date("ts"))
+        ).alias("lt"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    ).select(
+        (F.col("user_id") % 2).cast("bigint").alias("grp"),
+        "lt",
+        "last_day",
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("hmax"))
+    marked = users.crossJoin(F.broadcast(horizon)).select(
+        "grp",
+        "lt",
+        F.when(
+            F.datediff("hmax", "last_day") < _LR_CENSOR_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("censored"),
+    ).localCheckpoint(eager=True)
+    lev = marked.groupBy("lt").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("e1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("e0"),
+        F.sum(
+            F.when((F.col("grp") == 1) & (F.col("censored") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(
+            F.when((F.col("grp") == 0) & (F.col("censored") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d0"),
+    )
+    wdesc = Window.orderBy(F.desc_nulls_first("lt"))
+    risk = lev.select(
+        "lt",
+        "d1",
+        "d0",
+        F.sum("e1").over(wdesc).cast("bigint").alias("r1"),
+        F.sum("e0").over(wdesc).cast("bigint").alias("r0"),
+    )
+    d = F.col("d1") + F.col("d0")
+    r = F.col("r1") + F.col("r0")
+    p1 = F.col("r1").cast("double") / r
+    terms = risk.filter((d > 0) & (r > 1)).select(
+        F.round(F.col("d1") - p1 * d, 9)
+        .cast("decimal(18,9)")
+        .alias("oe"),
+        F.round(
+            d * p1 * (1.0 - p1) * (r - d)
+            / F.nullif(r - 1, F.lit(0)),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("v"),
+    )
+    agg = terms.agg(
+        F.sum("oe").cast("double").alias("oe"),
+        F.sum("v").cast("double").alias("v"),
+    )
+    nn = marked.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treat"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ctrl"),
+    )
+    return nn.crossJoin(F.broadcast(agg)).select(
+        "n_treat",
+        "n_ctrl",
+        F.round("oe", 6).alias("o_minus_e"),
+        F.round("v", 6).alias("lr_var"),
+        F.round(
+            F.col("oe") / F.nullif(F.sqrt(F.col("v")), F.lit(0.0)), 6
+        ).alias("z_logrank"),
+    )

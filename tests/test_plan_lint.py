@@ -125,6 +125,8 @@ CROSS_OK = {
     "ab_minimum_detectable_effect",   # (none expected — single agg)
     "classifier_calibration_ece",     # 1-row total + ECE broadcasts;
                                       # inherits the clf weight join
+    "james_stein_type_means",         # 1-row grand/SSB broadcasts
+    "logrank_lifetime_by_cohort",     # 1-row horizon + O-E broadcasts
 }
 
 _SKIP = tuple(
@@ -159,6 +161,8 @@ WINDOW_OK = {
     "zipf_token_fit",              # rank over ≤ 500 kept rows
     "tdigest_value_quantiles",     # δ-bounded centroid frame (≤ 52
                                    # rows at δ=100) cumulative
+    "logrank_lifetime_by_cohort",  # lifetime-days domain suffix
+                                   # cumulative (the KM class)
 }
 
 

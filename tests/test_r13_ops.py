@@ -491,6 +491,8 @@ def test_langid_no_match_docs_excluded(spark, tmp_path):
 # ------------------------------------------------ oracle edge sweeps
 
 R13_BATCH = [
+    "james_stein_type_means",
+    "logrank_lifetime_by_cohort",
     "split_assignment_report",
     "ab_minimum_detectable_effect",
     "classifier_calibration_ece",
@@ -976,3 +978,118 @@ def test_ece_bins_and_bound(spark, tmp_path):
         lo, hi = r["bin"] / 10, (r["bin"] + 1) / 10 + 1e-6
         assert lo - 1e-6 <= r["avg_conf"] <= hi
         assert 0.0 <= r["frac_pos"] <= 1.0
+
+
+# --------------------------- James-Stein / log-rank (second wave)
+
+
+def test_james_stein_python_twin(spark, tmp_path):
+    """Four types with hand-set means 1/4/2/8: the python twin of the
+    positive-part JS formula (9dp rounds included) pins weights and
+    shrunk means; the zero-variance types keep weight 1."""
+    con = duckdb.connect()
+    data = [("a", 1.0), ("a", 1.0), ("b", 3.0), ("b", 5.0),
+            ("c", 2.0), ("c", 2.0), ("d", 7.0), ("d", 9.0)]
+    rows = ", ".join(
+        f"({i}, '{t}', {v!r})" for i, (t, v) in enumerate(data)
+    )
+    _copy(con, tmp_path, "events", f"""
+        SELECT CAST(i AS BIGINT) event_id, TIMESTAMP '2024-01-01' ts,
+               CAST(i AS BIGINT) user_id, t AS event_type,
+               CAST(v AS DOUBLE) AS value, '' AS props
+        FROM (VALUES {rows}) t(i, t, v)""")
+    con.close()
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["james_stein_type_means"]
+        .spark(spark, str(tmp_path))
+        .collect()
+    }
+    # python twin
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for t, v in data:
+        vals[t].append(v)
+    m = {}
+    for t, vs in vals.items():
+        n = len(vs)
+        s1, s2 = sum(vs), sum(v * v for v in vs)
+        mean_r = round(s1 / n, 9)
+        se2 = ((s2 - s1 * s1 / n) / (n - 1)) / n if n > 1 else None
+        m[t] = (n, mean_r, se2)
+    k = len(m)
+    grand = sum(mr for _, mr, _ in m.values()) / k
+    ssb = sum(round((mr - grand) ** 2, 9) for _, mr, _ in m.values())
+    for t, (n, mr, se2) in m.items():
+        c = max(0.0, 1.0 - (k - 3) * se2 / ssb)
+        assert got[t]["n"] == n
+        assert got[t]["raw_mean"] == round(mr, 6)
+        assert got[t]["shrink_weight"] == round(c, 6)
+        assert got[t]["shrunk_mean"] == round(grand + c * (mr - grand), 6)
+    assert got["a"]["shrink_weight"] == 1.0  # zero-variance type
+    assert got["b"]["shrink_weight"] < 1.0
+
+
+def test_logrank_python_twin(spark, tmp_path):
+    """Asymmetric lifetimes (treat dies early): the python twin of
+    the Mantel-Cox O−E/V folds (9dp rounds included) pins the
+    statistic; the z must be negative (group 1 dies sooner ⇒ fewer
+    observed group-1 survivors than expected... sign per d1 − e1)."""
+    con = duckdb.connect()
+    # users: (id, first_day, last_day) — horizon set by user 8's
+    # late event; censored iff hmax − last_day < 3
+    spec = [
+        (1, 0, 1), (3, 0, 2), (5, 0, 1),      # grp 1: lifetimes 1,2,1
+        (2, 0, 5), (4, 0, 6), (6, 0, 5),      # grp 0: lifetimes 5,6,5
+        (8, 0, 12),                           # grp 0: censored anchor
+    ]
+    rows = []
+    for uid, d0, d1 in spec:
+        rows.append(f"({uid}, {d0})")
+        rows.append(f"({uid}, {d1})")
+    vals = ", ".join(rows)
+    _copy(con, tmp_path, "events", f"""
+        SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) event_id,
+               TIMESTAMP '2024-01-01' + (d || ' days')::INTERVAL AS ts,
+               CAST(u AS BIGINT) user_id, 'view' event_type,
+               CAST(1.0 AS DOUBLE) AS value, '' AS props
+        FROM (VALUES {vals}) t(u, d)""")
+    con.close()
+    r = (
+        REGISTRY["logrank_lifetime_by_cohort"]
+        .spark(spark, str(tmp_path))
+        .collect()[0]
+    )
+    # python twin (hmax = day 12; censored iff 12 - last < 3)
+    marked = []
+    for uid, d0, d1 in spec:
+        marked.append((uid % 2, d1 - d0, 1 if 12 - d1 < 3 else 0))
+    lev = {}
+    for g, lt, c in marked:
+        e = lev.setdefault(lt, [0, 0, 0, 0])  # e1 e0 d1 d0
+        e[0 if g == 1 else 1] += 1
+        if not c:
+            e[2 if g == 1 else 3] += 1
+    oe = v = 0.0
+    from decimal import Decimal
+
+    oe_d = v_d = Decimal(0)
+    lts = sorted(lev)
+    for i, lt in enumerate(lts):
+        r1 = sum(lev[x][0] for x in lts[i:])
+        r0 = sum(lev[x][1] for x in lts[i:])
+        d1, d0 = lev[lt][2], lev[lt][3]
+        d, rr = d1 + d0, r1 + r0
+        if d > 0 and rr > 1:
+            p1 = r1 / rr
+            oe_d += Decimal(str(round(d1 - p1 * d, 9)))
+            v_d += Decimal(
+                str(round(d * p1 * (1 - p1) * (rr - d) / (rr - 1), 9))
+            )
+    oe, v = float(oe_d), float(v_d)
+    assert r["n_treat"] == 3 and r["n_ctrl"] == 4
+    assert r["o_minus_e"] == round(oe, 6)
+    assert r["lr_var"] == round(v, 6)
+    assert r["z_logrank"] == round(oe / math.sqrt(v), 6)
+    assert r["z_logrank"] > 0  # group 1's deaths cluster early
