@@ -262,6 +262,29 @@ BENCH_QUERIES = [
     "user_longest_streak",
     # per-user first-event agg + month-domain cohort rollup
     "cohort_ltv_matrix",
+    # --- round-13 additions (new capabilities — compare per-query
+    # against BENCH_DETAIL_r12, not in aggregate). Round-over-round
+    # note: every range_prefix_sum caller eager-materializes its
+    # histogram once this round and small frames take the adaptive
+    # one-bucket window path — identical values, one corpus scan.
+    # k1-clustered deterministic quantile sketch over the value hist
+    "tdigest_value_quantiles",
+    # joint-histogram pinball-loss slope grid + grouped prefix scan
+    "quantile_regression_pinball",
+    # two-shuffle trigram-profile cosine argmax
+    "langid_trigram_cosine_mix",
+    # one window pass + three co-partitioned step aggs
+    "sessionized_funnel_timeout",
+    # 30-way map-side expansion of the distinct (day, user) frame
+    "dau_wau_mau_daily",
+    # bottom-k distinct sketch (TakeOrdered over distinct hashes)
+    "kmv_distinct_users",
+    # per-weekday day-pair equi-join + DECIMAL tie folds
+    "seasonal_mann_kendall_weekday",
+    # prefix-scan CDF gaps, 9dp-rounded DECIMAL L2 fold
+    "cramer_von_mises_drift",
+    # corpus scoring scan + 10-bin calibration fold
+    "classifier_calibration_ece",
 ]
 
 

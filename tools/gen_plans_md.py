@@ -50,7 +50,23 @@ AUDITED = {
         "4.7× (was 5.2×), results identical (exceptAll-verified). "
         "Post-fix profile: the remaining shuffle is one 251 MB edge "
         "exchange + one ~240 MB join exchange per round — data-bound, "
-        "inherent to LPA's per-round edges⋈labels join."
+        "inherent to LPA's per-round edges⋈labels join. r13 CLOSING "
+        "WORD (VERDICT r12 item 5): the one candidate left — "
+        "pre-partitioning the mirrored edge frame by u and eager-"
+        "checkpointing it so every round's join side is exchange-free "
+        "(checkpoint preserves hashpartitioning; the probe plan "
+        "confirms the join drops to ONE exchange, the node-sized "
+        "label side) — was A/B-measured at sf0.1: plain 8.7/3.2 s "
+        "(cold/warm) vs pre-partitioned 7.0/5.8 s. The asymptotic "
+        "trade (pay one edge-frame materialization, save one "
+        "edge-sized exchange per subsequent round) only wins at deep "
+        "iteration counts or cluster-scale shuffle costs; at 3 "
+        "rounds on local[32] the materialization dominates and the "
+        "bench would regress. Decision: keep the plain shape, stop "
+        "spending on LPA — rounds 2-3's exchange is edge-sized and "
+        "irreducible without changing the algorithm (degree-1 "
+        "contraction would alter vote counts and thus the certified "
+        "labels)."
     ),
     "context_window_packing": (
         "Next-fit sequence packing: ONE FlatMapGroupsInPandas over the "
@@ -428,13 +444,15 @@ AUDITED = {
         "member→canonical map is an equi-join on cluster_id."
     ),
     "bm25f_topk_docs": (
-        "BM25F (r12): fields are tagged map-side from ONE corpus scan "
-        "(title = leading-token slice, body = remainder — a union of "
-        "two projections of the same scan, no second read); tf "
-        "shuffles on (doc, field, term), per-field avg lengths and "
-        "df broadcast, the weighted-tf saturation is map-side "
-        "arithmetic, and TakeOrderedAndProject keeps the top-k — no "
-        "vocab-sized window anywhere."
+        "BM25F (r13 single-scan rewrite, ADVICE r12): ONE corpus scan "
+        "explodes each doc into its (title, body) slice structs "
+        "map-side and the tagged frame is eager-checkpointed before "
+        "fanning into stats/tf/N — the old two-projection union read "
+        "the source twice; field length L rides the tf group key "
+        "(functionally dependent on doc+field), so no lens join; "
+        "per-field avg lengths and df broadcast, the weighted-tf "
+        "saturation is map-side arithmetic, and TakeOrderedAndProject "
+        "keeps the top-k — no vocab-sized window anywhere."
     ),
     "kendall_tau_quantity_discount": (
         "Kendall τ-b (r12): one aggregation to the (quantity × "
@@ -485,6 +503,54 @@ AUDITED = {
         "Span fingerprints dedup per source BEFORE the fp equi-join, "
         "so each key appears once per source and fan-out is bounded "
         "by the catalog, not the corpus; per-source totals broadcast."
+    ),
+    "tdigest_value_quantiles": (
+        "t-digest sketch (r13): one aggregation to the value-cents "
+        "histogram, EAGER-checkpointed (it feeds the 1-row total AND "
+        "the prefix scan — the r13 one-scan rule); centroid ids are "
+        "map-side asin arithmetic on the scan's cumulative; the "
+        "centroid frame is δ-bounded (≤ 52 rows), so its cumulative "
+        "window and the quantile picks are constant-size."
+    ),
+    "quantile_regression_pinball": (
+        "Pinball-loss median regression (r13): ONE corpus scan to the "
+        "(quantity, price-cents) JOINT histogram (10× pair "
+        "compression at sf1, checkpointed); OLS moments fold from it "
+        "exactly; the 11-row candidate grid broadcast expands the "
+        "PAIR frame (not the corpus) into per-candidate dollar-"
+        "residual histograms; per-candidate medians ride the GROUPED "
+        "prefix scan; the 11-row loss frame folds to one row."
+    ),
+    "langid_trigram_cosine_mix": (
+        "Trigram-cosine lang-ID (r13): the explode is map-side "
+        "(corpus × doc chars); TWO shuffles total — the (doc, "
+        "trigram) count aggregation, then one per-doc fold producing "
+        "the norm and all four profile dots as COLUMNS via the "
+        "pivoted 44-row broadcast profile; the argmax is column "
+        "arithmetic (no per-(doc, lang) exchange), and the final "
+        "rollup is language-domain-bounded."
+    ),
+    "dau_wau_mau_daily": (
+        "DAU/WAU/MAU (r13): one corpus distinct to the (day, user) "
+        "frame, a 30× constant map-side expansion (each activity day "
+        "feeds the 30 report days it can influence), ONE distinct-"
+        "aggregate shuffle keyed by the day domain — the per-day "
+        "range join COUNT(DISTINCT) cannot ride a window frame on "
+        "either engine is gone; no joins at all."
+    ),
+    "kmv_distinct_users": (
+        "KMV bottom-k sketch (r13): one distinct-aggregate over the "
+        "hash space, then TakeOrderedAndProject keeps k=256 rows — "
+        "the merge-friendly distinct sketch; the exact count the "
+        "report compares against is its own single aggregate; 1-row "
+        "broadcasts only."
+    ),
+    "sessionized_funnel_timeout": (
+        "Timeout funnel (r13): ONE user-keyed window pass labels "
+        "sessions (lag-gap + running sum share an exchange), EAGER-"
+        "checkpointed for its four consumers; the three step frames "
+        "are co-partitioned (user, session) aggregations chained by "
+        "equi-joins; step counters are 1-row broadcasts."
     ),
 }
 
