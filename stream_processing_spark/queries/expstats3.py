@@ -421,10 +421,6 @@ _QR_GRID = 10  # slope candidates b = OLS·(5+j)/10, j = 0..10
 def quantile_regression_pinball(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from stream_processing_spark.operators.prefixsum import (
-        range_prefix_sum,
-    )
-
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_quantity").isNotNull()
         & F.col("l_extendedprice").isNotNull()
@@ -492,9 +488,11 @@ def quantile_regression_pinball(
             "j", ((F.col("rs") * (5 + F.col("j"))) / 10).alias("b")
         )
     )
-    # per-candidate residual histogram from the pair histogram: feeds
-    # the grouped scan AND the loss fold — eager checkpoint (one-scan
-    # rule); the 11-row grid is broadcast so the expansion is map-side
+    # per-candidate residual histogram from the pair histogram; the
+    # 11-row grid is broadcast so the expansion is map-side. r13 opt:
+    # the histogram is SINGLE-referenced now (the loss folds in closed
+    # form from the cumulative scan below instead of a second rh
+    # pass), so no checkpoint — one streamlined evaluation.
     rh = (
         hist0.crossJoin(F.broadcast(cand))
         .select(
@@ -506,29 +504,56 @@ def quantile_regression_pinball(
         )
         .groupBy("j", "r")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=True)
     )
-    cum = range_prefix_sum(
-        rh, "r", {"cumn": "cnt"}, group_by=["j"], materialize=False
+    # Cumulative scan per candidate, accumulating BOTH Σcnt and Σr·cnt
+    # so the pinball loss folds in closed form from the SAME pass: with
+    # C_a = Σ_{r≤a} cnt, S_a = Σ_{r≤a} r·cnt, T = Σ r·cnt and N = n,
+    #   Σ|r−a|·cnt = (a·C_a − S_a) + (T − S_a − a·(N − C_a))
+    #              = T − 2·S_a + a·(2·C_a − N)
+    # — an integer/DECIMAL identity (keys are unique per j after the
+    # groupBy, so the ties-inclusive cumulative at r=a is exactly the
+    # ≤a split), bit-identical to the old second-pass Σ|r−a|·cnt join
+    # but one full rh pass cheaper. The window partitioned by j is
+    # scale-safe WITHOUT the prefix-scan machinery: each candidate's
+    # frame is the dollar-floored residual DOMAIN (≤ ~220k values —
+    # bounded by the price domain, never the corpus), exactly the
+    # bounded-task walk range_prefix_sum's adaptive small-frame path
+    # would pick, minus its count/checkpoint/extent stages.
+    w_j = Window.partitionBy("j").orderBy(F.col("r").asc_nulls_first())
+    cum = rh.select(
+        "j",
+        "r",
+        F.sum("cnt").over(w_j).alias("cumn"),
+        F.sum((F.col("r") * F.col("cnt")).cast("decimal(38,0)"))
+        .over(w_j)
+        .alias("cums"),
     ).crossJoin(F.broadcast(fit))
     aj = cum.groupBy("j").agg(
         F.min(
             F.when(
-                F.col("cumn") >= F.expr("(n + 1) div 2"), F.col("r")
+                F.col("cumn") >= F.expr("(n + 1) div 2"),
+                F.struct(
+                    F.col("r").alias("a"),
+                    F.col("cumn").alias("ca"),
+                    F.col("cums").alias("sa"),
+                ),
             )
-        ).alias("a")
+        ).alias("m"),
+        F.max(F.struct(F.col("r"), F.col("cums"))).getField("cums")
+        .alias("t"),
+        F.max("cumn").alias("nj"),
     )
-    loss = (
-        rh.join(F.broadcast(aj), "j")
-        .groupBy("j", "a")
-        .agg(
-            F.sum(
-                F.abs(F.col("r") - F.col("a")).cast("decimal(38,0)")
-                * F.col("cnt")
-            )
-            .cast("decimal(38,0)")
-            .alias("l")
+    loss = aj.select(
+        "j",
+        F.col("m.a").alias("a"),
+        (
+            F.col("t")
+            - 2 * F.col("m.sa")
+            + F.col("m.a").cast("decimal(38,0)")
+            * (2 * F.col("m.ca") - F.col("nj")).cast("decimal(38,0)")
         )
+        .cast("decimal(38,0)")
+        .alias("l"),
     )
     best = loss.agg(
         F.min(F.struct(F.col("l"), F.col("j"), F.col("a"))).alias("b")
