@@ -306,12 +306,19 @@ def _dsir_features(docs: DataFrame) -> DataFrame:
     docs = rebalance_for_expansion(docs)
     tf = F.filter(F.split("text", " "), lambda x: x != "")
     base = docs.select("doc_id", "lang", tf.alias("tf"))
-    uni = base.select("doc_id", "lang", F.explode("tf").alias("g"))
+    # ONE explode over unigrams ++ bigrams: the old two-branch union
+    # re-ran the scan + split + filter once per branch (the plan showed
+    # two documents scans); concat'ing the gram arrays first keeps the
+    # same multiset of (doc, gram) rows in a single corpus pass
     bi_arr = F.expr(
         "transform(slice(tf, 1, greatest(size(tf) - 1, 0)), "
         "(x, i) -> concat(x, ' ', element_at(tf, i + 2)))"
     )
-    bi = base.select("doc_id", "lang", F.explode(bi_arr).alias("g"))
+    grams = base.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("tf"), bi_arr)).alias("g"),
+    )
     bucket = F.pmod(
         F.expr(
             "CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 8), 16, 10) "
@@ -319,9 +326,7 @@ def _dsir_features(docs: DataFrame) -> DataFrame:
         ),
         F.lit(_DSIR_B),
     )
-    return uni.unionByName(bi).select(
-        "doc_id", "lang", bucket.alias("bucket")
-    )
+    return grams.select("doc_id", "lang", bucket.alias("bucket"))
 
 
 def _dsir_bucket_stats(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -384,16 +389,19 @@ def dsir_resample_keep(docs: DataFrame) -> DataFrame:
     feats = _dsir_features(docs)
     bweights = dsir_bucket_weights(docs).select("bucket", "weight")
     lw6 = F.round(F.log(F.col("weight")), 6).cast("decimal(18,6)")
+    # lang rides the feature rows (functionally dependent on doc_id),
+    # so grouping by (doc_id, lang) removes the old lang join-back and
+    # its extra documents scan — same rows, one fewer corpus pass
     doclw = (
         feats.join(F.broadcast(bweights), "bucket")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_feats"),
             F.sum(lw6).alias("lw"),
         )
         .where(F.col("lw") >= 0)
     )
-    return doclw.join(docs.select("doc_id", "lang"), "doc_id").select(
+    return doclw.select(
         "doc_id", "lang", "n_feats", F.col("lw").cast("double").alias(
             "log_weight"
         )

@@ -273,20 +273,27 @@ def dedup_cc_survivor_map(
         dd.shingles(docs, n=3), threshold=0.8, max_df=_JACCARD_MAX_DF
     ).select("doc_a", "doc_b")
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    # n_chars rides along so the survivor election needs NO second
+    # documents join, and the member->cluster map is eagerly
+    # checkpointed ONCE: it feeds both the election window and the
+    # final member join, and without the checkpoint the docs ⋈ cc
+    # subtree (including its parquet scan) evaluated once per branch
+    # (r13 opt: plan went 6 parquet scans -> 2).
     clusters = (
-        docs.select("doc_id")
+        docs.select("doc_id", "n_chars")
         .join(cc, docs.doc_id == cc.node, "left")
         .select(
             "doc_id",
             F.coalesce("component", "doc_id").alias("cluster_id"),
+            "n_chars",
         )
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc_nulls_last("n_chars"), F.asc("doc_id")
     )
     survivors = (
-        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
-        .withColumn("_rn", F.row_number().over(w))
+        clusters.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
             "cluster_id", F.col("doc_id").alias("canonical_doc_id")
