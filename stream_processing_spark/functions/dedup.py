@@ -136,7 +136,10 @@ def jaccard_pairs(
     # explode+distinct+df-cap pipeline per branch. One checkpoint = one
     # computation; reliable=True writes it to the context checkpoint dir
     # (shared storage on a cluster) so executor loss can't kill the query.
-    sh = materialize(sh, eager=False, reliable=reliable, checkpoint_dir=checkpoint_dir)
+    # eager: under a query's SINGLE final action a lazy checkpoint never
+    # materializes in time to dedupe all four branches (NOTES_r13
+    # eager-vs-lazy rule) — eager runs the corpus-sized explode ONCE
+    sh = materialize(sh, eager=True, reliable=reliable, checkpoint_dir=checkpoint_dir)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")
@@ -188,8 +191,8 @@ def containment_pairs(
     oracle mirrors filter-then-round exactly."""
     if max_df is not None:
         sh = cap_document_frequency(sh, max_df)
-    sh = materialize(
-        sh, eager=False, reliable=reliable, checkpoint_dir=checkpoint_dir
+    sh = materialize(  # eager: same one-scan rule as jaccard_pairs
+        sh, eager=True, reliable=reliable, checkpoint_dir=checkpoint_dir
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
@@ -462,6 +465,13 @@ def simhash_pairs(
             .filter(F.col("__bsz") <= max_bucket)
             .drop("__bsz")
         )
+    # both sides of the self-join reference `buckets`, and Spark does
+    # not reuse the exchange across the differently-aliased branches —
+    # without this cut the WHOLE fingerprint pipeline (corpus scan +
+    # token explode + md5 + 60 bit sums) evaluated once per side. The
+    # frame is 4 rows/doc of (id, fp, band, block) — checkpoint-tiny
+    # next to what it derives from (one-scan rule, VERDICT r12 #1).
+    buckets = buckets.localCheckpoint(eager=True)
     a = buckets.select(
         F.col(id_col).alias("doc_a"), F.col(fp_col).alias("fa"), "band", "byte"
     )
