@@ -226,13 +226,17 @@ def unigram_encode_word_tokens(
     max_piece: int = 4,
     max_word: int = 12,
     text_col: str = "text",
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenizer APPLICATION: one Viterbi E-step (segmentation only,
     no recount) under the trained vocabulary (cache-served). Returns
     (w, n_tok) — the Viterbi token count per distinct word — the
     vocabulary-sized map an encode pass broadcasts against the corpus.
     Words longer than ``max_word`` are out of the tokenizer's contract
-    (same bound as training)."""
+    (same bound as training). ``words`` lets a caller that already
+    aggregated the corpus to a (w, freq) table (e.g. from a per-source
+    histogram) reuse it instead of paying a second tokenize pass; it
+    must carry exactly the words ``word_table`` would produce."""
     vocab = _vocab_frame(
         docs,
         trained_vocab_rows(
@@ -243,7 +247,8 @@ def unigram_encode_word_tokens(
             text_col=text_col,
         ),
     )
-    words = word_table(docs, text_col=text_col, max_word=max_word)
+    if words is None:
+        words = word_table(docs, text_col=text_col, max_word=max_word)
     cand = candidate_pieces(words, max_piece=max_piece)
     lpi = (F.col("lp") * _LP_SCALE).cast("long").alias("lpi")
     scored = cand.join(F.broadcast(vocab.select("piece", lpi)), "piece")

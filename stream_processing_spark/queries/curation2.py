@@ -767,7 +767,7 @@ def _doc_avg_bigram_p(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode(zipped).alias("__z"))
         .select("doc_id", F.concat_ws(" ", "__z.0", "__z.1").alias("bg"))
     )
-    doc_bigrams = doc_bigrams.localCheckpoint(eager=False)  # LM build + join
+    doc_bigrams = doc_bigrams.localCheckpoint(eager=True)  # LM build + join (eager: single-action dedupe)
     counted = doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
     wsum = Window.partitionBy(w1)
@@ -918,7 +918,7 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .distinct()
     )
-    toks = toks.localCheckpoint(eager=False)  # df build + both join sides
+    toks = toks.localCheckpoint(eager=True)  # df build + both join sides (eager: single-action dedupe)
     tok_df = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # top-k by orderBy+limit → TakeOrderedAndProject (partial top-k per
     # partition, no global sort/window — the shape that survives a huge

@@ -1153,7 +1153,7 @@ def vocab_oov_rate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode the corpus twice)
     tok = docs.select(
         "source", F.explode(F.split("text", " ")).alias("t")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)  # eager: single-action dedupe
     vocab = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))

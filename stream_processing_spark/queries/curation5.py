@@ -289,7 +289,7 @@ def quality_gopher_line_para_dedup(
                             THEN array({para_sql}, {para_sql})
                             ELSE array({para_sql}) END)), '\\n\\n')"""
         ).alias("text"),
-    ).localCheckpoint(eager=False)  # feeds the line AND paragraph branches
+    ).localCheckpoint(eager=True)  # feeds the line AND paragraph branches (eager: single-action dedupe)
 
     def _unit_agg(unit_col: str, sep: str, prefix: str) -> DataFrame:
         occ = page.select(

@@ -149,6 +149,11 @@ def exact_substring_spans(docs: DataFrame, k: int = _ESS_K) -> DataFrame:
             F.col("w.e").cast("bigint").alias("e"),
             F.col("w.fp").alias("fp"),
         )
+        # the window frame feeds the hot-set aggregation AND the
+        # join-back; un-materialized, the md5-per-token fingerprint
+        # pass (the dominant compute) evaluates once per branch —
+        # eager checkpoint runs it exactly once (r13 one-scan rule)
+        .localCheckpoint(eager=True)
     )
     hot = (
         wins.groupBy("fp")
@@ -623,22 +628,38 @@ def unigram_encode_source_stats(
     from stream_processing_spark.functions import unigram_lm
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE corpus tokenize pass: aggregate to the (source, w) histogram
+    # (sources x vocab domain-bounded, checkpoint-tiny), derive the
+    # encode word table from it, and weight the per-source accounting
+    # by cnt — previously the corpus was exploded twice (once for the
+    # vocab, once for the occurrence stats). All integer sums, so the
+    # regrouped totals are bit-identical (guide §2.3/§2.4).
+    hist = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") <= _ULM_MAX_WORD))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    words = hist.groupBy("w").agg(
+        F.sum("cnt").cast("bigint").alias("freq")
+    )
     wmap = unigram_lm.unigram_encode_word_tokens(
         docs,
         rounds=_ULM_ROUNDS,
         max_piece=_ULM_MAX_PIECE,
         max_word=_ULM_MAX_WORD,
+        words=words,
     )
-    corpus = docs.select(
-        "source", F.explode(F.split("text", " ")).alias("w")
-    ).filter((F.col("w") != "") & (F.length("w") <= _ULM_MAX_WORD))
     return (
-        corpus.join(F.broadcast(wmap), "w")
+        hist.join(F.broadcast(wmap), "w")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_tok").alias("n_tokens"),
-            F.sum(F.length("w").cast("bigint")).alias("n_chars"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("n_tok") * F.col("cnt")).alias("n_tokens"),
+            F.sum(F.length("w").cast("bigint") * F.col("cnt")).alias(
+                "n_chars"
+            ),
         )
         .orderBy("source")
     )
@@ -664,12 +685,16 @@ def _clf_features(docs: DataFrame) -> DataFrame:
     tf = F.filter(F.split("text", " "), lambda x: x != "")
     y = F.when(F.col("lang") == _CLF_TARGET_LANG, 1).otherwise(0)
     base = docs.select("doc_id", y.alias("y"), tf.alias("tf"))
-    uni = base.select("doc_id", "y", F.explode("tf").alias("g"))
+    # one explode over unigrams ++ bigrams — the two-branch union form
+    # re-ran the scan + split + filter per branch (same r13 fix as
+    # _dsir_features); identical (doc, gram) multiset in a single pass
     bi_arr = F.expr(
         "transform(slice(tf, 1, greatest(size(tf) - 1, 0)), "
         "(x, i) -> concat(x, ' ', element_at(tf, i + 2)))"
     )
-    bi = base.select("doc_id", "y", F.explode(bi_arr).alias("g"))
+    grams = base.select(
+        "doc_id", "y", F.explode(F.concat(F.col("tf"), bi_arr)).alias("g")
+    )
     bucket = F.pmod(
         F.expr(
             "CAST(conv(substring(md5(CAST(g AS BINARY)), 1, 8), 16, 10) "
@@ -677,7 +702,7 @@ def _clf_features(docs: DataFrame) -> DataFrame:
         ),
         F.lit(_CLF_B),
     )
-    return uni.unionByName(bi).select("doc_id", "y", bucket.alias("bucket"))
+    return grams.select("doc_id", "y", bucket.alias("bucket"))
 
 
 def _clf_scores(feats: DataFrame, weights: DataFrame, bias) -> DataFrame:
@@ -1287,7 +1312,15 @@ def mixture_temperature_resample(
     from stream_processing_spark.functions.dedup import _hex_digit_val
 
     docs = load_table(spark, sf_dir, "documents")
-    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # the lang histogram feeds the total, the sqrt frame and (via it)
+    # the weight frame — four corpus aggregations without a cut; eager
+    # checkpoint runs the scan once (lang-domain rows, tiny). The only
+    # other corpus pass is the final per-doc copies join — the minimum.
+    per_lang = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
     tot = per_lang.agg(F.sum("n_docs").cast("bigint").alias("total"))
     s = per_lang.select(
         "lang",

@@ -243,6 +243,10 @@ def cuped_adjusted_ab_metric(
             ).alias("y"),
         )
         .select((F.col("user_id") % 2).alias("variant"), "x", "y")
+        # feeds the pooled-stats agg AND the per-variant agg: eager
+        # checkpoint runs the corpus scan + per-user rollup once (r13
+        # one-scan rule; the frame is one row per user)
+        .localCheckpoint(eager=True)
     )
     g = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -96,6 +96,11 @@ def kendall_tau_quantity_discount(
         )
         .groupBy("q", "d")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # the joint histogram feeds FIVE branches (both pair-join
+        # sides, both tie marginals, the total): eager checkpoint runs
+        # the corpus aggregation once (r13 one-scan rule; the frame is
+        # ≤ ~550² domain-bounded cells, checkpoint-tiny)
+        .localCheckpoint(eager=True)
     )
     a = cells.alias("a")
     b = cells.alias("b")
@@ -571,7 +576,10 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.year(F.min("ts")) * 12 + F.month(F.min("ts"))
         ).alias("cm")
-    )
+    # feeds the cohort-size rollup AND the revenue join: eager
+    # checkpoint runs the per-user first-event scan once (one row per
+    # user; r13 one-scan rule)
+    ).localCheckpoint(eager=True)
     sizes = firsts.groupBy("cm").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )

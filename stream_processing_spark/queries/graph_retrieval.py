@@ -109,8 +109,9 @@ def sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
         # the postings frame feeds three branches (norms + both join
-        # sides); one lazy checkpoint shares the tokenize+tf+df pass
-        .localCheckpoint(eager=False)
+        # sides); EAGER checkpoint shares the tokenize+tf+df pass (lazy
+        # never dedupes under the single final action — NOTES_r13)
+        .localCheckpoint(eager=True)
     )
     nrm = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")

@@ -1140,7 +1140,8 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
     sigs = dd.minhash_signatures(sh, k=8).join(
         docs.select("doc_id", "source"), "doc_id"
     )
-    sigs = sigs.localCheckpoint(eager=False)  # feeds bucket + 2 verify branches
+    # eager: single-final-action query — lazy never dedupes (NOTES_r13)
+    sigs = sigs.localCheckpoint(eager=True)  # feeds bucket + 2 verify branches
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -1232,7 +1233,7 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
 def dedup_survivors_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(dd.shingles(docs, n=3, distinct=False), k=8)
-    sigs = sigs.localCheckpoint(eager=False)
+    sigs = sigs.localCheckpoint(eager=True)  # eager: single-action dedupe
     cand = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
@@ -1478,7 +1479,7 @@ _sim_agree = " + ".join(
 def similar_docs_minhash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(dd.shingles(docs, n=3, distinct=False), k=8)
-    sigs = sigs.localCheckpoint(eager=False)  # query row + candidates
+    sigs = sigs.localCheckpoint(eager=True)  # query row + candidates (eager: single-action dedupe)
     q = sigs.where(F.col("doc_id") == _SIM_QUERY_DOC).select(
         *[F.col(f"h{s}").alias(f"q{s}") for s in range(8)]
     )
@@ -1532,7 +1533,7 @@ _sim_band_match = " OR ".join(f"c.h{s} = q.h{s}" for s in range(8))
 def similar_docs_lsh_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(dd.shingles(docs, n=3, distinct=False), k=8)
-    banded = sigs.localCheckpoint(eager=False)
+    banded = sigs.localCheckpoint(eager=True)  # eager: single-action dedupe
     q = banded.where(F.col("doc_id") == _SIM_QUERY_DOC).select(
         *[F.col(f"h{s}").alias(f"q{s}") for s in range(8)],
     )
@@ -1887,7 +1888,7 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_spark.runtime import materialize
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = materialize(dd.shingles(docs, n=3), eager=False)
+    sh = materialize(dd.shingles(docs, n=3), eager=True)  # eager: single-action dedupe
     first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
@@ -1975,7 +1976,7 @@ def source_similarity_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = materialize(
-        dd.shingles(docs, n=3, id_col="source"), eager=False
+        dd.shingles(docs, n=3, id_col="source"), eager=True
     )
     exact = dd.jaccard_pairs(sh, threshold=0.0, id_col="source").select(
         F.col("doc_a").alias("source_a"),

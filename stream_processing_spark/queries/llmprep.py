@@ -495,6 +495,12 @@ def corpus_js_divergence_sources(
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
+    # the (source, token) histogram feeds FIVE branches (totals, both
+    # candidate arms, both count lookups) and totals feeds four more —
+    # un-materialized, the corpus explode+agg re-ran once per branch
+    # (the before-plan showed 20 documents scans / 44 exchanges).
+    # Both frames are (sources × vocab)- and source-domain-bounded:
+    # eager checkpoints give ONE corpus pass (r13 one-scan rule)
     hist = (
         docs.select(
             "source", F.explode(F.split("text", " ")).alias("tok")
@@ -502,9 +508,12 @@ def corpus_js_divergence_sources(
         .filter(F.col("tok") != "")
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    totals = hist.groupBy("source").agg(
-        F.sum("cnt").cast("bigint").alias("total")
+    totals = (
+        hist.groupBy("source")
+        .agg(F.sum("cnt").cast("bigint").alias("total"))
+        .localCheckpoint(eager=True)
     )
     pairs = (
         totals.alias("a")

@@ -357,7 +357,7 @@ def dedup_sorted_neighborhood_pairs(
         keyed.select(
             "doc_id", blk.alias("blk"), F.row_number().over(w).alias("rn")
         ),
-        eager=False,
+        eager=True,  # eager: single-action dedupe
     )
     # bounded explode → equi-join on (blk, rn+i): never a range join
     a = ranked.select(
@@ -379,7 +379,7 @@ def dedup_sorted_neighborhood_pairs(
         & (F.col("a_rn") + F.col("rank_distance") == F.col("b_rn")),
     ).select("doc_a", "doc_b", "rank_distance")
 
-    sh = materialize(dd.shingles(docs, n=3), eager=False)
+    sh = materialize(dd.shingles(docs, n=3), eager=True)  # eager: single-action dedupe
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = sh.select(

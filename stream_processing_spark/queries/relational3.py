@@ -418,18 +418,27 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # one lineitem pass: the HAVING pre-aggregation already computes the
+    # exact per-order decimal sum, and the final group (c_name, c_custkey,
+    # o_orderkey, o_orderdate, o_totalprice) is functionally determined by
+    # o_orderkey, so re-joining raw lineitem and re-summing per group
+    # reproduces sq exactly — carry sq instead of scanning lineitem twice
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("sq"))
         .filter(F.col("sq") > 250)
-        .select(F.col("l_orderkey").alias("big_ok"))
     )
     return (
-        li.join(big, li.l_orderkey == F.col("big_ok"), "left_semi")
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sq").cast("double").alias("total_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )

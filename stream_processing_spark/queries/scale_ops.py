@@ -258,27 +258,34 @@ def bpe_encode_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.bpe_train(docs, n_merges=_BPE_MERGES)
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
+    # ONE corpus tokenize pass: the (source, w) histogram (sources x
+    # vocab domain-bounded) feeds both the distinct-word table the
+    # merge-replay runs over and the cnt-weighted per-source stats —
+    # previously the corpus was exploded twice. Integer sums regroup
+    # bit-identically (guide §2.3/§2.4).
+    hist = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
         .filter(F.col("w") != "")
-        .distinct()
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
+    words = hist.select("w").distinct()
     repr_col = F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 "))
     for _step, a, b, _c in merges:
         repr_col = bpe.merge_pair_expr(repr_col, a, b)
     wmap = words.select(
         "w", F.size(F.split(repr_col, " ")).cast("bigint").alias("n_tok")
     )
-    corpus = docs.select(
-        "source", F.explode(F.split("text", " ")).alias("w")
-    ).filter(F.col("w") != "")
     return (
-        corpus.join(F.broadcast(wmap), "w")
+        hist.join(F.broadcast(wmap), "w")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_tok").alias("n_tokens"),
-            F.sum(F.length("w").cast("bigint")).alias("n_chars"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("n_tok") * F.col("cnt")).alias("n_tokens"),
+            F.sum(F.length("w").cast("bigint") * F.col("cnt")).alias(
+                "n_chars"
+            ),
         )
         .orderBy("source")
     )
@@ -910,11 +917,17 @@ def wordpiece_encode_source_stats(
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe.wordpiece_train(docs, n_merges=_BPE_MERGES)
     pieces = sorted({a + b for _s, a, b, _c, _sc in merges})
-    words = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
+    # ONE corpus tokenize pass (same shape as bpe_encode_source_stats):
+    # the (source, w) histogram feeds the distinct-word walk AND the
+    # cnt-weighted per-source stats; integer sums regroup bit-identically
+    hist = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
         .filter((F.col("w") != "") & (F.length("w") <= _WP_MAX_WORD))
-        .distinct()
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
+    words = hist.select("w").distinct()
     if pieces:
         parr = F.array(*[F.lit(p) for p in pieces])
 
@@ -946,16 +959,15 @@ def wordpiece_encode_source_stats(
         lambda st: st["n"],
     )
     wmap = words.select("w", walk.cast("bigint").alias("n_tok"))
-    corpus = docs.select(
-        "source", F.explode(F.split("text", " ")).alias("w")
-    ).filter((F.col("w") != "") & (F.length("w") <= _WP_MAX_WORD))
     return (
-        corpus.join(F.broadcast(wmap), "w")
+        hist.join(F.broadcast(wmap), "w")
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_tok").alias("n_tokens"),
-            F.sum(F.length("w").cast("bigint")).alias("n_chars"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("n_tok") * F.col("cnt")).alias("n_tokens"),
+            F.sum(F.length("w").cast("bigint") * F.col("cnt")).alias(
+                "n_chars"
+            ),
         )
         .orderBy("source")
     )
