@@ -50,7 +50,13 @@ def resample_ffill(
     zero_cols = zero_cols or []
     lerp_cols = lerp_cols or []
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket_ts")
-    per_bucket = df.groupBy(F.col(key_col), bucket).agg(*aggs)
+    # the (key, bucket) aggregate feeds the bounds/spine branch AND the
+    # densify join; eager checkpoint runs the event-sized aggregation
+    # once (the frame is key x buckets — already reduced), instead of
+    # once per branch (r13 one-scan rule)
+    per_bucket = (
+        df.groupBy(F.col(key_col), bucket).agg(*aggs).localCheckpoint(eager=True)
+    )
     bounds = per_bucket.groupBy(key_col).agg(
         F.min("bucket_ts").alias("__lo"), F.max("bucket_ts").alias("__hi")
     )

@@ -10,7 +10,7 @@ on float outputs).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stream_processing_spark.catalog import load_table
@@ -76,6 +76,10 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", *[f"__z.{j}" for j in range(n)])).alias("g"),
         )
         .distinct()
+        # feeds the train-set and eval-set branches: eager checkpoint
+        # runs the corpus ngram+md5+distinct pipeline (the dominant
+        # shuffle) exactly once (r13 one-scan rule)
+        .localCheckpoint(eager=True)
     )
     train_grams = grams.filter(F.col("split") == "train").select("g").distinct()
     eval_grams = grams.filter(F.col("split") == "eval").select("doc_id", "g")
@@ -300,22 +304,49 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 
 def _bm25_scored(docs: DataFrame) -> DataFrame:
     """(doc_id, bm25) for the fixed query termset — the scoring core
-    shared by bm25_topk_docs and the RRF hybrid fusion."""
-    lens = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), " ")).alias("L")
-    )
-    stats = lens.agg(
+    shared by bm25_topk_docs and the RRF hybrid fusion.
+
+    ONE corpus pass: per-doc length and the fixed termset's tf counts
+    come out of a single projection (array filters over one split — no
+    corpus explode, no (doc, term) shuffle), eagerly checkpointed at
+    one tiny row per doc; the stats aggregate, the df aggregate and the
+    scoring all ride the checkpoint. Previously lens and the tf explode
+    each re-scanned documents (4 scans in the rrf plan). tf values,
+    join rows and the 6dp-rounded decimal term scores are identical —
+    a doc/term row exists iff the term occurs (tf > 0), as before."""
+    def _tf_count(arr: Column, term: str) -> Column:
+        # single-arg lambda on purpose: pyspark passes (element, index)
+        # to two-parameter lambdas, so a default-arg capture would be
+        # silently overridden by the index column
+        return F.size(F.filter(arr, lambda x: x == term))
+
+    t = F.split(F.col("text"), " ")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(t).alias("L"),
+        *[
+            _tf_count(t, term).alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    ).localCheckpoint(eager=True)
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("N"),
         (F.sum("L").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(term).alias("token"),
+                F.col(f"tf{i}").cast("bigint").alias("tf"),
+            )
+            for i, term in enumerate(_BM25_TERMS)
+        ]
     )
-    tf = (
-        toks.filter(F.col("token").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = per_doc.select(
+        "doc_id",
+        "L",
+        F.explode(F.filter(entries, lambda e: e["tf"] > 0)).alias("e"),
+    ).select("doc_id", "L", F.col("e.token").alias("token"), F.col("e.tf").alias("tf"))
     dfreq = tf.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
@@ -327,7 +358,6 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
     )
     return (
         tf.join(F.broadcast(dfreq), "token")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", term_score.alias("term_score"))
         .groupBy("doc_id")

@@ -387,29 +387,40 @@ def cross_source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # ONE shuffle: fp -> sorted distinct source set (collect_set dedups
-    # the per-source repeats map-side via partial aggregation). Both
-    # consumers below share the exchange via ReusedExchange — no
-    # checkpoint needed (a localCheckpoint here OOMed a 1g heap at sf1)
+    # the per-source repeats map-side via partial aggregation). The
+    # r13 before-plan showed the grouped pipeline (scan + span explode
+    # + collect_set) evaluated THREE times — once per consumer (pairs,
+    # pa, pb); ReusedExchange did not fire across the branches, and a
+    # checkpoint of the fp-keyed frame itself OOMed a 1g heap at sf1.
+    # Instead, ONE explode emits both the pair rows and a singleton
+    # row per member source, so a single aggregation (and a single
+    # corpus evaluation) yields shared-span counts AND per-source span
+    # totals; the result is sources^2-bounded and checkpoint-tiny.
     grouped = spans.groupBy("fp").agg(
         F.array_sort(F.collect_set("source")).alias("srcs")
     )
-    per_src = (
-        grouped.select(F.explode("srcs").alias("source"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_spans"))
-    )
-    pair_expr = F.expr(
+    items = F.expr(
+        "concat("
         "flatten(transform(srcs, (x, i) -> "
         "transform(slice(srcs, i + 2, size(srcs)), "
-        "y -> struct(x AS source_a, y AS source_b))))"
+        "y -> struct(x AS source_a, y AS source_b)))), "
+        "transform(srcs, x -> "
+        "struct(x AS source_a, CAST(NULL AS STRING) AS source_b)))"
     )
-    pairs = (
-        grouped.select(F.explode(pair_expr).alias("p"))
+    counts = (
+        grouped.select(F.explode(items).alias("p"))
         .groupBy(
             F.col("p.source_a").alias("source_a"),
             F.col("p.source_b").alias("source_b"),
         )
-        .agg(F.count(F.lit(1)).alias("shared_spans"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = counts.filter(F.col("source_b").isNotNull()).select(
+        "source_a", "source_b", F.col("n").alias("shared_spans")
+    )
+    per_src = counts.filter(F.col("source_b").isNull()).select(
+        F.col("source_a").alias("source"), F.col("n").alias("n_spans")
     )
     pa = per_src.select(
         F.col("source").alias("source_a"), F.col("n_spans").alias("na")

@@ -355,11 +355,22 @@ def heaps_vocab_growth_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    per_doc = toks.groupBy("source", "doc_id").agg(
-        F.count(F.lit(1)).alias("ntok")
+    # ONE corpus explode: both aggregations (per-doc token counts and
+    # per-token first documents) ride a per-(source, doc, token) count
+    # frame — a doc's token rows never leave their scan partition, so
+    # the map-side partial agg dedupes before the shuffle, and the
+    # eager checkpoint stops the explode re-running per branch. The
+    # regrouped integer sums and mins are bit-identical.
+    tf = (
+        toks.groupBy("source", "doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    per_doc = tf.groupBy("source", "doc_id").agg(
+        F.sum("c").alias("ntok")
     )
     news = (
-        toks.groupBy("source", "tok")
+        tf.groupBy("source", "tok")
         .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("source", "doc_id")
         .agg(F.count(F.lit(1)).alias("newt"))
