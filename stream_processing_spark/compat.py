@@ -123,7 +123,17 @@ def ensure_protobuf_runtime(shim_root: str | None = None) -> str | None:
         try:
             os.makedirs(os.path.dirname(link), exist_ok=True)
             if not os.path.islink(link):
-                os.symlink(pb, link)
+                try:
+                    os.symlink(pb, link)
+                except FileExistsError:
+                    # two processes bootstrapping simultaneously (e.g.
+                    # a gate and a test run launched together) race on
+                    # the first-ever symlink creation; the loser must
+                    # still export the env vars below, or its JVM
+                    # starts without them and transformWithState's
+                    # state-server worker can't import google.protobuf
+                    if not os.path.islink(link):
+                        raise
         except OSError:
             continue
         # env BEFORE import: the gencode validates at import time, and

@@ -1096,10 +1096,13 @@ _CUSUM_H6 = "4.0"   # decision threshold (in std units)
 def changepoint_cusum_daily_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # day-cardinality aggregate feeds BOTH the mu/sigma stats and the
+    # z-walk: eager checkpoint scans events once (r13 one-scan rule)
     daily = (
         load_table(spark, sf_dir, "events")
         .groupBy(F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
     )
     stats = daily.agg(
         (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mu"),

@@ -913,8 +913,15 @@ _KMV_2P48 = 281474976710656  # 2^48, the md5-prefix hash space
     "row (zero estimate on an empty table).",
 )
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("user_id").isNotNull()
+    # the distinct-user frame feeds BOTH the sketch top-k and the exact
+    # count: aggregate the corpus to it once behind an eager checkpoint
+    # (r13 one-scan rule — previously each branch re-scanned events)
+    du = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     v48 = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
@@ -922,7 +929,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("bigint")
     topk = (
-        ev.select(v48.alias("v"))
+        du.select(v48.alias("v"))
         .distinct()
         .orderBy("v")
         .limit(_KMV_K)
@@ -931,9 +938,7 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("kk"),
         F.max("v").alias("vk"),
     )
-    exact = ev.agg(
-        F.countDistinct("user_id").cast("bigint").alias("n_exact")
-    )
+    exact = du.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     est = F.when(
         F.col("kk") < _KMV_K, F.col("kk").cast("double")
     ).otherwise(

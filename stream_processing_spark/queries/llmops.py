@@ -1878,9 +1878,10 @@ def retrieval_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ingestion order) is the doc itself. The streaming-corpus curation "
     "signal between exact dedup and near-dup pairs: boilerplate-heavy "
     "late arrivals score ~0, genuinely new content ~1, and the score "
-    "is monotone under corpus growth. Scale shape: ONE shuffle on the "
-    "shingle key serves both the min-aggregation and the join back "
-    "(same partitioning), then a doc-keyed count — integer arithmetic "
+    "is monotone under corpus growth. Scale shape: the shingle frame "
+    "is aggregated twice (min-holder by shingle, size by doc) and the "
+    "min-holder frame collapses to doc-level BEFORE any join, so the "
+    "only join is between two O(n_docs) frames — integer arithmetic "
     "until one exact double division. Docs under 3 tokens have no "
     "shingle set and are absent by definition (both engines).",
 )
@@ -1889,23 +1890,30 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = materialize(dd.shingles(docs, n=3), eager=True)  # eager: single-action dedupe
-    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-    ).cast("bigint")
-    return (
-        sh.join(first, "sh")
+    # (doc, sh) is DISTINCT (set shingles), so a doc's novel count —
+    # its shingles whose corpus-wide MIN holder is itself — equals the
+    # count of sh-groups it wins. Aggregate the min-holder frame down
+    # to (doc, n_novel) and join doc-sized frames, instead of joining
+    # the shingle-sized frame back to itself on sh (the former shuffles
+    # two O(docs) frames where the latter probed O(corpus shingles)
+    # rows through a join).
+    novel_per_doc = (
+        sh.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            novel.alias("n_novel"),
-        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint"))
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(novel_per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
-            "n_novel",
+            n_novel.alias("n_novel"),
             F.round(
-                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+                n_novel.cast("double") / F.col("n_shingles"), 6
             ).alias("novelty"),
         )
     )

@@ -234,6 +234,10 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score")
     )
     grp = Window.partitionBy("lang_g", "source")
+    # doc-cardinality ranked frame feeds BOTH the best and worst
+    # branches: eager checkpoint runs the corpus explode + per-doc
+    # aggregation + windows once (r13 one-scan rule — previously each
+    # branch re-evaluated the whole token pipeline from the scan)
     ranked = scored.select(
         "lang_g",
         "source",
@@ -246,7 +250,7 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(grp.orderBy(F.asc("score"), F.asc("doc_id")))
         .alias("rw"),
         F.count(F.lit(1)).over(grp).alias("n_docs"),
-    )
+    ).localCheckpoint(eager=True)
     best = ranked.filter(
         (F.col("rb") == 1) & (F.col("n_docs") >= 2)
     ).select(

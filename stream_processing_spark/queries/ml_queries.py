@@ -247,10 +247,13 @@ def image_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="User-defined AGGREGATE via Arrow (SURVEY.md §2.8): a pandas "
     "GROUPED_AGG UDF computing quantity-weighted mean price with exact "
     "integer-cent arithmetic inside the UDF (int sums commute, so the "
-    "result is independent of Arrow batch order — the same determinism "
-    "rule the engine's decimal aggregates follow; the one rounding "
-    "boundary is the final int->double conversion, correctly rounded "
-    "identically in Python and the oracle's DECIMAL->DOUBLE cast). "
+    "result is independent of Arrow batch order AND of regrouping, so "
+    "a salted JVM partial aggregation feeds the UDAF bounded partials "
+    "instead of every corpus row — two-level aggregation, the same "
+    "determinism rule the engine's decimal aggregates follow; the one "
+    "rounding boundary is the final int->double conversion, correctly "
+    "rounded identically in Python and the oracle's DECIMAL->DOUBLE "
+    "cast). "
     "Plan shows AggregateInPandas: Arrow-vectorized partial "
     "aggregation, NOT row-at-a-time Python — the sanctioned custom-"
     "aggregate path, completing the UDF/UDAF/UDTF surface beside "
@@ -263,26 +266,45 @@ def grouped_wavg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def wavg(price: pd.Series, qty: pd.Series) -> float:
-        # exact integer cents; python ints are unbounded so the sums
-        # never overflow. Fraction->float is correctly rounded, exactly
+    def wavg(num: pd.Series, den: pd.Series) -> float:
+        # exact integer cents (Arrow ships DECIMAL(38,0) partials as
+        # python Decimals; python ints are unbounded so the sums never
+        # overflow). Fraction->float is correctly rounded, exactly
         # like the oracle's DECIMAL->DOUBLE casts (num is scale-4, den
         # scale-2), and the final division is the same single IEEE op —
         # so the double is bit-identical with NO rounding step at all.
         from fractions import Fraction
 
-        pc = (price * 100).round().astype("int64").astype(object)
-        qc = (qty * 100).round().astype("int64").astype(object)
-        num = int((pc * qc).sum())
-        den = int(qc.sum())
-        if not den:
+        n = sum(int(v) for v in num)
+        d = sum(int(v) for v in den)
+        if not d:
             return None
-        return float(Fraction(num, 10**4)) / float(Fraction(den, 10**2))
+        return float(Fraction(n, 10**4)) / float(Fraction(d, 10**2))
 
     li = load_table(spark, sf_dir, "lineitem")
+    # two-level aggregation: a JVM partial sum per (status, salt) feeds
+    # the UDAF exact integer-cent partials — int sums regroup freely, so
+    # the merged num/den (and the one final division) are bit-identical
+    # to the row-fed spelling. Without this, EVERY lineitem row crossed
+    # the Arrow boundary into ~3 single-task Python groups — a
+    # per-group straggler AND a corpus-sized JVM->Python transfer; now
+    # <=1024 partial rows per group cross, and the heavy aggregation
+    # runs map-side in codegen with full parallelism. Salt is
+    # deterministic (xxhash64 of the row key, never rand()).
+    pc = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    qc = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast(
+        "decimal(18,0)"
+    )
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(1024))
+    partials = li.groupBy("l_linestatus", salt.alias("__salt")).agg(
+        F.sum(pc * qc).cast("decimal(38,0)").alias("num_cents4"),
+        F.sum(qc).cast("decimal(38,0)").alias("den_cents2"),
+    )
     return (
-        li.groupBy("l_linestatus")
-        .agg(wavg("l_extendedprice", "l_quantity").alias("wavg_price"))
+        partials.groupBy("l_linestatus")
+        .agg(wavg("num_cents4", "den_cents2").alias("wavg_price"))
         .orderBy("l_linestatus")
     )
 
