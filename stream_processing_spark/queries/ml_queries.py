@@ -26,6 +26,26 @@ _X = "CAST(l_quantity AS DECIMAL(12,2))"
 _Y = "CAST(l_extendedprice AS DECIMAL(12,2))"
 
 
+def _input_bytes(sf_dir: str, table: str) -> int:
+    """On-disk size of a table's parquet (file or directory) — a cheap
+    scale proxy for sizing salt/bucket counts adaptively. 0 when the
+    path is not locally stat-able (object stores): callers keep their
+    local-default floor, which is the safe small-scale value."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 @register(
     "linreg_price_on_quantity",
     f"""
@@ -288,16 +308,19 @@ def grouped_wavg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to the row-fed spelling. Without this, EVERY lineitem row crossed
     # the Arrow boundary into ~3 single-task Python groups — a
     # per-group straggler AND a corpus-sized JVM->Python transfer; now
-    # <=1024 partial rows per group cross, and the heavy aggregation
-    # runs map-side in codegen with full parallelism. Salt is
-    # deterministic (xxhash64 of the row key, never rand()).
-    pc = (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
-        "decimal(18,0)"
-    )
-    qc = (F.col("l_quantity").cast("decimal(12,2)") * 100).cast(
-        "decimal(18,0)"
-    )
-    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(1024))
+    # only partial rows cross, and the heavy aggregation runs map-side
+    # in codegen with full parallelism. Salt is deterministic (xxhash64
+    # of the row key, never rand()). Partials sum in LONG cents (the
+    # decimal(18,0) spelling was measured 1.6x slower — per-row
+    # BigDecimal multiplies): pc*qc <= ~5.5e10, so a bucket overflows
+    # int64 only past ~1.7e8 rows; the salt count scales with input
+    # bytes (~4 buckets/GiB keeps buckets in the 1e6-row range at any
+    # scale, 1024 floor locally) and the salt count never changes the
+    # result, only the regrouping.
+    salt_n = max(1024, _input_bytes(sf_dir, "lineitem") >> 28)
+    pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    qc = F.round(F.col("l_quantity") * 100).cast("bigint")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salt_n))
     partials = li.groupBy("l_linestatus", salt.alias("__salt")).agg(
         F.sum(pc * qc).cast("decimal(38,0)").alias("num_cents4"),
         F.sum(qc).cast("decimal(38,0)").alias("den_cents2"),
