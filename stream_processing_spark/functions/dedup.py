@@ -129,6 +129,18 @@ def jaccard_pairs(
     over the CAPPED shingle sets (sizes and intersections from the same
     filtered vocabulary, so J stays a true Jaccard of well-defined sets).
     """
+    # Everything downstream uses the shingle ONLY for equality (the
+    # df-cap window, the self-join key) and counting — never its value —
+    # so replace the ~n-word shingle STRING with its 64-bit xxhash64
+    # BEFORE any shuffle or materialization (guide §2.3 "shuffle keys
+    # and metadata instead of payloads"; r13 verdict: bound what is
+    # materialized to ids + shingle hashes). This cuts the window
+    # exchange, the checkpoint and both join sides to fixed 16-byte
+    # rows. Results are identical up to a 64-bit hash collision between
+    # two distinct shingles that share a doc or a joined pair
+    # (P ≈ n²/2⁶⁵ — ~10⁻⁸ at sf0.1; the gate verifies bit-equality at
+    # all test SFs).
+    sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     if max_df is not None:
         sh = cap_document_frequency(sh, max_df)
     # the shingle frame feeds FOUR plan branches (join sides a/b + both
@@ -189,6 +201,9 @@ def containment_pairs(
     hash-stability, so a row can display a value that rounds just
     below the threshold (e.g. true C = threshold + 1e-8). The DuckDB
     oracle mirrors filter-then-round exactly."""
+    # ids + 64-bit shingle hashes only — same §2.3/§5 size bound (and
+    # the same collision caveat) as jaccard_pairs above
+    sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     if max_df is not None:
         sh = cap_document_frequency(sh, max_df)
     sh = materialize(  # eager: same one-scan rule as jaccard_pairs

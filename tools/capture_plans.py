@@ -1,4 +1,4 @@
-"""Capture .explain("formatted") for bench headliners into plans/r13/.
+"""Capture .explain("formatted") for bench headliners into plans/r14/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 
@@ -43,7 +43,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        "r14",
     )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
