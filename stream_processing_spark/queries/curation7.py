@@ -478,13 +478,6 @@ def langid_trigram_cosine_mix(
         piv[tri][lid] = w
         langs[lid] = lang
     lids = sorted(langs)
-    profp = spark.createDataFrame(
-        [
-            (tri,) + tuple(d.get(lid, 0) for lid in lids)
-            for tri, d in sorted(piv.items())
-        ],
-        "tri string, " + ", ".join(f"w{lid} int" for lid in lids),
-    )
     # per-language norms are constants of the literal profiles; sqrt
     # is IEEE-exact (unlike ln/exp), so the python value equals both
     # engines' SQRT bit-for-bit
@@ -503,37 +496,67 @@ def langid_trigram_cosine_mix(
         .filter(F.col("text").isNotNull() & (F.length("text") >= 3))
         .select("doc_id", F.lower("text").alias("t"))
     )
-    tf = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("t") - 2)
-            ).alias("i"),
-            "t",
-        )
-        .select(
-            "doc_id",
-            F.expr("substr(t, CAST(i AS INT), 3)").alias("tri"),
-        )
-        .groupBy("doc_id", "tri")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    # r14 (guide §4.2, r13 verdict item 3 — A/B'd in tools/ab_langid.py):
+    # the trigram explode + (doc, tri) count + profile join + per-doc
+    # fold shuffled a corpus × ~300-char frame twice; every doc-level
+    # quantity the query needs is computable from the doc's own bytes,
+    # so ONE mapInArrow pass emits the per-doc sufficient statistics
+    # (Σtf², and the four profile dot products) with NO corpus shuffle
+    # at all. The Python side is exact INTEGER arithmetic: trigram
+    # counts come from np.unique over 63-bit-packed code-point triples
+    # (UTF-32 → c0<<42 | c1<<21 | c2, lossless for all of Unicode), so
+    # tf, Σtf² and the dots are the same integers the JVM aggregation
+    # produced — the sqrt/cosine doubles are still computed in Spark
+    # SQL below, bit-identically. Lowercasing stays in Spark (F.lower
+    # above) so string semantics never cross engines.
+    _piv_items = sorted(
+        (tri, tuple(d_.get(lid, 0) for lid in lids))
+        for tri, d_ in piv.items()
     )
-    per_doc = (
-        tf.join(F.broadcast(profp), "tri", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sqrt(
-                F.sum(F.col("tf") * F.col("tf")).cast("double")
-            ).alias("dn"),
-            *[
-                F.sum(
-                    F.coalesce(F.col(f"w{lid}"), F.lit(0)) * F.col("tf")
-                )
-                .cast("bigint")
-                .alias(f"d{lid}")
-                for lid in lids
+    _schema = "doc_id long, ss long, " + ", ".join(
+        f"d{lid} long" for lid in lids
+    )
+
+    def _tri_stats(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        codes = np.array(
+            [
+                (ord(t_[0]) << 42) | (ord(t_[1]) << 21) | ord(t_[2])
+                for t_, _ in _piv_items
             ],
+            dtype=np.int64,
         )
+        order = np.argsort(codes)
+        pcodes = codes[order]
+        wmat = np.array(
+            [_piv_items[i][1] for i in order], dtype=np.int64
+        )
+        nl = len(lids)
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            texts = batch.column("t").to_pylist()
+            out = np.empty((len(ids), 2 + nl), dtype=np.int64)
+            for i, t_ in enumerate(texts):
+                u = np.frombuffer(
+                    t_.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                tri = (u[:-2] << 42) | (u[1:-1] << 21) | u[2:]
+                uniq, cnt = np.unique(tri, return_counts=True)
+                out[i, 0] = ids[i]
+                out[i, 1] = int((cnt * cnt).sum())
+                idx = np.searchsorted(uniq, pcodes)
+                idx[idx >= len(uniq)] = 0
+                hit = uniq[idx] == pcodes
+                out[i, 2:] = (cnt[idx] * hit) @ wmat
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out[:, k]) for k in range(2 + nl)],
+                names=["doc_id", "ss"] + [f"d{lid}" for lid in lids],
+            )
+
+    per_doc = d.mapInArrow(_tri_stats, _schema).select(
+        "*", F.sqrt(F.col("ss").cast("double")).alias("dn")
     )
     cols = {
         lid: F.round(
