@@ -512,8 +512,13 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     for i in range(_LPA_ITERS):
         # labels feeds two branches (votes + keep-own fallback):
-        # materialize so the round's lineage is computed once
-        labels = labels.localCheckpoint(eager=True)
+        # materialize so the round's lineage is computed once. Round 0
+        # is the exception (r14, interleaved A/B in tools/ab_lpa.py —
+        # wins every pair): its winner is the min-neighbor shortcut
+        # that never reads labels, so the identity frame feeds only
+        # ONE branch and a checkpoint there is a pure barrier job.
+        if i:
+            labels = labels.localCheckpoint(eager=True)
         if i == 0:
             # ROUND-1 SHORTCUT (r11, bit-identical by construction):
             # labels start as the identity, and edges are DISTINCT, so
