@@ -30,10 +30,15 @@ def _input_bytes(sf_dir: str, table: str) -> int:
     """On-disk size of a table's parquet (file or directory) — a cheap
     scale proxy for sizing salt/bucket counts adaptively. 0 when the
     path is not locally stat-able (object stores): callers keep their
-    local-default floor, which is the safe small-scale value."""
+    local-default floor, which is the safe small-scale value. If
+    non-local storage ever enters scope, replace the stat with a
+    Spark-side size estimate (ADVICE r13 #2) — with the current local
+    testdata contract the floor is always exercised and safe."""
     import os
 
-    path = os.path.join(sf_dir, f"{table}.parquet")
+    from stream_processing_spark.catalog import table_path
+
+    path = table_path(sf_dir, table)
     try:
         if os.path.isdir(path):
             return sum(
@@ -318,6 +323,10 @@ def grouped_wavg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale, 1024 floor locally) and the salt count never changes the
     # result, only the regrouping.
     salt_n = max(1024, _input_bytes(sf_dir, "lineitem") >> 28)
+    # F.round here is HALF_UP where the old pandas .round() was
+    # half-even; they agree because 2-decimal money doubles times 100
+    # never produce an exact .5 tie (the fixture contract — ADVICE r13
+    # #1 documents the assumption the 'bit-identical' claim rides on)
     pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     qc = F.round(F.col("l_quantity") * 100).cast("bigint")
     salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salt_n))
