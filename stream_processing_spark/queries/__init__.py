@@ -101,35 +101,39 @@ _PRIORITY = [
     "t7_custom_flatmap",
     "grep_count_by_source", "grep_total_count",
     "streaming_stateful_running_count",
-    # ---- round-13 rotation (standing invariant, VERDICT r12 item 2):
+    # ---- round-14 rotation (standing invariant, VERDICT r12 item 2):
     # window = anchors + every query whose SPARK CODE materially
-    # changed this round (the range_prefix_sum materialization +
-    # adaptive small-frame path touch every scan caller; the KS helper
-    # also swapped its arg-max to a one-pass struct fold; BM25F moved
-    # to the single-scan posexplode shape) + every round-13 addition.
-    # Everything rotated OUT keeps its CORRECTNESS_r* history plus
-    # tests/test_oracle_queries.py.
-    # -- re-certifications: range_prefix_sum callers (r13 one-scan
-    # materialization + adaptive small-frame path)
-    "spearman_quantity_price", "mann_whitney_value_drift",
-    "ks_value_drift_report", "psi_value_drift",
-    "streaming_ks_drift_monitor", "streaming_psi_drift_monitor",
-    "conformal_linreg_intervals", "winsorized_mean_price",
-    "grouped_value_percentiles", "median_ci_orders",
-    "lorenz_user_activity_deciles", "user_activity_gini",
-    "vocab_top_tokens",
-    # -- re-certification: single-scan field tagging (ADVICE r12)
-    "bm25f_topk_docs",
-    # -- round-13 additions: stats tier III + curation
-    "tdigest_value_quantiles", "seasonal_mann_kendall_weekday",
-    "quantile_regression_pinball", "hllpp_sparse_distinct_users",
-    "sessionized_funnel_timeout", "langid_trigram_cosine_mix",
-    "kmv_distinct_users", "weighted_sample_docs_aes",
-    "cramer_von_mises_drift", "funnel_time_to_convert",
-    "dau_wau_mau_daily", "did_value_estimate",
-    "split_assignment_report", "ab_minimum_detectable_effect",
-    "classifier_calibration_ece", "james_stein_type_means",
-    "logrank_lifetime_by_cohort",
+    # changed this round (the r14 optimization set: shingle-hash
+    # materialization touches every jaccard/containment caller, plus
+    # the heaps/js-div/cuped/rcte/pinball/langid/LPA/q18 reshapes and
+    # the salted-wavg helper's path reuse) + the 18 names the r13
+    # window rotated OUT (they re-enter per the closure discipline) +
+    # the oldest round-1 certifications. Everything rotated out keeps
+    # its CORRECTNESS_r* history plus tests/test_oracle_queries.py.
+    # -- re-certifications: every r14-touched query
+    "heaps_vocab_growth_fit", "corpus_js_divergence_sources",
+    "dedup_jaccard_pairs", "dedup_containment_pairs",
+    "dedup_cc_survivor_map", "dedup_connected_components",
+    "curation_pipeline_yield", "source_similarity_minhash",
+    "rcte_capped_running_balance", "cuped_adjusted_ab_metric",
+    "quantile_regression_pinball", "langid_trigram_cosine_mix",
+    "graph_label_propagation", "grouped_wavg_pandas_udaf",
+    "q18_large_volume_customers", "unigram_encode_source_stats",
+    "spearman_quantity_price",
+    # -- r13 rotated-out names re-entering
+    "bh_fdr_type_drift", "cms_token_frequency_report",
+    "cohort_ltv_matrix", "cohort_retention_triangle",
+    "hhi_source_concentration", "holt_linear_daily_trend",
+    "ipw_conversion_effect", "kendall_tau_quantity_discount",
+    "mann_kendall_daily_trend", "markov_steady_state_event_types",
+    "page_hinkley_value_drift", "retrieval_rrf_hybrid_topk",
+    "rolling_median_daily_revenue", "stratified_dr_ate",
+    "streaming_page_hinkley_monitor", "user_longest_streak",
+    "zipf_token_fit",
+    # -- oldest-certified rotation (last green: round 1)
+    "agg_cube_events", "agg_distinct_counts", "agg_ordered_list",
+    "agg_percentiles_price", "agg_rollup_lineitem",
+    "asof_next_error_after_purchase",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]
