@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 # BEFORE any SparkSession exists: probe for a usable protobuf runtime
@@ -36,3 +38,28 @@ def duck():
         )
     yield con
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# Driver-window fast gate (VERDICT r13 item 6; see pytest.ini). Every
+# test in these modules gets the `gate` marker; a bare `pytest tests/`
+# selects only them (addopts = -m gate), which fits the round driver's
+# verify window. The set = the driver-shaped oracle comparison for the
+# whole registry + the plan lint + the closure invariant + the modules
+# covering operators touched in the current round. The FULL suite is
+# the freeze bar: `pytest tests/ -m "gate or not gate" -q`.
+GATE_MODULES = {
+    "test_oracle_queries",
+    "test_plan_lint",
+    "test_certification_window",
+    "test_dedup_pairs",
+    "test_mlfeat",
+    "test_advice_fixes",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = os.path.splitext(os.path.basename(str(item.fspath)))[0]
+        if mod in GATE_MODULES:
+            item.add_marker(pytest.mark.gate)
