@@ -119,7 +119,8 @@ _PRIORITY = [
     "quantile_regression_pinball", "langid_trigram_cosine_mix",
     "graph_label_propagation", "grouped_wavg_pandas_udaf",
     "q18_large_volume_customers", "unigram_encode_source_stats",
-    "spearman_quantity_price",
+    "spearman_quantity_price", "quality_lm_avg_bigram_prob",
+    "quality_ccnet_buckets",
     # -- r13 rotated-out names re-entering
     "bh_fdr_type_drift", "cms_token_frequency_report",
     "cohort_ltv_matrix", "cohort_retention_triangle",
@@ -132,8 +133,7 @@ _PRIORITY = [
     "zipf_token_fit",
     # -- oldest-certified rotation (last green: round 1)
     "agg_cube_events", "agg_distinct_counts", "agg_ordered_list",
-    "agg_percentiles_price", "agg_rollup_lineitem",
-    "asof_next_error_after_purchase",
+    "agg_percentiles_price",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

@@ -792,17 +792,33 @@ def _doc_avg_bigram_p(docs: DataFrame) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     length = F.size(toks)
     zipped = F.arrays_zip(F.slice(toks, 1, length - 1), F.slice(toks, 2, length - 1))
-    doc_bigrams = (
+    # r14 (guide §2.3, §5; interleaved A/B in tools/ab_qualitylm.py —
+    # wins every pair): bigrams travel as 64-bit xxhash64 keys, never
+    # strings — everything downstream uses the bigram and its first
+    # word only for EQUALITY (count groups, window partition, prob
+    # join), so hashing preserves the exact counts/probs up to the
+    # same ~2⁻⁶⁵-per-pair collision class as the dedup shingle hashing
+    # (gate-verified bit-equal at all test SFs). The O(corpus) eager
+    # checkpoint is gone with them (the heaps lesson: pinning a
+    # corpus-sized frame in executor storage costs more than streaming
+    # the explode twice); the LM-build window stays on the
+    # vocab-bounded bg-level frame so no window partition scales with
+    # the corpus.
+    db = (
         docs.filter(length >= 2)
         .select("doc_id", F.explode(zipped).alias("__z"))
-        .select("doc_id", F.concat_ws(" ", "__z.0", "__z.1").alias("bg"))
+        .select(
+            "doc_id",
+            F.xxhash64(F.concat_ws(" ", "__z.0", "__z.1")).alias("bgh"),
+            F.xxhash64("__z.0").alias("w1h"),
+        )
     )
-    doc_bigrams = doc_bigrams.localCheckpoint(eager=True)  # LM build + join (eager: single-action dedupe)
-    counted = doc_bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
-    w1 = F.split(F.col("bg"), " ").getItem(0)
-    wsum = Window.partitionBy(w1)
+    counted = db.groupBy("bgh", "w1h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wsum = Window.partitionBy("w1h")
     probs = counted.select(
-        "bg",
+        "bgh",
         (
             F.col("cnt").cast("double")
             / F.sum("cnt").over(wsum).cast("double")
@@ -810,7 +826,7 @@ def _doc_avg_bigram_p(docs: DataFrame) -> DataFrame:
     )
     dec_p = F.round(F.col("p"), 6).cast("decimal(18,6)")
     return (
-        doc_bigrams.join(probs, "bg")
+        db.join(probs, "bgh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
