@@ -370,8 +370,14 @@ _XS_SPAN_TERMS = " || ' ' || ".join(f"t[i+{j}]" for j in range(_XS_SPAN_W))
 def cross_source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_spark.runtime import rebalance_for_expansion
 
-    # span fingerprinting is a compute-heavy map (md5 per token
-    # window); spread a small scan's rows across cores first
+    # span fingerprinting is a compute-heavy map (one hash per token
+    # window); spread a small scan's rows across cores first. r14: the
+    # fingerprint is equality-only (it feeds one groupBy and never the
+    # output — the oracle hashes its own side), so xxhash64 replaces
+    # md5: ~½ the map CPU and 8-byte group keys instead of 32-hex
+    # strings (tools/ab_fp_hash.py: md5 [1.11,1.11,1.10] vs xxhash64
+    # [0.98,0.97,0.88], results identical; same 64-bit collision class
+    # as the dedup shingle hashing, gate-verified ×3 SF).
     docs = rebalance_for_expansion(load_table(spark, sf_dir, "documents"))
     spans = (
         docs.select("source", F.split(F.col("text"), " ").alias("t"))
@@ -381,7 +387,7 @@ def cross_source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     f"transform(sequence(0, size(t) - {_XS_SPAN_W}), "
-                    f"i -> md5(concat_ws(' ', slice(t, i + 1, {_XS_SPAN_W}))))"
+                    f"i -> xxhash64(concat_ws(' ', slice(t, i + 1, {_XS_SPAN_W}))))"
                 )
             ).alias("fp"),
         )

@@ -126,13 +126,23 @@ def exact_substring_spans(docs: DataFrame, k: int = _ESS_K) -> DataFrame:
     doc above. Separated so tests can drive planted-repeat fixtures."""
     from stream_processing_spark.runtime import rebalance_for_expansion
 
-    # the window-fingerprint map is an md5 per token — compute-bound;
-    # spread a small scan's rows across cores first
+    # the window-fingerprint map is one hash per token — compute-bound;
+    # spread a small scan's rows across cores first. r14 (guide §2.3,
+    # §5; interleaved A/B in tools/ab_fp_hash.py): the fingerprint is
+    # EQUALITY-ONLY (hot-set count + join-back; the outputs are counts
+    # and positions), so xxhash64 replaces md5 — same results up to
+    # the standard 64-bit collision class (gate-verified bit-equal at
+    # all test SFs), ~½ the per-token hash cost, and 8-byte keys
+    # instead of 32-hex strings through both shuffles. With the cheap
+    # hash, the O(corpus) one-row-per-token eager checkpoint loses to
+    # simply streaming the fingerprint map twice (the heaps lesson;
+    # A/B: md5+ckpt [2.02,1.63,1.80] vs xxhash-2pass [1.49,1.32,1.14])
+    # — and the §5 executor-storage pin is gone with it.
     docs = rebalance_for_expansion(docs)
     wins_arr = F.expr(
         f"transform(sequence(1, size(t) - {k - 1}), "
         f"i -> struct(i AS s, i + {k - 1} AS e, "
-        f"md5(concat_ws(' ', slice(t, i, {k}))) AS fp))"
+        f"xxhash64(concat_ws(' ', slice(t, i, {k}))) AS fp))"
     )
     wins = (
         docs.select("doc_id", F.split("text", " ").alias("t"))
@@ -149,11 +159,6 @@ def exact_substring_spans(docs: DataFrame, k: int = _ESS_K) -> DataFrame:
             F.col("w.e").cast("bigint").alias("e"),
             F.col("w.fp").alias("fp"),
         )
-        # the window frame feeds the hot-set aggregation AND the
-        # join-back; un-materialized, the md5-per-token fingerprint
-        # pass (the dominant compute) evaluates once per branch —
-        # eager checkpoint runs it exactly once (r13 one-scan rule)
-        .localCheckpoint(eager=True)
     )
     hot = (
         wins.groupBy("fp")
