@@ -121,7 +121,7 @@ _PRIORITY = [
     "q18_large_volume_customers", "unigram_encode_source_stats",
     "spearman_quantity_price", "quality_lm_avg_bigram_prob",
     "quality_ccnet_buckets", "dedup_exact_substring_spans",
-    "cross_source_span_overlap",
+    "cross_source_span_overlap", "decontaminate_ngram_overlap",
     # -- r13 rotated-out names re-entering
     "bh_fdr_type_drift", "cms_token_frequency_report",
     "cohort_ltv_matrix", "cohort_retention_triangle",
@@ -133,7 +133,7 @@ _PRIORITY = [
     "streaming_page_hinkley_monitor", "user_longest_streak",
     "zipf_token_fit",
     # -- oldest-certified rotation (last green: round 1)
-    "agg_cube_events", "agg_distinct_counts",
+    "agg_cube_events",
 ]
 
 _missing = [n for n in _PRIORITY if n not in REGISTRY]

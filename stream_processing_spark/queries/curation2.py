@@ -73,12 +73,25 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "split",
-            F.md5(F.concat_ws(" ", *[f"__z.{j}" for j in range(n)])).alias("g"),
+            # r14: the n-gram key is equality-only (train-set member-
+            # ship + count; never output — the oracle hashes its own
+            # side), so xxhash64 replaces md5: cheaper per-token map
+            # and 8-byte keys through the distinct, checkpoint and
+            # join (tools/ab_fp_hash.py: wins every pair, min 2.32 →
+            # 1.84; same collision class as the shingle hashing, gate-
+            # verified ×3 SF). The SPLIT rule's md5(text) is value-
+            # bearing (mirrored by the oracle) and stays md5.
+            F.xxhash64(
+                F.concat_ws(" ", *[f"__z.{j}" for j in range(n)])
+            ).alias("g"),
         )
         .distinct()
         # feeds the train-set and eval-set branches: eager checkpoint
-        # runs the corpus ngram+md5+distinct pipeline (the dominant
-        # shuffle) exactly once (r13 one-scan rule)
+        # dedupes the corpus ngram+distinct SHUFFLE across the two
+        # branches (unlike the map-only exact-substring fingerprint
+        # pass, re-running this costs a full corpus exchange) — and
+        # the frame is distinct (doc, 8-byte gram) rows, 60% smaller
+        # than the r13 md5 spelling
         .localCheckpoint(eager=True)
     )
     train_grams = grams.filter(F.col("split") == "train").select("g").distinct()

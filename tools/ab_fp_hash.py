@@ -11,6 +11,12 @@
   cross_source_span_overlap: same md5 -> xxhash64 swap on the span
   fingerprint feeding the one groupBy (no checkpoint in either shape).
 
+  decontaminate_ngram_overlap: md5 -> xxhash64 on the n-gram key (the
+  split rule's md5(text) stays — it is value-bearing and mirrored by
+  the oracle). The checkpoint STAYS here: it dedupes the corpus
+  DISTINCT shuffle across the train/eval branches (not just a map
+  pass), and with 8-byte keys it is ~60% smaller.
+
 Results asserted equal before timing.
 
 Usage: python tools/ab_fp_hash.py [rounds]
@@ -140,6 +146,48 @@ def main() -> int:
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    def dec(hash_fn: str):
+        n = 5
+        docs = load_table(spark, sf_dir, "documents")
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism
+        )
+        split = F.when(
+            F.md5(F.col("text").cast("binary")) < "cc", "train"
+        ).otherwise("eval")
+        toks = F.split(F.col("text"), " ")
+        length = F.size(toks)
+        zipped = F.arrays_zip(
+            *[F.slice(toks, j + 1, length - (n - 1)) for j in range(n)]
+        )
+        hf = F.md5 if hash_fn == "md5" else F.xxhash64
+        grams = (
+            docs.filter(length >= n)
+            .select(
+                "doc_id", split.alias("split"), F.explode(zipped).alias("__z")
+            )
+            .select(
+                "doc_id",
+                "split",
+                hf(
+                    F.concat_ws(" ", *[f"__z.{j}" for j in range(n)])
+                ).alias("g"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        train_grams = (
+            grams.filter(F.col("split") == "train").select("g").distinct()
+        )
+        eval_grams = grams.filter(F.col("split") == "eval").select(
+            "doc_id", "g"
+        )
+        return (
+            eval_grams.join(train_grams, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        )
+
     def run(builder) -> float:
         t0 = time.perf_counter()
         builder().write.format("noop").mode("overwrite").save()
@@ -159,18 +207,27 @@ def main() -> int:
     )
     print("xsrc results identical:", len(xo), "rows")
 
+    do = sorted(map(tuple, dec("md5").collect()))
+    assert do == sorted(map(tuple, dec("xxhash64").collect()))
+    print("dec results identical:", len(do), "rows")
+
     a, b, c, d, e = [], [], [], [], []
+    f_, g_ = [], []
     for _ in range(rounds):
         a.append(run(lambda: ess("md5", True)))
         b.append(run(lambda: ess("xxhash64", True)))
         c.append(run(lambda: ess("xxhash64", False)))
         d.append(run(lambda: xsrc("md5")))
         e.append(run(lambda: xsrc("xxhash64")))
+        f_.append(run(lambda: dec("md5")))
+        g_.append(run(lambda: dec("xxhash64")))
     print(f"ess  md5+ckpt : {a} min={min(a)}")
     print(f"ess  xh +ckpt : {b} min={min(b)}")
     print(f"ess  xh 2pass : {c} min={min(c)}")
     print(f"xsrc md5      : {d} min={min(d)}")
     print(f"xsrc xxhash64 : {e} min={min(e)}")
+    print(f"dec  md5      : {f_} min={min(f_)}")
+    print(f"dec  xxhash64 : {g_} min={min(g_)}")
     return 0
 
 
