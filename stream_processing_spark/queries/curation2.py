@@ -54,8 +54,9 @@ def _ngram_sql(n: int) -> str:
     "projected to a DISTINCT n-gram hash set BEFORE the join, so each "
     "eval n-gram matches at most one row — join volume is linear in "
     "eval n-grams, immune to stop-n-gram frequency skew (no df cap "
-    "needed, unlike pair-generating joins). Hashes are md5 of the "
-    "n-gram, so the shuffle carries fixed-width keys, never text.",
+    "needed, unlike pair-generating joins). N-gram keys travel as "
+    "64-bit xxhash64 hashes (r14), so every shuffle carries "
+    "fixed-width keys, never text.",
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -365,7 +365,7 @@ _XS_SPAN_TERMS = " || ' ' || ".join(f"t[i+{j}]" for j in range(_XS_SPAN_W))
     "an fp self-join shuffle over the same data; folding dedup into "
     "the fp groupBy halves the shuffled bytes and removes the join. "
     "Span generation stays linear in corpus tokens with no text "
-    "shuffled (fixed-width 32-hex keys only).",
+    "shuffled (fixed-width 8-byte xxhash64 keys, r14).",
 )
 def cross_source_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_spark.runtime import rebalance_for_expansion

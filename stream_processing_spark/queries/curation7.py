@@ -451,12 +451,13 @@ _LANGID3_VALUES = ", ".join(
     "by profile id — then the corpus mix (docs, mean confidence) per "
     "winning language. Docs sharing no trigram with ANY profile get "
     "no score row and are excluded (documented; they'd need a "
-    "smoothed model). Scale shape: the trigram explode is map-side "
-    "(corpus × ~300-char docs), the (doc, trigram) count frame is "
-    "eager-checkpointed once for its dot/norm consumers, profiles "
-    "and their norms are literal broadcasts, the per-doc argmax is a "
-    "max-struct fold (no second corpus shuffle), and the final "
-    "rollup is language-domain-bounded (≤ 4 rows).",
+    "smoothed model). Scale shape (r14): the per-doc sufficient "
+    "statistics (Σtf² and the four profile dots) come from ONE "
+    "mapInArrow pass over (doc_id, lower(text)) — exact integer "
+    "trigram counting via np.unique over 63-bit packed code-point "
+    "triples, so no corpus shuffle exists at all; profile norms are "
+    "literal constants, sqrt/cosine/argmax stay in Spark SQL, and "
+    "the final rollup is language-domain-bounded (≤ 4 rows).",
 )
 def langid_trigram_cosine_mix(
     spark: SparkSession, sf_dir: str

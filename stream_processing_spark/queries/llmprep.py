@@ -498,10 +498,14 @@ def heaps_vocab_growth_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact integer ratios; each p·ln(p/m) term is one fixed double "
     "expression rounded to 9dp DECIMAL and summed order-"
     "independently; zero-count terms contribute exactly 0 by the KL "
-    "convention. Scale shape: one corpus aggregation to the (source, "
-    "token) histogram; the pair frame is source-DOMAIN-bounded "
-    "(pairs × vocab rows, built by two equi-joins — never an OR-join "
-    "that would degenerate to a nested loop).",
+    "convention. Scale shape (r14): one corpus aggregation to the "
+    "(source, token) histogram, then ONE token-keyed aggregation "
+    "pivots each token's per-source counts into a SOURCE-DOMAIN-"
+    "bounded map; the pair expansion is a broadcast nested-loop over "
+    "that 1-row-per-token frame with membership filter and count "
+    "lookups in codegen, partially aggregated to the |pairs|-bounded "
+    "result before its exchange — nothing pairs×vocab-sized is ever "
+    "shuffled.",
 )
 def corpus_js_divergence_sources(
     spark: SparkSession, sf_dir: str
