@@ -22,7 +22,7 @@ Embedding-cosine near-dup lives in similarity.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stream_processing_spark.runtime import materialize, rebalance_for_expansion
@@ -327,9 +327,50 @@ def lsh_candidate_pairs(
     )
 
 
-def _hex_digit_val(hexstr: Column, pos: int) -> Column:
-    """Value 0..15 of 1-indexed hex digit `pos` of a lowercase hex string."""
-    return F.instr(F.lit("0123456789abcdef"), F.substring(hexstr, pos, 1)) - 1
+def _simhash(
+    df: DataFrame, n_bits: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared SimHash body: sign-of-bit-sums over the first n_bits/4 md5
+    hex digits of each whitespace token (with multiplicity).
+
+    The token hash is parsed in ONE ``conv(hex, 16, 10)`` → LONG cast
+    per token instead of n_bits/4 per-digit instr(substring(...))
+    extractions (r14: ~2 string ops per token instead of ~2·digits;
+    the fp-only interleaved A/B in tools/ab_simhash.py wins 4/5 and
+    the per-token CPU argument is unconditional). Bit b of that long
+    IS the old digit-decomposed bit b: digit d holds value
+    (v >> 4·(digits−1−d)) & 15, so the old (d_{digits−1−b//4} >> b%4)
+    & 1 ≡ (v >> b) & 1. The old ±1 CASE sums become plain bit sums
+    plus one token count: sign(Σ±1) > 0 ⟺ 2·Σbit > n, exactly
+    (Σ±1 = 2·Σbit − n). Fingerprints are bit-identical; the DuckDB
+    twins keep the per-digit spelling (md5 is value-bearing — the
+    oracle mirrors it digit by digit).
+    """
+    n_digits = n_bits // 4
+    # rebalance before the expanding explode (see shingles())
+    df = rebalance_for_expansion(df)
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("tok")), 1, n_digits), 16, 10)
+        .cast("long")
+        .alias("v"),
+    )
+    bit_sums = [
+        F.sum(F.shiftright(F.col("v"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    per_doc = tok.groupBy(id_col).agg(
+        *bit_sums, F.count(F.lit(1)).alias("_ntok")
+    )
+    fp = None
+    for b in range(n_bits):
+        term = F.when(
+            2 * F.col(f"s{b}") > F.col("_ntok"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
 
 
 def simhash32(
@@ -339,34 +380,11 @@ def simhash32(
     multiplicity). Token hash = first 8 hex digits of md5; bit b of the
     fingerprint is the sign of sum(±1) of that bit across tokens.
 
-    Everything is integer arithmetic on hex digits — portable across
-    engines (no 64-bit parse, no engine-specific hash()).
+    Everything is integer arithmetic — portable across engines (the
+    value never exceeds 32 bits; see ``_simhash`` for the one-conv
+    parse that replaced per-digit extraction).
     """
-    # rebalance before the expanding explode (see shingles())
-    df = rebalance_for_expansion(df)
-    tok = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
-    # digit d (0=most significant) value 0..15
-    digs = [ _hex_digit_val(F.col("h"), d + 1).alias(f"d{d}") for d in range(8) ]
-    tok = tok.select(id_col, *digs)
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"d{7 - b // 4}"), b % 4).bitwiseAND(F.lit(1)) == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(32)
-    ]
-    per_doc = tok.groupBy(id_col).agg(*bit_sums)
-    fp = None
-    for b in range(32):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = term if fp is None else fp + term
-    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+    return _simhash(df, 32, id_col, text_col)
 
 
 def simhash60(
@@ -375,37 +393,12 @@ def simhash60(
     """60-bit SimHash per document — the PAIR-MINING width (see
     simhash_pairs: band bucket count is 2^(bits/4), so 15-bit blocks
     give 32768 buckets per band vs 256 at 32 bits; measured ~17x less
-    candidate mass on the same corpus). Same hex-digit construction
-    as ``simhash32`` over the first 15 md5 digits; 60 bits (not 64)
+    candidate mass on the same corpus). Same construction as
+    ``simhash32`` over the first 15 md5 digits; 60 bits (not 64)
     keeps the fingerprint and every DuckDB twin inside a SIGNED
     64-bit integer — bit 63 would need unsigned arithmetic on both
     engines."""
-    df = rebalance_for_expansion(df)
-    tok = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", F.md5(F.col("tok")))
-    digs = [
-        _hex_digit_val(F.col("h"), d + 1).alias(f"d{d}") for d in range(15)
-    ]
-    tok = tok.select(id_col, *digs)
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"d{14 - b // 4}"), b % 4)
-                .bitwiseAND(F.lit(1)) == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(60)
-    ]
-    per_doc = tok.groupBy(id_col).agg(*bit_sums)
-    fp = None
-    for b in range(60):
-        term = F.when(
-            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+    return _simhash(df, 60, id_col, text_col)
 
 
 def simhash_pairs(

@@ -96,18 +96,41 @@ def connected_components(
     sym = _cut(
         fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    # no checkpoint for the seed labels: they derive from the already-
-    # materialized sym by one distinct, and round 1 checkpoints its
-    # delta anyway — cutting here would cost a whole extra job
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
     budget = max_iter if algorithm == "propagation" else min(
         _AUTO_SWITCH_AFTER, max_iter
     )
-    labels, rounds, converged = _propagate(sym, labels, _cut, budget)
+    if budget < 1:  # degenerate: no rounds allowed — identity labels
+        if stats is not None:
+            stats["rounds"] = 0
+        return (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("component"))
+        )
+    # ROUND-1 SHORTCUT (r14, bit-identical by construction — the same
+    # class as LPA's round-0 min-neighbor shortcut): labels start as
+    # the identity, so round 1's min(label over neighbors ∪ self) IS
+    # least(node, min neighbor id). One aggregation over the
+    # materialized sym replaces the seed-labels DISTINCT shuffle AND
+    # the identity label join (sym is symmetric, so its distinct `a`
+    # values are exactly the node set). The delta carries __old = node
+    # so the convergence probe stays a filter over the checkpointed
+    # frame, as in _propagate.
+    delta1 = _cut(
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mnb"))
+        .select(
+            F.col("a").alias("node"),
+            F.col("a").alias("__old"),
+            F.least(F.col("a"), F.col("_mnb")).alias("label"),
+        )
+    )
+    changed = delta1.filter(F.col("label") < F.col("__old")).limit(1).count()
+    labels = delta1.select("node", "label")
+    rounds, converged = 1, changed == 0
+    if not converged and budget > 1:
+        labels, more, converged = _propagate(sym, labels, _cut, budget - 1)
+        rounds += more
 
     if not converged and algorithm == "auto":
         # contract by current labels: (a,b) → (label(a), label(b)).

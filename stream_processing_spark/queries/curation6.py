@@ -1317,8 +1317,6 @@ def _h8_sql(expr: str) -> str:
 def mixture_temperature_resample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from stream_processing_spark.functions.dedup import _hex_digit_val
-
     docs = load_table(spark, sf_dir, "documents")
     # the lang histogram feeds the total, the sqrt frame and (via it)
     # the weight frame — four corpus aggregations without a cut; eager
@@ -1355,13 +1353,13 @@ def mixture_temperature_resample(
             ).alias("weight"),
         )
     )
-    h = F.md5(F.col("doc_id").cast("string"))
-    h8 = None
-    for i in range(8):
-        term = _hex_digit_val(h, i + 1).cast("bigint") * F.lit(
-            16 ** (7 - i)
-        )
-        h8 = term if h8 is None else h8 + term
+    # first 8 md5 digits as a 32-bit uniform, parsed in ONE
+    # conv(hex, 16, 10) instead of 8 per-digit extractions (identical
+    # base-16 positional value; same r14 swap as text_rolling_
+    # fingerprint / simhash — md5 stays, the oracle mirrors it)
+    h8 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
     copies = F.floor("weight").cast("bigint") + F.when(
         h8
         < F.floor(

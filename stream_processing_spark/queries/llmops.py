@@ -865,21 +865,17 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     win_starts = F.sequence(F.lit(0), F.size(t) - _RH_WIN)
 
     def tok16(tok_col):
-        pieces = [
-            (
-                F.instr(
-                    F.lit("0123456789abcdef"),
-                    F.substring(F.md5(tok_col.cast("binary")), i + 1, 1),
-                )
-                - 1
-            ).cast("bigint")
-            * F.lit(16 ** (3 - i)).cast("bigint")
-            for i in range(4)
-        ]
-        s = pieces[0]
-        for p in pieces[1:]:
-            s = s + p
-        return s
+        # ONE conv(hex, 16, 10) parse of the first 4 md5 digits instead
+        # of 4 per-digit instr(substring(...)) extractions — the same
+        # value by construction (base-16 positional sum), ~8 fewer
+        # string ops per token-window (r14 interleaved A/B: old
+        # [3.15,3.26,4.14,3.60] vs conv [2.35,2.15,2.20,2.39], wins
+        # every pair; a transform()-hash-once variant measured 4x WORSE
+        # — interpreted lambda per element). md5 itself stays: the
+        # DuckDB twin mirrors it digit by digit (value-bearing).
+        return F.conv(
+            F.substring(F.md5(tok_col.cast("binary")), 1, 4), 16, 10
+        ).cast("bigint")
 
     rh = None
     for j in range(_RH_WIN):
