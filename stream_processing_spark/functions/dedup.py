@@ -51,12 +51,23 @@ def shingles(
     id_col: str = "doc_id",
     text_col: str = "text",
     distinct: bool = True,
+    hash64: bool = False,
 ) -> DataFrame:
     """Word n-gram shingles per document: (id, sh).
 
     distinct=True gives set semantics (required for Jaccard). Min-based
     consumers (MinHash) pass distinct=False: MIN is duplicate-insensitive
     and the dedup would cost a full extra shuffle for nothing.
+
+    hash64=True replaces the shingle string with xxhash64(sh) BEFORE
+    the distinct, so the set-semantics shuffle carries fixed 16-byte
+    rows instead of ~n-word strings (guide §2.3) — the string dies
+    map-side in the same stage that built it. Only for consumers that
+    use the shingle for EQUALITY and counting (Jaccard, containment,
+    novelty, SNM); value-bearing consumers (MinHash's md5(seed:sh))
+    must keep strings. Same 64-bit collision class as the downstream
+    hashing it replaces: distinct-on-hash vs distinct-then-hash differ
+    only when two distinct shingles of one doc collide (P ≈ n²/2⁶⁵).
     """
     # the explode expands each doc ~token-count×; rebalance BEFORE the
     # expansion so it runs on all cores when the scan has few splits (a
@@ -79,6 +90,8 @@ def shingles(
             F.concat_ws(" ", *[f"__z.{j}" for j in range(n)]).alias("sh"),
         )
     )
+    if hash64:
+        out = out.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     return out.distinct() if distinct else out
 
 
@@ -139,8 +152,11 @@ def jaccard_pairs(
     # rows. Results are identical up to a 64-bit hash collision between
     # two distinct shingles that share a doc or a joined pair
     # (P ≈ n²/2⁶⁵ — ~10⁻⁸ at sf0.1; the gate verifies bit-equality at
-    # all test SFs).
-    sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+    # all test SFs). Skipped when the caller already passed hashed
+    # shingles (shingles(hash64=True) — hashing BEFORE the distinct
+    # also shrinks the set-semantics shuffle itself).
+    if dict(sh.dtypes).get("sh") != "bigint":
+        sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     if max_df is not None:
         sh = cap_document_frequency(sh, max_df)
     # the shingle frame feeds FOUR plan branches (join sides a/b + both
@@ -202,8 +218,10 @@ def containment_pairs(
     below the threshold (e.g. true C = threshold + 1e-8). The DuckDB
     oracle mirrors filter-then-round exactly."""
     # ids + 64-bit shingle hashes only — same §2.3/§5 size bound (and
-    # the same collision caveat) as jaccard_pairs above
-    sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
+    # the same collision caveat / prehashed-caller skip) as
+    # jaccard_pairs above
+    if dict(sh.dtypes).get("sh") != "bigint":
+        sh = sh.select(F.col(id_col), F.xxhash64("sh").alias("sh"))
     if max_df is not None:
         sh = cap_document_frequency(sh, max_df)
     sh = materialize(  # eager: same one-scan rule as jaccard_pairs

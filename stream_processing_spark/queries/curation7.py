@@ -270,7 +270,9 @@ def dedup_cc_survivor_map(
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs(
-        dd.shingles(docs, n=3), threshold=0.8, max_df=_JACCARD_MAX_DF
+        dd.shingles(docs, n=3, hash64=True),
+        threshold=0.8,
+        max_df=_JACCARD_MAX_DF,
     ).select("doc_a", "doc_b")
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     # n_chars rides along so the survivor election needs NO second

@@ -199,7 +199,9 @@ _JACCARD_CTES = f"""
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.jaccard_pairs(
-        dd.shingles(docs, n=3), threshold=0.8, max_df=_JACCARD_MAX_DF
+        dd.shingles(docs, n=3, hash64=True),
+        threshold=0.8,
+        max_df=_JACCARD_MAX_DF,
     )
 
 
@@ -247,7 +249,7 @@ _CONTAINMENT_MIN_SH = 5
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.containment_pairs(
-        dd.shingles(docs, n=3),
+        dd.shingles(docs, n=3, hash64=True),
         threshold=_CONTAINMENT_THRESHOLD,
         max_df=_JACCARD_MAX_DF,
         min_shingles=_CONTAINMENT_MIN_SH,
@@ -290,7 +292,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.jaccard_pairs(
-        dd.shingles(docs, n=3), threshold=0.8, max_df=_JACCARD_MAX_DF
+        dd.shingles(docs, n=3, hash64=True),
+        threshold=0.8,
+        max_df=_JACCARD_MAX_DF,
     ).select("doc_a", "doc_b")
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return (
@@ -1412,7 +1416,9 @@ def curation_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False,
     )
     pairs = dd.jaccard_pairs(
-        dd.shingles(s4, n=3), threshold=0.8, max_df=_JACCARD_MAX_DF
+        dd.shingles(s4, n=3, hash64=True),
+        threshold=0.8,
+        max_df=_JACCARD_MAX_DF,
     )
     drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     s5 = s4.join(drops, "doc_id", "left_anti")
@@ -1885,7 +1891,10 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stream_processing_spark.runtime import materialize
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = materialize(dd.shingles(docs, n=3), eager=True)  # eager: single-action dedupe
+    # hash64: the novelty fold uses the shingle only for grouping
+    # (min-holder per sh) — 16-byte rows through the distinct, the
+    # checkpoint and the groupBy (same collision class as jaccard)
+    sh = materialize(dd.shingles(docs, n=3, hash64=True), eager=True)
     # (doc, sh) is DISTINCT (set shingles), so a doc's novel count —
     # its shingles whose corpus-wide MIN holder is itself — equals the
     # count of sh-groups it wins. Aggregate the min-holder frame down

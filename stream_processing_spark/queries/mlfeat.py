@@ -379,7 +379,11 @@ def dedup_sorted_neighborhood_pairs(
         & (F.col("a_rn") + F.col("rank_distance") == F.col("b_rn")),
     ).select("doc_a", "doc_b", "rank_distance")
 
-    sh = materialize(dd.shingles(docs, n=3), eager=True)  # eager: single-action dedupe
+    # eager: single-action dedupe; hash64: the verify join and both
+    # size counts use the shingle for EQUALITY only — 16-byte rows
+    # through the distinct, the checkpoint and the join (same 64-bit
+    # collision class as jaccard_pairs)
+    sh = materialize(dd.shingles(docs, n=3, hash64=True), eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = sh.select(
