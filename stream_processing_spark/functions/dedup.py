@@ -325,6 +325,13 @@ def lsh_candidate_pairs(
     buckets = band_buckets(
         sigs, bands=bands, rows_per_band=rows_per_band, id_col=id_col
     )
+    # the 32-hex band sig is used for EQUALITY only from here on (the
+    # bucket-size window and the self-join key; candidate pairs emit
+    # ids alone) — carry its xxhash64 through the shuffles instead
+    # (guide §2.3; same 64-bit collision class as the shingle hashing,
+    # scoped per band). band_buckets itself keeps the md5 string: it
+    # is the shared stream/batch bucket spelling.
+    buckets = buckets.select(id_col, "band", F.xxhash64("sig").alias("sig"))
     if max_bucket is not None:
         from pyspark.sql.window import Window
 
