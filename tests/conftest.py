@@ -55,6 +55,7 @@ GATE_MODULES = {
     "test_dedup_pairs",
     "test_mlfeat",
     "test_advice_fixes",
+    "test_r14_s2_ops",
 }
 
 
